@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Accessors for the harness parquet tables (TESTDATA.md, FIXTURES.md §A).
+  *
+  * Plain `spark.read.parquet` scans: Catalyst gets filter pushdown + column
+  * pruning for free, and at cluster scale these would be partitioned
+  * directories rather than single files — nothing here assumes one file.
+  */
+final class Tables(val spark: SparkSession, val dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * outright; read it as raw nanos (legacy conf) and convert to a µs
+    * TimestampType — DuckDB agrees at µs (FIXTURES.md §A). */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events")
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}
+
+object Tables {
+  def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+}
