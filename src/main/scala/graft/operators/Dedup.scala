@@ -1,7 +1,221 @@
 package graft.operators
 
-import graft.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
 
+/** Deduplication operators for LLM-scale data pipelines (north star,
+  * SURVEY.md §7.2.6): exact, normalized-exact, MinHash signatures,
+  * MinHash+LSH near-dup with exact verification, exact n-gram Jaccard
+  * via an inverted shingle index, and SimHash (Spark-only).
+  *
+  * Portability: MinHash uses md5 (identical lowercase-hex output in
+  * Spark and DuckDB) and exploits that fixed-length hex strings order
+  * exactly like their numeric values — so `min(md5(seed||shingle))` is
+  * a fully oracle-checkable MinHash. Production note: at 100 TB you'd
+  * swap md5 for xxhash64 (same plan shape, cheaper hash); the plan is
+  * what matters — shingle explode → per-(doc,seed) min → band grouping
+  * → candidate self-join bounded by band buckets → exact verify only on
+  * candidates. No all-pairs stage exists anywhere.
+  */
 object Dedup {
-  val all: Seq[Q] = Seq()
+
+  private val NumHashes = 16
+  private val BandRows  = 2 // 8 bands × 2 rows
+
+  /** doc_id + deduplicated word-3-gram shingle set, exploded. */
+  private[operators] def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 3
+          |     THEN transform(sequence(1, size(w) - 2),
+          |            i -> concat(element_at(w, i), ' ',
+          |                        element_at(w, i + 1), ' ',
+          |                        element_at(w, i + 2)))
+          |     ELSE array() END""".stripMargin)).as("sh"))
+      .distinct()
+
+  /** Shared DuckDB CTEs for the shingle set (1-based list indexing). */
+  private val shinglesSql =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |       FROM w),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Exact dedup: group by content fingerprint, keep the smallest
+    * doc_id as representative. Grouping on md5(text) rather than text
+    * keeps shuffle rows narrow at scale (the 16-byte digest shuffles,
+    * not the document body). */
+  val exactDedup: Q = Q(
+    "n01_dedup_exact",
+    """SELECT md5(text) AS fp, min(doc_id) AS doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_dups
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      .orderBy("doc_id")
+  }
+
+  /** Normalized exact dedup: lower + whitespace collapse + trim before
+    * fingerprinting (catches trivially-mutated duplicates). */
+  val normDedup: Q = Q(
+    "n02_dedup_norm",
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |       min(doc_id) AS doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_dups
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+        .cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-(doc, seed) MinHash component over the shingle set. */
+  private def minhash(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .withColumn("j", explode(expr(s"sequence(0, ${NumHashes - 1})")))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("sh"))
+        .cast("binary"))).as("mh"))
+
+  /** MinHash signature rows (doc_id, seed j, hash) — oracle-checked
+    * bit-for-bit against DuckDB computing the identical md5 MinHash. */
+  val minhashSignature: Q = Q(
+    "n03_minhash_sig",
+    s"""WITH $shinglesSql
+       |SELECT doc_id, CAST(j AS BIGINT) AS j,
+       |       min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+       |FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS j) seeds
+       |GROUP BY doc_id, j
+       |ORDER BY doc_id, j""".stripMargin) { (s, dir) =>
+    minhash(Tables(s, dir).documents)
+      .select(col("doc_id"), col("j").cast("long").as("j"), col("mh"))
+      .orderBy("doc_id", "j")
+  }
+
+  /** Near-duplicate pairs: MinHash → LSH banding → exact Jaccard verify
+    * on candidates only. The oracle is the *exact* all-qualifying-pairs
+    * answer (inverted-index SQL), so a recall miss in the LSH pipeline
+    * shows up as a hash mismatch — the check is stricter than rows>0.
+    * 8 bands × 2 rows ⇒ P(miss | J=0.9) = (1−0.81)⁸ ≈ 7e-6. */
+  val lshNearDup: Q = Q(
+    "n04_lsh_neardup",
+    s"""WITH $shinglesSql,
+       |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |           GROUP BY a.doc_id, b.doc_id)
+       |SELECT d1, d2,
+       |       CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jac
+       |FROM common
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6
+       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val sh = shingles(docs).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+    val bands = minhash(docs)
+      .groupBy(col("doc_id"), floor(col("j") / BandRows).as("band"))
+      .agg(concat_ws("|",
+        max(when(col("j") % BandRows === 0, col("mh"))),
+        max(when(col("j") % BandRows === 1, col("mh")))).as("sig"))
+    val b1 = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
+    val b2 = bands.select(col("doc_id").as("d2"), col("band"), col("sig"))
+    val candidates = b1.join(b2, Seq("band", "sig"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+
+    val s1 = sh.select(col("doc_id").as("d1"), col("sh"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("sh"))
+    val common = candidates
+      .join(s1, Seq("d1")).join(s2, Seq("d2", "sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
+      .filter(col("jac") >= 0.6)
+      .select("d1", "d2", "jac")
+      .orderBy("d1", "d2")
+  }
+
+  /** Exact n-gram Jaccard similarity join via the inverted shingle
+    * index (shuffle on shingle, never all-pairs); threshold 0.5. */
+  val ngramJaccard: Q = Q(
+    "n05_ngram_jaccard",
+    s"""WITH $shinglesSql,
+       |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |           GROUP BY a.doc_id, b.doc_id)
+       |SELECT d1, d2, CAST(c AS BIGINT) AS n_common,
+       |       CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jac
+       |FROM common
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.5
+       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val sh = shingles(Tables(s, dir).documents)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("d1"), col("sh"))
+    val b = sh.select(col("doc_id").as("d2"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
+      .filter(col("jac") >= 0.5)
+      .select(col("d1"), col("d2"), col("c").as("n_common"), col("jac"))
+      .orderBy("d1", "d2")
+  }
+
+  /** 60-bit SimHash fingerprint per document (token-level), plus
+    * near-pair candidates via 4-way band split (pigeonhole-sound for
+    * hamming ≤ 3). Spark-only: relies on conv(hex,16,10) which DuckDB
+    * lacks — correctness is covered by DedupSpec instead. */
+  val simhash: Q = Q.noOracle("n06_simhash") { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    // token -> 60-bit hash (15 hex chars of md5 fits in a signed long)
+    val tokens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .withColumn("h", conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+        .cast("long"))
+    // per-bit ±1 votes, summed per doc
+    val bits = tokens
+      .withColumn("bit", explode(expr("sequence(0, 59)")))
+      .groupBy("doc_id", "bit")
+      .agg(sum(when(expr("shiftright(h, bit) % 2 != 0"), 1)
+        .otherwise(-1)).as("vote"))
+    val fp = bits
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") >= 0,
+        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+    // 4 bands of 15 bits: pairs sharing any band are hamming-candidates
+    val banded = fp.withColumn("band", explode(expr("sequence(0, 3)")))
+      .withColumn("chunk",
+        expr("shiftright(simhash, CAST(band * 15 AS INT)) % 32768"))
+    val p1 = banded.select(col("doc_id").as("d1"), col("simhash").as("h1"),
+      col("band"), col("chunk"))
+    val p2 = banded.select(col("doc_id").as("d2"), col("simhash").as("h2"),
+      col("band"), col("chunk"))
+    p1.join(p2, Seq("band", "chunk")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("d1", "d2")
+  }
+
+  val all: Seq[Q] = Seq(exactDedup, normDedup, minhashSignature,
+    lshNearDup, ngramJaccard, simhash)
 }

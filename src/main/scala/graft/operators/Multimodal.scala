@@ -1,7 +1,81 @@
 package graft.operators
 
-import graft.Q
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
 
+/** Multimodal-column handling (north star): media as opaque binary
+  * columns with typed metadata, decoded partition-wise. The container
+  * has no image/audio codecs, so the decode step is a clearly-marked
+  * deterministic STUB — the Spark-side plumbing (binary columns,
+  * schema, iterator-to-iterator partition processing, batch shape) is
+  * real and tested (MultimodalSpec).
+  */
 object Multimodal {
-  val all: Seq[Q] = Seq()
+
+  /** A media row: payload bytes + typed metadata (the `documents` text
+    * bytes stand in for an encoded image). */
+  final case class MediaRow(doc_id: Long, media: Array[Byte], mime: String)
+
+  /** STUB decode result — deterministic fake features derived from the
+    * payload bytes; a real deployment would swap in a codec here. */
+  final case class DecodedMedia(
+      doc_id: Long, n_bytes: Long, width: Int, height: Int,
+      checksum: Long, features: Array[Float])
+
+  /** Binary payload metadata extraction — pure column ops, so it is
+    * oracle-checked: byte length, content digest, and the stubbed
+    * "decode" of fake dimensions from the byte stream. */
+  val mediaMeta: Q = Q(
+    "n30_media_meta",
+    """SELECT doc_id,
+      |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |       md5(text) AS digest,
+      |       CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS BIGINT) AS width,
+      |       CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 + 1 AS BIGINT) AS height
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val bytes = octet_length(col("text")).cast("long")
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        bytes.as("n_bytes"),
+        md5(col("text").cast("binary")).as("digest"),
+        (bytes % 640 + 1).as("width"),
+        ((bytes * 7) % 480 + 1).as("height"))
+      .orderBy("doc_id")
+  }
+
+  /** Typed partition-wise decode (the Scala analog of a mapInPandas
+    * batch UDF): Dataset[MediaRow] → mapPartitions with the stub codec
+    * → Dataset[DecodedMedia]. Iterator-to-iterator, constant memory,
+    * no driver involvement. Rows-only check; determinism + schema are
+    * asserted in MultimodalSpec. */
+  val mediaDecode: Q = Q.noOracle("n31_media_decode") { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val media = docs.select(col("doc_id"), col("text"))
+      .as(Encoders.product[(Long, String)])
+      .map(r => MediaRow(r._1, r._2.getBytes("UTF-8"), "image/fake"))(
+        Encoders.product[MediaRow])
+    media.mapPartitions(_.map(decodeStub))(Encoders.product[DecodedMedia])
+      .orderBy("doc_id")
+      .toDF()
+  }
+
+  /** The STUB codec: deterministic pseudo-features from the bytes.
+    * Replace with a real decoder (libjpeg/ffmpeg/...) in deployment —
+    * the partitioning, batching and schema do not change. */
+  private[operators] def decodeStub(m: MediaRow): DecodedMedia = {
+    val n = m.media.length.toLong
+    var crc = 0L
+    var i = 0
+    while (i < m.media.length) { crc = crc * 31 + (m.media(i) & 0xff); i += 1 }
+    val feats = Array.tabulate(8) { k =>
+      ((crc >>> (k * 8)) & 0xff).toFloat / 255f
+    }
+    DecodedMedia(m.doc_id, n, (n % 640 + 1).toInt, ((n * 7) % 480 + 1).toInt,
+      crc, feats)
+  }
+
+  val all: Seq[Q] = Seq(mediaMeta, mediaDecode)
 }

@@ -1,7 +1,136 @@
 package graft.operators
 
-import graft.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.Det._
 
+/** Similarity search over the embeddings table (north star,
+  * SURVEY.md §7.2.6): brute-force cosine top-k as the exact baseline,
+  * and a random-hyperplane-LSH bucketed variant as the scale path.
+  *
+  * Numeric parity: dot products and norms are computed in double
+  * precision with per-element IEEE ops identical in both engines; the
+  * 64-element accumulation error (~1e-15) is absorbed by the portable
+  * floor-based round6, and ranking ties broken by neighbor id, so
+  * top-k membership is deterministic.
+  *
+  * Scale stance: queries are broadcast against the corpus (no shuffle
+  * of the big side); at 100 TB the corpus side stays partition-local
+  * and only per-query top-k heaps move. The LSH variant bounds
+  * candidate generation by bucket, the standard trade of recall for a
+  * ~|bucket|/|corpus| cost reduction.
+  */
 object Similarity {
-  val all: Seq[Q] = Seq()
+
+  private val NumQueries = 32
+  private val TopK = 5
+
+  /** Per-row L2 norm in double precision. */
+  private def l2(c: Column): Column =
+    sqrt(aggregate(transform(c, x => x.cast("double") * x),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Exact brute-force cosine top-k for a fixed query set (vec_id <
+    * 32), k = 5. Broadcast queries × corpus scan; per-query top-k via
+    * row_number (TakeOrdered per partition at scale). */
+  val cosineTopK: Q = Q(
+    "n10_cosine_topk",
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |                  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |           FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < $NumQueries),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS nb_id,
+       |         ${round6Sql(
+              "list_sum(list_transform(generate_series(1, len(q.embedding)), " +
+              "i -> CAST(q.embedding[i] AS DOUBLE) * e.embedding[i])) / (q.nrm * e.nrm)")} AS cos
+       |  FROM q CROSS JOIN e
+       |  WHERE q.vec_id <> e.vec_id),
+       |ranked AS (SELECT q_id, nb_id, cos,
+       |                  row_number() OVER (PARTITION BY q_id
+       |                                     ORDER BY cos DESC, nb_id) AS rn
+       |           FROM pairs)
+       |SELECT q_id, nb_id, cos, CAST(rn AS BIGINT) AS rn
+       |FROM ranked WHERE rn <= $TopK
+       |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir).embeddings
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NumQueries).select(
+      col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val dot = aggregate(
+      zip_with(col("qv"), col("embedding"), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("nb_id"),
+        round6(dot / (col("qnrm") * col("nrm"))).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .orderBy("q_id", "rn")
+  }
+
+  /** Approximate NN via random-hyperplane LSH: 4 tables × 10-bit
+    * signatures; candidates = bucket collisions in any table; exact
+    * cosine re-rank on candidates only. Hyperplane weights are derived
+    * deterministically from md5 bits (no RNG, resume-safe). Spark-only
+    * (the plan is the point); recall vs n10 is asserted in
+    * SimilaritySpec. */
+  val annLsh: Q = Q.noOracle("n11_ann_lsh") { (s, dir) =>
+    val nTables = 4
+    val nBits = 10
+    val dim = 64
+    val spark = s
+    import spark.implicits._
+
+    // deterministic pseudo-random ±1 weights per (table, bit, dim)
+    val weights = (0 until nTables).flatMap { t =>
+      (0 until nBits).flatMap { b =>
+        (0 until dim).map { i =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$t:$b:$i".getBytes("UTF-8"))
+          (t, b, i, if ((hex(0) & 0x80) == 0) 1.0 else -1.0)
+        }
+      }
+    }.toDF("t", "b", "i", "wt")
+
+    val e = Tables(s, dir).embeddings
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    val exploded = e.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"), col("col").cast("double").as("x"))
+    // signature bit = sign of the projection onto each hyperplane
+    val sigs = exploded
+      .join(broadcast(weights), Seq("i"))
+      .groupBy("vec_id", "t", "b")
+      .agg(sum(col("wt") * col("x")).as("proj"))
+      .groupBy("vec_id", "t")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("b"), (col("proj") >= 0).as("bit")))),
+        s => when(s.getField("bit"), "1").otherwise("0")), "").as("sig"))
+
+    val qs = sigs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("t"), col("sig"))
+    val cand = qs.join(sigs, Seq("t", "sig"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id").distinct()
+
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+      col("nrm").as("qnrm"))
+    val dot = aggregate(
+      zip_with(col("qv"), col("embedding"), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id"))
+    cand
+      .join(e, Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("nb_id"),
+        round6(dot / (col("qnrm") * col("nrm"))).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .orderBy("q_id", "rn")
+  }
+
+  val all: Seq[Q] = Seq(cosineTopK, annLsh)
 }

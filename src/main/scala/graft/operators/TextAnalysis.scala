@@ -1,7 +1,157 @@
 package graft.operators
 
-import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.Det._
 
+/** Text-analysis operators for training-data pipelines (north star):
+  * per-language corpus stats, per-document quality scoring, token
+  * statistics, marker-word language ID, and content fingerprinting.
+  * All arithmetic is exact (integer counts, int/int double division,
+  * DECIMAL sums) so every query is oracle-checked.
+  */
 object TextAnalysis {
-  val all: Seq[Q] = Seq()
+
+  /** Corpus statistics per language tag. */
+  val langStats: Q = Q(
+    "n20_lang_stats",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(CAST(sum(n_chars) AS DOUBLE) / count(*) AS DOUBLE) AS avg_chars,
+      |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |       CAST(max(n_chars) AS BIGINT) AS max_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+  }
+
+  /** Per-document quality score from cheap lexical features: token
+    * count, type/token ratio, stopword ratio, mean token length.
+    * Weighted combination in exact double arithmetic. */
+  val qualityScore: Q = Q(
+    "n21_quality_score",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         string_split(text, ' ') AS w
+      |  FROM documents),
+      |feat AS (
+      |  SELECT doc_id,
+      |         CAST(len(w) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+      |         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+      |         CAST(len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of'
+      |                                   OR x = 'and' OR x = 'in')) AS BIGINT) AS n_stop
+      |  FROM f)
+      |SELECT doc_id, n_tokens, n_uniq,
+      |       CAST(sum_len AS DOUBLE) / n_tokens AS avg_tok_len,
+      |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |       0.4 * (CAST(n_uniq AS DOUBLE) / n_tokens)
+      |         + 0.4 * (1 - CAST(n_stop AS DOUBLE) / n_tokens)
+      |         + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100, CAST(1 AS DOUBLE)) AS quality
+      |FROM feat
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val stop = Seq("the", "a", "of", "and", "in")
+    Tables(s, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_uniq"),
+        aggregate(transform(col("w"), x => length(x)), lit(0),
+          (acc, x) => acc + x).cast("long").as("sum_len"),
+        size(filter(col("w"), x => x.isin(stop: _*))).cast("long").as("n_stop"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_uniq"),
+        (col("sum_len").cast("double") / col("n_tokens")).as("avg_tok_len"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (lit(0.4) * (col("n_uniq").cast("double") / col("n_tokens"))
+          + lit(0.4) * (lit(1) - col("n_stop").cast("double") / col("n_tokens"))
+          + lit(0.2) * least(col("n_tokens").cast("double") / 100, lit(1.0)))
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token statistics per source: whitespace tokens and a BPE-ish
+    * regexp tokenizer ([a-z]+ | digit runs | single non-space). */
+  val tokenStats: Q = Q(
+    "n22_token_stats",
+    """SELECT source,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+      |       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_re_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_docs
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .groupBy("source")
+      .agg(
+        sum(size(split(col("text"), " "))).cast("long").as("n_ws_tokens"),
+        sum(size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))).cast("long").as("n_re_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  }
+
+  /** Marker-word language ID (n-gram heuristic, deterministic argmax
+    * with 'und' on ties) compared against the labeled lang. */
+  val langId: Q = Q(
+    "n23_lang_id",
+    """WITH f AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |scores AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(list_filter(w, x -> x = 'the' OR x = 'is' OR x = 'and')) AS BIGINT) AS s_en,
+      |         CAST(len(list_filter(w, x -> x = 'le' OR x = 'la' OR x = 'et')) AS BIGINT) AS s_fr,
+      |         CAST(len(list_filter(w, x -> x = 'el' OR x = 'los' OR x = 'y')) AS BIGINT) AS s_es
+      |  FROM f)
+      |SELECT doc_id, lang,
+      |       CASE WHEN s_en > s_fr AND s_en > s_es THEN 'en'
+      |            WHEN s_fr > s_en AND s_fr > s_es THEN 'fr'
+      |            WHEN s_es > s_en AND s_es > s_fr THEN 'es'
+      |            ELSE 'und' END AS guessed,
+      |       s_en, s_fr, s_es
+      |FROM scores
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def score(words: Seq[String]) =
+      size(filter(col("w"), x => x.isin(words: _*))).cast("long")
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("lang"),
+        score(Seq("the", "is", "and")).as("s_en"),
+        score(Seq("le", "la", "et")).as("s_fr"),
+        score(Seq("el", "los", "y")).as("s_es"))
+      .select(col("doc_id"), col("lang"),
+        when(col("s_en") > col("s_fr") && col("s_en") > col("s_es"), "en")
+          .when(col("s_fr") > col("s_en") && col("s_fr") > col("s_es"), "fr")
+          .when(col("s_es") > col("s_en") && col("s_es") > col("s_fr"), "es")
+          .otherwise("und").as("guessed"),
+        col("s_en"), col("s_fr"), col("s_es"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprint: md5 over the normalized text plus a 4-hex
+    * shard prefix (the bucketing key a 100 TB dedup would shuffle on). */
+  val fingerprint: Q = Q(
+    "n24_fingerprint",
+    """SELECT doc_id,
+      |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |       substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 4) AS shard
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))
+    Tables(s, dir).documents
+      .select(col("doc_id"), fp.as("fp"), substring(fp, 1, 4).as("shard"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(langStats, qualityScore, tokenStats, langId, fingerprint)
 }

@@ -1,7 +1,90 @@
 package graft.streaming
 
-import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.Det._
 
+/** Event-time windowed aggregation semantics (SURVEY.md §2.9 — the
+  * reference reschedules a batch job per minute; the engine provides
+  * real event-time windows). These catalog entries run the window
+  * operators in batch mode over the events table so DuckDB can oracle
+  * them; the same operators run under Structured Streaming with
+  * watermarks in StreamingSpec (MemoryStream), which the driver's
+  * harness cannot execute (SURVEY.md §7.4 #3).
+  */
 object WindowedAggs {
-  val all: Seq[Q] = Seq()
+
+  /** Tumbling 1-day event-time window (epoch-aligned, = date_trunc). */
+  val tumbling: Q = Q(
+    "st01_tumbling",
+    s"""SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS wstart_ms,
+       |       event_type,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       ${dsumSql("value")} AS total
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY wstart_ms, event_type""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(epochMs(col("window.start")).as("wstart_ms"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("wstart_ms", "event_type")
+  }
+
+  /** Sliding window: 1 day long, 6 h slide (each event lands in 4
+    * windows). DuckDB oracle derives the same window starts
+    * arithmetically. */
+  val sliding: Q = Q(
+    "st02_sliding",
+    """SELECT CAST((floor(epoch_ms(ts) / 1000.0 / 21600.0) - i) * 21600 AS BIGINT) AS wstart_s,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM events
+      |CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) slides
+      |GROUP BY 1
+      |ORDER BY wstart_s""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .groupBy(window(col("ts"), "1 day", "6 hours"))
+      .agg(count(lit(1)).as("n"))
+      .select((epochMs(col("window.start")) / 1000).cast("long").as("wstart_s"),
+        col("n"))
+      .orderBy("wstart_s")
+  }
+
+  /** Session windows with a 30-minute gap, per user — Spark's native
+    * session_window; the oracle is the classic gaps-and-islands SQL
+    * (lag → new-session flag → running sum), which has identical
+    * merge semantics (new session iff gap ≥ 30 min). */
+  val session: Q = Q(
+    "st03_session",
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id, value,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sessions AS (
+       |  SELECT user_id, ts, value,
+       |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged)
+       |SELECT user_id,
+       |       CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       ${dsumSql("value")} AS total
+       |FROM sessions
+       |GROUP BY user_id, sid
+       |ORDER BY user_id, session_start_ms""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("user_id"),
+        epochMs(col("session_window.start")).as("session_start_ms"),
+        col("n"), col("total"))
+      .orderBy("user_id", "session_start_ms")
+  }
+
+  val all: Seq[Q] = Seq(tumbling, sliding, session)
 }
