@@ -1,0 +1,127 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Static helpers called from both interpreted eval and generated code
+  * (kept in companion-less objects so Scala emits static forwarders the
+  * Janino-generated Java can call directly). */
+object GeoWkb {
+  /** 21-byte little-endian WKB Point (byte order 01, type 1, x, y) —
+    * the GeoParquet-compatible encoding of the reference's shapely
+    * Point(lon, lat) (gtfs_rt_assets.py:122-128, SURVEY.md §7.3). */
+  def pointWkb(lon: Double, lat: Double): Array[Byte] = {
+    val bb = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(1).putDouble(lon).putDouble(lat)
+    bb.array()
+  }
+  private def coord(wkb: Array[Byte], offset: Int): Double = {
+    require(wkb.length >= 21, s"WKB point must be 21 bytes, got ${wkb.length}")
+    val order =
+      if (wkb(0) == 1.toByte) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    ByteBuffer.wrap(wkb).order(order).getDouble(offset)
+  }
+  def readX(wkb: Array[Byte]): Double = coord(wkb, 5)
+  def readY(wkb: Array[Byte]): Double = coord(wkb, 13)
+}
+
+object VectorOps {
+  /** Cosine similarity between two float vectors, accumulating in
+    * double — identical math to the higher-order-function formulation
+    * but one tight loop, no per-element lambda dispatch. */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** st_point(lon, lat) → WKB binary. Codegen emits a single static
+  * call — stays inside whole-stage codegen, no fallback path. */
+case class StPoint(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_point"
+  override protected def nullSafeEval(lon: Any, lat: Any): Any =
+    GeoWkb.pointWkb(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.GeoWkb.pointWkb($l, $r)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StPoint =
+    copy(left = newLeft, right = newRight)
+}
+
+/** st_x(wkb) / st_y(wkb) → coordinate doubles. */
+case class StX(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_x"
+  override protected def nullSafeEval(wkb: Any): Any =
+    GeoWkb.readX(wkb.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeoWkb.readX($c)")
+  override protected def withNewChildInternal(c: Expression): StX = copy(c)
+}
+
+case class StY(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_y"
+  override protected def nullSafeEval(wkb: Any): Any =
+    GeoWkb.readY(wkb.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeoWkb.readY($c)")
+  override protected def withNewChildInternal(c: Expression): StY = copy(c)
+}
+
+/** cosine_sim(a, b) over array<float> — the bench-path alternative to
+  * the aggregate/zip_with fold (SURVEY.md §7.3): one codegen'd static
+  * call per row instead of 64 lambda dispatches. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorOps.cosineFloat($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API + SQL registration for the custom expressions. */
+object GraftFunctions {
+  def st_point(lon: Column, lat: Column): Column =
+    ColumnBridge.column(StPoint(ColumnBridge.expression(lon), ColumnBridge.expression(lat)))
+  def st_x(wkb: Column): Column = ColumnBridge.column(StX(ColumnBridge.expression(wkb)))
+  def st_y(wkb: Column): Column = ColumnBridge.column(StY(ColumnBridge.expression(wkb)))
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Register for SQL use (st_point / st_x / st_y / cosine_sim). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("st_point", es => StPoint(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("st_x", es => StX(es.head), "built-in")
+    reg.createOrReplaceTempFunction("st_y", es => StY(es.head), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
+  }
+}

@@ -24,7 +24,7 @@ object Dedup {
   private val BandRows  = 2 // 8 bands × 2 rows
 
   /** doc_id + deduplicated word-3-gram shingle set, exploded. */
-  private[operators] def shingles(docs: DataFrame): DataFrame =
+  def shingles(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
@@ -182,8 +182,8 @@ object Dedup {
     * near-pair candidates via 4-way band split (pigeonhole-sound for
     * hamming ≤ 3). Spark-only: relies on conv(hex,16,10) which DuckDB
     * lacks — correctness is covered by DedupSpec instead. */
-  val simhash: Q = Q.noOracle("n06_simhash") { (s, dir) =>
-    val docs = Tables(s, dir).documents
+  /** 60-bit token-level SimHash fingerprint per document. */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
     // token -> 60-bit hash (15 hex chars of md5 fits in a signed long)
     val tokens = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -191,15 +191,18 @@ object Dedup {
       .withColumn("h", conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
         .cast("long"))
     // per-bit ±1 votes, summed per doc
-    val bits = tokens
+    tokens
       .withColumn("bit", explode(expr("sequence(0, 59)")))
       .groupBy("doc_id", "bit")
       .agg(sum(when(expr("shiftright(h, bit) % 2 != 0"), 1)
         .otherwise(-1)).as("vote"))
-    val fp = bits
       .groupBy("doc_id")
       .agg(sum(when(col("vote") >= 0,
         expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+  }
+
+  val simhash: Q = Q.noOracle("n06_simhash") { (s, dir) =>
+    val fp = simhashFingerprints(Tables(s, dir).documents)
     // 4 bands of 15 bits: pairs sharing any band are hamming-candidates
     val banded = fp.withColumn("band", explode(expr("sequence(0, 3)")))
       .withColumn("chunk",

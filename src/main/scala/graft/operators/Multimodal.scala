@@ -65,7 +65,7 @@ object Multimodal {
   /** The STUB codec: deterministic pseudo-features from the bytes.
     * Replace with a real decoder (libjpeg/ffmpeg/...) in deployment —
     * the partitioning, batching and schema do not change. */
-  private[operators] def decodeStub(m: MediaRow): DecodedMedia = {
+  def decodeStub(m: MediaRow): DecodedMedia = {
     val n = m.media.length.toLong
     var crc = 0L
     var i = 0

@@ -1,0 +1,161 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{st_point, st_x, st_y}
+import graft.sources.GtfsRt
+
+/** The reference pipeline as a Spark library (SURVEY.md §3.1, §7.2.7):
+  * fetch (isolated failures, retries) → decode → flatten/enrich →
+  * time-partitioned parquet sink + ledger append → quality gates.
+  *
+  * Deliberate fixes over the reference (SURVEY.md §4.3): typed UTC
+  * timestamps end-to-end (no ISO strings, no localtime freshness bug),
+  * explicit schema (no dtype inference), Hive-style partition layout
+  * for Catalyst partition pruning. Geometry is a WKB binary column
+  * (st_point) readable by GeoParquet consumers; the `geo` footer
+  * metadata key is a documented limitation (SURVEY.md §7.4 #1).
+  */
+object GtfsPipeline {
+
+  /** Enriched vehicle record (FIXTURES.md §B.1: 11 reference fields
+    * with feed_id + typed batch timestamp). */
+  final case class VehiclePosition(
+      feed_id: String,
+      timestamp: Timestamp,
+      vehicle_id: Option[String],
+      latitude: Option[Double],
+      longitude: Option[Double],
+      speed: Option[Double],
+      bearing: Option[Double],
+      trip_id: Option[String],
+      route_id: Option[String],
+      current_stop_sequence: Option[Int],
+      current_status: Option[Int])
+
+  /** Ledger row (FIXTURES.md §B.2 — typed twin of the SQLite DDL at
+    * gtfs_rt_assets.py:146-158). */
+  final case class LedgerEntry(
+      batch_id: String,
+      file_path: String,
+      timestamp: Timestamp,
+      record_count: Long,
+      created_at: Timestamp,
+      bbox_minx: Option[Double], bbox_miny: Option[Double],
+      bbox_maxx: Option[Double], bbox_maxy: Option[Double])
+
+  final case class BatchReport(
+      batchId: String,
+      feedsOk: Seq[String], feedsFailed: Map[String, String],
+      recordCount: Long, ledgerPath: String, dataPath: String)
+
+  final case class QualityReport(
+      totalRecords: Long, freshRecords: Long,
+      latestBatch: Option[String], orphanLedgerRows: Long) {
+    /** The reference's three assertions (gtfs_rt_assets.py:243-245)
+      * plus the FK orphan check done relationally (anti join). */
+    def assertHealthy(): Unit = {
+      assert(totalRecords > 0, "ledger must contain records")
+      assert(freshRecords > 0, "no records within the last hour")
+      assert(orphanLedgerRows == 0, s"$orphanLedgerRows ledger rows without files")
+    }
+  }
+
+  /** One batch run: the Spark equivalent of the three-asset Dagster
+    * graph (gtfs_rt_assets.py:248-251). Fetch happens driver-side (a
+    * handful of feeds, api_utils.py semantics); decode + everything
+    * after is distributed. */
+  def runBatch(
+      spark: SparkSession,
+      feeds: Seq[FeedConfig],
+      source: FeedSource,
+      dataDir: String,
+      ledgerDir: String,
+      batchTime: Timestamp): BatchReport = {
+    import spark.implicits._
+
+    // 1. fetch with per-feed isolation (T2/T3) — failures are data (A5)
+    val results = feeds.map(FeedSource.fetchWithRetry(source, _))
+    val (ok, failed) = results.partition(_.payload.isDefined)
+
+    // 2. distributed decode + flatten + enrich (S4, P1-P3)
+    val raw: Dataset[(String, Array[Byte])] =
+      spark.createDataset(ok.map(r => (r.feedId, r.payload.get)))
+    val records: Dataset[VehiclePosition] = raw.flatMap { case (feedId, bytes) =>
+      GtfsRt.decodeFeed(bytes).map { v =>
+        VehiclePosition(feedId, batchTime, v.vehicle_id, v.latitude,
+          v.longitude, v.speed, v.bearing, v.trip_id, v.route_id,
+          v.current_stop_sequence, v.current_status)
+      }
+    }
+
+    val batchId = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+      .format(batchTime)
+    val df = records.toDF()
+      // P4: geometry only when both coordinates present
+      .withColumn("geom",
+        when(col("longitude").isNotNull && col("latitude").isNotNull,
+          st_point(col("longitude"), col("latitude"))))
+      .withColumn("year", year(col("timestamp")))
+      .withColumn("month", month(col("timestamp")))
+      .withColumn("day", dayofmonth(col("timestamp")))
+      .withColumn("hour", hour(col("timestamp")))
+      .withColumn("batch_id", lit(batchId))
+
+    if (df.isEmpty) { // P6 empty-batch guard (gtfs_rt_assets.py:114-116)
+      return BatchReport(batchId, ok.map(_.feedId),
+        failed.map(r => r.feedId -> r.error.get).toMap, 0L, ledgerDir, dataDir)
+    }
+
+    // 3. K1: Hive-partitioned sink → Catalyst partition pruning for free
+    df.write.mode(SaveMode.Append)
+      .partitionBy("year", "month", "day", "hour")
+      .parquet(dataDir)
+
+    // 4. K2 + A1/A2: one-row ledger append with bbox aggregate.
+    //    bbox over WKB via st_x/st_y — all-null geometry ⇒ null bbox
+    //    (the gtfs_rt_assets.py:161-170 path).
+    val stats = df.filter(col("batch_id") === batchId).agg(
+      count(lit(1)).as("n"),
+      min(st_x(col("geom"))).as("minx"), min(st_y(col("geom"))).as("miny"),
+      max(st_x(col("geom"))).as("maxx"), max(st_y(col("geom"))).as("maxy"))
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .head()
+    val entry = LedgerEntry(batchId, s"$dataDir (batch $batchId)", batchTime,
+      stats._1, new Timestamp(System.currentTimeMillis()),
+      stats._2, stats._3, stats._4, stats._5)
+    spark.createDataset(Seq(entry)).write.mode(SaveMode.Append).parquet(ledgerDir)
+
+    BatchReport(batchId, ok.map(_.feedId),
+      failed.map(r => r.feedId -> r.error.get).toMap, stats._1, ledgerDir, dataDir)
+  }
+
+  /** The reference's post-materialization quality check
+    * (gtfs_rt_assets.py:200-245) as relational ops over the ledger:
+    * global SUM (A3), last-hour freshness SUM (A4/P5) in typed UTC
+    * arithmetic, top-1 latest (O1), and the file⇄ledger FK check as a
+    * left anti join instead of os.path.exists (SURVEY.md §2.3). */
+  def qualityCheck(spark: SparkSession, dataDir: String, ledgerDir: String,
+      now: Timestamp): QualityReport = {
+    import spark.implicits._
+    val ledger = spark.read.parquet(ledgerDir)
+
+    val total = ledger.agg(coalesce(sum(col("record_count")), lit(0L)))
+      .as[Long].head()
+    val fresh = ledger
+      .filter(col("timestamp") >= lit(now) - expr("INTERVAL 1 HOUR"))
+      .agg(coalesce(sum(col("record_count")), lit(0L))).as[Long].head()
+    val latest = ledger.orderBy(col("timestamp").desc, col("batch_id").desc)
+      .select(col("batch_id")).limit(1).as[String].collect().headOption
+
+    // orphan detection: ledger batches with no backing data partitions
+    val dataBatches = spark.read.parquet(dataDir)
+      .select(col("batch_id")).distinct()
+    val orphans = ledger.select(col("batch_id"))
+      .join(dataBatches, Seq("batch_id"), "left_anti").count()
+
+    QualityReport(total, fresh, latest, orphans)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.9): the reference fakes
+  * streaming by re-running a batch job each minute (T1); the engine
+  * provides real event-time operators with watermarks. Exercised via
+  * MemoryStream in StreamingSpec (the driver's DuckDB harness cannot
+  * run streaming queries — SURVEY.md §7.4 #3).
+  */
+object StreamingOps {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, start: Timestamp,
+      end: Timestamp, n_events: Int, total: Double)
+
+  /** Tumbling event-time counts with a watermark: late rows beyond
+    * 10 minutes are dropped; append mode emits only finalized windows. */
+  def tumblingCounts(events: DataFrame,
+      watermark: String = "10 minutes", width: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Watermarked stateful dedup on event_id (exactly-once-ish ingest:
+    * re-deliveries inside the watermark horizon are dropped). */
+  def dedupByIdWithWatermark(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom stateful sessionization via flatMapGroupsWithState with an
+    * event-time timeout — emits a session once `gapMinutes` of event
+    * time passes with no activity (the hand-rolled analog of
+    * session_window, showing arbitrary per-key state). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val stateEnc = Encoders.product[SessionAcc]
+    implicit val keyEnc = Encoders.scalaLong
+    val gapMs = gapMinutes * 60000L
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(s.startMs),
+              new Timestamp(s.endMs), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var acc = state.getOption.orNull
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (acc == null) acc = SessionAcc(t, t, 0, 0.0)
+              else if (t - acc.endMs >= gapMs) {
+                out += SessionOut(userId, new Timestamp(acc.startMs),
+                  new Timestamp(acc.endMs), acc.n, acc.total)
+                acc = SessionAcc(t, t, 0, 0.0)
+              }
+              acc = acc.copy(endMs = math.max(acc.endMs, t),
+                n = acc.n + 1, total = acc.total + e.value)
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.endMs + gapMs)
+            out.result().iterator
+          }
+      }
+  }
+
+  final case class SessionAcc(startMs: Long, endMs: Long, n: Int, total: Double)
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Catalog-wide invariants + spot checks on hand-computable values. */
+class CatalogSpec extends SparkSpec {
+
+  test("catalog has unique names and every oracle key is a query") {
+    assert(Catalog.all.map(_.name).distinct.size == Catalog.all.size)
+    assert(Catalog.oracles.keySet.subsetOf(Catalog.queries.keySet))
+  }
+
+  test("every query runs on sf0.001 and is schema-stable across runs") {
+    Catalog.all.foreach { q =>
+      val a = q.build(spark, sf0001)
+      val b = q.build(spark, sf0001)
+      assert(a.schema == b.schema, s"${q.name} schema unstable")
+    }
+  }
+
+  test("r02 global agg matches a direct computation") {
+    val row = Catalog.queries("r02_global_agg")(spark, sf0001).head()
+    val li = Tables(spark, sf0001).lineitem
+    assert(row.getAs[Long]("n") == li.count())
+    assert(row.getAs[Double]("min_qty") ==
+      li.agg(min("l_quantity")).head().getDouble(0))
+  }
+
+  test("r06 topk equals sort prefix (O1 property, SURVEY §5.2)") {
+    val top = Catalog.queries("r06_topk")(spark, sf0001)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val full = Tables(spark, sf0001).orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey").limit(10).collect().map(_.getLong(0)).toSeq
+    assert(top == full)
+  }
+
+  test("r10 union-all cardinality = sum of parts (U1 property)") {
+    val t = Tables(spark, sf0001)
+    val n = Catalog.queries("r10_union_all")(spark, sf0001).count()
+    assert(n == t.customer.count() + t.supplier.count())
+  }
+
+  test("deterministic: repeated runs give identical results") {
+    for (name <- Seq("r03_pricing_summary", "j10_asof_join", "n10_cosine_topk")) {
+      val a = Catalog.queries(name)(spark, sf0001).collect().toSeq
+      val b = Catalog.queries(name)(spark, sf0001).collect().toSeq
+      assert(a == b, s"$name nondeterministic")
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GeoWkb, GraftFunctions}
+
+/** Custom Catalyst expressions: WKB point codec + SQL registration. */
+class ExpressionsSpec extends SparkSpec {
+  import GraftFunctions._
+
+  test("st_point produces canonical little-endian WKB") {
+    val wkb = GeoWkb.pointWkb(-73.9857, 40.7484)
+    assert(wkb.length == 21)
+    assert(wkb(0) == 1.toByte)           // little-endian marker
+    assert(wkb(1) == 1.toByte && wkb(2) == 0) // geometry type 1 = Point
+    assert(GeoWkb.readX(wkb) == -73.9857)
+    assert(GeoWkb.readY(wkb) == 40.7484)
+  }
+
+  test("st_x/st_y roundtrip through the codegen path") {
+    import spark.implicits._
+    val df = Seq((-73.9857, 40.7484), (0.0, -90.0), (180.0, 90.0))
+      .toDF("lon", "lat")
+    val back = df.select(
+      st_x(st_point(col("lon"), col("lat"))).as("x"),
+      st_y(st_point(col("lon"), col("lat"))).as("y"),
+      col("lon"), col("lat"))
+      .collect()
+    back.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(2))
+      assert(r.getDouble(1) == r.getDouble(3))
+    }
+  }
+
+  test("null propagation: null coordinate yields null WKB") {
+    import spark.implicits._
+    val df = Seq((Some(1.0), None: Option[Double]), (None, Some(2.0)),
+      (Some(3.0), Some(4.0))).toDF("lon", "lat")
+    val out = df.select(st_point(col("lon"), col("lat")).as("g")).collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0) && !out(2).isNullAt(0))
+  }
+
+  test("SQL registration: st_point/st_x/cosine_sim usable from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT st_x(st_point(CAST(1.5 AS DOUBLE), CAST(2.5 AS DOUBLE))) AS x, " +
+      "cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+      "           array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head()
+    assert(r.getDouble(0) == 1.5)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("big-endian WKB is readable too") {
+    val bb = java.nio.ByteBuffer.allocate(21)
+    bb.put(0.toByte).putInt(1).putDouble(11.0).putDouble(22.0)
+    assert(GeoWkb.readX(bb.array()) == 11.0)
+    assert(GeoWkb.readY(bb.array()) == 22.0)
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRow
+import org.apache.spark.sql.types._
+
+/** Multimodal binary-column plumbing (stubbed codec). */
+class MultimodalSpec extends SparkSpec {
+
+  test("decode stub is deterministic and schema is typed") {
+    val df = Catalog.queries("n31_media_decode")(spark, sf0001)
+    assert(df.schema("features").dataType == ArrayType(FloatType, containsNull = false))
+    assert(!df.schema.fieldNames.contains("media")) // payload not in output
+    val a = df.collect()
+    val b = Catalog.queries("n31_media_decode")(spark, sf0001).collect()
+    assert(a.sameElements(b))
+    assert(a.length == 500)
+    a.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Float]]("features").length == 8)
+      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 640)
+    }
+  }
+
+  test("stub codec: checksum distinguishes different payloads") {
+    val x = Multimodal.decodeStub(MediaRow(1, "hello world".getBytes, "image/fake"))
+    val y = Multimodal.decodeStub(MediaRow(1, "hello worlе".getBytes, "image/fake"))
+    assert(x.checksum != y.checksum)
+    assert(x.n_bytes == 11)
+    val x2 = Multimodal.decodeStub(MediaRow(1, "hello world".getBytes, "image/fake"))
+    assert(x.checksum == x2.checksum && x.features.sameElements(x2.features))
+  }
+
+  test("media metadata agrees between oracle query and typed decode") {
+    val meta = Catalog.queries("n30_media_meta")(spark, sf0001)
+      .select("doc_id", "n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val decoded = Catalog.queries("n31_media_decode")(spark, sf0001)
+      .select("doc_id", "n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(meta == decoded)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import graft.pipeline._
+import graft.sources.GtfsRt
+import graft.sources.GtfsRt.RawVehicle
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline slice (SURVEY.md §7.1): fetch → decode → enrich
+  * → partitioned sink + ledger → quality gates, with per-feed failure
+  * isolation and the all-null-geometry edge from the reference
+  * (gtfs_rt_assets.py:161-170). */
+class PipelineSpec extends SparkSpec {
+
+  private def vehicles(n: Int, withCoords: Boolean): Seq[RawVehicle] =
+    (1 to n).map { i =>
+      RawVehicle(Some(s"v$i"),
+        if (withCoords) Some(40.5 + i * 0.001) else None,
+        if (withCoords) Some(-74.0 + i * 0.001) else None,
+        Some(3.0 + i), Some(90.0), Some(s"t$i"), Some("M34"), Some(i), Some(2))
+    }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("batch run: healthy + failing feeds, sink, ledger, quality gates") {
+    val dir = tmp("gtfs")
+    val good = s"$dir/feed_good.pb"
+    Files.write(Paths.get(good), GtfsRt.encodeFeed(vehicles(25, withCoords = true)))
+    val feeds = Seq(
+      FeedConfig("good", good),
+      FeedConfig("bad", s"$dir/missing.pb!boom"))
+    val now = Timestamp.valueOf("2024-06-01 12:00:30")
+
+    val report = GtfsPipeline.runBatch(spark, feeds, new FileFeedSource,
+      s"$dir/data", s"$dir/ledger", now)
+
+    assert(report.feedsOk == Seq("good"))
+    assert(report.feedsFailed.keySet == Set("bad")) // T3 isolation
+    assert(report.recordCount == 25)
+
+    // partition layout (K1) must be Hive-style for pruning
+    assert(Files.exists(Paths.get(s"$dir/data/year=2024/month=6/day=1/hour=12")))
+
+    val q = GtfsPipeline.qualityCheck(spark, s"$dir/data", s"$dir/ledger", now)
+    assert(q.totalRecords == 25 && q.freshRecords == 25 && q.orphanLedgerRows == 0)
+    q.assertHealthy()
+
+    // ledger bbox matches the encoded coordinate window (A1); float32
+    // wire precision ⇒ compare loosely
+    val ledger = spark.read.parquet(s"$dir/ledger").head()
+    assert(math.abs(ledger.getAs[Double]("bbox_miny") - 40.501) < 1e-3)
+    assert(math.abs(ledger.getAs[Double]("bbox_maxx") - (-73.975)) < 1e-3)
+  }
+
+  test("all-null-geometry batch: null bbox, pipeline still healthy") {
+    val dir = tmp("gtfs_nullgeo")
+    val path = s"$dir/feed.pb"
+    Files.write(Paths.get(path), GtfsRt.encodeFeed(vehicles(10, withCoords = false)))
+    val now = Timestamp.valueOf("2024-06-01 13:00:00")
+    GtfsPipeline.runBatch(spark, Seq(FeedConfig("nogeo", path)),
+      new FileFeedSource, s"$dir/data", s"$dir/ledger", now)
+
+    val ledger = spark.read.parquet(s"$dir/ledger").head()
+    assert(ledger.isNullAt(ledger.fieldIndex("bbox_minx"))) // :169-170 path
+    assert(ledger.getAs[Long]("record_count") == 10)
+    val q = GtfsPipeline.qualityCheck(spark, s"$dir/data", s"$dir/ledger", now)
+    q.assertHealthy()
+  }
+
+  test("freshness gate fails when data is older than an hour (fixed TZ semantics)") {
+    val dir = tmp("gtfs_stale")
+    val path = s"$dir/feed.pb"
+    Files.write(Paths.get(path), GtfsRt.encodeFeed(vehicles(5, withCoords = true)))
+    val batchTime = Timestamp.valueOf("2024-06-01 10:00:00")
+    GtfsPipeline.runBatch(spark, Seq(FeedConfig("f", path)),
+      new FileFeedSource, s"$dir/data", s"$dir/ledger", batchTime)
+
+    val later = Timestamp.valueOf("2024-06-01 12:00:00")
+    val q = GtfsPipeline.qualityCheck(spark, s"$dir/data", s"$dir/ledger", later)
+    assert(q.totalRecords == 5 && q.freshRecords == 0)
+    assertThrows[AssertionError](q.assertHealthy())
+  }
+
+  test("two batches accumulate; latest points at the newest batch (O1)") {
+    val dir = tmp("gtfs_two")
+    val path = s"$dir/feed.pb"
+    Files.write(Paths.get(path), GtfsRt.encodeFeed(vehicles(8, withCoords = true)))
+    val feeds = Seq(FeedConfig("f", path))
+    val t1 = Timestamp.valueOf("2024-06-01 12:00:00")
+    val t2 = Timestamp.valueOf("2024-06-01 12:01:00")
+    GtfsPipeline.runBatch(spark, feeds, new FileFeedSource, s"$dir/data", s"$dir/ledger", t1)
+    GtfsPipeline.runBatch(spark, feeds, new FileFeedSource, s"$dir/data", s"$dir/ledger", t2)
+
+    val q = GtfsPipeline.qualityCheck(spark, s"$dir/data", s"$dir/ledger", t2)
+    assert(q.totalRecords == 16)
+    assert(q.latestBatch.contains("20240601_120100"))
+
+    // decoded records survive the sink with HasField-null fidelity
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.count() == 16)
+    assert(data.filter(col("vehicle_id").isNull).count() == 0)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.sources.GtfsRt
+import graft.sources.GtfsRt.RawVehicle
+import org.scalacheck.{Arbitrary, Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties (SURVEY.md §5.2 #3). */
+object PropsSpec extends Properties("graft") {
+
+  private val genVehicle: Gen[RawVehicle] = for {
+    vid     <- Gen.option(Gen.alphaNumStr.map(_.take(12)))
+    lat     <- Gen.option(Gen.choose(-90f, 90f).map(_.toDouble))
+    lon     <- Gen.option(Gen.choose(-180f, 180f).map(_.toDouble))
+    speed   <- Gen.option(Gen.choose(0f, 40f).map(_.toDouble))
+    bearing <- Gen.option(Gen.choose(0f, 360f).map(_.toDouble))
+    trip    <- Gen.option(Gen.alphaNumStr.map(_.take(8)))
+    route   <- Gen.option(Gen.alphaNumStr.map(_.take(8)))
+    seq     <- Gen.option(Gen.choose(0, 1000))
+    status  <- Gen.option(Gen.choose(0, 3))
+  } yield RawVehicle(vid, lat, lon, speed, bearing, trip, route, seq, status)
+
+  // float32 wire round trip: compare at float precision
+  private def f32(o: Option[Double]) = o.map(_.toFloat)
+
+  property("gtfs-rt encode/decode roundtrip") =
+    forAll(Gen.listOfN(5, genVehicle)) { vs =>
+      val back = GtfsRt.decodeFeed(GtfsRt.encodeFeed(vs))
+      back.size == vs.size && back.zip(vs).forall { case (b, v) =>
+        b.vehicle_id == v.vehicle_id &&
+          f32(b.latitude) == f32(v.latitude) &&
+          f32(b.longitude) == f32(v.longitude) &&
+          f32(b.speed) == f32(v.speed) &&
+          b.trip_id == v.trip_id && b.route_id == v.route_id &&
+          b.current_stop_sequence == v.current_stop_sequence &&
+          b.current_status == v.current_status
+      }
+    }
+
+  property("wkb point roundtrip is exact") =
+    forAll(Gen.choose(-180.0, 180.0), Gen.choose(-90.0, 90.0)) { (lon, lat) =>
+      val wkb = graft.functions.GeoWkb.pointWkb(lon, lat)
+      graft.functions.GeoWkb.readX(wkb) == lon &&
+        graft.functions.GeoWkb.readY(wkb) == lat
+    }
+
+  property("decode stub is a pure function") =
+    forAll(Arbitrary.arbitrary[Array[Byte]]) { bytes =>
+      val a = graft.operators.Multimodal.decodeStub(
+        graft.operators.Multimodal.MediaRow(1, bytes, "x"))
+      val b = graft.operators.Multimodal.decodeStub(
+        graft.operators.Multimodal.MediaRow(1, bytes, "x"))
+      a.checksum == b.checksum && a.features.sameElements(b.features)
+    }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Similarity-search semantics + custom expression parity. */
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force top-k: neighbors are correctly ranked and complete") {
+    val rows = Catalog.queries("n10_cosine_topk")(spark, sf0001).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 32)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length == 5)
+      val cosines = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cos"))
+      assert(cosines.sameElements(cosines.sortBy(-_)), "rank order broken")
+    }
+  }
+
+  test("ANN results are a subset of correctly-ranked candidates") {
+    val ann = Catalog.queries("n11_ann_lsh")(spark, sf0001).collect()
+    val exact = Catalog.queries("n10_cosine_topk")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nb_id")) -> r.getAs[Double]("cos"))
+      .toMap
+    // every ANN hit that is also in the exact top-5 must agree on cos
+    ann.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("nb_id"))
+      exact.get(key).foreach { c =>
+        assert(math.abs(c - r.getAs[Double]("cos")) < 1e-9)
+      }
+    }
+    // per-query rank order is strictly decreasing in cos
+    ann.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val cs = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cos"))
+      assert(cs.sameElements(cs.sortBy(-_)))
+    }
+  }
+
+  test("native cosine_sim expression matches the higher-order fold") {
+    val e = Tables(spark, sf0001).embeddings.limit(50)
+    val a = e.select(col("vec_id"), col("embedding"))
+    val pairs = a.crossJoin(
+      a.select(col("vec_id").as("v2"), col("embedding").as("e2")))
+      .filter(col("vec_id") < col("v2")).limit(200)
+    val fold =
+      aggregate(zip_with(col("embedding"), col("e2"), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x) /
+        (sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x),
+          lit(0.0), (acc, x) => acc + x)) *
+         sqrt(aggregate(transform(col("e2"), x => x.cast("double") * x),
+           lit(0.0), (acc, x) => acc + x)))
+    val diffs = pairs
+      .select((GraftFunctions.cosine_sim(col("embedding"), col("e2")) - fold)
+        .as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diffs < 1e-12, s"native vs fold diff $diffs")
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming semantics: watermarks, late-data drop,
+  * stateful dedup, custom sessionization (SURVEY.md §2.9, §5.2 #5). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def runToMemory(name: String)(build: MemoryStream[Event] => org.apache.spark.sql.DataFrame)(
+      batches: Seq[Seq[Event]]): Seq[org.apache.spark.sql.Row] = {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = build(input).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  test("tumbling window with watermark drops late rows, emits closed windows") {
+    val rows = runToMemory("tumbling")(in =>
+      StreamingOps.tumblingCounts(in.toDF(), "10 minutes", "5 minutes"))(Seq(
+      Seq(
+        Event(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:02:00"), 1, "click", 2.0)),
+      // advance watermark far past the first window
+      Seq(Event(3, ts("2024-01-01 01:00:00"), 2, "view", 1.0)),
+      // this event is an hour late — beyond the watermark, dropped
+      Seq(Event(4, ts("2024-01-01 00:03:00"), 1, "click", 4.0)),
+      Seq(Event(5, ts("2024-01-01 02:00:00"), 2, "view", 1.0))))
+    val closed = rows.find(r => r.getAs[String]("event_type") == "click")
+    assert(closed.isDefined, "first window must have been finalized")
+    assert(closed.get.getAs[Long]("n") == 2, "late row must not count")
+    assert(closed.get.getAs[Double]("total") == 3.0)
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses redelivery") {
+    val e = Event(10, ts("2024-01-01 00:00:00"), 1, "click", 1.0)
+    val rows = runToMemory("dedup")(in =>
+      StreamingOps.dedupByIdWithWatermark(in.toDF()))(Seq(
+      Seq(e), Seq(e.copy(value = 99.0)), // same event_id redelivered
+      Seq(Event(11, ts("2024-01-01 00:01:00"), 1, "click", 2.0))))
+    assert(rows.map(_.getAs[Long]("event_id")).sorted == Seq(10L, 11L))
+  }
+
+  test("flatMapGroupsWithState sessionization: gap split + event-time timeout") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = StreamingOps.sessionize(
+      input.toDS().withWatermark("ts", "0 seconds").as[Event], gapMinutes = 30)
+    val q = sessions.toDF().writeStream
+      .format("memory").queryName("sessions").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:10:00"), 7, "click", 2.0)))
+      q.processAllAvailable()
+      // next event 45 min later: inside the same micro-batch group
+      // processing, the session splits on the 30-min gap
+      input.addData(Seq(Event(3, ts("2024-01-01 01:00:00"), 7, "click", 4.0)))
+      q.processAllAvailable()
+      // watermark moves past the timeout → second session flushes
+      input.addData(Seq(Event(4, ts("2024-01-01 03:00:00"), 8, "view", 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+      val first = rows.find(_.getAs[Long]("user_id") == 7L).get
+      assert(first.getAs[Int]("n_events") == 2)
+      assert(first.getAs[Double]("total") == 3.0)
+      assert(first.getAs[Timestamp]("end") == ts("2024-01-01 00:10:00"))
+    } finally q.stop()
+  }
+
+  test("batch session_window catalog entry agrees with streaming session op") {
+    // the st03 catalog query (batch session_window) and the stateful
+    // streaming implementation must agree on session starts per user
+    val batch = Catalog.queries("st03_session")(spark, sf0001)
+      .select("user_id", "session_start_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    import spark.implicits._
+    val events = Tables(spark, sf0001).events
+      .select($"event_id", $"ts".cast("timestamp").as("ts"), $"user_id",
+        $"event_type", $"value").as[Event]
+    val sessions = events.groupByKey(_.user_id).flatMapGroups {
+      (uid: Long, it: Iterator[Event]) =>
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val starts = collection.mutable.ArrayBuffer[Long]()
+        var prevEnd = Long.MinValue
+        sorted.foreach { e =>
+          if (prevEnd == Long.MinValue || e.ts.getTime - prevEnd >= 1800000L)
+            starts += e.ts.getTime
+          prevEnd = e.ts.getTime
+        }
+        starts.map(s => (uid, s)).iterator
+    }.collect().toSet
+    assert(sessions == batch)
+  }
+}
