@@ -79,13 +79,21 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Per-(doc, seed) MinHash component over the shingle set. */
-  private def minhash(docs: DataFrame): DataFrame =
-    shingles(docs)
-      .withColumn("j", explode(expr(s"sequence(0, ${NumHashes - 1})")))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("sh"))
-        .cast("binary"))).as("mh"))
+  /** MinHash signature as 16 columns (mh0..mh15) in ONE aggregation
+    * pass — no 16× row explosion, one shuffle on doc_id. Values are
+    * identical to the per-seed formulation min(md5(j||':'||sh)). */
+  private def minhashWide(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(
+      min(md5(concat(lit("0:"), col("sh")).cast("binary"))).as("mh0"),
+      (1 until NumHashes).map(j =>
+        min(md5(concat(lit(s"$j:"), col("sh")).cast("binary"))).as(s"mh$j")): _*)
+
+  /** Per-(doc, seed) MinHash rows, unpivoted from the wide signature. */
+  private def minhash(docs: DataFrame): DataFrame = {
+    val stackExpr = (0 until NumHashes)
+      .map(j => s"${j}L, mh$j").mkString(s"stack($NumHashes, ", ", ", ") AS (j, mh)")
+    minhashWide(shingles(docs)).select(col("doc_id"), expr(stackExpr))
+  }
 
   /** MinHash signature rows (doc_id, seed j, hash) — oracle-checked
     * bit-for-bit against DuckDB computing the identical md5 MinHash. */
@@ -124,11 +132,16 @@ object Dedup {
     val sh = shingles(docs).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
-    val bands = minhash(docs)
-      .groupBy(col("doc_id"), floor(col("j") / BandRows).as("band"))
-      .agg(concat_ws("|",
-        max(when(col("j") % BandRows === 0, col("mh"))),
-        max(when(col("j") % BandRows === 1, col("mh")))).as("sig"))
+    // band signatures straight off the wide signature row — zero extra
+    // shuffles beyond the single minhash aggregation
+    val nBands = NumHashes / BandRows
+    val wide = minhashWide(sh)
+    val bands = wide.select(col("doc_id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*))
+        .as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val b1 = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
     val b2 = bands.select(col("doc_id").as("d2"), col("band"), col("sig"))
     val candidates = b1.join(b2, Seq("band", "sig"))
@@ -182,7 +195,9 @@ object Dedup {
     * near-pair candidates via 4-way band split (pigeonhole-sound for
     * hamming ≤ 3). Spark-only: relies on conv(hex,16,10) which DuckDB
     * lacks — correctness is covered by DedupSpec instead. */
-  /** 60-bit token-level SimHash fingerprint per document. */
+  /** 60-bit token-level SimHash fingerprint per document: one
+    * aggregation with 60 vote columns (no 60× row explosion — at 100 TB
+    * the explode formulation would shuffle 60× the token count). */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     // token -> 60-bit hash (15 hex chars of md5 fits in a signed long)
     val tokens = docs
@@ -190,15 +205,12 @@ object Dedup {
       .distinct()
       .withColumn("h", conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
         .cast("long"))
-    // per-bit ±1 votes, summed per doc
-    tokens
-      .withColumn("bit", explode(expr("sequence(0, 59)")))
-      .groupBy("doc_id", "bit")
-      .agg(sum(when(expr("shiftright(h, bit) % 2 != 0"), 1)
-        .otherwise(-1)).as("vote"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("vote") >= 0,
-        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+    val votes = (0 until 60).map(b =>
+      sum(when(expr(s"shiftright(h, $b) % 2 != 0"), 1).otherwise(-1)).as(s"v$b"))
+    val fpExpr = (0 until 60)
+      .map(b => s"IF(v$b >= 0, ${1L << b}L, 0L)").mkString(" + ")
+    tokens.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), expr(fpExpr).as("simhash"))
   }
 
   val simhash: Q = Q.noOracle("n06_simhash") { (s, dir) =>

@@ -56,17 +56,16 @@ object Similarity {
        |FROM ranked WHERE rn <= $TopK
        |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
     val e = Tables(s, dir).embeddings
-      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < NumQueries).select(
-      col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
-    val dot = aggregate(
-      zip_with(col("qv"), col("embedding"), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
+      col("vec_id").as("q_id"), col("embedding").as("qv"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id"))
+    // native codegen'd cosine expression: one tight loop per pair,
+    // bit-identical to the zip_with/aggregate fold (SimilaritySpec)
     e.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("nb_id"),
-        round6(dot / (col("qnrm") * col("nrm"))).as("cos"))
+        round6(graft.functions.GraftFunctions.cosine_sim(col("qv"), col("embedding")))
+          .as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= TopK)
       .orderBy("q_id", "rn")
