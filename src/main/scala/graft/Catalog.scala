@@ -65,6 +65,7 @@ object Det {
 object Catalog {
   private def modules: Seq[Seq[Q]] = Seq(
     operators.Relational.all,
+    operators.Analytics.all,
     operators.Joins.all,
     operators.Windows.all,
     functions.Scalars.all,

@@ -166,6 +166,18 @@ object Scalars {
       .orderBy("event_id")
   }
 
+  /** HLL approximate distinct next to the exact count. No oracle —
+    * HLL sketches are engine-specific (Spark's differs from DuckDB's);
+    * CatalogSpec bounds the relative error instead. */
+  val approxDistinct: Q = Q.noOracle("f09_approx_distinct") { (s, dir) =>
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(stringFuncs, dateFuncs, jsonExtract, mathFuncs,
-    arrayFuncs, explodeWords, formatString, nullHandling)
+    arrayFuncs, explodeWords, formatString, nullHandling, approxDistinct)
 }

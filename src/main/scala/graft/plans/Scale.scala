@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out building blocks (SURVEY.md §7.0 100 TB stance): skew-safe
+  * salted joins and bucketed co-located joins. These are the knobs a
+  * 1000-executor deployment turns when AQE's automatic skew handling
+  * isn't enough; ScaleSpec proves semantics match the plain join and
+  * that bucketing removes the shuffle.
+  */
+object Scale {
+
+  /** Skew-safe inner equi-join: left rows scatter across `buckets`
+    * deterministic salt values (hash of a unique column, NOT rand() —
+    * retries/resumes must be stable); the build side replicates to
+    * every salt. Result set is identical to the unsalted join, but a
+    * hot key's rows spread over `buckets` reducers instead of one.
+    */
+  def saltedJoin(
+      left: DataFrame, leftKey: String, saltBy: String,
+      right: DataFrame, rightKey: String,
+      buckets: Int): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(col(saltBy)), lit(buckets)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(expr(s"sequence(0, ${buckets - 1})")))
+    salted.join(replicated,
+      salted(leftKey) === replicated(rightKey)
+        && salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+
+  /** Write a bucketed+sorted table so later equi-joins on `key`
+    * co-locate without a shuffle (Exchange-free sort-merge join). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+}

@@ -80,4 +80,41 @@ object StreamingOps {
   }
 
   final case class SessionAcc(startMs: Long, endMs: Long, n: Int, total: Double)
+
+  /** The reference's minute-cadence pipeline as a real streaming query
+    * (T1/T5, gtfs_rt_assets.py:253-257 → Trigger-driven): file stream →
+    * enrich with time buckets → foreachBatch writing the Hive-
+    * partitioned store + one ledger row per micro-batch (K1/K2).
+    * Trigger.AvailableNow drains what exists and stops — the spec's
+    * (and a cron-driven deployment's) natural mode; swap for
+    * ProcessingTime("1 minute") in a long-lived job. */
+  def snapshotPipeline(
+      spark: org.apache.spark.sql.SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      dataDir: String,
+      ledgerDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+      .withColumn("year", year(col("ts")))
+      .withColumn("month", month(col("ts")))
+      .withColumn("day", dayofmonth(col("ts")))
+      .withColumn("hour", hour(col("ts")))
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.write.mode("append")
+            .partitionBy("year", "month", "day", "hour").parquet(dataDir)
+          val stats = batch.agg(
+            count(lit(1)).as("record_count"),
+            min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+            .withColumn("batch_id", lit(batchId))
+          stats.write.mode("append").parquet(ledgerDir)
+        }
+      }
+      .start()
+  }
 }

@@ -41,6 +41,15 @@ class CatalogSpec extends SparkSpec {
     assert(n == t.customer.count() + t.supplier.count())
   }
 
+  test("approx_count_distinct stays within 10% of exact") {
+    Catalog.queries("f09_approx_distinct")(spark, sf0001).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.10,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("deterministic: repeated runs give identical results") {
     for (name <- Seq("r03_pricing_summary", "j10_asof_join", "n10_cosine_topk")) {
       val a = Catalog.queries(name)(spark, sf0001).collect().toSeq

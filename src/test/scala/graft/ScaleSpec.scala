@@ -1,0 +1,58 @@
+package graft
+
+import graft.plans.Scale
+import org.apache.spark.sql.functions._
+
+/** Salting + bucketing helpers: semantics preserved, shuffles removed. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join result on skewed data") {
+    // heavily skewed left: 10k rows on one key, a few elsewhere
+    val left = ((1 to 10000).map(i => (1L, i.toLong)) ++
+      (1 to 50).map(i => (2L, i.toLong)) ++ Seq((3L, 0L)))
+      .toDF("k", "payload")
+    val right = Seq((1L, "hot"), (2L, "warm"), (4L, "unmatched"))
+      .toDF("rk", "v")
+
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("k", "payload", "v").collect().toSet
+    val salted = Scale.saltedJoin(left, "k", "payload", right, "rk", 8)
+      .select("k", "payload", "v").collect().toSet
+    assert(salted == plain)
+    assert(salted.size == 10050)
+  }
+
+  test("salted join is deterministic across runs (hash salt, not rand)") {
+    val left = (1 to 500).map(i => (i.toLong % 7, i.toLong)).toDF("k", "payload")
+    val right = (0 to 6).map(i => (i.toLong, s"v$i")).toDF("rk", "v")
+    val a = Scale.saltedJoin(left, "k", "payload", right, "rk", 4)
+      .select("k", "payload", "v").collect().toSet
+    val b = Scale.saltedJoin(left, "k", "payload", right, "rk", 4)
+      .select("k", "payload", "v").collect().toSet
+    assert(a == b && a.size == 500)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = Tables(spark, sf0001)
+      Scale.writeBucketed(t.orders, "orders_b", "o_orderkey", 4)
+      Scale.writeBucketed(
+        t.lineitem.select("l_orderkey", "l_quantity"), "lineitem_b",
+        "l_orderkey", 4)
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      // and it still returns the right rows
+      assert(joined.count() == t.lineitem.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
