@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSim, StPoint, StX, StY}
+
+/** SparkSessionExtensions entry point: makes the engine's custom
+  * expressions first-class SQL functions in any session built with
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)   // or
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  * (SURVEY.md §7.3; the config-string form is how a cluster deploy
+  * enables them without code changes.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("st_point"),
+      info("st_point", "st_point(lon, lat) - WKB point from coordinates"),
+      (es: Seq[Expression]) => StPoint(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("st_x"),
+      info("st_x", "st_x(wkb) - x coordinate of a WKB point"),
+      (es: Seq[Expression]) => StX(es.head)))
+    ext.injectFunction((FunctionIdentifier("st_y"),
+      info("st_y", "st_y(wkb) - y coordinate of a WKB point"),
+      (es: Seq[Expression]) => StY(es.head)))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of float vectors"),
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+  }
+}

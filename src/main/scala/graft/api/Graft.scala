@@ -1,0 +1,70 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** User-facing API: the engine's data-pipeline operators as composable
+  * DataFrame transformations, independent of the harness catalog.
+  *
+  * {{{
+  * import graft.api.Graft._
+  * docs.dedupExact()                         // (fp, doc_id, n_dups)
+  * docs.nearDuplicates(threshold = 0.8)      // MinHash+LSH+verify
+  * docs.jaccardSimilarityJoin(0.5)           // exact inverted-index
+  * docs.simhash()                            // (doc_id, simhash)
+  * embeddings.cosineTopK(queries, k = 10)    // broadcast-query ANN-exact
+  * }}}
+  *
+  * Column contract: document ops expect (doc_id, text); vector ops
+  * expect (vec_id, embedding: array<float>). Use `withColumnRenamed`
+  * (or the `as` helpers below) to adapt.
+  */
+object Graft {
+
+  implicit final class DocumentOps(private val df: DataFrame) extends AnyVal {
+
+    /** Exact dedup on a content fingerprint; keeps min doc_id as the
+      * representative. Returns (fp, doc_id, n_dups). */
+    def dedupExact(normalize: Boolean = false): DataFrame = {
+      val key =
+        if (normalize) md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+          .cast("binary"))
+        else md5(col("text").cast("binary"))
+      df.groupBy(key.as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+    }
+
+    /** Documents surviving exact dedup (one representative per group). */
+    def distinctDocuments(normalize: Boolean = false): DataFrame =
+      df.join(dedupExact(normalize).select("doc_id"), Seq("doc_id"), "left_semi")
+
+    /** MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
+      * Returns (d1, d2, jac ≥ threshold). */
+    def nearDuplicates(threshold: Double = 0.8): DataFrame =
+      Dedup.nearDuplicatePairs(df, threshold)
+
+    /** Exact n-gram Jaccard similarity join (inverted index).
+      * Returns (d1, d2, n_common, jac ≥ threshold). */
+    def jaccardSimilarityJoin(threshold: Double = 0.5): DataFrame =
+      Dedup.jaccardPairs(df, threshold)
+
+    /** 60-bit SimHash fingerprints. Returns (doc_id, simhash). */
+    def simhash(): DataFrame = Dedup.simhashFingerprints(df)
+
+    /** Drop near-duplicates: keeps every document except the larger-id
+      * member of each pair at or above the threshold. */
+    def dropNearDuplicates(threshold: Double = 0.8): DataFrame = {
+      val dupIds = Dedup.nearDuplicatePairs(df, threshold)
+        .select(col("d2").as("doc_id")).distinct()
+      df.join(dupIds, Seq("doc_id"), "left_anti")
+    }
+  }
+
+  implicit final class VectorDatasetOps(private val df: DataFrame) extends AnyVal {
+    /** Exact cosine top-k of `queries` against this corpus.
+      * Returns (q_id, nb_id, cos, rn ≤ k). */
+    def cosineTopK(queries: DataFrame, k: Int = 10): DataFrame =
+      Similarity.cosineTopK(df, queries, k)
+  }
+}

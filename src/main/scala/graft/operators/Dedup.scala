@@ -128,7 +128,13 @@ object Dedup {
        |JOIN sizes s2 ON s2.doc_id = d2
        |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6
        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-    val docs = Tables(s, dir).documents
+    nearDuplicatePairs(Tables(s, dir).documents, threshold = 0.6)
+      .orderBy("d1", "d2")
+  }
+
+  /** Library form of the MinHash+LSH near-dup pipeline: docs must have
+    * (doc_id, text); returns (d1, d2, jac) with jac ≥ threshold. */
+  def nearDuplicatePairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(docs).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
@@ -157,9 +163,8 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
       .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
-      .filter(col("jac") >= 0.6)
+      .filter(col("jac") >= threshold)
       .select("d1", "d2", "jac")
-      .orderBy("d1", "d2")
   }
 
   /** Exact n-gram Jaccard similarity join via the inverted shingle
@@ -177,7 +182,13 @@ object Dedup {
        |JOIN sizes s2 ON s2.doc_id = d2
        |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.5
        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-    val sh = shingles(Tables(s, dir).documents)
+    jaccardPairs(Tables(s, dir).documents, threshold = 0.5).orderBy("d1", "d2")
+  }
+
+  /** Library form of the exact inverted-index Jaccard join: docs must
+    * have (doc_id, text); returns (d1, d2, n_common, jac). */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("d1"), col("sh"))
     val b = sh.select(col("doc_id").as("d2"), col("sh"))
@@ -186,9 +197,8 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
       .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
-      .filter(col("jac") >= 0.5)
+      .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("c").as("n_common"), col("jac"))
-      .orderBy("d1", "d2")
   }
 
   /** 60-bit SimHash fingerprint per document (token-level), plus

@@ -56,19 +56,25 @@ object Similarity {
        |FROM ranked WHERE rn <= $TopK
        |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
     val e = Tables(s, dir).embeddings
-    val q = e.filter(col("vec_id") < NumQueries).select(
-      col("vec_id").as("q_id"), col("embedding").as("qv"))
+    cosineTopK(e, e.filter(col("vec_id") < NumQueries), TopK)
+      .orderBy("q_id", "rn")
+  }
+
+  /** Library form of brute-force cosine top-k: corpus and queries must
+    * have (vec_id, embedding); returns (q_id, nb_id, cos, rn). The
+    * query set is broadcast; the corpus streams partition-local. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id"))
     // native codegen'd cosine expression: one tight loop per pair,
     // bit-identical to the zip_with/aggregate fold (SimilaritySpec)
-    e.crossJoin(broadcast(q))
+    corpus.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("nb_id"),
         round6(graft.functions.GraftFunctions.cosine_sim(col("qv"), col("embedding")))
           .as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= TopK)
-      .orderBy("q_id", "rn")
+      .filter(col("rn") <= k)
   }
 
   /** Approximate NN via random-hyperplane LSH: 4 tables × 10-bit
