@@ -66,6 +66,7 @@ object Catalog {
   private def modules: Seq[Seq[Q]] = Seq(
     operators.Relational.all,
     operators.Analytics.all,
+    operators.Extras.all,
     operators.Joins.all,
     operators.Windows.all,
     functions.Scalars.all,
@@ -75,6 +76,7 @@ object Catalog {
     operators.Multimodal.all,
     streaming.WindowedAggs.all,
     pipeline.PipelineQueries.all,
+    pipeline.TrainingData.all,
   )
 
   lazy val all: Seq[Q] = {

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.Det._
+
+/** Remaining general-engine surface: outer explode, multiset set ops,
+  * arg-max aggregation, nth_value, calendar-spine gap filling,
+  * null-safe comparison/division, map functions. */
+object Extras {
+
+  /** explode_outer: rows with empty arrays survive with NULL (DuckDB
+    * oracle models it by substituting [NULL] for empty lists). */
+  val explodeOuter: Q = Q(
+    "x01_explode_outer",
+    """SELECT doc_id, word
+      |FROM (SELECT doc_id,
+      |             unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS word
+      |      FROM (SELECT doc_id,
+      |                   list_filter(string_split(text, ' '), w -> w = 'spark') AS l
+      |            FROM documents) t1) t2
+      |ORDER BY doc_id, word NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w === "spark").as("l"))
+      .select(col("doc_id"), explode_outer(col("l")).as("word"))
+      .orderBy(col("doc_id"), col("word").asc_nulls_first)
+  }
+
+  /** INTERSECT ALL / EXCEPT ALL multiset semantics. */
+  val multisetOps: Q = Q(
+    "x02_multiset_ops",
+    """WITH a AS (SELECT l_returnflag AS f FROM lineitem WHERE l_linenumber <= 2),
+      |     b AS (SELECT l_returnflag AS f FROM lineitem WHERE l_linenumber >= 2),
+      |     i AS (SELECT f FROM a INTERSECT ALL SELECT f FROM b),
+      |     e AS (SELECT f FROM a EXCEPT ALL SELECT f FROM b)
+      |SELECT 'intersect' AS op, f, CAST(count(*) AS BIGINT) AS n FROM i GROUP BY f
+      |UNION ALL
+      |SELECT 'except' AS op, f, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY f
+      |ORDER BY op, f""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir).lineitem
+    val a = li.filter(col("l_linenumber") <= 2).select(col("l_returnflag").as("f"))
+    val b = li.filter(col("l_linenumber") >= 2).select(col("l_returnflag").as("f"))
+    val i = a.intersectAll(b).groupBy("f").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect"))
+    val e = a.exceptAll(b).groupBy("f").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except"))
+    i.unionByName(e).select("op", "f", "n").orderBy("op", "f")
+  }
+
+  /** Arg-max aggregation: each customer's latest order (max_by over a
+    * composite sortable key — deterministic under date ties). */
+  val latestPerGroup: Q = Q(
+    "x03_max_by",
+    """SELECT o_custkey,
+      |       max_by(o_orderkey, epoch_ms(o_orderdate) * 100000 + o_orderkey) AS latest_order,
+      |       max(o_orderdate) AS latest_date
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir).orders
+      .groupBy("o_custkey")
+      .agg(
+        max_by(col("o_orderkey"),
+          epochMs(col("o_orderdate")) * 100000 + col("o_orderkey"))
+          .as("latest_order"),
+        max(col("o_orderdate")).as("latest_date"))
+      .orderBy("o_custkey")
+  }
+
+  /** nth_value over a full frame: 2nd-highest price per priority. */
+  val nthValue: Q = Q(
+    "x04_nth_value",
+    """SELECT DISTINCT o_orderpriority,
+      |       nth_value(o_totalprice, 2)
+      |         OVER (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice DESC, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |         AS second_highest
+      |FROM orders
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir).orders
+      .select(col("o_orderpriority"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_highest"))
+      .distinct()
+      .orderBy("o_orderpriority")
+  }
+
+  /** Calendar-spine gap filling: every day in January 2024 with its
+    * event count, zero-filled — rows generated from nothing
+    * (sequence/generate_series) then left-joined. */
+  val dateSpine: Q = Q(
+    "x05_date_spine",
+    """WITH spine AS (
+      |  SELECT CAST(epoch_ms(d) AS BIGINT) AS day_ms
+      |  FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',
+      |                       INTERVAL 1 DAY) t(d)),
+      |daily AS (
+      |  SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1)
+      |SELECT s.day_ms, CAST(coalesce(n, 0) AS BIGINT) AS n
+      |FROM spine s LEFT JOIN daily USING (day_ms)
+      |ORDER BY day_ms""".stripMargin) { (s, dir) =>
+    val spine = s.sql(
+      """SELECT explode(sequence(to_timestamp('2024-01-01'),
+        |                        to_timestamp('2024-01-31'),
+        |                        interval 1 day)) AS d""".stripMargin)
+      .select(epochMs(col("d")).as("day_ms"))
+    val daily = Tables(s, dir).events
+      .groupBy(epochMs(date_trunc("day", col("ts"))).as("day_ms"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(daily, Seq("day_ms"), "left")
+      .select(col("day_ms"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("day_ms")
+  }
+
+  /** Null-safe comparison (<=> / IS NOT DISTINCT FROM) and null-safe
+    * division via NULLIF. */
+  val nullSafeOps: Q = Q(
+    "x06_null_safe",
+    """SELECT event_id,
+      |       (nullif(event_type, 'error') IS NOT DISTINCT FROM 'click') AS is_click,
+      |       value / nullif(CAST(user_id % 5 AS DOUBLE), 0) AS safe_ratio
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .select(col("event_id"),
+        (nullif(col("event_type"), lit("error")) <=> "click").as("is_click"),
+        (col("value") / nullif((col("user_id") % 5).cast("double"), lit(0)))
+          .as("safe_ratio"))
+      .orderBy("event_id")
+  }
+
+  /** Map construction + access (map_from_arrays / element_at). */
+  val mapFuncs: Q = Q(
+    "x07_map_funcs",
+    """SELECT n_nationkey,
+      |       map_keys(map(['key', 'region'], [n_nationkey, n_regionkey])) AS ks,
+      |       map(['key', 'region'], [n_nationkey, n_regionkey])['region'] AS region_val
+      |FROM nation
+      |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val m = map_from_arrays(
+      array(lit("key"), lit("region")),
+      array(col("n_nationkey"), col("n_regionkey")))
+    Tables(s, dir).nation
+      .select(col("n_nationkey"),
+        map_keys(m).as("ks"),
+        element_at(m, "region").as("region_val"))
+      .orderBy("n_nationkey")
+  }
+
+  val all: Seq[Q] = Seq(explodeOuter, multisetOps, latestPerGroup, nthValue,
+    dateSpine, nullSafeOps, mapFuncs)
+}

@@ -137,5 +137,35 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
-  val all: Seq[Q] = Seq(cosineTopK, annLsh)
+  /** Embedding-cosine near-duplicate pairs (the vector-space analog of
+    * MinHash dedup): all pairs with cosine ≥ 0.5. Exact self-join here
+    * (corpus broadcast once, O(n²/2) scalar cosine calls through the
+    * codegen'd expression); at 100 TB the hyperplane-bucket prefilter
+    * of n11 bounds candidates first — same verify stage. */
+  val embeddingNearDup: Q = Q(
+    "n12_embedding_neardup",
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |                  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |           FROM embeddings)
+       |SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |       ${round6Sql(
+            "list_sum(list_transform(generate_series(1, len(a.embedding)), " +
+            "i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm)")} AS cos
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${round6Sql(
+            "list_sum(list_transform(generate_series(1, len(a.embedding)), " +
+            "i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm)")} >= 0.5
+       |ORDER BY v1, v2""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir).embeddings
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    a.join(broadcast(b), col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round6(graft.functions.GraftFunctions.cosine_sim(col("e1"), col("e2")))
+          .as("cos"))
+      .filter(col("cos") >= 0.5)
+      .orderBy("v1", "v2")
+  }
+
+  val all: Seq[Q] = Seq(cosineTopK, annLsh, embeddingNearDup)
 }

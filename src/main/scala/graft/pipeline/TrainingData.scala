@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.api.Graft._
+
+/** The end-to-end training-data curation pipeline the north-star
+  * operators exist for: quality filter → exact dedup → near-dup drop →
+  * curated corpus with per-language stats. One declarative lineage —
+  * Catalyst sees the whole thing, so filters push through and the
+  * dedup shuffles are the only wide stages.
+  */
+object TrainingData {
+
+  /** Curate: keep docs with ≥ 20 tokens and type/token ratio ≥ 0.3,
+    * drop exact dups (min-doc_id representative) then near-dups
+    * (Jaccard ≥ 0.6, larger id dropped). Returns the surviving docs
+    * with their features. */
+  def curate(docs: DataFrame): DataFrame = {
+    val featured = docs.select(
+      col("doc_id"), col("lang"), col("source"), col("text"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      (size(array_distinct(split(col("text"), " "))).cast("double") /
+        size(split(col("text"), " "))).as("ttr"))
+    val quality = featured
+      .filter(col("n_tokens") >= 20 && col("ttr") >= 0.3)
+    val exact = quality.distinctDocuments()
+    exact.dropNearDuplicates(threshold = 0.6)
+      .select("doc_id", "lang", "source", "n_tokens", "ttr")
+  }
+
+  /** Catalog entry: curated corpus ordered by doc_id, with the whole
+    * chain expressed as oracle SQL (quality CTE → exact-dedup reps →
+    * exact near-dup pairs → anti-join). The oracle uses the *exact*
+    * Jaccard pair set where Spark uses MinHash+LSH+verify — a recall
+    * miss anywhere in the pipeline breaks the hash match. */
+  val curateQ: Q = Q(
+    "n40_training_curate",
+    """WITH featured AS (
+      |  SELECT doc_id, lang, source, text,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / len(string_split(text, ' ')) AS ttr
+      |  FROM documents),
+      |quality AS (
+      |  SELECT * FROM featured WHERE n_tokens >= 20 AND ttr >= 0.3),
+      |reps AS (
+      |  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+      |exact AS (
+      |  SELECT q.* FROM quality q JOIN reps USING (doc_id)),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM exact),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |       FROM w),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |           GROUP BY a.doc_id, b.doc_id),
+      |dups AS (SELECT DISTINCT d2 AS doc_id
+      |         FROM common
+      |         JOIN sizes s1 ON s1.doc_id = d1
+      |         JOIN sizes s2 ON s2.doc_id = d2
+      |         WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6)
+      |SELECT doc_id, lang, source, n_tokens, ttr
+      |FROM exact
+      |WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    curate(Tables(s, dir).documents).orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(curateQ)
+}
