@@ -10,7 +10,12 @@ import org.apache.spark.sql.functions._
   * directories rather than single files — nothing here assumes one file.
   */
 final class Tables(val spark: SparkSession, val dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** Footer/schema discovery runs once per (session, dir, table) — the
+    * resolved DataFrame (immutable plan) is reused across the catalog's
+    * 80+ queries instead of re-listing and re-inferring per query. */
+  def table(name: String): DataFrame =
+    Tables.cache.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
@@ -33,5 +38,8 @@ final class Tables(val spark: SparkSession, val dir: String) {
 }
 
 object Tables {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
 }
