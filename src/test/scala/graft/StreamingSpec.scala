@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.Event
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Structured Streaming semantics: watermarks, late-data drop,
@@ -77,6 +78,39 @@ class StreamingSpec extends SparkSpec {
       assert(first.getAs[Int]("n_events") == 2)
       assert(first.getAs[Double]("total") == 3.0)
       assert(first.getAs[Timestamp]("end") == ts("2024-01-01 00:10:00"))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: purchase matched to clicks within the window") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val c = clicks.toDF().withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.toDF().withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val joined = p.join(c,
+      expr("""p_user = c_user AND
+             |c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts""".stripMargin))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 0),
+        Event(2, ts("2024-01-01 10:50:00"), 7, "click", 0),
+        Event(3, ts("2024-01-01 09:00:00"), 7, "click", 0)))
+      purchases.addData(Seq(Event(100, ts("2024-01-01 11:00:00"), 7, "purchase", 1)))
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      clicks.addData(Seq(Event(4, ts("2024-01-01 14:00:00"), 9, "click", 0)))
+      purchases.addData(Seq(Event(101, ts("2024-01-01 14:00:00"), 9, "purchase", 1)))
+      q.processAllAvailable()
+      val rows = spark.table("ssj")
+        .filter(col("purchase_id") === 100).collect()
+      // only the 10:50 click is within [10:30, 11:00]
+      assert(rows.map(_.getAs[Long]("click_id")).toSet == Set(2L))
     } finally q.stop()
   }
 
