@@ -206,11 +206,13 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
-  /** Deterministic array_agg + string_agg (sorted collect). */
+  /** Deterministic array_agg + string_agg (sorted collect). The array
+    * is emitted joined to CSV so the driver's hash compare never
+    * depends on list-vs-ndarray representation differences. */
   val arrayAgg: Q = Q(
     "a09_array_agg",
     """SELECT n_regionkey,
-      |       list_sort(list(n_name)) AS nations,
+      |       CAST(len(list_sort(list(n_name))) AS BIGINT) AS n_nations,
       |       string_agg(n_name, ',' ORDER BY n_name) AS nation_csv
       |FROM nation
       |GROUP BY n_regionkey
@@ -218,7 +220,7 @@ object Analytics {
     Tables(s, dir).nation
       .groupBy("n_regionkey")
       .agg(
-        sort_array(collect_list(col("n_name"))).as("nations"),
+        size(sort_array(collect_list(col("n_name")))).cast("long").as("n_nations"),
         array_join(sort_array(collect_list(col("n_name"))), ",").as("nation_csv"))
       .orderBy("n_regionkey")
   }

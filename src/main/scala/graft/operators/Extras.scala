@@ -141,7 +141,7 @@ object Extras {
   val mapFuncs: Q = Q(
     "x07_map_funcs",
     """SELECT n_nationkey,
-      |       map_keys(map(['key', 'region'], [n_nationkey, n_regionkey])) AS ks,
+      |       array_to_string(map_keys(map(['key', 'region'], [n_nationkey, n_regionkey])), ',') AS ks_csv,
       |       map(['key', 'region'], [n_nationkey, n_regionkey])['region'] AS region_val
       |FROM nation
       |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
@@ -150,11 +150,76 @@ object Extras {
       array(col("n_nationkey"), col("n_regionkey")))
     Tables(s, dir).nation
       .select(col("n_nationkey"),
-        map_keys(m).as("ks"),
+        array_join(map_keys(m), ",").as("ks_csv"),
         element_at(m, "region").as("region_val"))
       .orderBy("n_nationkey")
   }
 
+  /** posexplode / unnest WITH ORDINALITY (position-preserving
+    * generator; DuckDB zips parallel unnests). */
+  val posExplode: Q = Q(
+    "x08_posexplode",
+    """SELECT doc_id,
+      |       CAST(unnest(generate_series(1, len(l))) AS BIGINT) AS pos,
+      |       unnest(l) AS word
+      |FROM (SELECT doc_id, string_split(text, ' ') AS l
+      |      FROM documents WHERE doc_id < 20) t
+      |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("word"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Fixed-width histogram via arithmetic bucketing (grouping rows
+    * generated from a continuous measure). */
+  val histogram: Q = Q(
+    "x09_histogram",
+    """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    Tables(s, dir).orders
+      .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy("bucket")
+  }
+
+  /** Second moments — sample variance/stddev and Pearson correlation —
+    * rebuilt from DECIMAL-exact power sums so the distributed result is
+    * order-independent (the builtin var_samp/corr accumulate doubles in
+    * partition order and drift in low bits). */
+  val momentsExact: Q = Q(
+    "x10_moments",
+    s"""SELECT l_returnflag,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       (${dsumSql("l_quantity * l_quantity")}
+       |         - ${dsumSql("l_quantity")} * ${dsumSql("l_quantity")} / count(*))
+       |         / (count(*) - 1) AS var_qty,
+       |       (${dsumSql("l_quantity * l_extendedprice")}
+       |         - ${dsumSql("l_quantity")} * ${dsumSql("l_extendedprice")} / count(*))
+       |         / (count(*) - 1) AS cov_qty_price
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val n = count(lit(1))
+    val sq = dsum(col("l_quantity"))
+    val sp = dsum(col("l_extendedprice"))
+    val sqq = dsum(col("l_quantity") * col("l_quantity"))
+    val sqp = dsum(col("l_quantity") * col("l_extendedprice"))
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(n.as("n"),
+        ((sqq - sq * sq / n) / (n - 1)).as("var_qty"),
+        ((sqp - sq * sp / n) / (n - 1)).as("cov_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(explodeOuter, multisetOps, latestPerGroup, nthValue,
-    dateSpine, nullSafeOps, mapFuncs)
+    dateSpine, nullSafeOps, mapFuncs, posExplode, histogram, momentsExact)
 }

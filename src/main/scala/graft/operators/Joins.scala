@@ -245,6 +245,28 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Skew-safe salted join in the measured catalog: identical result
+    * set to the plain join (the oracle), but hot keys spread across 8
+    * salt buckets (graft.plans.Scale) — AQE handles moderate skew on
+    * its own; this is the explicit-control path for pathological keys. */
+  val saltedJoinQ: Q = Q(
+    "j11_salted_join",
+    s"""SELECT s_name, CAST(count(*) AS BIGINT) AS n,
+       |       ${dsumSql("l_quantity")} AS qty
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_name
+       |ORDER BY s_name""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    graft.plans.Scale.saltedJoin(
+      t.lineitem.select("l_suppkey", "l_orderkey", "l_quantity"), "l_suppkey",
+      "l_orderkey", t.supplier.select("s_suppkey", "s_name"), "s_suppkey",
+      buckets = 8)
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy("s_name")
+  }
+
   val all: Seq[Q] = Seq(broadcastStar, factJoin, star5Way, leftJoin,
-    semiJoin, antiJoin, fullOuter, thetaJoin, rangeJoin, asofJoin)
+    semiJoin, antiJoin, fullOuter, thetaJoin, rangeJoin, asofJoin,
+    saltedJoinQ)
 }
