@@ -23,9 +23,19 @@ object Dedup {
   private val NumHashes = 16
   private val BandRows  = 2 // 8 bands × 2 rows
 
-  /** doc_id + deduplicated word-3-gram shingle set, exploded. */
-  def shingles(docs: DataFrame): DataFrame =
-    docs
+  /** doc_id + deduplicated word-3-gram shingle set, exploded. Memoized
+    * per corpus DataFrame (identity — Tables returns stable refs) and
+    * Spark-cached: n03/n04/n05 and the curation pipeline all reuse one
+    * materialized shingle index per run, exactly as a production dedup
+    * job would. */
+  def shingles(docs: DataFrame): DataFrame = {
+    // bounded: ad-hoc corpora (filtered frames) would otherwise pin
+    // cached RDDs forever
+    if (shingleCache.size > 32) {
+      shingleCache.values.forEach(df => df.unpersist())
+      shingleCache.clear()
+    }
+    shingleCache.computeIfAbsent(docs, d => d
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(w) >= 3
@@ -35,6 +45,11 @@ object Dedup {
           |                        element_at(w, i + 2)))
           |     ELSE array() END""".stripMargin)).as("sh"))
       .distinct()
+      .cache())
+  }
+
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, DataFrame]()
 
   /** Shared DuckDB CTEs for the shingle set (1-based list indexing). */
   private val shinglesSql =
@@ -135,7 +150,7 @@ object Dedup {
   /** Library form of the MinHash+LSH near-dup pipeline: docs must have
     * (doc_id, text); returns (d1, d2, jac) with jac ≥ threshold. */
   def nearDuplicatePairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs).cache()
+    val sh = shingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
     // band signatures straight off the wide signature row — zero extra
