@@ -41,5 +41,10 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** True iff `df` is one of the stable per-(session,dir,table) frames
+    * this cache returned — operator-level memoizers key on these. */
+  private[graft] def isCanonical(df: DataFrame): Boolean =
+    cache.values.stream().anyMatch(_ eq df)
+
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
 }

@@ -23,19 +23,37 @@ object Dedup {
   private val NumHashes = 16
   private val BandRows  = 2 // 8 bands × 2 rows
 
-  /** doc_id + deduplicated word-3-gram shingle set, exploded. Memoized
-    * per corpus DataFrame (identity — Tables returns stable refs) and
-    * Spark-cached: n03/n04/n05 and the curation pipeline all reuse one
-    * materialized shingle index per run, exactly as a production dedup
-    * job would. */
-  def shingles(docs: DataFrame): DataFrame = {
-    // bounded: ad-hoc corpora (filtered frames) would otherwise pin
-    // cached RDDs forever
-    if (shingleCache.size > 32) {
-      shingleCache.values.forEach(df => df.unpersist())
-      shingleCache.clear()
+  /** doc_id + deduplicated word-3-gram shingle set, exploded,
+    * Spark-cached (each dedup query reads it ~3 times).
+    *
+    * Caching policy: frames from the Tables cache (identity-stable
+    * across catalog queries) are memoized so n03/n04/n05 share one
+    * materialized index per run; ad-hoc corpora (API facade, curation
+    * pipeline) occupy a single slot that is unpersisted when the next
+    * ad-hoc corpus arrives — bounded memory, and reuse within one
+    * query either way. All state transitions are under one lock and
+    * unpersist of possibly-dead sessions is best-effort. */
+  def shingles(docs: DataFrame): DataFrame = synchronized {
+    def safeUnpersist(df: DataFrame): Unit =
+      try df.unpersist() catch { case _: Throwable => () }
+    if (graft.Tables.isCanonical(docs)) {
+      if (shingleMemo.size > 64) { // dead-session backstop
+        shingleMemo.values.forEach(safeUnpersist(_))
+        shingleMemo.clear()
+      }
+      shingleMemo.computeIfAbsent(docs, buildShingles(_).cache())
+    } else adhocShingles match {
+      case Some((k, v)) if k eq docs => v
+      case prev =>
+        prev.foreach { case (_, v) => safeUnpersist(v) }
+        val v = buildShingles(docs).cache()
+        adhocShingles = Some((docs, v))
+        v
     }
-    shingleCache.computeIfAbsent(docs, d => d
+  }
+
+  private def buildShingles(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(w) >= 3
@@ -45,11 +63,9 @@ object Dedup {
           |                        element_at(w, i + 2)))
           |     ELSE array() END""".stripMargin)).as("sh"))
       .distinct()
-      .cache())
-  }
 
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[DataFrame, DataFrame]()
+  private val shingleMemo = new java.util.HashMap[DataFrame, DataFrame]()
+  private var adhocShingles: Option[(DataFrame, DataFrame)] = None
 
   /** Shared DuckDB CTEs for the shingle set (1-based list indexing). */
   private val shinglesSql =
