@@ -13,7 +13,8 @@ object Bench {
     // Untimed warmup: session/codegen spin-up + page-cache the inputs so
     // per-query numbers measure the queries, not first-touch costs.
     val t = Tables(spark, sfDir)
-    Seq(t.lineitem, t.orders, t.events, t.documents, t.embeddings)
+    Seq(t.lineitem, t.orders, t.events, t.documents, t.embeddings,
+      t.customer, t.supplier, t.part, t.nation, t.region)
       .foreach(_.count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

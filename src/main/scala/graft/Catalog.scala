@@ -59,6 +59,14 @@ object Det {
     * twin of DuckDB's epoch_ms(). unix_millis only accepts LTZ, and the
     * harness tables are read as NTZ, so cast first (identity under UTC). */
   def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
+
+  /** Canonical normalized-content fingerprint (lowercase, whitespace
+    * collapse, trim, md5) — the ONE definition shared by normalized
+    * dedup, fingerprint sharding and the API facade so they can never
+    * drift. SQL twin:
+    * md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))). */
+  def normFingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")).cast("binary"))
 }
 
 /** The full operator catalog the driver measures (SparkEntry.queries). */

@@ -28,8 +28,7 @@ object Graft {
       * representative. Returns (fp, doc_id, n_dups). */
     def dedupExact(normalize: Boolean = false): DataFrame = {
       val key =
-        if (normalize) md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
-          .cast("binary"))
+        if (normalize) graft.Det.normFingerprint(col("text"))
         else md5(col("text").cast("binary"))
       df.groupBy(key.as("fp"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))

@@ -21,7 +21,13 @@ import graft.{Q, Tables}
 object Dedup {
 
   private val NumHashes = 16
-  private val BandRows  = 2 // 8 bands × 2 rows
+  // 16 bands × 1 row: a pair is a candidate if ANY minhash component
+  // collides — P(miss | J) = (1−J)^16, i.e. ≤ 4.3e-7 at the 0.6
+  // threshold (2 rows/band would be 2.8% there — too weak for an
+  // exact-answer oracle). Precision is the verify stage's job; the
+  // candidate set stays bounded by the shingle-sharing pair count the
+  // inverted index (n05) already handles.
+  private val BandRows  = 1
 
   /** doc_id + deduplicated word-3-gram shingle set, exploded,
     * Spark-cached (each dedup query reads it ~3 times).
@@ -104,8 +110,7 @@ object Dedup {
       |GROUP BY 1
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables(s, dir).documents
-      .groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
-        .cast("binary")).as("fp"))
+      .groupBy(graft.Det.normFingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
       .orderBy("doc_id")
   }
@@ -145,7 +150,7 @@ object Dedup {
     * on candidates only. The oracle is the *exact* all-qualifying-pairs
     * answer (inverted-index SQL), so a recall miss in the LSH pipeline
     * shows up as a hash mismatch — the check is stricter than rows>0.
-    * 8 bands × 2 rows ⇒ P(miss | J=0.9) = (1−0.81)⁸ ≈ 7e-6. */
+    * 16 bands × 1 row ⇒ P(miss | J=0.6) = 0.4¹⁶ ≈ 4.3e-7. */
   val lshNearDup: Q = Q(
     "n04_lsh_neardup",
     s"""WITH $shinglesSql,
@@ -174,10 +179,11 @@ object Dedup {
     val nBands = NumHashes / BandRows
     val wide = minhashWide(sh)
     val bands = wide.select(col("doc_id"),
-      explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"),
-          concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))): _*))
-        .as("bs"))
+      explode(array((0 until nBands).map { b =>
+        val sig = concat_ws("|",
+          (0 until BandRows).map(r => col(s"mh${BandRows * b + r}")): _*)
+        struct(lit(b).as("band"), sig.as("sig"))
+      }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val b1 = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
     val b2 = bands.select(col("doc_id").as("d2"), col("band"), col("sig"))

@@ -62,14 +62,21 @@ object Similarity {
 
   /** Library form of brute-force cosine top-k: corpus and queries must
     * have (vec_id, embedding); returns (q_id, nb_id, cos, rn). The
-    * query set is broadcast; the corpus streams partition-local. */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    * query set is broadcast; the corpus streams partition-local.
+    *
+    * `excludeSelf` (default true) drops corpus rows whose vec_id equals
+    * the query's — correct when the queries are drawn from the corpus
+    * (the catalog case). Pass false when the query id space is
+    * unrelated to the corpus, or equal ids would silently drop valid
+    * neighbors. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id"))
     // native codegen'd cosine expression: one tight loop per pair,
     // bit-identical to the zip_with/aggregate fold (SimilaritySpec)
     corpus.crossJoin(broadcast(q))
-      .filter(col("q_id") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
       .select(col("q_id"), col("vec_id").as("nb_id"),
         round6(graft.functions.GraftFunctions.cosine_sim(col("qv"), col("embedding")))
           .as("cos"))
@@ -121,17 +128,14 @@ object Similarity {
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id").distinct()
 
-    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-      col("nrm").as("qnrm"))
-    val dot = aggregate(
-      zip_with(col("qv"), col("embedding"), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id"))
     cand
       .join(e, Seq("vec_id"))
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("vec_id").as("nb_id"),
-        round6(dot / (col("qnrm") * col("nrm"))).as("cos"))
+        round6(graft.functions.GraftFunctions.cosine_sim(col("qv"), col("embedding")))
+          .as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= TopK)
       .orderBy("q_id", "rn")

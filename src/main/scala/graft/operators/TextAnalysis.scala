@@ -147,7 +147,7 @@ object TextAnalysis {
       |       substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 4) AS shard
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))
+    val fp = graft.Det.normFingerprint(col("text"))
     Tables(s, dir).documents
       .select(col("doc_id"), fp.as("fp"), substring(fp, 1, 4).as("shard"))
       .orderBy("doc_id")

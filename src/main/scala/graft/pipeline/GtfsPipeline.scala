@@ -93,6 +93,8 @@ object GtfsPipeline {
 
     val batchId = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
       .format(batchTime)
+    // persisted: the emptiness guard, the sink write and the bbox
+    // aggregate would otherwise each re-run the distributed decode
     val df = records.toDF()
       // P4: geometry only when both coordinates present
       .withColumn("geom",
@@ -103,33 +105,35 @@ object GtfsPipeline {
       .withColumn("day", dayofmonth(col("timestamp")))
       .withColumn("hour", hour(col("timestamp")))
       .withColumn("batch_id", lit(batchId))
+      .persist()
+    try {
+      if (df.isEmpty) { // P6 empty-batch guard (gtfs_rt_assets.py:114-116)
+        return BatchReport(batchId, ok.map(_.feedId),
+          failed.map(r => r.feedId -> r.error.get).toMap, 0L, ledgerDir, dataDir)
+      }
 
-    if (df.isEmpty) { // P6 empty-batch guard (gtfs_rt_assets.py:114-116)
-      return BatchReport(batchId, ok.map(_.feedId),
-        failed.map(r => r.feedId -> r.error.get).toMap, 0L, ledgerDir, dataDir)
-    }
+      // 3. K1: Hive-partitioned sink → Catalyst partition pruning for free
+      df.write.mode(SaveMode.Append)
+        .partitionBy("year", "month", "day", "hour")
+        .parquet(dataDir)
 
-    // 3. K1: Hive-partitioned sink → Catalyst partition pruning for free
-    df.write.mode(SaveMode.Append)
-      .partitionBy("year", "month", "day", "hour")
-      .parquet(dataDir)
+      // 4. K2 + A1/A2: one-row ledger append with bbox aggregate.
+      //    bbox over WKB via st_x/st_y — all-null geometry ⇒ null bbox
+      //    (the gtfs_rt_assets.py:161-170 path).
+      val stats = df.agg(
+        count(lit(1)).as("n"),
+        min(st_x(col("geom"))).as("minx"), min(st_y(col("geom"))).as("miny"),
+        max(st_x(col("geom"))).as("maxx"), max(st_y(col("geom"))).as("maxy"))
+        .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+        .head()
+      val entry = LedgerEntry(batchId, s"$dataDir (batch $batchId)", batchTime,
+        stats._1, new Timestamp(System.currentTimeMillis()),
+        stats._2, stats._3, stats._4, stats._5)
+      spark.createDataset(Seq(entry)).write.mode(SaveMode.Append).parquet(ledgerDir)
 
-    // 4. K2 + A1/A2: one-row ledger append with bbox aggregate.
-    //    bbox over WKB via st_x/st_y — all-null geometry ⇒ null bbox
-    //    (the gtfs_rt_assets.py:161-170 path).
-    val stats = df.filter(col("batch_id") === batchId).agg(
-      count(lit(1)).as("n"),
-      min(st_x(col("geom"))).as("minx"), min(st_y(col("geom"))).as("miny"),
-      max(st_x(col("geom"))).as("maxx"), max(st_y(col("geom"))).as("maxy"))
-      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])]
-      .head()
-    val entry = LedgerEntry(batchId, s"$dataDir (batch $batchId)", batchTime,
-      stats._1, new Timestamp(System.currentTimeMillis()),
-      stats._2, stats._3, stats._4, stats._5)
-    spark.createDataset(Seq(entry)).write.mode(SaveMode.Append).parquet(ledgerDir)
-
-    BatchReport(batchId, ok.map(_.feedId),
-      failed.map(r => r.feedId -> r.error.get).toMap, stats._1, ledgerDir, dataDir)
+      BatchReport(batchId, ok.map(_.feedId),
+        failed.map(r => r.feedId -> r.error.get).toMap, stats._1, ledgerDir, dataDir)
+    } finally df.unpersist()
   }
 
   /** The reference's post-materialization quality check
