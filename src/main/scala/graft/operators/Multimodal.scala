@@ -23,6 +23,15 @@ object Multimodal {
       doc_id: Long, n_bytes: Long, width: Int, height: Int,
       checksum: Long, features: Array[Float])
 
+  /** STUB resize result: target dims + a checksum that depends on the
+    * source content and the target box (a real resampler's output
+    * hash would too). */
+  final case class ResizedMedia(
+      doc_id: Long, width: Int, height: Int, checksum: Long)
+
+  /** STUB frame sample: per-frame content hashes for "video" payloads. */
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_hash: Long)
+
   /** Binary payload metadata extraction — pure column ops, so it is
     * oracle-checked: byte length, content digest, and the stubbed
     * "decode" of fake dimensions from the byte stream. */
@@ -62,6 +71,55 @@ object Multimodal {
       .toDF()
   }
 
+  /** Partition-wise resize (STUB resampler): mime-typed media rows →
+    * target-box dims + content-dependent checksum. Same iterator-to-
+    * iterator shape a real libvips/ffmpeg batch would use. */
+  val mediaResize: Q = Q.noOracle("n32_media_resize") { (s, dir) =>
+    val media = mediaRows(s, dir)
+    media.mapPartitions(_.map(m => resizeStub(m, 224, 224)))(
+      Encoders.product[ResizedMedia])
+      .orderBy("doc_id")
+      .toDF()
+  }
+
+  /** Partition-wise frame sampling (STUB demuxer): every "video" row
+    * explodes into ≤ 4 sampled frame hashes (flatMap — rows out ≠ rows
+    * in, the generator shape of a real frame sampler). */
+  val mediaFrameSample: Q = Q.noOracle("n33_media_frames") { (s, dir) =>
+    val media = mediaRows(s, dir)
+    media.mapPartitions(_.flatMap(frameSampleStub(_, 4)))(
+      Encoders.product[FrameSample])
+      .orderBy("doc_id", "frame_idx")
+      .toDF()
+  }
+
+  /** Typed media rows with a deterministic mime mix (the documents
+    * bytes stand in for encoded payloads). */
+  private def mediaRows(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[MediaRow] =
+    Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      .as(Encoders.product[(Long, String)])
+      .map { r =>
+        val mime = (r._1 % 3) match {
+          case 0 => "image/fake"
+          case 1 => "video/fake"
+          case _ => "audio/fake"
+        }
+        MediaRow(r._1, r._2.getBytes("UTF-8"), mime)
+      }(Encoders.product[MediaRow])
+
+  def resizeStub(m: MediaRow, w: Int, h: Int): ResizedMedia = {
+    val base = decodeStub(m).checksum
+    ResizedMedia(m.doc_id, w, h, base * 31 + w * 7 + h)
+  }
+
+  def frameSampleStub(m: MediaRow, maxFrames: Int): Seq[FrameSample] =
+    if (m.mime != "video/fake") Seq.empty
+    else {
+      val d = decodeStub(m)
+      val n = math.min(maxFrames, (d.n_bytes % maxFrames + 1).toInt)
+      (0 until n).map(i => FrameSample(m.doc_id, i, d.checksum ^ (i.toLong << 17)))
+    }
+
   /** The STUB codec: deterministic pseudo-features from the bytes.
     * Replace with a real decoder (libjpeg/ffmpeg/...) in deployment —
     * the partitioning, batching and schema do not change. */
@@ -77,5 +135,5 @@ object Multimodal {
       crc, feats)
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaDecode)
+  val all: Seq[Q] = Seq(mediaMeta, mediaDecode, mediaResize, mediaFrameSample)
 }

@@ -153,5 +153,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(langStats, qualityScore, tokenStats, langId, fingerprint)
+  /** Rabin–Karp rolling fingerprints: polynomial hash of every
+    * `Window`-token window, advanced in O(1) per token
+    * (h' = (h − t_out·B^(w−1))·B + t_in over Long wraparound = mod 2⁶⁴).
+    * The per-window hash set is the containment-search fingerprint
+    * (detects copied passages, not just whole-doc dups). Typed
+    * partition-wise op; rows-only check + RollingHashSpec equivalence
+    * proof against direct recomputation. */
+  val rollingFingerprint: Q = Q.noOracle("n25_rolling_fingerprint") { (s, dir) =>
+    import org.apache.spark.sql.Encoders
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      .as(Encoders.product[(Long, String)])
+    docs.mapPartitions(_.flatMap { case (id, text) =>
+      rollingHashes(text.split(" "), RollingWindow).zipWithIndex
+        .map { case (h, pos) => (id, pos.toLong, h) }
+    })(Encoders.product[(Long, Long, Long)])
+      .toDF("doc_id", "pos", "win_hash")
+      .orderBy("doc_id", "pos")
+  }
+
+  val RollingWindow = 8
+  private val B = 1099511628211L // FNV prime as the polynomial base
+
+  /** All w-token window hashes of a token stream, each advanced in
+    * O(1) from the previous (true rolling update). */
+  def rollingHashes(tokens: Array[String], w: Int): Seq[Long] = {
+    if (tokens.length < w) return Seq.empty
+    val t = tokens.map(tok => tok.hashCode.toLong & 0xffffffffL)
+    var bw = 1L // B^(w-1) mod 2^64
+    var i = 0
+    while (i < w - 1) { bw *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * B + t(i); i += 1 }
+    val out = new Array[Long](tokens.length - w + 1)
+    out(0) = h
+    i = 1
+    while (i <= tokens.length - w) {
+      h = (h - t(i - 1) * bw) * B + t(i + w - 1)
+      out(i) = h
+      i += 1
+    }
+    out.toSeq
+  }
+
+  val all: Seq[Q] = Seq(langStats, qualityScore, tokenStats, langId,
+    fingerprint, rollingFingerprint)
 }

@@ -30,6 +30,23 @@ class MultimodalSpec extends SparkSpec {
     assert(x.checksum == x2.checksum && x.features.sameElements(x2.features))
   }
 
+  test("resize stub: fixed target box, content-dependent checksum") {
+    val out = Catalog.queries("n32_media_resize")(spark, sf0001).collect()
+    assert(out.length == 500)
+    assert(out.forall(r => r.getAs[Int]("width") == 224 && r.getAs[Int]("height") == 224))
+    assert(out.map(_.getAs[Long]("checksum")).distinct.length > 400)
+  }
+
+  test("frame sampling: only video rows emit frames, bounded per doc") {
+    val frames = Catalog.queries("n33_media_frames")(spark, sf0001).collect()
+    assert(frames.nonEmpty)
+    // mime mix assigns video to doc_id % 3 == 1
+    assert(frames.forall(_.getAs[Long]("doc_id") % 3 == 1))
+    val perDoc = frames.groupBy(_.getAs[Long]("doc_id")).values.map(_.length)
+    assert(perDoc.forall(n => n >= 1 && n <= 4))
+    assert(frames.forall(_.getAs[Int]("frame_idx") < 4))
+  }
+
   test("media metadata agrees between oracle query and typed decode") {
     val meta = Catalog.queries("n30_media_meta")(spark, sf0001)
       .select("doc_id", "n_bytes").collect()
