@@ -232,7 +232,7 @@ object Joins {
       lit(null).cast("long").as("event_id"), col("ts").as("cts"))
     val purchases = e.filter(col("event_type") === "purchase").select(
       col("user_id"), col("ts"), lit(1).as("kind"),
-      col("event_id"), lit(null).cast("timestamp").as("cts"))
+      col("event_id"), lit(null).cast("timestamp_ntz").as("cts"))
     // clicks sort before purchases at equal ts (kind 0 < 1) ⇒ frame
     // includes same-timestamp clicks, matching ASOF's `>=`.
     val w = Window.partitionBy("user_id").orderBy("ts", "kind")
@@ -266,7 +266,33 @@ object Joins {
       .orderBy("s_name")
   }
 
+  /** The NATIVE as-of join (custom LogicalPlan + SparkStrategy +
+    * merge-join BinaryExecNode, graft.plans.AsOfJoin) on the same
+    * purchases-to-latest-click task — checked against the same DuckDB
+    * ASOF oracle as j10, so the custom physical operator is held to
+    * the exact same answer as the builtin-only rewrite. */
+  val asofNative: Q = Q(
+    "j12_asof_native",
+    """SELECT p.event_id, p.user_id,
+      |       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |       CAST(c.ts AS TIMESTAMP) AS click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir).events
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+      "user_id", "c_user", "ts", "c_ts")
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("c_ts").as("click_ts"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(broadcastStar, factJoin, star5Way, leftJoin,
     semiJoin, antiJoin, fullOuter, thetaJoin, rangeJoin, asofJoin,
-    saltedJoinQ)
+    saltedJoinQ, asofNative)
 }

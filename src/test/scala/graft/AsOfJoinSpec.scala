@@ -1,0 +1,60 @@
+package graft
+
+import graft.plans.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** Native as-of join (custom Strategy/Exec) vs the union+window
+  * rewrite, plus edge semantics. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native as-of equals the union+window rewrite on events") {
+    val native = Catalog.queries("j12_asof_native")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.get(3))).toMap
+    val rewrite = Catalog.queries("j10_asof_join")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.get(3))).toMap
+    assert(native.keySet == rewrite.keySet)
+    native.foreach { case (id, ts) =>
+      assert(ts == rewrite(id), s"purchase $id: native=$ts rewrite=${rewrite(id)}")
+    }
+  }
+
+  test("left-outer semantics: no prior click yields null, exact-ts matches") {
+    val left = Seq(
+      (1L, 7L, 100L), // before any right row for key 7
+      (2L, 7L, 200L), // exactly at a right ts
+      (3L, 7L, 350L), // after several
+      (4L, 9L, 500L)  // key with no right rows at all
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (7L, 200L, "a"), (7L, 300L, "b"), (8L, 100L, "x")
+    ).toDF("rk", "rt", "tag")
+    val out = AsOfJoin.asof(left, right, "k", "rk", "t", "rt")
+      .select("id", "tag").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(out(1L) == null)       // 100 < 200: nothing at or before
+    assert(out(2L) == "a")        // ts >= is inclusive
+    assert(out(3L) == "b")        // greatest rt <= 350
+    assert(out(4L) == null)       // key never present on the right
+  }
+
+  test("plan shape: exchanges + sorts inserted, then a single merge pass") {
+    val left = (1 to 100).map(i => (i.toLong, i.toLong % 5, i.toLong * 10))
+      .toDF("id", "k", "t")
+    val right = (1 to 50).map(i => (i.toLong % 5, i.toLong * 17, s"v$i"))
+      .toDF("rk", "rt", "tag")
+    val df = AsOfJoin.asof(left, right, "k", "rk", "t", "rt")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(plan.contains("Sort"), "EnsureRequirements must insert sorts")
+    // correctness at the same time: every left row appears exactly once
+    assert(df.count() == 100)
+  }
+
+  test("missing column raises a clear error") {
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(Seq((1L, 2L)).toDF("a", "t"), Seq((1L, 2L)).toDF("b", "t2"),
+        "nope", "b", "t", "t2")
+    }
+    assert(ex.getMessage.contains("nope"))
+  }
+}
