@@ -61,12 +61,8 @@ object Multimodal {
     * no driver involvement. Rows-only check; determinism + schema are
     * asserted in MultimodalSpec. */
   val mediaDecode: Q = Q.noOracle("n31_media_decode") { (s, dir) =>
-    val docs = Tables(s, dir).documents
-    val media = docs.select(col("doc_id"), col("text"))
-      .as(Encoders.product[(Long, String)])
-      .map(r => MediaRow(r._1, r._2.getBytes("UTF-8"), "image/fake"))(
-        Encoders.product[MediaRow])
-    media.mapPartitions(_.map(decodeStub))(Encoders.product[DecodedMedia])
+    mediaRows(s, dir)
+      .mapPartitions(_.map(decodeStub))(Encoders.product[DecodedMedia])
       .orderBy("doc_id")
       .toDF()
   }

@@ -82,22 +82,30 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val lk = lKey.eval(lRow)
         val lt = lTs.eval(lRow)
-        // advance the right side to the last row with key == lk, ts <= lt
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rKey.eval(head)
-          val kc = keyOrd.compare(hk, lk)
-          if (kc < 0 || (kc == 0 && tsOrd.compare(rTs.eval(head), lt) <= 0)) {
-            val consumed = rBuf.next()
-            if (kc == 0) {
-              lastMatch = consumed.copy() // rows are reused buffers
-              lastMatchKey = hk
-            }
-          } else advancing = false
+        // SQL ASOF semantics: NULL keys/timestamps never match (DuckDB
+        // oracle parity). NULL-keyed left rows sort first and skip the
+        // advance entirely; NULL right keys/timestamps are consumed so
+        // they cannot block later rows, but never become the match.
+        if (lk != null && lt != null) {
+          // advance the right side to the last row with key == lk, ts <= lt
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val hk = rKey.eval(head)
+            val ht = if (hk == null) null else rTs.eval(head)
+            val kc = if (hk == null) -1 else keyOrd.compare(hk, lk)
+            if (kc < 0 || (kc == 0 &&
+                (ht == null || tsOrd.compare(ht, lt) <= 0))) {
+              val consumed = rBuf.next()
+              if (kc == 0 && ht != null) {
+                lastMatch = consumed.copy() // rows are reused buffers
+                lastMatchKey = hk
+              }
+            } else advancing = false
+          }
         }
-        val matched =
-          lastMatch != null && keyOrd.compare(lastMatchKey, lk) == 0
+        val matched = lk != null && lt != null && lastMatch != null &&
+          keyOrd.compare(lastMatchKey, lk) == 0
         if (matched) joined(lRow, lastMatch) else joined(lRow, nullRight)
       }
     }

@@ -50,6 +50,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(df.count() == 100)
   }
 
+  test("NULL keys and timestamps never match (SQL ASOF semantics)") {
+    val left = Seq(
+      (1L, Some(7L), Some(300L)),
+      (2L, None: Option[Long], Some(300L)),  // null key
+      (3L, Some(7L), None: Option[Long])     // null ts
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (Some(7L), Some(100L), "real"),
+      (Some(7L), None: Option[Long], "null_ts"),
+      (None: Option[Long], Some(100L), "null_key")
+    ).toDF("rk", "rt", "tag")
+    val out = AsOfJoin.asof(left, right, "k", "rk", "t", "rt")
+      .select("id", "tag").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(out(1L) == "real")   // only the non-null right row matches
+    assert(out(2L) == null)     // null left key matches nothing
+    assert(out(3L) == null)     // null left ts matches nothing
+  }
+
   test("missing column raises a clear error") {
     val ex = intercept[IllegalArgumentException] {
       AsOfJoin.asof(Seq((1L, 2L)).toDF("a", "t"), Seq((1L, 2L)).toDF("b", "t2"),

@@ -2,10 +2,9 @@ package graft
 
 import graft.operators.TextAnalysis
 import org.scalacheck.Gen
-import org.scalatest.funsuite.AnyFunSuite
 
 /** The O(1) rolling update must equal direct per-window recomputation. */
-class RollingHashSpec extends AnyFunSuite {
+class RollingHashSpec extends SparkSpec {
 
   private def direct(tokens: Array[String], w: Int): Seq[Long] = {
     val B = 1099511628211L
@@ -42,14 +41,14 @@ class RollingHashSpec extends AnyFunSuite {
   }
 
   test("catalog entry emits one row per window position") {
-    val spark = SparkSpec.session
-    val out = Catalog.queries("n25_rolling_fingerprint")(spark, "/root/testdata/sf0.001")
-    val docs = Tables(spark, "/root/testdata/sf0.001").documents
-    import org.apache.spark.sql.functions._
-    val expected = docs
-      .select(greatest(size(split(col("text"), " ")) - (TextAnalysis.RollingWindow - 1),
-        lit(0)).as("n"))
-      .agg(sum("n")).head().getLong(0)
+    val out = Catalog.queries("n25_rolling_fingerprint")(spark, sf0001)
+    // expected count uses the SAME tokenizer as the operator (Scala
+    // String.split drops trailing empties; SQL split() does not)
+    val expected = Tables(spark, sf0001).documents
+      .select("text").collect()
+      .map(_.getString(0).split(" ").length)
+      .map(n => math.max(n - (TextAnalysis.RollingWindow - 1), 0).toLong)
+      .sum
     assert(out.count() == expected)
   }
 }
