@@ -274,7 +274,139 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** Q7-shaped: bilateral trade volume between two nations by year
+    * (two aliased dimension joins + a symmetric pair predicate). */
+  val nationVolume: Q = Q(
+    "a13_nation_volume",
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |       CAST(year(l_shipdate) AS BIGINT) AS yr,
+       |       ${dsumSql("l_extendedprice * (1 - l_discount)")} AS volume
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+       |   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+       |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+       |ORDER BY supp_nation, cust_nation, yr""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val n1 = t.nation.select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation"))
+    val n2 = t.nation.select(col("n_nationkey").as("n2k"), col("n_name").as("cust_nation"))
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1k"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2k"))
+      .filter((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY")
+        || (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("yr"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+      .orderBy("supp_nation", "cust_nation", "yr")
+  }
+
+  /** Q8-shaped market share: one nation's fraction of regional revenue
+    * per year — a ratio of two exact sums over the same groups. */
+  val marketShare: Q = Q(
+    "a14_market_share",
+    s"""WITH base AS (
+       |  SELECT year(o_orderdate) AS yr,
+       |         l_extendedprice * (1 - l_discount) AS vol,
+       |         n_name
+       |  FROM lineitem
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation   ON c_nationkey = n_nationkey
+       |  JOIN region   ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'EUROPE')
+       |SELECT CAST(yr AS BIGINT) AS yr,
+       |       ${dsumSql("CASE WHEN n_name = 'GERMANY' THEN vol ELSE 0 END")}
+       |         / ${dsumSql("vol")} AS share
+       |FROM base
+       |GROUP BY yr
+       |ORDER BY yr""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val base = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vol"),
+        col("n_name"))
+    base.groupBy("yr")
+      .agg((dsum(when(col("n_name") === "GERMANY", col("vol")).otherwise(0))
+        / dsum(col("vol"))).as("share"))
+      .orderBy("yr")
+  }
+
+  /** Q2-shaped: cheapest-supplier-per-part via a per-group min window
+    * (the decorrelated form of the classic correlated min subquery). */
+  val minCostSupplier: Q = Q(
+    "a15_min_cost_supplier",
+    """WITH shipped AS (
+      |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |ranked AS (
+      |  SELECT l_partkey, s_suppkey, s_name, s_acctbal,
+      |         min(s_acctbal) OVER (PARTITION BY l_partkey) AS min_bal
+      |  FROM shipped JOIN supplier ON l_suppkey = s_suppkey)
+      |SELECT l_partkey AS p_key, min(s_suppkey) AS suppkey, min_bal AS acctbal
+      |FROM ranked
+      |WHERE s_acctbal = min_bal
+      |GROUP BY l_partkey, min_bal
+      |ORDER BY p_key""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val shipped = t.lineitem.select("l_partkey", "l_suppkey").distinct()
+    val w = Window.partitionBy("l_partkey")
+    shipped
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_bal", min(col("s_acctbal")).over(w))
+      .filter(col("s_acctbal") === col("min_bal"))
+      .groupBy(col("l_partkey").as("p_key"), col("min_bal").as("acctbal"))
+      .agg(min(col("s_suppkey")).as("suppkey"))
+      .select("p_key", "suppkey", "acctbal")
+      .orderBy("p_key")
+  }
+
+  /** Q20-shaped: suppliers whose shipped volume of any single part
+    * exceeds a threshold share of that part's total (nested agg +
+    * semi join back to supplier). */
+  val excessSuppliers: Q = Q(
+    "a16_excess_suppliers",
+    """WITH per AS (
+      |  SELECT l_suppkey, l_partkey,
+      |         sum(CAST(l_quantity AS DECIMAL(25,6))) AS sq
+      |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+      |tot AS (
+      |  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(25,6))) AS tq
+      |  FROM lineitem GROUP BY l_partkey),
+      |heavy AS (
+      |  SELECT DISTINCT l_suppkey FROM per JOIN tot USING (l_partkey)
+      |  WHERE CAST(sq AS DOUBLE) > 0.5 * CAST(tq AS DOUBLE))
+      |SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+      |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val per = t.lineitem.groupBy("l_suppkey", "l_partkey")
+      .agg(sum(col("l_quantity").cast("decimal(25,6)")).as("sq"))
+    val tot = t.lineitem.groupBy(col("l_partkey").as("tp"))
+      .agg(sum(col("l_quantity").cast("decimal(25,6)")).as("tq"))
+    val heavy = per.join(tot, col("l_partkey") === col("tp"))
+      .filter(col("sq").cast("double") > lit(0.5) * col("tq").cast("double"))
+      .select("l_suppkey").distinct()
+    t.supplier
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
   val all: Seq[Q] = Seq(shippingPriority, localSupplierVolume, returnedItems,
     smallQuantityOrders, largeOrders, pivotQ, medianQ, modeQ, arrayAgg,
-    percentRank, stringDistance, conditionalAgg)
+    percentRank, stringDistance, conditionalAgg, nationVolume, marketShare,
+    minCostSupplier, excessSuppliers)
 }

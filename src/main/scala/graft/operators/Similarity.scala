@@ -171,5 +171,53 @@ object Similarity {
       .orderBy("v1", "v2")
   }
 
-  val all: Seq[Q] = Seq(cosineTopK, annLsh, embeddingNearDup)
+  /** IVF-style ANN: coarse quantization into 16 cells (deterministic
+    * anchors: the first 16 vectors — a k-means refinement would slot in
+    * without changing the plan), each vector assigned to its nearest
+    * cell; a query probes its 4 nearest cells and exact-reranks only
+    * those cells' members. Cost ≈ nprobe/ncells of brute force; the
+    * recall/cost dial is (ncells, nprobe). Spark-only (approximate);
+    * SimilaritySpec checks ranking correctness + recall vs n10. */
+  val annIvf: Q = Q.noOracle("n13_ann_ivf") { (s, dir) =>
+    val nCells = 16
+    val nProbe = 4
+    val cos = graft.functions.GraftFunctions.cosine_sim _
+    val e = Tables(s, dir).embeddings
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+
+    // assignment: nearest cell per vector (deterministic tiebreak)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        round6(cos(col("embedding"), col("cv"))).as("csim"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+
+    // probe: each query's nProbe nearest cells
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("psim").desc, col("cent_id"))
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("cent_id"),
+        round6(cos(col("qv"), col("cv"))).as("psim"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
+
+    // exact re-rank inside the probed cells only
+    val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("nb_id"),
+        round6(cos(col("qv"), col("embedding"))).as("cos"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .filter(col("rn") <= TopK)
+      .orderBy("q_id", "rn")
+  }
+
+  val all: Seq[Q] = Seq(cosineTopK, annLsh, embeddingNearDup, annIvf)
 }

@@ -33,6 +33,34 @@ class ScaleSpec extends SparkSpec {
     assert(a == b && a.size == 500)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val t = Tables(spark, sf0001)
+      val selective = t.orders.filter(col("o_totalprice") > 300000)
+      val joined = t.lineitem
+        .join(selective, col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(optimized.contains("bloom"),
+        s"expected an injected bloom runtime filter in:\n$optimized")
+      // and the filter is semantics-preserving
+      val expected = t.lineitem.join(
+        t.orders.filter(col("o_totalprice") > 300000),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -36,6 +36,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: correctly ranked candidates, deterministic, sane recall") {
+    val ivf = Catalog.queries("n13_ann_ivf")(spark, sf0001).collect()
+    val again = Catalog.queries("n13_ann_ivf")(spark, sf0001).collect()
+    assert(ivf.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    val exact = Catalog.queries("n10_cosine_topk")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nb_id")) -> r.getAs[Double]("cos"))
+      .toMap
+    // any IVF hit also in the exact top-5 agrees on the cosine value
+    ivf.foreach { r =>
+      exact.get((r.getAs[Long]("q_id"), r.getAs[Long]("nb_id"))).foreach { c =>
+        assert(math.abs(c - r.getAs[Double]("cos")) < 1e-9)
+      }
+    }
+    // every query produced results and ranks are strictly ordered
+    val byQ = ivf.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 32)
+    byQ.values.foreach { rs =>
+      val cs = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cos"))
+      assert(cs.sameElements(cs.sortBy(-_)))
+    }
+    // recall@5 vs exact — coarse cells on near-random vectors still
+    // find a nontrivial share; report-and-bound
+    val hits = ivf.count(r =>
+      exact.contains((r.getAs[Long]("q_id"), r.getAs[Long]("nb_id"))))
+    val recall = hits.toDouble / exact.size
+    info(s"IVF recall@5 = $recall")
+    assert(recall > 0.15, s"recall collapsed: $recall")
+  }
+
   test("native cosine_sim expression matches the higher-order fold") {
     val e = Tables(spark, sf0001).embeddings.limit(50)
     val a = e.select(col("vec_id"), col("embedding"))
