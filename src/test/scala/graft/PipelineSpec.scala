@@ -84,6 +84,27 @@ class PipelineSpec extends SparkSpec {
     assertThrows[AssertionError](q.assertHealthy())
   }
 
+  test("ledger compaction: files shrink, rows survive, appends continue") {
+    val dir = tmp("gtfs_compact")
+    val path = s"$dir/feed.pb"
+    Files.write(Paths.get(path), GtfsRt.encodeFeed(vehicles(5, withCoords = true)))
+    val feeds = Seq(FeedConfig("f", path))
+    (0 until 4).foreach { i =>
+      GtfsPipeline.runBatch(spark, feeds, new FileFeedSource,
+        s"$dir/data", s"$dir/ledger", Timestamp.valueOf(f"2024-06-01 12:0$i:00"))
+    }
+    val stats = LedgerMaintenance.compact(spark, s"$dir/ledger")
+    assert(stats.rowsBefore == 4 && stats.rowsAfter == 4)
+    assert(stats.filesBefore >= 4 && stats.filesAfter == 1)
+    // ledger still queryable and appendable after the swap
+    GtfsPipeline.runBatch(spark, feeds, new FileFeedSource,
+      s"$dir/data", s"$dir/ledger", Timestamp.valueOf("2024-06-01 12:09:00"))
+    val q = GtfsPipeline.qualityCheck(spark, s"$dir/data", s"$dir/ledger",
+      Timestamp.valueOf("2024-06-01 12:09:00"))
+    assert(q.totalRecords == 25)
+    assert(q.latestBatch.contains("20240601_120900"))
+  }
+
   test("two batches accumulate; latest points at the newest batch (O1)") {
     val dir = tmp("gtfs_two")
     val path = s"$dir/feed.pb"
