@@ -32,6 +32,21 @@ object Similarity {
     sqrt(aggregate(transform(c, x => x.cast("double") * x),
       lit(0.0), (acc, x) => acc + x))
 
+  /** Shared exact re-rank for ANN variants: candidate pairs with
+    * (q_id, qv, vec_id, embedding) → top-k per query by rounded cosine
+    * with the catalog's deterministic (cos desc, nb_id) tiebreak. */
+  private def rerank(candidates: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id"))
+    candidates
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("nb_id"),
+        round6(graft.functions.GraftFunctions.cosine_sim(col("qv"), col("embedding")))
+          .as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
   /** Exact brute-force cosine top-k for a fixed query set (vec_id <
     * 32), k = 5. Broadcast queries × corpus scan; per-query top-k via
     * row_number (TakeOrdered per partition at scale). */
@@ -129,16 +144,7 @@ object Similarity {
       .select("q_id", "vec_id").distinct()
 
     val q = e.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id"))
-    cand
-      .join(e, Seq("vec_id"))
-      .join(broadcast(q), Seq("q_id"))
-      .select(col("q_id"), col("vec_id").as("nb_id"),
-        round6(graft.functions.GraftFunctions.cosine_sim(col("qv"), col("embedding")))
-          .as("cos"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= TopK)
-      .orderBy("q_id", "rn")
+    rerank(cand.join(e, Seq("vec_id")).join(broadcast(q), Seq("q_id")), TopK)
   }
 
   /** Embedding-cosine near-duplicate pairs (the vector-space analog of
@@ -209,14 +215,7 @@ object Similarity {
       .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
 
     // exact re-rank inside the probed cells only
-    val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id"))
-    probes.join(assigned, Seq("cell"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("nb_id"),
-        round6(cos(col("qv"), col("embedding"))).as("cos"))
-      .withColumn("rn", row_number().over(wRank).cast("long"))
-      .filter(col("rn") <= TopK)
-      .orderBy("q_id", "rn")
+    rerank(probes.join(assigned, Seq("cell")), TopK)
   }
 
   val all: Seq[Q] = Seq(cosineTopK, annLsh, embeddingNearDup, annIvf)
