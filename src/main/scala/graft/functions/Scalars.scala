@@ -77,12 +77,16 @@ object Scalars {
       .orderBy("event_id")
   }
 
-  /** Math functions (IEEE-exact ops raw; libm-backed ops via round6). */
+  /** Math functions (IEEE-exact ops raw; libm-backed ops via round6).
+    * floor/ceil are BIGINT in Spark but DOUBLE in DuckDB — cast the
+    * oracle to BIGINT so the driver's dtype-sensitive hash agrees
+    * (values were already equal; round-1 f04 failed on dtype alone). */
   val mathFuncs: Q = Q(
     "f04_math_funcs",
     s"""SELECT o_orderkey,
        |       abs(o_totalprice - 100000) AS dist,
-       |       floor(o_totalprice) AS fl, ceil(o_totalprice) AS ce,
+       |       CAST(floor(o_totalprice) AS BIGINT) AS fl,
+       |       CAST(ceil(o_totalprice) AS BIGINT) AS ce,
        |       sqrt(o_totalprice) AS rt,
        |       ${round6Sql("ln(o_totalprice)")} AS log_price,
        |       CAST(o_orderkey % 7 AS BIGINT) AS mod7

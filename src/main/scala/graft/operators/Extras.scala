@@ -137,12 +137,14 @@ object Extras {
       .orderBy("event_id")
   }
 
-  /** Map construction + access (map_from_arrays / element_at). */
+  /** Map construction + access (map_from_arrays / element_at). DuckDB's
+    * map subscript yields a one-element LIST (crashed the driver's
+    * checker in round 1) — the oracle unwraps it with `[1]`. */
   val mapFuncs: Q = Q(
     "x07_map_funcs",
     """SELECT n_nationkey,
       |       array_to_string(map_keys(map(['key', 'region'], [n_nationkey, n_regionkey])), ',') AS ks_csv,
-      |       map(['key', 'region'], [n_nationkey, n_regionkey])['region'] AS region_val
+      |       map(['key', 'region'], [n_nationkey, n_regionkey])['region'][1] AS region_val
       |FROM nation
       |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
     val m = map_from_arrays(

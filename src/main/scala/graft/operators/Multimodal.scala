@@ -60,9 +60,20 @@ object Multimodal {
     * → Dataset[DecodedMedia]. Iterator-to-iterator, constant memory,
     * no driver involvement. Rows-only check; determinism + schema are
     * asserted in MultimodalSpec. */
-  val mediaDecode: Q = Q.noOracle("n31_media_decode") { (s, dir) =>
+  /** Library decode path: typed media rows → Dataset[DecodedMedia] with
+    * the raw `features: Array[Float]` column (what a model-training
+    * consumer reads). */
+  def decodedMedia(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[DecodedMedia] =
     mediaRows(s, dir)
       .mapPartitions(_.map(decodeStub))(Encoders.product[DecodedMedia])
+
+  val mediaDecode: Q = Q.noOracle("n31_media_decode") { (s, dir) =>
+    // Catalog projection flattens `features` to a CSV string: the driver's
+    // rows-only checker lexsorts every column and cannot hash a raw
+    // Array[Float] (round-1 n31 crash). Library users get the typed
+    // Dataset[DecodedMedia] from decodedMedia directly.
+    decodedMedia(s, dir)
+      .withColumn("features", array_join(col("features").cast("array<string>"), ";"))
       .orderBy("doc_id")
       .toDF()
   }

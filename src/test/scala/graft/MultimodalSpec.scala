@@ -8,15 +8,19 @@ import org.apache.spark.sql.types._
 class MultimodalSpec extends SparkSpec {
 
   test("decode stub is deterministic and schema is typed") {
+    // library path keeps the typed Array[Float] features column
+    val typed = Multimodal.decodedMedia(spark, sf0001).toDF()
+    assert(typed.schema("features").dataType == ArrayType(FloatType, containsNull = false))
+    // catalog projection flattens features to a lexsortable string
     val df = Catalog.queries("n31_media_decode")(spark, sf0001)
-    assert(df.schema("features").dataType == ArrayType(FloatType, containsNull = false))
+    assert(df.schema("features").dataType == StringType)
     assert(!df.schema.fieldNames.contains("media")) // payload not in output
     val a = df.collect()
     val b = Catalog.queries("n31_media_decode")(spark, sf0001).collect()
     assert(a.sameElements(b))
     assert(a.length == 500)
     a.foreach { r =>
-      assert(r.getAs[scala.collection.Seq[Float]]("features").length == 8)
+      assert(r.getAs[String]("features").split(";").length == 8)
       assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 640)
     }
   }

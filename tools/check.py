@@ -19,8 +19,11 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 npass = nfail = 0
 for name in sorted(oracle):
+    if only is not None and name not in only:
+        continue
     try:
         want = con.execute(oracle[name]).df()
     except Exception as e:
@@ -50,6 +53,12 @@ for name in sorted(oracle):
         if "datetime" in str(wv.dtype) or "datetime" in str(gv.dtype):
             wv = pd.to_datetime(wv).astype("datetime64[us]")
             gv = pd.to_datetime(gv).astype("datetime64[us]")
+        # The driver's hash is dtype-sensitive: int64 vs float64 with equal
+        # values still hash-mismatches (round-1 f04). Fail on kind drift.
+        elif wv.dtype.kind != gv.dtype.kind:
+            print(f"FAIL {name}: col {c}: dtype kind want={wv.dtype} got={gv.dtype}")
+            ok = False
+            continue
         try:
             eq = (wv.values == gv.values) | (pd.isna(wv).values & pd.isna(gv).values)
         except Exception:
