@@ -1,0 +1,73 @@
+package graft
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import graft.operators.Dedup
+
+/** Scratch perf lab (not part of the driver contract): times named
+  * experiment variants at SPARK_GRAFT_SF_DIR. */
+object Lab {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = Tables(spark, sfDir)
+    val docs = t.documents
+    val events = t.events
+    docs.count(); events.count()
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  (n=$n)")
+    }
+
+    def fpCount(fp: org.apache.spark.sql.Column): Long =
+      docs.groupBy(fp.as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .count()
+
+    args.headOption.getOrElse("norm") match {
+      case "norm" =>
+        time("md5 only (n01)")(fpCount(md5(col("text").cast("binary"))))
+        time("regex norm (n02 today)")(fpCount(
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))))
+        time("split/filter/join norm")(fpCount(
+          md5(array_join(filter(split(lower(col("text")), "\\s+"), w => length(w) > 0), " ")
+            .cast("binary"))))
+        time("regex norm again")(fpCount(
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))))
+      case "p02" =>
+        time("p02 today") {
+          val m = events.agg(max(col("ts")).as("mx"))
+          events.crossJoin(broadcast(m))
+            .filter(col("ts") >= col("mx") - expr("INTERVAL 1 HOUR"))
+            .agg(count(lit(1)).as("n_fresh"), graft.Det.dsum(col("value")).as("fresh_value"))
+            .count()
+        }
+        time("p02 scalar max first") {
+          val mx = events.agg(max(col("ts"))).head().getAs[java.time.LocalDateTime](0)
+          events.filter(col("ts") >= lit(java.sql.Timestamp.valueOf(mx)) - expr("INTERVAL 1 HOUR"))
+            .agg(count(lit(1)).as("n_fresh"), graft.Det.dsum(col("value")).as("fresh_value"))
+            .count()
+        }
+      case "n40" =>
+        time("n40 cold")(pipeline.TrainingData.curate(docs).count())
+        time("n40 warm")(pipeline.TrainingData.curate(docs).count())
+        time("n04 cold") {
+          Dedup.nearDuplicatePairs(docs, 0.6).count()
+        }
+        time("n04 warm") {
+          Dedup.nearDuplicatePairs(docs, 0.6).count()
+        }
+        time("shingle rows")(Dedup.shingles(docs).count())
+        time("candidates only")(Dedup.lshCandidates(docs).count())
+    }
+    spark.stop()
+  }
+}

@@ -34,9 +34,21 @@ object Graft {
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
     }
 
-    /** Documents surviving exact dedup (one representative per group). */
-    def distinctDocuments(normalize: Boolean = false): DataFrame =
-      df.join(dedupExact(normalize).select("doc_id"), Seq("doc_id"), "left_semi")
+    /** Documents surviving exact dedup (one representative per group).
+      * Window formulation: ONE shuffle on the fingerprint, no join and
+      * no second computation of the input — the semi-join against
+      * dedupExact would shuffle twice and re-evaluate `df`'s lineage. */
+    def distinctDocuments(normalize: Boolean = false): DataFrame = {
+      val key =
+        if (normalize) graft.Det.normFingerprint(col("text"))
+        else md5(col("text").cast("binary"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__fp")).orderBy(col("doc_id"))
+      df.withColumn("__fp", key)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__fp", "__rn")
+    }
 
     /** MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
       * Returns (d1, d2, jac ≥ threshold). */
@@ -65,5 +77,13 @@ object Graft {
       * Returns (q_id, nb_id, cos, rn ≤ k). */
     def cosineTopK(queries: DataFrame, k: Int = 10): DataFrame =
       Similarity.cosineTopK(df, queries, k)
+
+    /** Embedding near-duplicate pairs (v1, v2, cos ≥ threshold).
+      * `exact = false` switches to the hyperplane-LSH candidate
+      * prefilter + exact verify — the path that scales past a
+      * broadcastable corpus; intended for thresholds ≥ 0.8. */
+    def nearDuplicateVectors(threshold: Double = 0.9,
+        exact: Boolean = true): DataFrame =
+      Similarity.nearDuplicateVectors(df, threshold, exact)
   }
 }

@@ -99,43 +99,46 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Deterministic ±1 hyperplane weights per (table, bit, dim) — md5
+    * sign bits, no RNG, so every run (and every executor) agrees. */
+  private def hyperplaneWeights(nTables: Int, nBits: Int, dim: Int): Array[Array[Seq[Double]]] =
+    Array.tabulate(nTables, nBits) { (t, b) =>
+      (0 until dim).map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$t:$b:$i".getBytes("UTF-8"))
+        if ((hex(0) & 0x80) == 0) 1.0 else -1.0
+      }
+    }
+
+  /** Per-row LSH signatures as pure column expressions: one packed-long
+    * sig column per table, computed inside the scan stage — no shuffle,
+    * no 64× posexplode, no weight-table join (the round-1 formulation
+    * paid 3 shuffles of n×dim rows for the same bits). */
+  private def hyperplaneSigCols(emb: Column, nTables: Int, nBits: Int, dim: Int): Seq[Column] = {
+    val w = hyperplaneWeights(nTables, nBits, dim)
+    (0 until nTables).map { t =>
+      (0 until nBits).map { b =>
+        val proj = aggregate(
+          zip_with(emb, typedlit(w(t)(b)), (x, wt) => x.cast("double") * wt),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"sig$t")
+    }
+  }
+
+  /** (vec_id, t, sig) rows: each vector's bucket in each LSH table. */
+  private def hyperplaneSigs(vecs: DataFrame, nTables: Int, nBits: Int, dim: Int): DataFrame =
+    vecs.select(col("vec_id") +: hyperplaneSigCols(col("embedding"), nTables, nBits, dim): _*)
+      .select(col("vec_id"), posexplode(array((0 until nTables).map(t => col(s"sig$t")): _*)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
+
   /** Approximate NN via random-hyperplane LSH: 4 tables × 10-bit
     * signatures; candidates = bucket collisions in any table; exact
-    * cosine re-rank on candidates only. Hyperplane weights are derived
-    * deterministically from md5 bits (no RNG, resume-safe). Spark-only
-    * (the plan is the point); recall vs n10 is asserted in
-    * SimilaritySpec. */
+    * cosine re-rank on candidates only. Spark-only (the plan is the
+    * point); recall vs n10 is asserted in SimilaritySpec. */
   val annLsh: Q = Q.noOracle("n11_ann_lsh") { (s, dir) =>
-    val nTables = 4
-    val nBits = 10
-    val dim = 64
-    val spark = s
-    import spark.implicits._
-
-    // deterministic pseudo-random ±1 weights per (table, bit, dim)
-    val weights = (0 until nTables).flatMap { t =>
-      (0 until nBits).flatMap { b =>
-        (0 until dim).map { i =>
-          val hex = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$t:$b:$i".getBytes("UTF-8"))
-          (t, b, i, if ((hex(0) & 0x80) == 0) 1.0 else -1.0)
-        }
-      }
-    }.toDF("t", "b", "i", "wt")
-
     val e = Tables(s, dir).embeddings
-      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
-    val exploded = e.select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos").as("i"), col("col").cast("double").as("x"))
-    // signature bit = sign of the projection onto each hyperplane
-    val sigs = exploded
-      .join(broadcast(weights), Seq("i"))
-      .groupBy("vec_id", "t", "b")
-      .agg(sum(col("wt") * col("x")).as("proj"))
-      .groupBy("vec_id", "t")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("b"), (col("proj") >= 0).as("bit")))),
-        s => when(s.getField("bit"), "1").otherwise("0")), "").as("sig"))
+    val sigs = hyperplaneSigs(e, nTables = 4, nBits = 10, dim = 64)
 
     val qs = sigs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("t"), col("sig"))
@@ -147,11 +150,47 @@ object Similarity {
     rerank(cand.join(e, Seq("vec_id")).join(broadcast(q), Seq("q_id")), TopK)
   }
 
-  /** Embedding-cosine near-duplicate pairs (the vector-space analog of
-    * MinHash dedup): all pairs with cosine ≥ 0.5. Exact self-join here
-    * (corpus broadcast once, O(n²/2) scalar cosine calls through the
-    * codegen'd expression); at 100 TB the hyperplane-bucket prefilter
-    * of n11 bounds candidates first — same verify stage. */
+  /** Embedding near-duplicate pairs: all (v1 < v2) with cosine ≥
+    * threshold.
+    *
+    * `exact = true`: O(n²/2) upper-triangle self-join with the smaller
+    * side broadcast — the correct baseline, and the only formulation
+    * with guaranteed recall on arbitrary data.
+    *
+    * `exact = false`: the 100 TB scale path — hyperplane-LSH buckets
+    * (nTables × nBits) generate candidate pairs, then the same exact
+    * cosine verify runs on candidates only. Candidate cost ≈
+    * Σ_bucket |bucket|² per table instead of n²/2. Recall per pair is
+    * 1-(1-p^nBits)^nTables with p = 1-θ/π: at cos 0.9 the default
+    * (8 tables × 8 bits) catches >99.99%; at cos 0.5 hyperplane LSH
+    * is mathematically useless (p ≈ 0.67 ⇒ per-table collision 2%) —
+    * near-duplicate thresholds are ≥0.8 in practice, which is why the
+    * catalog's 0.5-threshold oracle entry (n12) stays exact. */
+  def nearDuplicateVectors(vecs: DataFrame, threshold: Double,
+      exact: Boolean = true, nTables: Int = 8, nBits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val a = vecs.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = vecs.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    val pairs =
+      if (exact) a.join(broadcast(b), col("v1") < col("v2"))
+      else {
+        val sigs = hyperplaneSigs(vecs, nTables, nBits, dim)
+        val s1 = sigs.select(col("vec_id").as("v1"), col("t"), col("sig"))
+        val s2 = sigs.select(col("vec_id").as("v2"), col("t"), col("sig"))
+        s1.join(s2, Seq("t", "sig")).filter(col("v1") < col("v2"))
+          .select("v1", "v2").distinct()
+          .join(a, Seq("v1")).join(b, Seq("v2"))
+      }
+    pairs
+      .select(col("v1"), col("v2"),
+        round6(graft.functions.GraftFunctions.cosine_sim(col("e1"), col("e2")))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Catalog entry: exact variant at threshold 0.5 (see
+    * [[nearDuplicateVectors]] for why the oracle-checked entry cannot
+    * be the LSH path on this corpus). */
   val embeddingNearDup: Q = Q(
     "n12_embedding_neardup",
     s"""WITH e AS (SELECT vec_id, embedding,
@@ -166,14 +205,7 @@ object Similarity {
             "list_sum(list_transform(generate_series(1, len(a.embedding)), " +
             "i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm)")} >= 0.5
        |ORDER BY v1, v2""".stripMargin) { (s, dir) =>
-    val e = Tables(s, dir).embeddings
-    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
-    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
-    a.join(broadcast(b), col("v1") < col("v2"))
-      .select(col("v1"), col("v2"),
-        round6(graft.functions.GraftFunctions.cosine_sim(col("e1"), col("e2")))
-          .as("cos"))
-      .filter(col("cos") >= 0.5)
+    nearDuplicateVectors(Tables(s, dir).embeddings, threshold = 0.5, exact = true)
       .orderBy("v1", "v2")
   }
 

@@ -80,19 +80,34 @@ object GtfsPipeline {
     val results = feeds.map(FeedSource.fetchWithRetry(source, _))
     val (ok, failed) = results.partition(_.payload.isDefined)
 
-    // 2. distributed decode + flatten + enrich (S4, P1-P3)
+    // 2. distributed decode + flatten + enrich (S4, P1-P3). A feed
+    //    whose bytes fail to decode (truncated/corrupt protobuf —
+    //    untrusted HTTP input) is isolated like a fetch failure (T3):
+    //    its error is reported, the batch continues without it.
     val raw: Dataset[(String, Array[Byte])] =
       spark.createDataset(ok.map(r => (r.feedId, r.payload.get)))
-    val records: Dataset[VehiclePosition] = raw.flatMap { case (feedId, bytes) =>
-      GtfsRt.decodeFeed(bytes).map { v =>
-        VehiclePosition(feedId, batchTime, v.vehicle_id, v.latitude,
-          v.longitude, v.speed, v.bearing, v.trip_id, v.route_id,
-          v.current_stop_sequence, v.current_status)
-      }
-    }
+    val decoded: Dataset[(String, Seq[VehiclePosition], String)] =
+      raw.map { case (feedId, bytes) =>
+        try (feedId, GtfsRt.decodeFeed(bytes).map { v =>
+          VehiclePosition(feedId, batchTime, v.vehicle_id, v.latitude,
+            v.longitude, v.speed, v.bearing, v.trip_id, v.route_id,
+            v.current_stop_sequence, v.current_status)
+        }, "")
+        catch { case e: Throwable =>
+          (feedId, Seq.empty[VehiclePosition], s"decode: ${e.getMessage}")
+        }
+      }.persist()
+    val decodeFailed: Map[String, String] = decoded
+      .filter(_._3.nonEmpty).map(t => (t._1, t._3)).collect().toMap
+    val records: Dataset[VehiclePosition] = decoded.flatMap(_._2)
 
-    val batchId = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
-      .format(batchTime)
+    // UTC explicitly: the partition columns below derive from batchTime
+    // under spark.sql.session.timeZone=UTC, but java.text formatting
+    // uses the JVM default zone — on a non-UTC driver the batch_id
+    // string would disagree with its own partition path.
+    val batchIdFmt = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+    batchIdFmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val batchId = batchIdFmt.format(batchTime)
     // persisted: the emptiness guard, the sink write and the bbox
     // aggregate would otherwise each re-run the distributed decode
     val df = records.toDF()
@@ -106,10 +121,12 @@ object GtfsPipeline {
       .withColumn("hour", hour(col("timestamp")))
       .withColumn("batch_id", lit(batchId))
       .persist()
+    val feedsOk = ok.map(_.feedId).filterNot(decodeFailed.contains)
+    val feedsFailed =
+      failed.map(r => r.feedId -> r.error.get).toMap ++ decodeFailed
     try {
       if (df.isEmpty) { // P6 empty-batch guard (gtfs_rt_assets.py:114-116)
-        return BatchReport(batchId, ok.map(_.feedId),
-          failed.map(r => r.feedId -> r.error.get).toMap, 0L, ledgerDir, dataDir)
+        return BatchReport(batchId, feedsOk, feedsFailed, 0L, ledgerDir, dataDir)
       }
 
       // 3. K1: Hive-partitioned sink → Catalyst partition pruning for free
@@ -131,9 +148,8 @@ object GtfsPipeline {
         stats._2, stats._3, stats._4, stats._5)
       spark.createDataset(Seq(entry)).write.mode(SaveMode.Append).parquet(ledgerDir)
 
-      BatchReport(batchId, ok.map(_.feedId),
-        failed.map(r => r.feedId -> r.error.get).toMap, stats._1, ledgerDir, dataDir)
-    } finally df.unpersist()
+      BatchReport(batchId, feedsOk, feedsFailed, stats._1, ledgerDir, dataDir)
+    } finally { df.unpersist(); decoded.unpersist() }
   }
 
   /** The reference's post-materialization quality check

@@ -18,11 +18,14 @@ object TrainingData {
     * (Jaccard ≥ 0.6, larger id dropped). Returns the surviving docs
     * with their features. */
   def curate(docs: DataFrame): DataFrame = {
-    val featured = docs.select(
-      col("doc_id"), col("lang"), col("source"), col("text"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      (size(array_distinct(split(col("text"), " "))).cast("double") /
-        size(split(col("text"), " "))).as("ttr"))
+    // tokenize once; n_tokens/ttr derive from the same array column
+    val featured = docs
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("w"))).cast("double") / size(col("w")))
+          .as("ttr"))
     val quality = featured
       .filter(col("n_tokens") >= 20 && col("ttr") >= 0.3)
     val exact = quality.distinctDocuments()

@@ -99,7 +99,11 @@ case class AsOfJoinExec(
               val consumed = rBuf.next()
               if (kc == 0 && ht != null) {
                 lastMatch = consumed.copy() // rows are reused buffers
-                lastMatchKey = hk
+                // Re-evaluate the key off the COPIED row: `hk` from the
+                // reused sort-iterator buffer is silently mutated when the
+                // iterator advances for buffer-backed types (UTF8String,
+                // binary, struct, decimal).
+                lastMatchKey = rKey.eval(lastMatch)
               }
             } else advancing = false
           }

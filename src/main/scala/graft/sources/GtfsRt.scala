@@ -36,11 +36,22 @@ object GtfsRt {
 
   // ---------------------------------------------------------- decode
 
+  /** Bounded wire reader: every read is checked against `end`, so a
+    * truncated or corrupt feed (the production input is untrusted HTTP
+    * bytes) raises a clear "truncated message" error instead of reading
+    * across a sub-message boundary into sibling bytes — silently wrong
+    * values — or crashing with ArrayIndexOutOfBounds. The fetch path
+    * turns the throw into a FetchResult error (T3 isolation). */
   private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+    private def need(n: Int): Unit =
+      if (n < 0 || pos + n > end)
+        throw new IllegalArgumentException(
+          s"truncated message: need $n bytes at $pos, end $end")
     def hasNext: Boolean = pos < end
     def varint(): Long = {
       var shift = 0; var res = 0L
       while (shift < 64) {
+        need(1)
         val b = buf(pos); pos += 1
         res |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return res
@@ -49,28 +60,33 @@ object GtfsRt {
       throw new IllegalArgumentException("malformed varint")
     }
     def fixed32(): Int = {
+      need(4)
       val v = (buf(pos) & 0xff) | ((buf(pos + 1) & 0xff) << 8) |
         ((buf(pos + 2) & 0xff) << 16) | ((buf(pos + 3) & 0xff) << 24)
       pos += 4; v
     }
     def fixed64(): Long = {
+      need(8)
       var v = 0L
       var i = 0
       while (i < 8) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += 8; v
     }
-    def bytes(len: Int): (Int, Int) = { val s = pos; pos += len; (s, pos) }
+    def bytes(len: Int): (Int, Int) = { need(len); val s = pos; pos += len; (s, pos) }
     def utf8(len: Int): String = {
+      need(len)
       val s = new String(buf, pos, len, "UTF-8"); pos += len; s
     }
-    def skip(wireType: Int): Unit = (wireType: @unchecked) match {
+    def skip(wireType: Int): Unit = wireType match {
       case 0 => varint()
-      case 1 => pos += 8
-      case 2 => val len = varint().toInt; pos += len
-      case 5 => pos += 4
+      case 1 => need(8); pos += 8
+      case 2 => val len = varint().toInt; need(len); pos += len
+      case 5 => need(4); pos += 4
+      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
     def sub(): Reader = {
       val len = varint().toInt
+      need(len)
       val r = new Reader(buf, pos, pos + len)
       pos += len
       r

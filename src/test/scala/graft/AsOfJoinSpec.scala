@@ -68,6 +68,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(3L) == null)     // null left ts matches nothing
   }
 
+  test("string keys survive sort-buffer reuse (many keys, many rows)") {
+    // UTF8String keys come off a reused sort-iterator buffer; a stored
+    // key evaluated off that buffer mutates as the iterator advances.
+    // Enough distinct keys + rows per partition forces the reuse.
+    val left = (1 to 2000).map { i =>
+      (i.toLong, s"key_${i % 97}", (i * 13L) % 1000)
+    }.toDF("id", "k", "t")
+    val right = (1 to 1500).map { i =>
+      (s"key_${i % 97}", (i * 7L) % 1000, i.toLong)
+    }.toDF("rk", "rt", "rid")
+    val native = AsOfJoin.asof(left, right, "k", "rk", "t", "rt")
+      .select("id", "rid").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    // oracle: plain SQL max_by over the qualifying right rows
+    left.createOrReplaceTempView("asof_l")
+    right.createOrReplaceTempView("asof_r")
+    val expect = spark.sql(
+      """SELECT l.id,
+        |       max_by(r.rid, struct(r.rt, r.rid)) AS rid
+        |FROM asof_l l LEFT JOIN asof_r r
+        |  ON l.k = r.rk AND l.t >= r.rt
+        |GROUP BY l.id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(native.keySet == expect.keySet)
+    val diffs = native.collect {
+      case (id, got) if got != expect(id) => (id, got, expect(id))
+    }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+  }
+
   test("missing column raises a clear error") {
     val ex = intercept[IllegalArgumentException] {
       AsOfJoin.asof(Seq((1L, 2L)).toDF("a", "t"), Seq((1L, 2L)).toDF("b", "t2"),

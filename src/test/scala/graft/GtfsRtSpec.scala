@@ -51,4 +51,25 @@ class GtfsRtSpec extends AnyFunSuite {
     val extra = Array[Byte](0x9a.toByte, 0x06, 3, 1, 2, 3)
     assert(GtfsRt.decodeFeed(bytes ++ extra).size == 1)
   }
+
+  test("truncated and corrupt feeds raise clear errors, never garbage") {
+    val bytes = GtfsRt.encodeFeed(Seq(full, full.copy(vehicle_id = Some("x"))))
+    // every strict prefix either decodes fewer/equal records or throws
+    // "truncated message" — it must never read past a boundary
+    (1 until bytes.length).foreach { cut =>
+      try {
+        val decoded = GtfsRt.decodeFeed(bytes.take(cut))
+        assert(decoded.size <= 2)
+      } catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage.contains("truncated") ||
+            e.getMessage.contains("malformed"),
+            s"cut=$cut unexpected: ${e.getMessage}")
+      }
+    }
+    // a length field pointing far past the payload end must throw
+    val lying = Array[Byte](0x12, 0x7f, 1, 2, 3) // entity claims 127 bytes, has 3
+    val ex = intercept[IllegalArgumentException](GtfsRt.decodeFeed(lying))
+    assert(ex.getMessage.contains("truncated"))
+  }
 }

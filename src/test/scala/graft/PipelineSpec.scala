@@ -55,6 +55,25 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(ledger.getAs[Double]("bbox_maxx") - (-73.975)) < 1e-3)
   }
 
+  test("corrupt feed bytes are isolated like fetch failures (T3)") {
+    val dir = tmp("gtfs_corrupt")
+    val good = s"$dir/good.pb"
+    Files.write(Paths.get(good), GtfsRt.encodeFeed(vehicles(10, withCoords = true)))
+    val corrupt = s"$dir/corrupt.pb"
+    // entity claims 127 payload bytes but only 3 follow
+    Files.write(Paths.get(corrupt), Array[Byte](0x12, 0x7f, 1, 2, 3))
+    val now = Timestamp.valueOf("2024-06-01 12:00:30")
+
+    val report = GtfsPipeline.runBatch(spark,
+      Seq(FeedConfig("good", good), FeedConfig("corrupt", corrupt)),
+      new FileFeedSource, s"$dir/data", s"$dir/ledger", now)
+
+    assert(report.feedsOk == Seq("good"))
+    assert(report.feedsFailed.keySet == Set("corrupt"))
+    assert(report.feedsFailed("corrupt").contains("decode"))
+    assert(report.recordCount == 10) // the good feed still landed
+  }
+
   test("all-null-geometry batch: null bbox, pipeline still healthy") {
     val dir = tmp("gtfs_nullgeo")
     val path = s"$dir/feed.pb"

@@ -65,6 +65,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.15, s"recall collapsed: $recall")
   }
 
+  test("LSH-prefiltered vector near-dup equals exact on planted duplicates") {
+    import spark.implicits._
+    // 300 deterministic pseudo-random base vectors + 20 planted
+    // near-duplicates (tiny perturbation ⇒ cos ≈ 0.999). At that
+    // cosine the default 8-table × 8-bit prefilter catches each pair
+    // with p ≈ 1 - (1 - 0.97^8)^8 ≈ 1-3e-6 — and both the vectors and
+    // the md5-derived hyperplanes are deterministic, so this test is
+    // stable, not flaky.
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 300).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val dups = (0 until 20).map { j =>
+      val (srcId, v) = base(j * 7)
+      val w = v.clone()
+      w(j % 64) += 0.01f
+      (1000L + srcId, w)
+    }
+    val vecs = (base ++ dups).toDF("vec_id", "embedding")
+
+    val exact = graft.operators.Similarity
+      .nearDuplicateVectors(vecs, threshold = 0.9, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.operators.Similarity
+      .nearDuplicateVectors(vecs, threshold = 0.9, exact = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20, s"fixture must plant >=20 qualifying pairs, got ${exact.size}")
+    assert(approx == exact,
+      s"missed=${(exact -- approx).take(5)} spurious=${(approx -- exact).take(5)}")
+  }
+
   test("native cosine_sim expression matches the higher-order fold") {
     val e = Tables(spark, sf0001).embeddings.limit(50)
     val a = e.select(col("vec_id"), col("embedding"))
