@@ -170,15 +170,27 @@ object Scalars {
       .orderBy("event_id")
   }
 
-  /** HLL approximate distinct next to the exact count. No oracle —
-    * HLL sketches are engine-specific (Spark's differs from DuckDB's);
-    * CatalogSpec bounds the relative error instead. */
-  val approxDistinct: Q = Q.noOracle("f09_approx_distinct") { (s, dir) =>
+  /** HLL approximate distinct next to the exact count. The sketches are
+    * engine-specific (Spark's HLL++ differs from DuckDB's), so the raw
+    * estimate cannot be hash-compared — instead both engines emit the
+    * exact count plus a boolean asserting the estimate sits within 3×
+    * the documented rsd (5% default ⇒ 15% bound). DuckDB's boolean is
+    * the constant the property must evaluate to; an out-of-bounds Spark
+    * estimate flips the column and fails the hash match. */
+  val approxDistinct: Q = Q(
+    "f09_approx_distinct",
+    """SELECT l_returnflag,
+      |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |       TRUE AS approx_within_3rsd
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     Tables(s, dir).lineitem
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+          <= countDistinct(col("l_partkey")) * 0.15).as("approx_within_3rsd"))
       .orderBy("l_returnflag")
   }
 

@@ -267,10 +267,6 @@ object Dedup {
       .select(col("d1"), col("d2"), col("c").as("n_common"), col("jac"))
   }
 
-  /** 60-bit SimHash fingerprint per document (token-level), plus
-    * near-pair candidates via 4-way band split (pigeonhole-sound for
-    * hamming ≤ 3). Spark-only: relies on conv(hex,16,10) which DuckDB
-    * lacks — correctness is covered by DedupSpec instead. */
   /** 60-bit token-level SimHash fingerprint per document: one
     * aggregation with 60 vote columns (no 60× row explosion — at 100 TB
     * the explode formulation would shuffle 60× the token count). */
@@ -289,7 +285,39 @@ object Dedup {
       .select(col("doc_id"), expr(fpExpr).as("simhash"))
   }
 
-  val simhash: Q = Q.noOracle("n06_simhash") { (s, dir) =>
+  /** SimHash near-pair candidates with hamming distance ≤ 3, banded
+    * 4×15 bits (pigeonhole-sound: 4+ differing bits can still collide
+    * on a band, ≤3 always do on some band — so the filter is exact).
+    * Oracle: the identical pipeline in DuckDB — hex-cast of md5's
+    * first 15 hex chars (= Spark's conv(...,16,10)), 60 generated vote
+    * columns, bit_count(xor) for hamming. */
+  val simhash: Q = Q(
+    "n06_simhash",
+    s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+       |              FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+       |votes AS (SELECT doc_id,
+       |${(0 until 60).map(b =>
+            s"  sum(CASE WHEN (h >> $b) % 2 != 0 THEN 1 ELSE -1 END) AS v$b")
+            .mkString(",\n")}
+       |FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id,
+       |${(0 until 60).map(b =>
+            s"  CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END")
+            .mkString("  ", "\n  + ", "")} AS simhash
+       |FROM votes),
+       |banded AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS band FROM fp),
+       |chunked AS (SELECT doc_id, simhash, band,
+       |                   (simhash >> (band * 15)) % 32768 AS chunk
+       |            FROM banded),
+       |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |                 a.simhash AS h1, b.simhash AS h2
+       |          FROM chunked a JOIN chunked b
+       |            ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+       |FROM pairs
+       |WHERE bit_count(xor(h1, h2)) <= 3
+       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     val fp = simhashFingerprints(Tables(s, dir).documents)
     // 4 bands of 15 bits: pairs sharing any band are hamming-candidates
     val banded = fp.withColumn("band", explode(expr("sequence(0, 3)")))

@@ -67,21 +67,65 @@ object Multimodal {
     mediaRows(s, dir)
       .mapPartitions(_.map(decodeStub))(Encoders.product[DecodedMedia])
 
-  val mediaDecode: Q = Q.noOracle("n31_media_decode") { (s, dir) =>
-    // Catalog projection flattens `features` to a CSV string: the driver's
-    // rows-only checker lexsorts every column and cannot hash a raw
-    // Array[Float] (round-1 n31 crash). Library users get the typed
-    // Dataset[DecodedMedia] from decodedMedia directly.
+  /** Shared oracle scaffolding: the stub codec's crc in DuckDB —
+    * unsigned 64-bit Horner fold (crc·31 + byte mod 2⁶⁴) over the
+    * UTF-8 bytes in HUGEINT space (the corpus is ASCII, so
+    * unicode(char) IS the byte), plus the signed-BIGINT reinterpretation
+    * that equals the JVM's wrapping Long arithmetic. */
+  private val M64 = "18446744073709551616::HUGEINT" // 2^64
+  private val crcSql =
+    s"""u AS (SELECT doc_id,
+       |             CASE WHEN length(text) = 0 THEN 0::HUGEINT
+       |                  ELSE list_reduce(
+       |                    list_transform(generate_series(1, length(text)),
+       |                                   i -> unicode(substr(text, i, 1))::HUGEINT),
+       |                    (a, b) -> (a * 31 + b) % $M64) END AS u,
+       |             CAST(length(text) AS BIGINT) AS n
+       |      FROM documents),
+       |crc AS (SELECT doc_id, n, u,
+       |               CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |                         THEN u - $M64 ELSE u END AS BIGINT) AS checksum
+       |        FROM u)""".stripMargin
+
+  val mediaDecode: Q = Q(
+    "n31_media_decode",
+    // The driver's checker lexsorts every column, so `features` is
+    // flattened to a CSV of the raw byte values (the lossless inverse
+    // of the /255 float scaling); the oracle recomputes the crc fold
+    // and unpacks the same bytes.
+    s"""WITH $crcSql
+       |SELECT doc_id, n AS n_bytes,
+       |       CAST(n % 640 + 1 AS INTEGER) AS width,
+       |       CAST((n * 7) % 480 + 1 AS INTEGER) AS height,
+       |       checksum,
+       |       array_to_string(list_transform(generate_series(0, 7),
+       |         k -> CAST((u // (2::HUGEINT ** (k * 8))::HUGEINT) % 256 AS BIGINT)), ';') AS features
+       |FROM crc
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // Library users get the typed Dataset[DecodedMedia] from
+    // decodedMedia directly (features: Array[Float]).
     decodedMedia(s, dir)
-      .withColumn("features", array_join(col("features").cast("array<string>"), ";"))
+      .withColumn("features",
+        array_join(transform(col("features"),
+          f => round(f * 255).cast("long").cast("string")), ";"))
       .orderBy("doc_id")
       .toDF()
   }
 
   /** Partition-wise resize (STUB resampler): mime-typed media rows →
     * target-box dims + content-dependent checksum. Same iterator-to-
-    * iterator shape a real libvips/ffmpeg batch would use. */
-  val mediaResize: Q = Q.noOracle("n32_media_resize") { (s, dir) =>
+    * iterator shape a real libvips/ffmpeg batch would use. Oracle:
+    * checksum' = crc·31 + 224·7 + 224 in wrapping 64-bit arithmetic. */
+  val mediaResize: Q = Q(
+    "n32_media_resize",
+    s"""WITH $crcSql
+       |SELECT doc_id,
+       |       CAST(224 AS INTEGER) AS width, CAST(224 AS INTEGER) AS height,
+       |       CAST(CASE WHEN (u * 31 + ${224 * 7 + 224}) % $M64 >= 9223372036854775808::HUGEINT
+       |                 THEN (u * 31 + ${224 * 7 + 224}) % $M64 - $M64
+       |                 ELSE (u * 31 + ${224 * 7 + 224}) % $M64 END AS BIGINT) AS checksum
+       |FROM crc
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val media = mediaRows(s, dir)
     media.mapPartitions(_.map(m => resizeStub(m, 224, 224)))(
       Encoders.product[ResizedMedia])
@@ -91,8 +135,18 @@ object Multimodal {
 
   /** Partition-wise frame sampling (STUB demuxer): every "video" row
     * explodes into ≤ 4 sampled frame hashes (flatMap — rows out ≠ rows
-    * in, the generator shape of a real frame sampler). */
-  val mediaFrameSample: Q = Q.noOracle("n33_media_frames") { (s, dir) =>
+    * in, the generator shape of a real frame sampler). Oracle: video
+    * mime ⇔ doc_id % 3 == 1; frame_hash = crc XOR (idx << 17). */
+  val mediaFrameSample: Q = Q(
+    "n33_media_frames",
+    s"""WITH $crcSql,
+       |frames AS (SELECT doc_id, checksum,
+       |                  unnest(generate_series(0, CAST(n % 4 AS INTEGER))) AS frame_idx
+       |           FROM crc WHERE doc_id % 3 = 1)
+       |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       |       xor(checksum, CAST(frame_idx AS BIGINT) * 131072) AS frame_hash
+       |FROM frames
+       |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
     val media = mediaRows(s, dir)
     media.mapPartitions(_.flatMap(frameSampleStub(_, 4)))(
       Encoders.product[FrameSample])

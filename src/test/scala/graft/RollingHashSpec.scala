@@ -7,11 +7,11 @@ import org.scalacheck.Gen
 class RollingHashSpec extends SparkSpec {
 
   private def direct(tokens: Array[String], w: Int): Seq[Long] = {
-    val B = 1099511628211L
-    val t = tokens.map(tok => tok.hashCode.toLong & 0xffffffffL)
+    val (b, p) = (TextAnalysis.B, TextAnalysis.P)
+    val t = tokens.map(TextAnalysis.tokenHash)
     (0 to tokens.length - w).map { i =>
       var h = 0L
-      (i until i + w).foreach(j => h = h * B + t(j))
+      (i until i + w).foreach(j => h = (h * b + t(j)) % p)
       h
     }
   }
@@ -42,11 +42,11 @@ class RollingHashSpec extends SparkSpec {
 
   test("catalog entry emits one row per window position") {
     val out = Catalog.queries("n25_rolling_fingerprint")(spark, sf0001)
-    // expected count uses the SAME tokenizer as the operator (Scala
-    // String.split drops trailing empties; SQL split() does not)
+    // expected count uses the SAME tokenizer as the operator
+    // (split-keep-empties, matching SQL string_split)
     val expected = Tables(spark, sf0001).documents
       .select("text").collect()
-      .map(_.getString(0).split(" ").length)
+      .map(_.getString(0).split(" ", -1).length)
       .map(n => math.max(n - (TextAnalysis.RollingWindow - 1), 0).toLong)
       .sum
     assert(out.count() == expected)
