@@ -85,16 +85,20 @@ object StreamingOps {
     * (T1/T5, gtfs_rt_assets.py:253-257 → Trigger-driven): file stream →
     * enrich with time buckets → foreachBatch writing the Hive-
     * partitioned store + one ledger row per micro-batch (K1/K2).
-    * Trigger.AvailableNow drains what exists and stops — the spec's
-    * (and a cron-driven deployment's) natural mode; swap for
-    * ProcessingTime("1 minute") in a long-lived job. */
+    * Trigger.AvailableNow (the default) drains what exists and stops —
+    * the spec's (and a cron-driven deployment's) natural mode; pass
+    * `continuousEvery = Some("1 minute")` for the reference's
+    * long-running minute cadence (gtfs_rt_assets.py:253-257 cron
+    * `* * * * *`, default RUNNING) as a ProcessingTime trigger that
+    * keeps polling the source. */
   def snapshotPipeline(
       spark: org.apache.spark.sql.SparkSession,
       inputDir: String,
       schema: org.apache.spark.sql.types.StructType,
       dataDir: String,
       ledgerDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: String,
+      continuousEvery: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     val stream = spark.readStream.schema(schema).parquet(inputDir)
       .withColumn("year", year(col("ts")))
@@ -102,7 +106,9 @@ object StreamingOps {
       .withColumn("day", dayofmonth(col("ts")))
       .withColumn("hour", hour(col("ts")))
     stream.writeStream
-      .trigger(Trigger.AvailableNow())
+      .trigger(continuousEvery
+        .map(Trigger.ProcessingTime(_))
+        .getOrElse(Trigger.AvailableNow()))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {

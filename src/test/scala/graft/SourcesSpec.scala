@@ -86,4 +86,29 @@ class SourcesSpec extends SparkSpec {
     // Hive layout exists (year=2024/...)
     assert(new java.io.File(data).listFiles().exists(_.getName.startsWith("year=")))
   }
+
+  test("continuous processing-time trigger: one long-lived query fires repeated micro-batches") {
+    val in = tmp("cont_in"); val data = tmp("cont_data")
+    val ledger = tmp("cont_ledger"); val ckpt = tmp("cont_ckpt")
+    val events = Tables(spark, sf0001).events
+    val schema = events.schema
+
+    events.filter(dayofmonth(col("ts")) === 1).write.mode("append").parquet(in)
+    // the reference's cadence is "1 minute"; the spec shrinks the tick
+    // so two real trigger firings happen in test time
+    val q = StreamingOps.snapshotPipeline(spark, in, schema, data, ledger, ckpt,
+      continuousEvery = Some("50 milliseconds"))
+    try {
+      q.processAllAvailable() // first firing drains day 1
+      events.filter(dayofmonth(col("ts")) === 2).write.mode("append").parquet(in)
+      q.processAllAvailable() // a later firing picks up the new files
+      assert(q.isActive, "ProcessingTime query must keep running")
+    } finally q.stop()
+
+    val led = spark.read.parquet(ledger)
+    assert(led.select("batch_id").distinct().count() >= 2,
+      "expected at least two non-empty micro-batches from one query")
+    assert(spark.read.parquet(data).count() ==
+      events.filter(dayofmonth(col("ts")) <= 2).count())
+  }
 }
