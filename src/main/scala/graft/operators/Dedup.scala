@@ -32,29 +32,33 @@ object Dedup {
   /** doc_id + deduplicated word-3-gram shingle set, exploded,
     * Spark-cached (each dedup query reads it ~3 times).
     *
-    * Caching policy: frames from the Tables cache (identity-stable
+    * Caching policy: PER SESSION (WeakHashMap keyed on the owning
+    * SparkSession — a dead session's entries become unreachable with
+    * it, and concurrent sessions cannot churn each other's slots).
+    * Within a session: frames from the Tables cache (identity-stable
     * across catalog queries) are memoized so n03/n04/n05 share one
-    * materialized index per run; ad-hoc corpora (API facade, curation
-    * pipeline) occupy a single slot that is unpersisted when the next
-    * ad-hoc corpus arrives — bounded memory, and reuse within one
-    * query either way. All state transitions are under one lock and
-    * unpersist of possibly-dead sessions is best-effort. */
-  def shingles(docs: DataFrame): DataFrame = synchronized {
-    def safeUnpersist(df: DataFrame): Unit =
-      try df.unpersist() catch { case _: Throwable => () }
-    if (graft.Tables.isCanonical(docs)) {
-      if (shingleMemo.size > 64) { // dead-session backstop
-        shingleMemo.values.forEach(safeUnpersist(_))
-        shingleMemo.clear()
+    * materialized index per run — bounded by #tables × #dirs; ad-hoc
+    * corpora (API facade, curation pipeline) occupy a single slot that
+    * is unpersisted when the next ad-hoc corpus arrives. */
+  def shingles(docs: DataFrame): DataFrame = {
+    val cache = sessionCaches.synchronized {
+      var c = sessionCaches.get(docs.sparkSession)
+      if (c == null) { c = new ShingleCache; sessionCaches.put(docs.sparkSession, c) }
+      c
+    }
+    cache.synchronized {
+      if (graft.Tables.isCanonical(docs))
+        cache.memo.computeIfAbsent(docs, buildShingles(_).cache())
+      else cache.adhoc match {
+        case Some((k, v)) if k eq docs => v
+        case prev =>
+          prev.foreach { case (_, v) =>
+            try v.unpersist() catch { case _: Throwable => () }
+          }
+          val v = buildShingles(docs).cache()
+          cache.adhoc = Some((docs, v))
+          v
       }
-      shingleMemo.computeIfAbsent(docs, buildShingles(_).cache())
-    } else adhocShingles match {
-      case Some((k, v)) if k eq docs => v
-      case prev =>
-        prev.foreach { case (_, v) => safeUnpersist(v) }
-        val v = buildShingles(docs).cache()
-        adhocShingles = Some((docs, v))
-        v
     }
   }
 
@@ -70,8 +74,12 @@ object Dedup {
           |     ELSE array() END""".stripMargin)).as("sh"))
       .distinct()
 
-  private val shingleMemo = new java.util.HashMap[DataFrame, DataFrame]()
-  private var adhocShingles: Option[(DataFrame, DataFrame)] = None
+  private final class ShingleCache {
+    val memo = new java.util.HashMap[DataFrame, DataFrame]()
+    var adhoc: Option[(DataFrame, DataFrame)] = None
+  }
+  private val sessionCaches =
+    new java.util.WeakHashMap[SparkSession, ShingleCache]()
 
   /** Shared DuckDB CTEs for the shingle set (1-based list indexing). */
   private val shinglesSql =

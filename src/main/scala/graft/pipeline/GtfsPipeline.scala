@@ -133,6 +133,9 @@ object GtfsPipeline {
       df.write.mode(SaveMode.Append)
         .partitionBy("year", "month", "day", "hour")
         .parquet(dataDir)
+      // GeoParquet `geo` footer metadata so external readers recognize
+      // the WKB geometry column (ref gtfs_rt_assets.py:128,141)
+      graft.sources.GeoParquet.stampDirectory(dataDir, "geom")
 
       // 4. K2 + A1/A2: one-row ledger append with bbox aggregate.
       //    bbox over WKB via st_x/st_y — all-null geometry ⇒ null bbox
