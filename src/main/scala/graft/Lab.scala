@@ -56,6 +56,34 @@ object Lab {
             .agg(count(lit(1)).as("n_fresh"), graft.Det.dsum(col("value")).as("fresh_value"))
             .count()
         }
+      case "q" =>
+        // time any catalog query cold/warm: Lab q <name> [<name>...]
+        args.drop(1).foreach { name =>
+          val fn = SparkEntry.queries(name)
+          time(s"$name cold")(fn(spark, sfDir).count())
+          time(s"$name warm")(fn(spark, sfDir).count())
+          time(s"$name warm2")(fn(spark, sfDir).count())
+        }
+      case "explain" =>
+        args.drop(1).foreach { name =>
+          println(s"=== $name ===")
+          SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+        }
+      case "n40stages" =>
+        import graft.api.Graft._
+        val featured = docs.select(col("doc_id"), col("lang"), col("source"), col("text"),
+          split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("lang"), col("source"), col("text"),
+            size(col("w")).cast("long").as("n_tokens"),
+            (size(array_distinct(col("w"))).cast("double") / size(col("w"))).as("ttr"))
+        val quality = featured.filter(col("n_tokens") >= 20 && col("ttr") >= 0.3)
+        time("quality")(quality.count())
+        val exact = quality.distinctDocuments()
+        time("exact dedup")(exact.count())
+        time("exact dedup again")(exact.count())
+        time("shingle build (adhoc)")(Dedup.shingles(exact).count())
+        time("neardup pairs")(Dedup.nearDuplicatePairs(exact, 0.6).count())
+        time("full anti-join")(exact.dropNearDuplicates(0.6).count())
       case "n40" =>
         time("n40 cold")(pipeline.TrainingData.curate(docs).count())
         time("n40 warm")(pipeline.TrainingData.curate(docs).count())

@@ -124,13 +124,20 @@ object Dedup {
   }
 
   /** MinHash signature as 16 columns (mh0..mh15) in ONE aggregation
-    * pass — no 16× row explosion, one shuffle on doc_id. Values are
-    * identical to the per-seed formulation min(md5(j||':'||sh)). */
+    * pass — no 16× row explosion, one shuffle on doc_id. Each of 4 md5
+    * digests contributes four independent 32-bit slices (8 hex chars
+    * each): component 4a+b = min over substr(md5(a:sh), 8b+1, 8).
+    * Fixed-width lowercase hex orders exactly like the numeric value,
+    * so `min` is a true MinHash — at 1/4 the digest cost of hashing
+    * per-component (the former hot loop of the whole dedup family). */
   private def minhashWide(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(
-      min(md5(concat(lit("0:"), col("sh")).cast("binary"))).as("mh0"),
-      (1 until NumHashes).map(j =>
-        min(md5(concat(lit(s"$j:"), col("sh")).cast("binary"))).as(s"mh$j")): _*)
+      min(substring(md5(concat(lit("0:"), col("sh")).cast("binary")), 1, 8)).as("mh0"),
+      (1 until NumHashes).map { j =>
+        val (a, b) = (j / 4, j % 4)
+        min(substring(md5(concat(lit(s"$a:"), col("sh")).cast("binary")),
+          8 * b + 1, 8)).as(s"mh$j")
+      }: _*)
 
   /** Same wide-signature plan with xxhash64 instead of md5: the LSH
     * banding path only needs uniform hashes that collide on equality,
@@ -152,12 +159,13 @@ object Dedup {
   }
 
   /** MinHash signature rows (doc_id, seed j, hash) — oracle-checked
-    * bit-for-bit against DuckDB computing the identical md5 MinHash. */
+    * bit-for-bit against DuckDB computing the identical md5-slice
+    * MinHash (j = 4a+b ⇒ slice b of digest a). */
   val minhashSignature: Q = Q(
     "n03_minhash_sig",
     s"""WITH $shinglesSql
        |SELECT doc_id, CAST(j AS BIGINT) AS j,
-       |       min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
+       |       min(substr(md5(CAST(j // 4 AS VARCHAR) || ':' || sh), (j % 4) * 8 + 1, 8)) AS mh
        |FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS j) seeds
        |GROUP BY doc_id, j
        |ORDER BY doc_id, j""".stripMargin) { (s, dir) =>
