@@ -74,6 +74,7 @@ object Catalog {
   private def modules: Seq[Seq[Q]] = Seq(
     operators.Relational.all,
     operators.Analytics.all,
+    operators.TpchMore.all,
     operators.Extras.all,
     operators.Joins.all,
     operators.Windows.all,
