@@ -32,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of float vectors"),
       (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+    // native as-of join planning in any session built with this
+    // extension (AsOfJoin.asof also self-registers for ad-hoc use)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -81,6 +81,30 @@ object StreamingOps {
 
   final case class SessionAcc(startMs: Long, endMs: Long, n: Int, total: Double)
 
+  /** Watermarked stream–stream interval join: each left event pairs
+    * with right events for the same user within `[0, windowMinutes]`
+    * AFTER it (attribution-style). Both sides carry watermarks so
+    * Spark bounds the join state — without the interval condition +
+    * watermarks a stream-stream join would buffer forever; with them,
+    * state older than the watermark horizon is evicted (the only
+    * memory-safe shape at 100 TB/day ingest). */
+  def attributionJoin(left: DataFrame, right: DataFrame,
+      watermark: String = "10 minutes",
+      windowMinutes: Int = 10): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("l_id"), col("user_id"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("l_id"), col("r_id"), col("user_id"),
+        col("l_ts"), col("r_ts"), col("l_value"), col("r_value"))
+  }
+
   /** The reference's minute-cadence pipeline as a real streaming query
     * (T1/T5, gtfs_rt_assets.py:253-257 → Trigger-driven): file stream →
     * enrich with time buckets → foreachBatch writing the Hive-

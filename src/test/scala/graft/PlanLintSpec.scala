@@ -1,0 +1,67 @@
+package graft
+
+/** Plan lint over the ENTIRE catalog: the PERF.md invariants as
+  * executable assertions, so a regression that sneaks a cartesian
+  * product or a codegen fallback into any of the 108 queries fails CI,
+  * not a 100 TB run. */
+class PlanLintSpec extends SparkSpec {
+
+  // intentional broadcast-tiny-side nested-loop designs (documented in
+  // PERF.md): 1-row threshold broadcasts, bounded query-set cross
+  // products, the exact O(n²/2) verify baselines
+  private val nestedLoopAllowed = Set(
+    "p02_freshness",        // 1-row max-ts broadcast
+    "r17_scalar_subquery",  // 1-row scalar broadcast
+    "a24_inactive_rich",    // 1-row threshold broadcast
+    "n10_cosine_topk",      // 32-query broadcast build side
+    "n12_embedding_neardup",// documented exact all-pairs baseline
+    "n13_ann_ivf",          // 16-centroid broadcast assignment
+    "x05_date_spine",       // 31-row generated spine
+    "a04_small_qty",        // correlated scalar per-part (broadcast agg)
+    "a14_market_share",     // tiny nation-share cross
+    "a15_min_cost_supplier" // correlated min-cost broadcast
+  )
+
+  private lazy val plans: Map[String, String] =
+    Catalog.all.map { q =>
+      q.name -> q.build(spark, sf0001).queryExecution.executedPlan.toString
+    }.toMap
+
+  test("no CartesianProduct anywhere in the catalog") {
+    val offenders = plans.collect {
+      case (name, p) if p.contains("CartesianProduct") => name
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("BroadcastNestedLoopJoin only where a tiny side is intentional") {
+    val offenders = plans.collect {
+      case (name, p)
+        if p.contains("BroadcastNestedLoopJoin") && !nestedLoopAllowed(name) => name
+    }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop joins in: ${offenders.mkString(", ")} — " +
+        "either fix the plan or document the tiny side in PERF.md + allowlist")
+  }
+
+  test("no CodegenFallback expressions in any hot path") {
+    val offenders = plans.collect {
+      case (name, p) if p.contains("CodegenFallback") => name
+    }
+    assert(offenders.isEmpty, s"codegen fallbacks in: ${offenders.mkString(", ")}")
+  }
+
+  test("every lineitem scan prunes columns (never reads the full schema)") {
+    // all 11 lineitem columns in one ReadSchema means pruning failed;
+    // l_tax is the canary — no catalog query selects it
+    val offenders = plans.collect {
+      case (name, p)
+        if p.linesIterator.exists(l => l.contains("ReadSchema") &&
+          l.contains("l_tax")) => name
+    }
+    assert(offenders.isEmpty, s"unpruned lineitem scans in: ${offenders.mkString(", ")}")
+    // sanity: the canary logic itself sees pruned scans (non-vacuous)
+    assert(plans.values.exists(_.contains("l_shipdate")),
+      "lint must actually be reading ReadSchema lines")
+  }
+}

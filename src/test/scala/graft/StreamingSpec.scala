@@ -114,6 +114,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin library op: forward-window pairing, watermark-bounded state") {
+    implicit val sq = spark.sqlContext
+    val impressions = MemoryStream[Event]
+    val conversions = MemoryStream[Event]
+    val joined = StreamingOps.attributionJoin(
+      impressions.toDF(), conversions.toDF(),
+      watermark = "5 minutes", windowMinutes = 10)
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      impressions.addData(Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "imp", 0),
+        Event(2, ts("2024-01-01 10:20:00"), 7, "imp", 0),
+        Event(3, ts("2024-01-01 10:00:00"), 8, "imp", 0)))
+      conversions.addData(Seq(
+        Event(100, ts("2024-01-01 10:05:00"), 7, "conv", 5.0), // within 1's window
+        Event(101, ts("2024-01-01 10:25:00"), 7, "conv", 2.0), // within 2's only
+        Event(102, ts("2024-01-01 10:30:00"), 9, "conv", 1.0))) // no impression
+      q.processAllAvailable()
+      // push watermarks forward to finalize
+      impressions.addData(Seq(Event(4, ts("2024-01-01 12:00:00"), 1, "imp", 0)))
+      conversions.addData(Seq(Event(103, ts("2024-01-01 12:00:00"), 1, "conv", 0)))
+      q.processAllAvailable()
+      val pairs = spark.table("attr")
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 100L))) // 10:00 imp → 10:05 conv
+      assert(pairs.contains((2L, 101L))) // 10:20 imp → 10:25 conv
+      assert(!pairs.exists(_._2 == 102L)) // unattributed conversion dropped
+      assert(!pairs.contains((2L, 100L)), "conv before the impression must not match")
+    } finally q.stop()
+  }
+
   test("batch session_window catalog entry agrees with streaming session op") {
     // the st03 catalog query (batch session_window) and the stateful
     // streaming implementation must agree on session starts per user
