@@ -70,6 +70,14 @@ object Graft {
         .select(col("d2").as("doc_id")).distinct()
       df.join(dupIds, Seq("doc_id"), "left_anti")
     }
+
+    /** Duplicate clusters: connected components over the exact-Jaccard
+      * near-dup graph. Returns (doc_id, cluster_id = smallest doc_id in
+      * the component) for every doc with at least one near-dup. */
+    def duplicateClusters(threshold: Double = 0.8): DataFrame =
+      graft.operators.Corpus
+        .connectedComponents(Dedup.jaccardPairs(df, threshold).select("d1", "d2"))
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
   implicit final class VectorDatasetOps(private val df: DataFrame) extends AnyVal {

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.Det._
+
+/** Corpus-curation operators beyond dedup itself (north star): duplicate
+  * clustering (connected components over the near-dup pair graph),
+  * benchmark-contamination screening (window-fingerprint overlap against
+  * a held-out set), and deterministic stratified sampling.
+  */
+object Corpus {
+
+  /** Connected components by minimum-label propagation with pointer
+    * jumping: each round every node takes the min label over itself and
+    * its neighbors, then follows its label's label (path halving) — so
+    * convergence is O(log diameter) rounds, not O(diameter). Each round
+    * ends in `localCheckpoint` (eager): without lineage truncation an
+    * iterative DataFrame algorithm accretes an exponentially growing
+    * plan that OOMs the driver long before the data is large — the
+    * checkpoint is what makes the loop scale, same as it would on a
+    * cluster. Nothing is collected; each round is two hash joins and
+    * one aggregation. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // 1. min over self + neighborhood
+      val nbr = edges.join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node")).agg(min(col("lbl")).as("nbrLbl"))
+      val stepped = labels.join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbrLbl"), col("lbl"))).as("lbl"))
+      // 2. pointer jump: follow the label's own label
+      val parents = stepped.select(col("node").as("lbl"), col("lbl").as("lbl2"))
+      val next = stepped.join(parents, Seq("lbl"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
+        .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Duplicate clusters over the exact-Jaccard near-dup graph at
+    * threshold 0.6: every document that has at least one near-dup,
+    * with its cluster id (= smallest doc_id in the component). Oracle:
+    * DuckDB recursive CTE computing min reachable label. */
+  val dupClusters: Q = Q(
+    "n07_dup_clusters",
+    s"""WITH RECURSIVE
+       |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |              unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+       |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |       FROM w),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |           GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (SELECT d1, d2 FROM common
+       |          JOIN sizes s1 ON s1.doc_id = d1
+       |          JOIN sizes s2 ON s2.doc_id = d2
+       |          WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |reach AS (SELECT a AS node, a AS lbl FROM edges
+       |          UNION
+       |          SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b)
+       |SELECT node AS doc_id, min(lbl) AS cluster_id
+       |FROM reach
+       |GROUP BY node
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pairs = Dedup.jaccardPairs(Tables(s, dir).documents, threshold = 0.6)
+      .select("d1", "d2")
+    connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark-contamination screen: training docs sharing at least one
+    * 8-token window fingerprint (n25's mod-p Rabin–Karp hash) with the
+    * held-out set (stand-in: doc_id % 10 == 0). Returns the
+    * contaminated doc with how many distinct held-out windows it hit —
+    * the decontamination list a training pipeline drops before a run.
+    * Shuffle is on the 8-byte window hash; document bodies never move. */
+  val contamination: Q = Q(
+    "n26_contamination",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |pos AS (SELECT doc_id, tk,
+       |               unnest(generate_series(1, greatest(len(tk) - ${TextAnalysis.RollingWindow - 1}, 0))) AS p
+       |        FROM toks),
+       |wh AS (SELECT doc_id,
+       |              list_reduce(list_transform(tk[p:p+${TextAnalysis.RollingWindow - 1}],
+       |                t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % ${TextAnalysis.P}),
+       |                (a, b) -> (a * ${TextAnalysis.B} + b) % ${TextAnalysis.P}) AS h
+       |       FROM pos),
+       |bench AS (SELECT DISTINCT h FROM wh WHERE doc_id % 10 = 0),
+       |train AS (SELECT DISTINCT doc_id, h FROM wh WHERE doc_id % 10 <> 0)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM train t JOIN bench b ON t.h = b.h
+       |GROUP BY t.doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val wh = windowHashes(s, dir)
+    val bench = wh.filter(col("doc_id") % 10 === 0)
+      .select(col("h")).distinct()
+    val train = wh.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("h")).distinct()
+    train.join(bench, Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, window-hash) rows via the shared Rabin–Karp machinery. */
+  private def windowHashes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      .as(Encoders.product[(Long, String)])
+      .mapPartitions(_.flatMap { case (id, text) =>
+        TextAnalysis.rollingHashes(text.split(" ", -1), TextAnalysis.RollingWindow)
+          .map(h => (id, h))
+      })(Encoders.product[(Long, Long)])
+      .toDF("doc_id", "h")
+  }
+
+  /** Deterministic 10% stratified sample per language: rank docs inside
+    * each stratum by a content-independent pseudo-random key
+    * (md5 of the doc id — resume-safe, no RNG) and keep the first
+    * ⌈n/10⌉. The standard training-mix downsampler. */
+  val stratifiedSample: Q = Q(
+    "n27_stratified_sample",
+    """WITH ranked AS (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+      |FROM ranked
+      |WHERE rn <= ceil(n * 0.1)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") <= ceil(col("n") * 0.1))
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(dupClusters, contamination, stratifiedSample)
+}
