@@ -42,12 +42,19 @@ object Graft {
       val key =
         if (normalize) graft.Det.normFingerprint(col("text"))
         else md5(col("text").cast("binary"))
+      // helper column names must not collide with (or clobber) caller
+      // columns — generate ones the input provably doesn't contain
+      def fresh(base: String): String =
+        Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+          .find(n => !df.columns.contains(n)).get
+      val fp = fresh("__graft_fp")
+      val rn = fresh("__graft_rn")
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__fp")).orderBy(col("doc_id"))
-      df.withColumn("__fp", key)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__fp", "__rn")
+        .partitionBy(col(fp)).orderBy(col("doc_id"))
+      df.withColumn(fp, key)
+        .withColumn(rn, row_number().over(w))
+        .filter(col(rn) === 1)
+        .drop(fp, rn)
     }
 
     /** MinHash+LSH near-duplicate pairs, exact-Jaccard verified.

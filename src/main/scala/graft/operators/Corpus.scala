@@ -113,7 +113,8 @@ object Corpus {
        |FROM train t JOIN bench b ON t.h = b.h
        |GROUP BY t.doc_id
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val wh = windowHashes(s, dir)
+    val wh = TextAnalysis.windowHashes(Tables(s, dir).documents)
+      .select(col("doc_id"), col("win_hash").as("h"))
     val bench = wh.filter(col("doc_id") % 10 === 0)
       .select(col("h")).distinct()
     val train = wh.filter(col("doc_id") % 10 =!= 0)
@@ -121,18 +122,6 @@ object Corpus {
     train.join(bench, Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
-  }
-
-  /** (doc_id, window-hash) rows via the shared Rabin–Karp machinery. */
-  private def windowHashes(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Encoders
-    Tables(s, dir).documents.select(col("doc_id"), col("text"))
-      .as(Encoders.product[(Long, String)])
-      .mapPartitions(_.flatMap { case (id, text) =>
-        TextAnalysis.rollingHashes(text.split(" ", -1), TextAnalysis.RollingWindow)
-          .map(h => (id, h))
-      })(Encoders.product[(Long, Long)])
-      .toDF("doc_id", "h")
   }
 
   /** Deterministic 10% stratified sample per language: rank docs inside

@@ -32,9 +32,10 @@ object Dedup {
   /** doc_id + deduplicated word-3-gram shingle set, exploded,
     * Spark-cached (each dedup query reads it ~3 times).
     *
-    * Caching policy: PER SESSION (WeakHashMap keyed on the owning
-    * SparkSession — a dead session's entries become unreachable with
-    * it, and concurrent sessions cannot churn each other's slots).
+    * Caching policy: PER SESSION (keyed on the owning SparkSession —
+    * concurrent sessions cannot churn each other's slots; entries of
+    * stopped sessions are evicted on the next access, since the cached
+    * frames pin their session and defeat weak-key collection alone).
     * Within a session: frames from the Tables cache (identity-stable
     * across catalog queries) are memoized so n03/n04/n05 share one
     * materialized index per run — bounded by #tables × #dirs; ad-hoc
@@ -42,6 +43,13 @@ object Dedup {
     * is unpersisted when the next ad-hoc corpus arrives. */
   def shingles(docs: DataFrame): DataFrame = {
     val cache = sessionCaches.synchronized {
+      // The cached DataFrames strongly reference their session, which
+      // pins the WeakHashMap key — so weak-key eviction alone cannot
+      // fire. Explicitly drop entries for stopped sessions here.
+      val dead = sessionCaches.entrySet().iterator()
+      while (dead.hasNext) {
+        if (dead.next().getKey.sparkContext.isStopped) dead.remove()
+      }
       var c = sessionCaches.get(docs.sparkSession)
       if (c == null) { c = new ShingleCache; sessionCaches.put(docs.sparkSession, c) }
       c

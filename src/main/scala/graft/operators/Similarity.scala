@@ -211,13 +211,20 @@ object Similarity {
     * catalog's 0.5-threshold oracle entry (n12) stays exact. */
   def nearDuplicateVectors(vecs: DataFrame, threshold: Double,
       exact: Boolean = true, nTables: Int = 8, nBits: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = -1): DataFrame = {
     val a = vecs.select(col("vec_id").as("v1"), col("embedding").as("e1"))
     val b = vecs.select(col("vec_id").as("v2"), col("embedding").as("e2"))
     val pairs =
       if (exact) a.join(broadcast(b), col("v1") < col("v2"))
       else {
-        val sigs = hyperplaneSigs(vecs, nTables, nBits, dim)
+        // dim must match the data: a too-short weight literal null-pads
+        // zip_with, null-poisons every projection, and collapses all
+        // vectors into one bucket (silent all-pairs). Derive from the
+        // first row unless the caller pins it.
+        val d =
+          if (dim > 0) dim
+          else vecs.select(size(col("embedding"))).head().getInt(0)
+        val sigs = hyperplaneSigs(vecs, nTables, nBits, d)
         val s1 = sigs.select(col("vec_id").as("v1"), col("t"), col("sig"))
         val s2 = sigs.select(col("vec_id").as("v2"), col("t"), col("sig"))
         s1.join(s2, Seq("t", "sig")).filter(col("v1") < col("v2"))

@@ -172,6 +172,21 @@ object TextAnalysis {
     * directly while Spark rolls in O(1); RollingHashSpec additionally
     * proves rolling == direct. Tokenizer is split-keep-empties to
     * match SQL string_split. */
+  /** (doc_id, win_hash) rows for every RollingWindow-token window —
+    * the ONE Spark-side implementation of the Rabin–Karp fingerprint
+    * stream, shared by n25, the contamination screen (n26) and specs
+    * so the tokenizer/hash can never drift between them. */
+  def windowHashes(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    docs.select(col("doc_id"), col("text"))
+      .as(Encoders.product[(Long, String)])
+      .mapPartitions(_.flatMap { case (id, text) =>
+        rollingHashes(text.split(" ", -1), RollingWindow).zipWithIndex
+          .map { case (h, pos) => (id, pos.toLong, h) }
+      })(Encoders.product[(Long, Long, Long)])
+      .toDF("doc_id", "pos", "win_hash")
+  }
+
   val rollingFingerprint: Q = Q(
     "n25_rolling_fingerprint",
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -184,15 +199,7 @@ object TextAnalysis {
        |         (a, b) -> (a * $B + b) % $P) AS win_hash
        |FROM pos
        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.Encoders
-    val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
-      .as(Encoders.product[(Long, String)])
-    docs.mapPartitions(_.flatMap { case (id, text) =>
-      rollingHashes(text.split(" ", -1), RollingWindow).zipWithIndex
-        .map { case (h, pos) => (id, pos.toLong, h) }
-    })(Encoders.product[(Long, Long, Long)])
-      .toDF("doc_id", "pos", "win_hash")
-      .orderBy("doc_id", "pos")
+    windowHashes(Tables(s, dir).documents).orderBy("doc_id", "pos")
   }
 
 

@@ -108,14 +108,21 @@ object FeedRegistry {
 
   /** Drop a trailing `#` comment — a hash outside quotes that starts
     * the line or follows whitespace (a bare `url: http://x#frag` keeps
-    * its fragment, matching YAML's rule). */
+    * its fragment, matching YAML's rule). A quote only OPENS a string
+    * at a value position (line start or after `:`/whitespace) — an
+    * apostrophe inside a plain scalar (`o'reilly`) is literal text,
+    * as in YAML. */
   private def stripComment(s: String): String = {
     var inS = false; var inD = false
     var i = 0
     while (i < s.length) {
+      val atValueStart = i == 0 || {
+        val prev = s.charAt(i - 1)
+        prev.isWhitespace || prev == ':'
+      }
       s.charAt(i) match {
-        case '\'' if !inD => inS = !inS
-        case '"' if !inS => inD = !inD
+        case '\'' if !inD && (inS || atValueStart) => inS = !inS
+        case '"' if !inS && (inD || atValueStart) => inD = !inD
         case '#' if !inS && !inD &&
             (i == 0 || s.charAt(i - 1).isWhitespace) =>
           return s.take(i)

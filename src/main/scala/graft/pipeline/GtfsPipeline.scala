@@ -93,7 +93,9 @@ object GtfsPipeline {
             v.longitude, v.speed, v.bearing, v.trip_id, v.route_id,
             v.current_stop_sequence, v.current_status)
         }, "")
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
+          // NonFatal only: corrupt input is data, but an executor OOM or
+          // LinkageError must fail the task, not masquerade as a bad feed
           (feedId, Seq.empty[VehiclePosition], s"decode: ${e.getMessage}")
         }
       }.persist()
@@ -101,12 +103,13 @@ object GtfsPipeline {
       .filter(_._3.nonEmpty).map(t => (t._1, t._3)).collect().toMap
     val records: Dataset[VehiclePosition] = decoded.flatMap(_._2)
 
-    // UTC explicitly: the partition columns below derive from batchTime
-    // under spark.sql.session.timeZone=UTC, but java.text formatting
-    // uses the JVM default zone — on a non-UTC driver the batch_id
-    // string would disagree with its own partition path.
+    // Format batch_id in the SESSION timezone: the year/month/day/hour
+    // partition columns below evaluate under spark.sql.session.timeZone,
+    // while java.text formatting defaults to the JVM zone — they must
+    // agree or the batch_id string disagrees with its own partition path.
+    val sessionTz = spark.conf.get("spark.sql.session.timeZone")
     val batchIdFmt = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
-    batchIdFmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    batchIdFmt.setTimeZone(java.util.TimeZone.getTimeZone(sessionTz))
     val batchId = batchIdFmt.format(batchTime)
     // persisted: the emptiness guard, the sink write and the bbox
     // aggregate would otherwise each re-run the distributed decode

@@ -44,7 +44,8 @@ object GtfsRt {
     * turns the throw into a FetchResult error (T3 isolation). */
   private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     private def need(n: Int): Unit =
-      if (n < 0 || pos + n > end)
+      if (n < 0 || pos.toLong + n > end) // Long math: a hostile length
+        // varint near Int.MaxValue must not wrap the comparison
         throw new IllegalArgumentException(
           s"truncated message: need $n bytes at $pos, end $end")
     def hasNext: Boolean = pos < end

@@ -45,13 +45,9 @@ class CorpusSpec extends SparkSpec {
       (11L, s"prefix words here then $passage"), // contaminated
       (12L, (1 to 30).map(i => s"other$i").mkString(" "))) // clean
       .toDF("doc_id", "text")
-    // reuse the catalog operator shape over a temp table by calling the
-    // library pieces directly
-    val wh = docs.as[(Long, String)].flatMap { case (id, text) =>
-      graft.operators.TextAnalysis
-        .rollingHashes(text.split(" ", -1), graft.operators.TextAnalysis.RollingWindow)
-        .map(h => (id, h))
-    }.toDF("doc_id", "h")
+    // the ONE shared window-hash implementation
+    val wh = graft.operators.TextAnalysis.windowHashes(docs)
+      .select(col("doc_id"), col("win_hash").as("h"))
     val bench = wh.filter(col("doc_id") % 10 === 0).select("h").distinct()
     val hits = wh.filter(col("doc_id") % 10 =!= 0).distinct()
       .join(bench, Seq("h"))

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{Corpus, Dedup}
+import graft.plans.AsOfJoin
+import org.scalacheck.Gen
+
+/** Property tests: operators vs brute-force models on random inputs
+  * (fixed seeds — deterministic, not flaky). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
+
+  test("jaccardPairs equals the brute-force pair model on random corpora") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+    (1 to 5).foreach { seed =>
+      val texts = sample(Gen.listOfN(30, doc), seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.jaccardPairs(docs, threshold = 0.3)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+
+      // brute-force model with plain Scala sets
+      def shingles(t: String): Set[String] =
+        t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val sh = texts.map(shingles)
+      val want = (for {
+        i <- texts.indices; j <- texts.indices if i < j
+        inter = (sh(i) intersect sh(j)).size
+        if inter > 0
+        jac = inter.toDouble / (sh(i).size + sh(j).size - inter)
+        if jac >= 0.3
+      } yield ((i.toLong, j.toLong), jac)).toMap
+
+      assert(got.keySet == want.keySet,
+        s"seed $seed: missing=${(want.keySet -- got.keySet).take(3)} " +
+          s"spurious=${(got.keySet -- want.keySet).take(3)}")
+      got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12) }
+    }
+  }
+
+  test("native as-of join equals the brute-force model on random tables") {
+    val gen = for {
+      left <- Gen.listOfN(60, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 100L)))
+      right <- Gen.listOfN(40, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 100L)))
+    } yield (left, right)
+    (1 to 5).foreach { seed =>
+      val (l, r) = sample(gen, seed)
+      val left = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("id", "k", "t")
+      // unique (key, ts, rid) with rid as deterministic tiebreak payload
+      val right = r.distinct.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }
+      val rightDf = right.toDF("rk", "rt", "rid")
+      val got = AsOfJoin.asof(left, rightDf, "k", "rk", "t", "rt")
+        .select("id", "rid").collect()
+        .map(row => row.getLong(0) -> Option(row.get(1))).toMap
+
+      val want = l.zipWithIndex.map { case ((k, t), i) =>
+        val cands = right.filter(x => x._1 == k && x._2 <= t)
+        // greatest rt; among equal rt the exec keeps the LAST consumed in
+        // (rk, rt) sort order — ties on (k,rt) are broken by max rid
+        // because the sort is not stable on rid; assert only on rt value
+        i.toLong -> cands.map(_._2).maxOption
+      }.toMap
+      got.foreach { case (id, ridOpt) =>
+        val wantRt = want(id)
+        ridOpt match {
+          case None => assert(wantRt.isEmpty, s"seed $seed id $id: expected a match")
+          case Some(rid) =>
+            val rt = right.find(_._3 == rid.asInstanceOf[Long]).get._2
+            assert(wantRt.contains(rt), s"seed $seed id $id: rt $rt vs $wantRt")
+        }
+      }
+    }
+  }
+
+  test("connectedComponents equals union-find on random graphs") {
+    val gen = Gen.listOfN(50, Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L)))
+    (1 to 5).foreach { seed =>
+      val raw = sample(gen, seed).filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val pairs = raw.toDF("d1", "d2")
+      val got = Corpus.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // union-find model
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = raw.flatMap(p => Seq(p._1, p._2)).distinct
+      val want = nodes.map(n => n -> find(n)).toMap
+      assert(got == want, s"seed $seed: first diff ${
+        (got.toSet diff want.toSet).take(3)}")
+    }
+  }
+}

@@ -20,6 +20,9 @@ object SparkSpec {
       // the deployment path: custom functions + the native as-of join
       // strategy arrive via spark.sql.extensions, no code changes
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // full ReadSchema in plan strings — PlanLintSpec's pruning canary
+      // is silently truncated at the 100-char default otherwise
+      .config("spark.sql.maxMetadataStringLength", "10000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

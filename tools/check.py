@@ -49,16 +49,17 @@ for name in sorted(oracle):
     ok = True
     for c in want.columns:
         wv, gv = want[c], got[c]
-        # normalize timestamps to ns for compare
-        if "datetime" in str(wv.dtype) or "datetime" in str(gv.dtype):
-            wv = pd.to_datetime(wv).astype("datetime64[us]")
-            gv = pd.to_datetime(gv).astype("datetime64[us]")
         # The driver's hash is dtype-sensitive: int64 vs float64 with equal
-        # values still hash-mismatches (round-1 f04). Fail on kind drift.
-        elif wv.dtype.kind != gv.dtype.kind:
+        # values still hash-mismatches (round-1 f04). Check kind drift
+        # FIRST — datetime-vs-int must fail, not get coerced below.
+        if wv.dtype.kind != gv.dtype.kind:
             print(f"FAIL {name}: col {c}: dtype kind want={wv.dtype} got={gv.dtype}")
             ok = False
             continue
+        # normalize same-kind timestamps (us vs ns resolution) for compare
+        if "datetime" in str(wv.dtype):
+            wv = pd.to_datetime(wv).astype("datetime64[us]")
+            gv = pd.to_datetime(gv).astype("datetime64[us]")
         try:
             eq = (wv.values == gv.values) | (pd.isna(wv).values & pd.isna(gv).values)
         except Exception:
