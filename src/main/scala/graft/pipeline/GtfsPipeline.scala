@@ -49,7 +49,8 @@ object GtfsPipeline {
   final case class BatchReport(
       batchId: String,
       feedsOk: Seq[String], feedsFailed: Map[String, String],
-      recordCount: Long, ledgerPath: String, dataPath: String)
+      recordCount: Long, ledgerPath: String, dataPath: String,
+      skipped: Boolean = false)
 
   final case class QualityReport(
       totalRecords: Long, freshRecords: Long,
@@ -67,14 +68,35 @@ object GtfsPipeline {
     * graph (gtfs_rt_assets.py:248-251). Fetch happens driver-side (a
     * handful of feeds, api_utils.py semantics); decode + everything
     * after is distributed. */
+  /** `idempotent = true` makes re-running a batch safe: the ledger is
+    * the commit log — a batch whose batch_id already has a ledger row
+    * is skipped (report.skipped). Combined with [[recoverOrphanData]]
+    * for the crashed-between-write-and-commit case, this gives
+    * effectively-once batch semantics over plain parquet. */
   def runBatch(
       spark: SparkSession,
       feeds: Seq[FeedConfig],
       source: FeedSource,
       dataDir: String,
       ledgerDir: String,
-      batchTime: Timestamp): BatchReport = {
+      batchTime: Timestamp,
+      idempotent: Boolean = false): BatchReport = {
     import spark.implicits._
+
+    // Format batch_id in the SESSION timezone: the year/month/day/hour
+    // partition columns below evaluate under spark.sql.session.timeZone,
+    // while java.text formatting defaults to the JVM zone — they must
+    // agree or the batch_id string disagrees with its own partition path.
+    val sessionTz = spark.conf.get("spark.sql.session.timeZone")
+    val batchIdFmt = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+    batchIdFmt.setTimeZone(java.util.TimeZone.getTimeZone(sessionTz))
+    val batchId = batchIdFmt.format(batchTime)
+
+    // committed-batch short-circuit BEFORE any fetch work
+    if (idempotent && isCommitted(spark, ledgerDir, batchId)) {
+      return BatchReport(batchId, Seq.empty, Map.empty, 0L, ledgerDir, dataDir,
+        skipped = true)
+    }
 
     // 1. fetch with per-feed isolation (T2/T3) — failures are data (A5)
     val results = feeds.map(FeedSource.fetchWithRetry(source, _))
@@ -103,14 +125,6 @@ object GtfsPipeline {
       .filter(_._3.nonEmpty).map(t => (t._1, t._3)).collect().toMap
     val records: Dataset[VehiclePosition] = decoded.flatMap(_._2)
 
-    // Format batch_id in the SESSION timezone: the year/month/day/hour
-    // partition columns below evaluate under spark.sql.session.timeZone,
-    // while java.text formatting defaults to the JVM zone — they must
-    // agree or the batch_id string disagrees with its own partition path.
-    val sessionTz = spark.conf.get("spark.sql.session.timeZone")
-    val batchIdFmt = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
-    batchIdFmt.setTimeZone(java.util.TimeZone.getTimeZone(sessionTz))
-    val batchId = batchIdFmt.format(batchTime)
     // persisted: the emptiness guard, the sink write and the bbox
     // aggregate would otherwise each re-run the distributed decode
     val df = records.toDF()
@@ -156,6 +170,87 @@ object GtfsPipeline {
 
       BatchReport(batchId, feedsOk, feedsFailed, stats._1, ledgerDir, dataDir)
     } finally { df.unpersist(); decoded.unpersist() }
+  }
+
+  /** True iff the ledger already holds a commit row for `batchId`.
+    * The ledger read is tiny (metadata table); the predicate pushes to
+    * the parquet scan. */
+  def isCommitted(spark: SparkSession, ledgerDir: String, batchId: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(ledgerDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(ledgerDir)) &&
+      !spark.read.parquet(ledgerDir)
+        .filter(col("batch_id") === batchId).limit(1).isEmpty
+  }
+
+  /** Crash recovery for the write-then-commit protocol: data rows whose
+    * batch_id never reached the ledger (the run died between the data
+    * write and the ledger append) are removed, so an idempotent re-run
+    * starts clean. Only the hour partitions that actually contain
+    * orphan rows are rewritten (dynamic partition overwrite — sibling
+    * batches in the same hour survive); a partition left with zero
+    * surviving rows is deleted directly. Returns orphan rows removed. */
+  def recoverOrphanData(spark: SparkSession, dataDir: String,
+      ledgerDir: String): Long = {
+    val fsPath = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fsPath)) return 0L
+
+    // no ledger at all ⇒ nothing to reconcile against — refuse to treat
+    // the whole store as orphaned (a wrong ledgerDir must not be
+    // interpreted as "delete everything")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(ledgerDir))) return 0L
+    val data = spark.read.parquet(dataDir)
+    val committed = spark.read.parquet(ledgerDir)
+      .select(col("batch_id")).distinct()
+
+    val orphanBatches = data.select(col("batch_id")).distinct()
+      .join(committed, Seq("batch_id"), "left_anti")
+      .collect().map(_.getString(0)).toSet // bounded: #batches, not #rows
+    if (orphanBatches.isEmpty) return 0L
+
+    val affected = data
+      .filter(col("batch_id").isin(orphanBatches.toSeq: _*))
+    val nOrphans = affected.count()
+    val partitions = affected
+      .select("year", "month", "day", "hour").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+
+    // localCheckpoint: materializes the survivor rows AND cuts the plan
+    // loose from the source files, so writing back over those same
+    // files is not a read-from-overwritten-path conflict
+    val survivors = data
+      .filter(partitions.map { case (y, m, d, h) =>
+        col("year") === y && col("month") === m &&
+          col("day") === d && col("hour") === h
+      }.reduce(_ || _))
+      .filter(!col("batch_id").isin(orphanBatches.toSeq: _*))
+      .localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      if (!survivors.isEmpty) {
+        survivors.write.mode(SaveMode.Overwrite)
+          .partitionBy("year", "month", "day", "hour").parquet(dataDir)
+        // rewritten files need their GeoParquet footer restored
+        graft.sources.GeoParquet.stampDirectory(dataDir, "geom")
+      }
+      // partitions whose every row was orphaned produce no survivor
+      // rows — dynamic overwrite never touches them; delete directly
+      val survivorParts = survivors
+        .select("year", "month", "day", "hour").distinct().collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+      partitions.filterNot(survivorParts).foreach { case (y, m, d, h) =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$dataDir/year=$y/month=$m/day=$d/hour=$h"), true)
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    nOrphans
   }
 
   /** The reference's post-materialization quality check

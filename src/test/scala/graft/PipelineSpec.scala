@@ -74,6 +74,68 @@ class PipelineSpec extends SparkSpec {
     assert(report.recordCount == 10) // the good feed still landed
   }
 
+  test("idempotent re-run: committed batch skipped, counts unchanged") {
+    val dir = tmp("gtfs_idem")
+    val path = s"$dir/feed.pb"
+    Files.write(Paths.get(path), GtfsRt.encodeFeed(vehicles(10, withCoords = true)))
+    val feeds = Seq(FeedConfig("f", path))
+    val t0 = Timestamp.valueOf("2024-06-01 12:00:30")
+
+    val first = GtfsPipeline.runBatch(spark, feeds, new FileFeedSource,
+      s"$dir/data", s"$dir/ledger", t0, idempotent = true)
+    assert(!first.skipped && first.recordCount == 10)
+    val again = GtfsPipeline.runBatch(spark, feeds, new FileFeedSource,
+      s"$dir/data", s"$dir/ledger", t0, idempotent = true)
+    assert(again.skipped)
+    assert(spark.read.parquet(s"$dir/data").count() == 10) // no duplicates
+    assert(spark.read.parquet(s"$dir/ledger").count() == 1)
+    // non-idempotent mode still appends (the pre-existing behavior)
+    GtfsPipeline.runBatch(spark, feeds, new FileFeedSource,
+      s"$dir/data", s"$dir/ledger", t0)
+    assert(spark.read.parquet(s"$dir/data").count() == 20)
+  }
+
+  test("orphan recovery: uncommitted batch rows removed, committed survive") {
+    val dir = tmp("gtfs_orphan")
+    val path = s"$dir/feed.pb"
+    Files.write(Paths.get(path), GtfsRt.encodeFeed(vehicles(10, withCoords = true)))
+    val feeds = Seq(FeedConfig("f", path))
+    // committed batch at 12:00 + a second committed batch in the SAME hour
+    val t0 = Timestamp.valueOf("2024-06-01 12:00:30")
+    val t1 = Timestamp.valueOf("2024-06-01 12:30:30")
+    GtfsPipeline.runBatch(spark, feeds, new FileFeedSource,
+      s"$dir/data", s"$dir/ledger", t0)
+    GtfsPipeline.runBatch(spark, feeds, new FileFeedSource,
+      s"$dir/data", s"$dir/ledger", t1)
+    // simulate a crash between data write and ledger commit: write a
+    // batch into the same hour, then delete its ledger row by keeping
+    // only the first two
+    val t2 = Timestamp.valueOf("2024-06-01 12:45:30")
+    GtfsPipeline.runBatch(spark, feeds, new FileFeedSource,
+      s"$dir/data", s"$dir/ledger", t2)
+    val keep = spark.read.parquet(s"$dir/ledger")
+      .filter(col("batch_id").isin("20240601_120030", "20240601_123030"))
+      .localCheckpoint()
+    keep.write.mode("overwrite").parquet(s"$dir/ledger2")
+
+    val removed = GtfsPipeline.recoverOrphanData(spark, s"$dir/data", s"$dir/ledger2")
+    assert(removed == 10, s"expected 10 orphan rows removed, got $removed")
+    val after = spark.read.parquet(s"$dir/data")
+    assert(after.count() == 20)
+    assert(after.select("batch_id").distinct().count() == 2)
+    // recovery is idempotent
+    assert(GtfsPipeline.recoverOrphanData(spark, s"$dir/data", s"$dir/ledger2") == 0)
+    // rewritten partition keeps its GeoParquet footer
+    val f = Files.walk(Paths.get(s"$dir/data")).iterator()
+    var found = false
+    while (f.hasNext) {
+      val p = f.next()
+      if (p.toString.endsWith(".parquet"))
+        found = found || graft.sources.GeoParquet.readGeoMetadata(p).isDefined
+    }
+    assert(found)
+  }
+
   test("all-null-geometry batch: null bbox, pipeline still healthy") {
     val dir = tmp("gtfs_nullgeo")
     val path = s"$dir/feed.pb"
