@@ -33,6 +33,51 @@ class ScaleSpec extends SparkSpec {
     assert(a == b && a.size == 500)
   }
 
+  test("AQE skew-join splits the hot partition at runtime (no manual salt)") {
+    // one key owns ~95% of the rows; with tiny skew thresholds AQE must
+    // mark the sort-merge join as skew-handled and still return exact
+    // results — the runtime counterpart of Scale.saltedJoin
+    // repartition(8): skew splitting works at map-output granularity, so
+    // the hot key's rows must come from multiple mappers (a single
+    // LocalTableScan partition cannot be split)
+    // varied payloads: 40k identical rows compress below any realistic
+    // skew threshold in the shuffle blocks
+    def pay(i: Int) = java.util.UUID.nameUUIDFromBytes(
+      BigInt(i).toByteArray).toString
+    val left = ((1 to 40000).map(i => (1L, pay(i))) ++
+      (1 to 2000).map(i => ((i % 50) + 2L, pay(-i)))).toDF("k", "payload")
+      .repartition(8)
+    val right = (1 to 60).map(i => (i.toLong, s"dim$i")).toDF("rk", "name")
+      .repartition(4)
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = left.join(right, col("k") === col("rk"))
+      // execute THIS DataFrame (count() would plan a separate query and
+      // the adaptive plan below would never finalize)
+      assert(joined.collect().length == 40000 + 2000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join; plan:\n${plan.take(2000)}")
+    }
+  }
+
+  private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     val conf = spark.conf
     val saved = Seq(
