@@ -343,5 +343,52 @@ object Similarity {
     rerank(probes.join(assigned, Seq("cell")), TopK)
   }
 
-  val all: Seq[Q] = Seq(cosineTopK, annLsh, embeddingNearDup, annIvf)
+  /** Int8 vector quantization — the storage-scale trick (4× smaller
+    * embeddings): per-vector symmetric scale s = max|x|/127, code_i =
+    * floor(x_i/s·? + 0.5) (portable round), plus the dequantized-vs-
+    * exact self-cosine as a per-row quality measure. Codes are emitted
+    * as a CSV string (the driver's checker cannot lexsort raw arrays);
+    * the library path would keep array<tinyint>. Everything is exact
+    * IEEE arithmetic both engines compute identically. */
+  val vectorQuantize: Q = Q(
+    "n14_vector_quantize",
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+       |           FROM embeddings),
+       |q AS (SELECT vec_id, embedding, s,
+       |             list_transform(embedding,
+       |               x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) AS code
+       |      FROM e)
+       |SELECT vec_id, ${round6Sql("s")} AS scale,
+       |       array_to_string(code, ';') AS code_csv,
+       |       ${round6Sql(
+            "list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * (code[i] * s)))" +
+            " / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))" +
+            "  * sqrt(list_sum(list_transform(code, c -> (c * s) * (c * s)))))")} AS dequant_cos
+       |FROM q
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir).embeddings
+      .withColumn("s",
+        aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+          lit(0.0), (acc, v) => greatest(acc, v)) / 127.0)
+      .withColumn("code",
+        transform(col("embedding"),
+          v => floor(v.cast("double") / col("s") + 0.5).cast("long")))
+    val deq = transform(col("code"), c => c * col("s"))
+    e.select(
+      col("vec_id"),
+      round6(col("s")).as("scale"),
+      array_join(col("code").cast("array<string>"), ";").as("code_csv"),
+      round6(
+        aggregate(zip_with(col("embedding"), deq, (a, b) => a.cast("double") * b),
+          lit(0.0), (acc, v) => acc + v) /
+        (sqrt(aggregate(transform(col("embedding"), v => v.cast("double") * v),
+          lit(0.0), (acc, v) => acc + v)) *
+         sqrt(aggregate(transform(deq, v => v * v),
+           lit(0.0), (acc, v) => acc + v)))).as("dequant_cos"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(cosineTopK, annLsh, embeddingNearDup, annIvf,
+    vectorQuantize)
 }

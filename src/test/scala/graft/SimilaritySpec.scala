@@ -96,6 +96,18 @@ class SimilaritySpec extends SparkSpec {
       s"missed=${(exact -- approx).take(5)} spurious=${(approx -- exact).take(5)}")
   }
 
+  test("int8 quantization keeps dequantized self-cosine above 0.999") {
+    val rows = Catalog.queries("n14_vector_quantize")(spark, sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val cos = r.getAs[Double]("dequant_cos")
+      assert(cos > 0.999, s"vec ${r.getLong(0)}: dequant cos $cos")
+      assert(r.getAs[String]("code_csv").split(";").length == 64)
+      val codes = r.getAs[String]("code_csv").split(";").map(_.toLong)
+      assert(codes.forall(c => c >= -127 && c <= 127), "codes fit int8")
+    }
+  }
+
   test("native cosine_sim expression matches the higher-order fold") {
     val e = Tables(spark, sf0001).embeddings.limit(50)
     val a = e.select(col("vec_id"), col("embedding"))
