@@ -135,7 +135,21 @@ object AsOfJoin {
     * disjoint apart from the join columns (rename beforehand). */
   def asof(left: DataFrame, right: DataFrame,
       leftKeyCol: String, rightKeyCol: String,
+      leftTsCol: String, rightTsCol: String): DataFrame =
+    asofMulti(left, right, Seq(leftKeyCol), Seq(rightKeyCol),
+      leftTsCol, rightTsCol)
+
+  /** Composite-key as-of join: the key is the tuple of `leftKeyCols` /
+    * `rightKeyCols` (same arity). The exec is unchanged — a struct of
+    * the key columns hash-partitions, sorts and compares exactly like a
+    * scalar key (SQL NULL semantics note: a NULL inside a composite key
+    * is a valid struct field, so unlike a scalar NULL key it can match;
+    * pre-filter if your domain forbids that). */
+  def asofMulti(left: DataFrame, right: DataFrame,
+      leftKeyCols: Seq[String], rightKeyCols: Seq[String],
       leftTsCol: String, rightTsCol: String): DataFrame = {
+    require(leftKeyCols.nonEmpty && leftKeyCols.size == rightKeyCols.size,
+      s"key arity mismatch: $leftKeyCols vs $rightKeyCols")
     val spark = left.sparkSession
     register(spark)
     val lPlan = left.queryExecution.analyzed
@@ -144,8 +158,12 @@ object AsOfJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(",")}"))
+    def key(plan: LogicalPlan, names: Seq[String]): Expression =
+      if (names.size == 1) attr(plan, names.head)
+      else org.apache.spark.sql.catalyst.expressions.CreateStruct(
+        names.map(attr(plan, _)))
     ColumnBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
-      attr(lPlan, leftKeyCol), attr(rPlan, rightKeyCol),
+      key(lPlan, leftKeyCols), key(rPlan, rightKeyCols),
       attr(lPlan, leftTsCol), attr(rPlan, rightTsCol)))
   }
 }

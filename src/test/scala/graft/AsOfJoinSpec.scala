@@ -97,6 +97,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
   }
 
+  test("composite (key, key) as-of join matches the SQL model") {
+    val left = (1 to 800).map { i =>
+      (i.toLong, i % 7L, s"g${i % 5}", (i * 11L) % 500)
+    }.toDF("id", "k1", "k2", "t")
+    val right = (1 to 600).map { i =>
+      (i % 7L, s"g${i % 5}", (i * 13L) % 500, i.toLong)
+    }.toDF("rk1", "rk2", "rt", "rid")
+    val native = AsOfJoin.asofMulti(left, right,
+      Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt")
+      .select("id", "rid").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    left.createOrReplaceTempView("asofm_l")
+    right.createOrReplaceTempView("asofm_r")
+    val expect = spark.sql(
+      """SELECT l.id, max_by(r.rid, struct(r.rt, r.rid)) AS rid
+        |FROM asofm_l l LEFT JOIN asofm_r r
+        |  ON l.k1 = r.rk1 AND l.k2 = r.rk2 AND l.t >= r.rt
+        |GROUP BY l.id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(native.keySet == expect.keySet)
+    // ties on (k1,k2,rt) exist (i and i+lcm collide) — compare by the rt
+    // value the chosen rid implies, not the rid itself
+    val rtOf = right.collect().map(r => r.getLong(3) -> r.getLong(2)).toMap
+    val diffs = native.collect {
+      case (id, got) if (got == null) != (expect(id) == null) => id
+      case (id, got) if got != null &&
+        rtOf(got.asInstanceOf[Long]) != rtOf(expect(id).asInstanceOf[Long]) => id
+    }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+  }
+
   test("missing column raises a clear error") {
     val ex = intercept[IllegalArgumentException] {
       AsOfJoin.asof(Seq((1L, 2L)).toDF("a", "t"), Seq((1L, 2L)).toDF("b", "t2"),

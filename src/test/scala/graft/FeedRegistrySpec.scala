@@ -59,6 +59,38 @@ class FeedRegistrySpec extends SparkSpec {
     assert(feeds.head.apiToken.contains("a#b"))
   }
 
+  test("generated configs round-trip; junk input fails cleanly, never hangs") {
+    import org.scalacheck.Gen
+    def sample[A](g: Gen[A], seed: Long): A =
+      g(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
+    // round-trip: N generated feeds → YAML text → parse → same configs
+    val idGen = Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+    (1 to 20).foreach { seed =>
+      val ids = sample(Gen.listOfN(4, idGen), seed).distinct
+      val yaml = "custom_feeds:\n" + ids.zipWithIndex.map { case (id, i) =>
+        s"""  $id:
+           |    url: "https://x.test/$id?key="
+           |    api_token: "${if (i % 2 == 0) s"tok$i" else ""}"
+           |    headers: {}
+           |""".stripMargin
+      }.mkString
+      val feeds = FeedRegistry.parse(yaml)
+      assert(feeds.map(_.id) == ids)
+      feeds.zipWithIndex.foreach { case (f, i) =>
+        assert(f.url == s"https://x.test/${ids(i)}?key=")
+        assert(f.apiToken.isDefined == (i % 2 == 0))
+      }
+    }
+    // junk: any outcome must be a clean value or IllegalArgumentException
+    val junk = Gen.listOfN(200,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(':', '#', '"', '\'', ' ', '\n', '{', '}', '-')))
+      .map(_.mkString)
+    (1 to 50).foreach { seed =>
+      try FeedRegistry.parse(sample(junk, seed))
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("registry file drives a real batch end-to-end through runBatch") {
     val dir = Files.createTempDirectory("registry").toString
     val pb = s"$dir/feed.pb"
