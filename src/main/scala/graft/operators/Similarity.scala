@@ -389,6 +389,57 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Top-k search OVER THE INT8 CODES (the memory-bound serving path:
+    * 4× less traffic than float vectors): per-vector scales cancel out
+    * of the cosine, so the whole similarity is exact integer
+    * arithmetic through the codegen'd quantized_cos expression and
+    * even this approximate-representation search is hash-oracled.
+    * SimilaritySpec measures its recall vs the exact float top-k. */
+  val quantizedTopK: Q = {
+    val codeSql =
+      "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT))"
+    val dot = "CAST(list_sum(list_transform(generate_series(1, 64), " +
+      "i -> a.code[i] * b.code[i])) AS DOUBLE)"
+    def nrm(side: String) =
+      s"sqrt(CAST(list_sum(list_transform($side.code, c -> c * c)) AS DOUBLE))"
+    Q(
+      "n15_quantized_topk",
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+         |           FROM embeddings),
+         |q AS (SELECT vec_id, $codeSql AS code FROM e),
+         |pairs AS (SELECT a.vec_id AS q_id, b.vec_id AS nb_id,
+         |                 ${round6Sql(s"$dot / (${nrm("a")} * ${nrm("b")})")} AS cos
+         |          FROM q a CROSS JOIN q b
+         |          WHERE a.vec_id < $NumQueries AND a.vec_id <> b.vec_id),
+         |ranked AS (SELECT q_id, nb_id, cos,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                                     ORDER BY cos DESC, nb_id) AS rn
+         |           FROM pairs)
+         |SELECT q_id, nb_id, cos, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= $TopK
+         |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val codes = Tables(s, dir).embeddings
+        .withColumn("s",
+          aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+            lit(0.0), (acc, v) => greatest(acc, v)) / 127.0)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") / col("s") + 0.5).cast("long")).as("code"))
+      val q = codes.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("code").as("qcode"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id"))
+      codes.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("nb_id"),
+          round6(graft.functions.GraftFunctions.quantized_cos(col("qcode"), col("code")))
+            .as("cos"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= TopK)
+        .orderBy("q_id", "rn")
+    }
+  }
+
   val all: Seq[Q] = Seq(cosineTopK, annLsh, embeddingNearDup, annIvf,
-    vectorQuantize)
+    vectorQuantize, quantizedTopK)
 }

@@ -14,6 +14,7 @@ class PlanLintSpec extends SparkSpec {
     "r17_scalar_subquery",  // 1-row scalar broadcast
     "a24_inactive_rich",    // 1-row threshold broadcast
     "n10_cosine_topk",      // 32-query broadcast build side
+    "n15_quantized_topk",   // 32-query broadcast build side (int8 codes)
     "n12_embedding_neardup",// documented exact all-pairs baseline
     "n13_ann_ivf",          // 16-centroid broadcast assignment
     "x05_date_spine",       // 31-row generated spine

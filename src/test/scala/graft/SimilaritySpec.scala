@@ -108,6 +108,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantized top-k keeps high recall vs exact float top-k") {
+    val quant = Catalog.queries("n15_quantized_topk")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nb_id"))).toSet
+    val exact = Catalog.queries("n10_cosine_topk")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nb_id"))).toSet
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    info(s"int8 top-5 recall vs float = $recall")
+    // int8 quantization perturbs cosines by ~1e-3; near-random vectors
+    // have tightly packed neighbor lists, so some churn is expected —
+    // but the representation must agree on the clear majority
+    assert(recall > 0.8, s"quantized recall collapsed: $recall")
+  }
+
   test("native cosine_sim expression matches the higher-order fold") {
     val e = Tables(spark, sf0001).embeddings.limit(50)
     val a = e.select(col("vec_id"), col("embedding"))
