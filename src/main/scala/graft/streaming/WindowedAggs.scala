@@ -86,5 +86,28 @@ object WindowedAggs {
       .orderBy("user_id", "session_start_ms")
   }
 
-  val all: Seq[Q] = Seq(tumbling, sliding, session)
+  /** Stream–stream attribution join, batch twin: the catalog runs the
+    * SAME `StreamingOps.attributionJoin` code path over batch frames
+    * (withWatermark is a no-op in batch), so DuckDB oracles the exact
+    * operator Structured Streaming executes — clicks paired to
+    * purchases for the same user within the forward hour. */
+  val attribution: Q = Q(
+    "st04_attribution",
+    s"""SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id,
+       |       CAST(l.ts AS TIMESTAMP) AS l_ts, CAST(r.ts AS TIMESTAMP) AS r_ts,
+       |       l.value AS l_value, r.value AS r_value
+       |FROM events l JOIN events r
+       |  ON l.user_id = r.user_id
+       | AND l.event_type = 'click' AND r.event_type = 'purchase'
+       | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 60 MINUTES
+       |ORDER BY l_id, r_id""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir).events
+    StreamingOps.attributionJoin(
+      e.filter(col("event_type") === "click"),
+      e.filter(col("event_type") === "purchase"),
+      windowMinutes = 60)
+      .orderBy("l_id", "r_id")
+  }
+
+  val all: Seq[Q] = Seq(tumbling, sliding, session, attribution)
 }

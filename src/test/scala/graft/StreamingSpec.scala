@@ -147,6 +147,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st04 catalog entry (batch) agrees with the op run as a real stream") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    val events = Tables(spark, sf0001).events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as(Encoders.product[Event]).collect().toSeq
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = StreamingOps.attributionJoin(
+      clicks.toDF(), purchases.toDF(),
+      watermark = "1 hour", windowMinutes = 60)
+    val q = joined.writeStream.format("memory").queryName("st04_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(events.filter(_.event_type == "click"))
+      purchases.addData(events.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+      // push both watermarks past every event so all pairs finalize
+      val flush = Event(-1, ts("2099-01-01 00:00:00"), -1, "x", 0)
+      clicks.addData(Seq(flush)); purchases.addData(Seq(flush))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("st04_stream")
+      .filter(col("l_id") >= 0 && col("r_id") >= 0)
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Catalog.queries("st04_attribution")(spark, sf0001)
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} spurious=${(streamed -- batch).take(3)}")
+  }
+
   test("batch session_window catalog entry agrees with streaming session op") {
     // the st03 catalog query (batch session_window) and the stateful
     // streaming implementation must agree on session starts per user
