@@ -70,6 +70,12 @@ object Graft {
     /** 60-bit SimHash fingerprints. Returns (doc_id, simhash). */
     def simhash(): DataFrame = Dedup.simhashFingerprints(df)
 
+    /** Containment join: smaller doc whose shingles are ≥ threshold
+      * inside a larger one (catches quoted passages symmetric Jaccard
+      * misses). Returns (d1, d2, n1, n2, containment). */
+    def containmentJoin(threshold: Double = 0.8): DataFrame =
+      Dedup.containmentPairs(df, threshold)
+
     /** Drop near-duplicates: keeps every document except the larger-id
       * member of each pair at or above the threshold. */
     def dropNearDuplicates(threshold: Double = 0.8): DataFrame = {

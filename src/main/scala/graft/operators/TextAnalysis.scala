@@ -235,6 +235,35 @@ object TextAnalysis {
     out.toSeq
   }
 
+  /** Unigram log-probability scoring — the perplexity-proxy quality
+    * filter: score each document by the mean ln p(token) under the
+    * corpus's own unigram distribution (low score = rare/garbled
+    * tokens). Two shuffles: the unigram counts, then the token⋈counts
+    * join keyed on the token. ln is bit-identical across engines on
+    * these inputs (verified digit-for-digit in round 2's f04 work);
+    * the mean uses the DECIMAL-sum machinery. */
+  val unigramLogProb: Q = Q(
+    "n28_unigram_logprob",
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |total AS (SELECT count(*) AS n FROM tok),
+       |uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_tokens,
+       |       ${davgSql("ln(CAST(c AS DOUBLE) / n)")} AS avg_logp
+       |FROM tok JOIN uni USING (tok) CROSS JOIN total
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val tok = Tables(s, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val total = tok.agg(count(lit(1)).as("n"))
+    val uni = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    tok.join(uni, Seq("tok")).crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        davg(log(col("c").cast("double") / col("n"))).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(langStats, qualityScore, tokenStats, langId,
-    fingerprint, rollingFingerprint)
+    fingerprint, rollingFingerprint, unigramLogProb)
 }

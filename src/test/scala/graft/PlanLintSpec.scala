@@ -13,6 +13,7 @@ class PlanLintSpec extends SparkSpec {
     "p02_freshness",        // 1-row max-ts broadcast
     "r17_scalar_subquery",  // 1-row scalar broadcast
     "a24_inactive_rich",    // 1-row threshold broadcast
+    "n28_unigram_logprob",  // 1-row corpus-total broadcast
     "n10_cosine_topk",      // 32-query broadcast build side
     "n15_quantized_topk",   // 32-query broadcast build side (int8 codes)
     "n12_embedding_neardup",// documented exact all-pairs baseline
