@@ -176,9 +176,11 @@ object GtfsPipeline {
     * The ledger read is tiny (metadata table); the predicate pushes to
     * the parquet scan. */
   def isCommitted(spark: SparkSession, ledgerDir: String, batchId: String): Boolean = {
-    val fs = new org.apache.hadoop.fs.Path(ledgerDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(new org.apache.hadoop.fs.Path(ledgerDir)) &&
+    val p = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an existing-but-empty dir (no parquet yet) is an empty ledger
+    fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")) &&
       !spark.read.parquet(ledgerDir)
         .filter(col("batch_id") === batchId).limit(1).isEmpty
   }

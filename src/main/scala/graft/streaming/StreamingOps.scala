@@ -135,16 +135,41 @@ object StreamingOps {
         .getOrElse(Trigger.AvailableNow()))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          batch.write.mode("append")
-            .partitionBy("year", "month", "day", "hour").parquet(dataDir)
-          val stats = batch.agg(
-            count(lit(1)).as("record_count"),
-            min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
-            .withColumn("batch_id", lit(batchId))
-          stats.write.mode("append").parquet(ledgerDir)
-        }
+        appendSnapshotBatch(batch, batchId, dataDir, ledgerDir): Unit
       }
       .start()
+  }
+
+  /** One micro-batch append, IDEMPOTENT under foreachBatch's
+    * at-least-once replay contract: the ledger is the commit log —
+    * a batchId that already has a ledger row was fully committed, so
+    * the replay is skipped instead of double-appending data. (A crash
+    * between the data append and the ledger append leaves orphan rows
+    * for exactly one batchId; the replay re-appends and commits, and
+    * `GtfsPipeline.recoverOrphanData`-style reconciliation — ledger
+    * row count vs data — flags the leftovers.) Returns true if the
+    * batch was written, false if skipped. */
+  def appendSnapshotBatch(batch: DataFrame, batchId: Long,
+      dataDir: String, ledgerDir: String): Boolean = {
+    if (batch.isEmpty) return false
+    val spark = batch.sparkSession
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an existing-but-empty dir (no parquet yet) is an empty ledger,
+    // not a schema-inference error
+    val hasLedger = fs.exists(ledgerPath) &&
+      fs.listStatus(ledgerPath).exists(_.getPath.getName.endsWith(".parquet"))
+    val committed = hasLedger &&
+      !spark.read.parquet(ledgerDir)
+        .filter(col("batch_id") === batchId).limit(1).isEmpty
+    if (committed) return false
+    batch.write.mode("append")
+      .partitionBy("year", "month", "day", "hour").parquet(dataDir)
+    val stats = batch.agg(
+      count(lit(1)).as("record_count"),
+      min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+      .withColumn("batch_id", lit(batchId))
+    stats.write.mode("append").parquet(ledgerDir)
+    true
   }
 }

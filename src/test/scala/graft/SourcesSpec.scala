@@ -87,6 +87,23 @@ class SourcesSpec extends SparkSpec {
     assert(new java.io.File(data).listFiles().exists(_.getName.startsWith("year=")))
   }
 
+  test("foreachBatch replay is idempotent: a committed batchId never double-appends") {
+    val data = tmp("idem_data"); val ledger = tmp("idem_ledger")
+    val batch = Tables(spark, sf0001).events
+      .filter(dayofmonth(col("ts")) === 1)
+      .withColumn("year", year(col("ts"))).withColumn("month", month(col("ts")))
+      .withColumn("day", dayofmonth(col("ts"))).withColumn("hour", hour(col("ts")))
+    val n = batch.count()
+    assert(StreamingOps.appendSnapshotBatch(batch, 7L, data, ledger))
+    // at-least-once replay of the SAME epoch must be a no-op
+    assert(!StreamingOps.appendSnapshotBatch(batch, 7L, data, ledger))
+    assert(spark.read.parquet(data).count() == n)
+    assert(spark.read.parquet(ledger).count() == 1)
+    // the next epoch still appends
+    assert(StreamingOps.appendSnapshotBatch(batch, 8L, data, ledger))
+    assert(spark.read.parquet(data).count() == 2 * n)
+  }
+
   test("continuous processing-time trigger: one long-lived query fires repeated micro-batches") {
     val in = tmp("cont_in"); val data = tmp("cont_data")
     val ledger = tmp("cont_ledger"); val ckpt = tmp("cont_ckpt")
