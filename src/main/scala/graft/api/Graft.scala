@@ -70,9 +70,10 @@ object Graft {
     /** 60-bit SimHash fingerprints. Returns (doc_id, simhash). */
     def simhash(): DataFrame = Dedup.simhashFingerprints(df)
 
-    /** Containment join: smaller doc whose shingles are ≥ threshold
-      * inside a larger one (catches quoted passages symmetric Jaccard
-      * misses). Returns (d1, d2, n1, n2, containment). */
+    /** Containment join: one row per pair whose smaller shingle set is
+      * ≥ threshold inside the larger (catches quoted passages symmetric
+      * Jaccard misses). Returns (contained, container, n_contained,
+      * n_container, containment). */
     def containmentJoin(threshold: Double = 0.8): DataFrame =
       Dedup.containmentPairs(df, threshold)
 

@@ -359,41 +359,52 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** Containment similarity join: |shingles(A) ∩ shingles(B)| / |A| ≥
-    * threshold with |A| ≤ |B| — catches a short document quoted inside
+  /** Containment similarity join: one row per unordered pair whose
+    * SMALLER shingle set sits ≥ threshold inside the larger
+    * (|A ∩ B| / min(|A|,|B|)) — catches a short document quoted inside
     * a long one, which symmetric Jaccard misses (the union term drowns
     * the overlap). Same inverted-index plan as n05: shuffle on the
-    * shingle, Σdf² pair rows, never all-pairs. */
+    * shingle, d1 < d2 halves the Σdf² pair rows (ties on size don't
+    * emit mirrored duplicates). Returns (contained, container,
+    * n_contained, n_container, containment). */
   def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("d1"), col("sh"))
     val b = sh.select(col("doc_id").as("d2"), col("sh"))
-    a.join(b, Seq("sh")).filter(col("d1") =!= col("d2"))
+    a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
-      .filter(col("n1") <= col("n2")) // containment of the smaller in the larger
-      .withColumn("containment", col("c").cast("double") / col("n1"))
+      .withColumn("containment",
+        col("c").cast("double") / least(col("n1"), col("n2")))
       .filter(col("containment") >= threshold)
-      .select(col("d1"), col("d2"), col("n1"), col("n2"), col("containment"))
+      .select(
+        when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2")).as("contained"),
+        when(col("n1") <= col("n2"), col("d2")).otherwise(col("d1")).as("container"),
+        least(col("n1"), col("n2")).as("n_contained"),
+        greatest(col("n1"), col("n2")).as("n_container"),
+        col("containment"))
   }
 
   val containment: Q = Q(
     "n08_containment",
     s"""WITH $shinglesSql,
        |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-       |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |           GROUP BY a.doc_id, b.doc_id)
-       |SELECT d1, d2, CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
-       |       CAST(c AS DOUBLE) / s1.n AS containment
+       |SELECT CASE WHEN s1.n <= s2.n THEN d1 ELSE d2 END AS contained,
+       |       CASE WHEN s1.n <= s2.n THEN d2 ELSE d1 END AS container,
+       |       CAST(least(s1.n, s2.n) AS BIGINT) AS n_contained,
+       |       CAST(greatest(s1.n, s2.n) AS BIGINT) AS n_container,
+       |       CAST(c AS DOUBLE) / least(s1.n, s2.n) AS containment
        |FROM common
        |JOIN sizes s1 ON s1.doc_id = d1
        |JOIN sizes s2 ON s2.doc_id = d2
-       |WHERE s1.n <= s2.n AND CAST(c AS DOUBLE) / s1.n >= 0.5
-       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+       |WHERE CAST(c AS DOUBLE) / least(s1.n, s2.n) >= 0.5
+       |ORDER BY contained, container""".stripMargin) { (s, dir) =>
     containmentPairs(Tables(s, dir).documents, threshold = 0.5)
-      .orderBy("d1", "d2")
+      .orderBy("contained", "container")
   }
 
   val all: Seq[Q] = Seq(exactDedup, normDedup, minhashSignature,

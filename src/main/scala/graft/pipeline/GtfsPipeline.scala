@@ -172,18 +172,24 @@ object GtfsPipeline {
     } finally { df.unpersist(); decoded.unpersist() }
   }
 
-  /** True iff the ledger already holds a commit row for `batchId`.
-    * The ledger read is tiny (metadata table); the predicate pushes to
-    * the parquet scan. */
-  def isCommitted(spark: SparkSession, ledgerDir: String, batchId: String): Boolean = {
+  /** True iff the ledger directory exists and holds at least one
+    * parquet file (an existing-but-empty dir is an EMPTY ledger, not a
+    * schema-inference error). */
+  private[graft] def ledgerHasData(spark: SparkSession, ledgerDir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // an existing-but-empty dir (no parquet yet) is an empty ledger
     fs.exists(p) &&
-      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")) &&
-      !spark.read.parquet(ledgerDir)
-        .filter(col("batch_id") === batchId).limit(1).isEmpty
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
+
+  /** True iff the ledger already holds a commit row matching `batchId`
+    * (any comparable type — the batch pipeline uses strings, the
+    * streaming sink epoch longs). The ledger read is tiny (metadata
+    * table); the predicate pushes to the parquet scan. */
+  def isCommitted(spark: SparkSession, ledgerDir: String, batchId: Any): Boolean =
+    ledgerHasData(spark, ledgerDir) &&
+      !spark.read.parquet(ledgerDir)
+        .filter(col("batch_id") === lit(batchId)).limit(1).isEmpty
 
   /** Crash recovery for the write-then-commit protocol: data rows whose
     * batch_id never reached the ledger (the run died between the data
@@ -198,17 +204,22 @@ object GtfsPipeline {
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(fsPath)) return 0L
 
-    // no ledger at all ⇒ nothing to reconcile against — refuse to treat
-    // the whole store as orphaned (a wrong ledgerDir must not be
-    // interpreted as "delete everything")
+    // No ledger DIRECTORY ⇒ nothing to reconcile against — refuse to
+    // treat the whole store as orphaned (a wrong ledgerDir must not be
+    // interpreted as "delete everything"). But an existing dir with no
+    // parquet yet IS an empty ledger (crash during the very first
+    // commit): every data batch is then uncommitted by protocol.
     if (!fs.exists(new org.apache.hadoop.fs.Path(ledgerDir))) return 0L
     val data = spark.read.parquet(dataDir)
-    val committed = spark.read.parquet(ledgerDir)
-      .select(col("batch_id")).distinct()
+    val committed =
+      if (ledgerHasData(spark, ledgerDir))
+        spark.read.parquet(ledgerDir).select(col("batch_id")).distinct()
+      else data.select(col("batch_id")).limit(0)
 
     val orphanBatches = data.select(col("batch_id")).distinct()
       .join(committed, Seq("batch_id"), "left_anti")
-      .collect().map(_.getString(0)).toSet // bounded: #batches, not #rows
+      .collect().map(_.get(0)).toSet // bounded: #batches, not #rows
+      // (.get not .getString: the streaming sink's batch_id is a long)
     if (orphanBatches.isEmpty) return 0L
 
     val affected = data

@@ -129,13 +129,23 @@ object StreamingOps {
       .withColumn("month", month(col("ts")))
       .withColumn("day", dayofmonth(col("ts")))
       .withColumn("hour", hour(col("ts")))
+    // Steady-state O(1) idempotence: the ledger is only consulted for
+    // batch ids this PROCESS hasn't committed (i.e. the replayed epoch
+    // right after a restart); afterwards the in-memory high-water mark
+    // short-circuits — the per-batch cost must not grow with ledger
+    // size under a minute cadence.
+    var lastCommitted = -1L
     stream.writeStream
       .trigger(continuousEvery
         .map(Trigger.ProcessingTime(_))
         .getOrElse(Trigger.AvailableNow()))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendSnapshotBatch(batch, batchId, dataDir, ledgerDir): Unit
+        if (batchId > lastCommitted) {
+          appendSnapshotBatch(batch, batchId, dataDir, ledgerDir,
+            probeLedger = lastCommitted < 0)
+          lastCommitted = batchId
+        }: Unit
       }
       .start()
   }
@@ -143,27 +153,23 @@ object StreamingOps {
   /** One micro-batch append, IDEMPOTENT under foreachBatch's
     * at-least-once replay contract: the ledger is the commit log —
     * a batchId that already has a ledger row was fully committed, so
-    * the replay is skipped instead of double-appending data. (A crash
-    * between the data append and the ledger append leaves orphan rows
-    * for exactly one batchId; the replay re-appends and commits, and
-    * `GtfsPipeline.recoverOrphanData`-style reconciliation — ledger
-    * row count vs data — flags the leftovers.) Returns true if the
-    * batch was written, false if skipped. */
+    * the replay is skipped instead of double-appending data. Data rows
+    * carry the batch_id column, so a crash between the data append and
+    * the ledger append leaves ATTRIBUTABLE orphans that
+    * `GtfsPipeline.recoverOrphanData` removes. `probeLedger = false`
+    * skips the ledger lookup when the caller already knows the id is
+    * new (the steady-state path). Returns true if written, false if
+    * skipped. */
   def appendSnapshotBatch(batch: DataFrame, batchId: Long,
-      dataDir: String, ledgerDir: String): Boolean = {
+      dataDir: String, ledgerDir: String,
+      probeLedger: Boolean = true): Boolean = {
     if (batch.isEmpty) return false
     val spark = batch.sparkSession
-    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
-    val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // an existing-but-empty dir (no parquet yet) is an empty ledger,
-    // not a schema-inference error
-    val hasLedger = fs.exists(ledgerPath) &&
-      fs.listStatus(ledgerPath).exists(_.getPath.getName.endsWith(".parquet"))
-    val committed = hasLedger &&
-      !spark.read.parquet(ledgerDir)
-        .filter(col("batch_id") === batchId).limit(1).isEmpty
-    if (committed) return false
-    batch.write.mode("append")
+    if (probeLedger &&
+      graft.pipeline.GtfsPipeline.isCommitted(spark, ledgerDir, batchId))
+      return false
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("append")
       .partitionBy("year", "month", "day", "hour").parquet(dataDir)
     val stats = batch.agg(
       count(lit(1)).as("record_count"),

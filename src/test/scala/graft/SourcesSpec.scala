@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import graft.pipeline.GtfsPipeline
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.functions._
 
@@ -102,6 +103,10 @@ class SourcesSpec extends SparkSpec {
     // the next epoch still appends
     assert(StreamingOps.appendSnapshotBatch(batch, 8L, data, ledger))
     assert(spark.read.parquet(data).count() == 2 * n)
+    // data rows carry their batch_id, so a write-without-commit crash
+    // leaves attributable orphans recoverOrphanData can remove
+    assert(spark.read.parquet(data).select("batch_id").distinct().count() == 2)
+    assert(GtfsPipeline.recoverOrphanData(spark, data, ledger) == 0)
   }
 
   test("continuous processing-time trigger: one long-lived query fires repeated micro-batches") {
