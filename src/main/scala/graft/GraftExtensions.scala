@@ -38,5 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // native as-of join planning in any session built with this
     // extension (AsOfJoin.asof also self-registers for ad-hoc use)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // provably-1-row join sides get a broadcast hint even without an
+    // explicit broadcast() call (scalar-threshold pattern safety net)
+    ext.injectOptimizerRule(_ => graft.plans.TinyAggBroadcast)
   }
 }
