@@ -222,6 +222,49 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** Ordered funnel analysis: users progressing click → view →
+    * purchase in event-time order (each stage strictly after the
+    * previous stage's FIRST occurrence). Three narrow aggregations
+    * chained by per-user joins — the standard product-analytics shape;
+    * at scale each stage shuffles only (user_id, ts) pairs. */
+  val funnel: Q = Q(
+    "x11_funnel",
+    """WITH c AS (SELECT user_id, min(ts) AS c_ts FROM events
+      |           WHERE event_type = 'click' GROUP BY user_id),
+      |v AS (SELECT e.user_id, min(e.ts) AS v_ts
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'view' AND e.ts > c.c_ts
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+      |      GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage, 'click' AS name, CAST((SELECT count(*) FROM c) AS BIGINT) AS n_users
+      |  UNION ALL
+      |  SELECT 2, 'view_after_click', CAST((SELECT count(*) FROM v) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 3, 'purchase_after_view', CAST((SELECT count(*) FROM p) AS BIGINT))
+      |ORDER BY stage""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir).events
+    val c = e.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .join(c, Seq("user_id")).filter(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id")).filter(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    def stage(n: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("stage"), lit(name).as("name"), col("n_users"))
+    stage(1, "click", c)
+      .unionByName(stage(2, "view_after_click", v))
+      .unionByName(stage(3, "purchase_after_view", p))
+      .orderBy("stage")
+  }
+
   val all: Seq[Q] = Seq(explodeOuter, multisetOps, latestPerGroup, nthValue,
-    dateSpine, nullSafeOps, mapFuncs, posExplode, histogram, momentsExact)
+    dateSpine, nullSafeOps, mapFuncs, posExplode, histogram, momentsExact,
+    funnel)
 }
