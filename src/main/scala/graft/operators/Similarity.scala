@@ -310,6 +310,67 @@ object Similarity {
     }
   }
 
+  /** Lloyd-refined IVF centroids (spherical k-means): deterministic
+    * init (first k vectors), then `iters` rounds of assign-by-cosine →
+    * element-wise mean per cell. Each round: one broadcast assignment
+    * pass + a (cell, pos) aggregation — no all-pairs anywhere; the
+    * loop localCheckpoints per round (iterative-lineage rule).
+    * Returns (cent_id, cv). Normalization is unnecessary — cosine
+    * assignment is scale-invariant. */
+  def ivfCentroids(vecs: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    val cos = graft.functions.GraftFunctions.cosine_sim _
+    var cents = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"),
+        col("embedding").cast("array<float>").as("cv"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          round6(cos(col("embedding"), col("cv"))).as("csim"))
+        .withColumn("arn", row_number().over(w))
+        .filter(col("arn") === 1)
+      // element-wise mean per cell: explode to (cell, pos, x), average,
+      // reassemble in position order
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("embedding")))
+        .groupBy("cent_id", "pos")
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy("cent_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"),
+          transform(col("pm"), s => s.getField("m")).cast("array<float>").as("cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** IVF search against a given centroid set (assignment + probes +
+    * exact re-rank inside probed cells). */
+  def ivfSearch(e: DataFrame, cents: DataFrame, queries: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    val cos = graft.functions.GraftFunctions.cosine_sim _
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        round6(cos(col("embedding"), col("cv"))).as("csim"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("psim").desc, col("cent_id"))
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("cent_id"),
+        round6(cos(col("qv"), col("cv"))).as("psim"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
+    rerank(probes.join(assigned, Seq("cell")), k)
+  }
+
   private def annIvfBuild(s: SparkSession, dir: String,
       nCells: Int, nProbe: Int): DataFrame = {
     val cos = graft.functions.GraftFunctions.cosine_sim _

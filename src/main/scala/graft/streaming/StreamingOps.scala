@@ -38,6 +38,20 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NORMALIZED dedup: drop re-deliveries AND trivially
+    * mutated duplicates (case/whitespace variants) inside the
+    * watermark horizon, keyed on the same canonical fingerprint the
+    * batch dedup family uses (graft.Det.normFingerprint — one
+    * definition, so batch and stream can never disagree on what "the
+    * same document" means). State per key is bounded by the watermark;
+    * the payload never enters state, only the 32-hex digest. */
+  def dedupNormalizedWithWatermark(docs: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("__fp", graft.Det.normFingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Custom stateful sessionization via flatMapGroupsWithState with an
     * event-time timeout — emits a session once `gapMinutes` of event
     * time passes with no activity (the hand-rolled analog of

@@ -96,6 +96,27 @@ class SimilaritySpec extends SparkSpec {
       s"missed=${(exact -- approx).take(5)} spurious=${(approx -- exact).take(5)}")
   }
 
+  test("k-means-refined IVF centroids do not lose recall vs raw anchors") {
+    import graft.operators.Similarity
+    val e = Tables(spark, sf0001).embeddings
+    val queries = e.filter(col("vec_id") < 32)
+    val exact = Catalog.queries("n10_cosine_topk")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nb_id"))).toSet
+    def recallWith(cents: org.apache.spark.sql.DataFrame): Double = {
+      val hits = Similarity.ivfSearch(e, cents, queries, nProbe = 4, k = 5)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nb_id")))
+        .count(exact.contains)
+      hits.toDouble / exact.size
+    }
+    val naive = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val refined = Similarity.ivfCentroids(e, k = 16, iters = 3)
+    val (rNaive, rRefined) = (recallWith(naive), recallWith(refined))
+    info(s"IVF recall@5: naive anchors = $rNaive, k-means refined = $rRefined")
+    assert(rRefined >= rNaive - 0.05,
+      s"refinement must not collapse recall: $rNaive -> $rRefined")
+  }
+
   test("int8 quantization keeps dequantized self-cosine above 0.999") {
     val rows = Catalog.queries("n14_vector_quantize")(spark, sf0001).collect()
     assert(rows.length == 500)

@@ -147,6 +147,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming normalized dedup drops whitespace/case mutants of seen docs") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamingOps.dedupNormalizedWithWatermark(docs, "1 hour")
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(
+        (1L, ts("2024-01-01 10:00:00"), "Hello  World"),
+        (2L, ts("2024-01-01 10:00:05"), "hello world"),   // mutant of 1
+        (3L, ts("2024-01-01 10:00:10"), " HELLO   world "), // mutant of 1
+        (4L, ts("2024-01-01 10:00:15"), "different doc")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("sdedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.size == 2)
+    assert(ids.contains(4L))
+    assert((ids - 4L).subsetOf(Set(1L, 2L, 3L))) // exactly one of the mutants
+  }
+
   test("st04 catalog entry (batch) agrees with the op run as a real stream") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.Encoders
