@@ -35,10 +35,11 @@ object Similarity {
   /** Shared exact re-rank for ANN variants: candidate pairs with
     * (q_id, qv, vec_id, embedding) → top-k per query by rounded cosine
     * with the catalog's deterministic (cos desc, nb_id) tiebreak. */
-  private def rerank(candidates: DataFrame, k: Int): DataFrame = {
+  private def rerank(candidates: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id"))
     candidates
-      .filter(col("q_id") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
       .select(col("q_id"), col("vec_id").as("nb_id"),
         round6(graft.functions.GraftFunctions.cosine_sim(col("qv"), col("embedding")))
           .as("cos"))
@@ -319,36 +320,51 @@ object Similarity {
     * assignment is scale-invariant. */
   def ivfCentroids(vecs: DataFrame, k: Int, iters: Int = 3): DataFrame = {
     val cos = graft.functions.GraftFunctions.cosine_sim _
-    var cents = vecs.filter(col("vec_id") < k)
+    // seed with the k smallest vec_ids (works for ANY id space, not
+    // just dense 0-based ids)
+    var cents = vecs.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cent_id"),
         col("embedding").cast("array<float>").as("cv"))
       .localCheckpoint()
     (1 to iters).foreach { _ =>
-      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+      // argmax by (csim desc, cent_id asc) as a max_by partial
+      // aggregation — map-side combinable, no k-copies-of-the-embedding
+      // window shuffle
       val assigned = vecs.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("cent_id"),
           round6(cos(col("embedding"), col("cv"))).as("csim"))
-        .withColumn("arn", row_number().over(w))
-        .filter(col("arn") === 1)
-      // element-wise mean per cell: explode to (cell, pos, x), average,
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("cent_id"), col("embedding")),
+          struct(col("csim"), -col("cent_id"))).as("best"))
+        .select(col("best.cent_id").as("cent_id"), col("best.embedding").as("embedding"))
+      // element-wise EXACT mean per cell (decimal-cast sums — the float
+      // fold would make centroids partition-order-dependent), then
       // reassemble in position order
-      cents = assigned
+      val refreshed = assigned
         .select(col("cent_id"), posexplode(col("embedding")))
         .groupBy("cent_id", "pos")
-        .agg(avg(col("col").cast("double")).as("m"))
+        .agg((sum(col("col").cast("decimal(25,6)")).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy("cent_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cent_id"),
           transform(col("pm"), s => s.getField("m")).cast("array<float>").as("cv"))
+      // a cell that attracted no members keeps its previous centroid —
+      // k must not silently shrink across iterations
+      cents = cents.select(col("cent_id"), col("cv").as("prev"))
+        .join(refreshed, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("cv"), col("prev")).as("cv"))
         .localCheckpoint()
     }
     cents
   }
 
   /** IVF search against a given centroid set (assignment + probes +
-    * exact re-rank inside probed cells). */
+    * exact re-rank inside probed cells). `excludeSelf` as in
+    * [[cosineTopK]] — keep the default only when query ids live in the
+    * corpus id space. */
   def ivfSearch(e: DataFrame, cents: DataFrame, queries: DataFrame,
-      nProbe: Int, k: Int): DataFrame = {
+      nProbe: Int, k: Int, excludeSelf: Boolean = true): DataFrame = {
     val cos = graft.functions.GraftFunctions.cosine_sim _
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cent_id"))
@@ -368,40 +384,17 @@ object Similarity {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nProbe)
       .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
-    rerank(probes.join(assigned, Seq("cell")), k)
+    rerank(probes.join(assigned, Seq("cell")), k, excludeSelf)
   }
 
   private def annIvfBuild(s: SparkSession, dir: String,
       nCells: Int, nProbe: Int): DataFrame = {
-    val cos = graft.functions.GraftFunctions.cosine_sim _
+    // the catalog path IS the public library path: raw first-nCells
+    // anchors (the oracle-locked configuration) through ivfSearch
     val e = Tables(s, dir).embeddings
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-
-    // assignment: nearest cell per vector (deterministic tiebreak)
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cent_id"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        round6(cos(col("embedding"), col("cv"))).as("csim"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-
-    // probe: each query's nProbe nearest cells
-    val wProbe = Window.partitionBy("q_id")
-      .orderBy(col("psim").desc, col("cent_id"))
-    val probes = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      .crossJoin(broadcast(cents))
-      .select(col("q_id"), col("qv"), col("cent_id"),
-        round6(cos(col("qv"), col("cv"))).as("psim"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nProbe)
-      .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
-
-    // exact re-rank inside the probed cells only
-    rerank(probes.join(assigned, Seq("cell")), TopK)
+    ivfSearch(e, cents, e.filter(col("vec_id") < NumQueries), nProbe, TopK)
   }
 
   /** Int8 vector quantization — the storage-scale trick (4× smaller

@@ -46,11 +46,15 @@ object StreamingOps {
     * same document" means). State per key is bounded by the watermark;
     * the payload never enters state, only the 32-hex digest. */
   def dedupNormalizedWithWatermark(docs: DataFrame,
-      watermark: String = "10 minutes"): DataFrame =
-    docs.withColumn("__fp", graft.Det.normFingerprint(col("text")))
+      watermark: String = "10 minutes"): DataFrame = {
+    // collision-proof helper name: never clobber a caller column
+    val fp = Iterator.from(0).map(i => s"__graft_fp$i")
+      .find(n => !docs.columns.contains(n)).get
+    docs.withColumn(fp, graft.Det.normFingerprint(col("text")))
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("__fp")
-      .drop("__fp")
+      .dropDuplicatesWithinWatermark(fp)
+      .drop(fp)
+  }
 
   /** Custom stateful sessionization via flatMapGroupsWithState with an
     * event-time timeout — emits a session once `gapMinutes` of event
