@@ -264,6 +264,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Payload redaction — the PII-scrub shape every training pipeline
+    * runs before ingest: mask sensitive spans (here: numeric literals
+    * in the event props — the corpus stand-in for phone/account
+    * numbers), count what was masked per record, and keep the plumbing
+    * columnar (codegen'd regexp ops; patterns restricted to the
+    * RE2∩Java-regex subset both engines execute identically, the f03
+    * rule). */
+  val redact: Q = Q(
+    "n29_redact",
+    """SELECT event_id,
+      |       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+      |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events.select(
+      col("event_id"),
+      regexp_replace(col("props"), "[0-9]+", "<NUM>").as("scrubbed"),
+      size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+        .cast("long").as("n_redacted"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(langStats, qualityScore, tokenStats, langId,
-    fingerprint, rollingFingerprint, unigramLogProb)
+    fingerprint, rollingFingerprint, unigramLogProb, redact)
 }
