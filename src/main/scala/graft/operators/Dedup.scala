@@ -229,26 +229,99 @@ object Dedup {
       .select("d1", "d2").distinct()
   }
 
+  /** Shingle df-cap (stop-shingle pruning, the 100 TB skew guard).
+    *
+    * The inverted-index family's pair stage costs Σ_sh df(sh)² shuffled
+    * rows; one boilerplate shingle shared by 10⁸ docs contributes 10¹⁶
+    * pair rows on a single shuffle key. With a cap, shingles with
+    * df > cap are excluded from PAIR GENERATION only — final counts and
+    * set sizes still use the full shingle sets, so reported (c, n1, n2,
+    * jac) values are exact, never approximations over pruned sets.
+    *
+    * Answer preservation: a qualifying pair is missed only if EVERY
+    * common shingle is hot (df > cap). A pair with jac ≥ t shares
+    * c ≥ t·min(n1,n2) shingles, so whenever the number of distinct hot
+    * shingle types H satisfies H < t·min_doc_shingle_count, every
+    * qualifying pair retains a non-hot witness and the capped answer is
+    * provably identical (hot shingles are by definition few — df > cap
+    * bounds H ≤ |index|/cap). DedupSpec plants a corpus-wide hot
+    * boilerplate shingle and proves both equality and the pair-row
+    * bound. */
+  private def dropHotShingles(sh: DataFrame, dfCap: Long): DataFrame = {
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("sh")
+    // hot set is small by construction (≤ |index| / cap) → broadcast anti
+    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+  }
+
+  /** Exact common-shingle counts for an explicit candidate pair set:
+    * explode each candidate by d1's full shingle set and match d2's.
+    * Cost |cand|·|sh/doc| — bounded by the candidate set, immune to
+    * shingle df skew. Pairs with no common shingle drop out (jac = 0). */
+  private def verifyCommon(sh: DataFrame, candidates: DataFrame): DataFrame = {
+    val s1 = sh.select(col("doc_id").as("d1"), col("sh"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("sh"))
+    candidates.join(s1, Seq("d1")).join(s2, Seq("d2", "sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+  }
+
+  /** (d1, d2, c, n1, n2) for all pairs sharing ≥1 (non-hot) shingle —
+    * the shared pair stage of n05/n08. Uncapped: classic inverted-index
+    * self-join. Capped: pair generation on the df-capped index, exact
+    * counts re-derived from the FULL index per candidate. */
+  private def commonCounts(sh: DataFrame, dfCap: Option[Long]): DataFrame = {
+    val common = dfCap match {
+      case None =>
+        val a = sh.select(col("doc_id").as("d1"), col("sh"))
+        val b = sh.select(col("doc_id").as("d2"), col("sh"))
+        a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+      case Some(cap) =>
+        val lite = dropHotShingles(sh, cap)
+        val a = lite.select(col("doc_id").as("d1"), col("sh"))
+        val b = lite.select(col("doc_id").as("d2"), col("sh"))
+        val candidates = a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+        verifyCommon(sh, candidates)
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    common
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+  }
+
   /** Library form of the MinHash+LSH near-dup pipeline: docs must have
     * (doc_id, text); returns (d1, d2, jac) with jac ≥ threshold.
     *
-    * Verify stage: common-shingle counts come from the inverted index
-    * (shuffle on shingle, Σdf² pair rows) and are then intersected with
-    * the LSH candidate set. The alternative — exploding each candidate
-    * pair by its full shingle list — shuffles |cand|·|sh/doc| rows,
-    * measured ~5× more than Σdf² on the harness corpus. Every LSH
-    * candidate pair shares ≥1 shingle (its colliding minhash), so the
-    * index side is a superset and the intersection loses nothing. */
-  def nearDuplicatePairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * Verify stage, uncapped: common-shingle counts come from the
+    * inverted index (shuffle on shingle, Σdf² pair rows) and are then
+    * intersected with the LSH candidate set. The alternative — exploding
+    * each candidate pair by its full shingle list — shuffles
+    * |cand|·|sh/doc| rows, measured ~5× more than Σdf² on the harness
+    * corpus. Every LSH candidate pair shares ≥1 shingle (its colliding
+    * minhash), so the index side is a superset and the intersection
+    * loses nothing.
+    *
+    * With `dfCap` set the trade inverts: Σdf² is unbounded under skew,
+    * so the verify switches to the candidate-explode form (bounded by
+    * the LSH candidate set, which banding already keeps small) — counts
+    * stay exact because the full shingle sets are used. */
+  def nearDuplicatePairs(docs: DataFrame, threshold: Double,
+                         dfCap: Option[Long] = None): DataFrame = {
     val sh = shingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val candidates = lshCandidates(docs)
 
-    val s1 = sh.select(col("doc_id").as("d1"), col("sh"))
-    val s2 = sh.select(col("doc_id").as("d2"), col("sh"))
-    val common = s1.join(s2, Seq("sh")).filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-      .join(candidates, Seq("d1", "d2"), "left_semi")
+    val common = dfCap match {
+      case None =>
+        val s1 = sh.select(col("doc_id").as("d1"), col("sh"))
+        val s2 = sh.select(col("doc_id").as("d2"), col("sh"))
+        s1.join(s2, Seq("sh")).filter(col("d1") < col("d2"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+          .join(candidates, Seq("d1", "d2"), "left_semi")
+      case Some(_) =>
+        verifyCommon(sh, candidates)
+    }
     common
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
@@ -276,20 +349,15 @@ object Dedup {
   }
 
   /** Library form of the exact inverted-index Jaccard join: docs must
-    * have (doc_id, text); returns (d1, d2, n_common, jac). */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("d1"), col("sh"))
-    val b = sh.select(col("doc_id").as("d2"), col("sh"))
-    a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+    * have (doc_id, text); returns (d1, d2, n_common, jac). `dfCap`
+    * enables stop-shingle pruning for skewed corpora (see
+    * [[dropHotShingles]] for the preservation argument). */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   dfCap: Option[Long] = None): DataFrame =
+    commonCounts(shingles(docs), dfCap)
       .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("c").as("n_common"), col("jac"))
-  }
 
   /** 60-bit token-level SimHash fingerprint per document: one
     * aggregation with 60 vote columns (no 60× row explosion — at 100 TB
@@ -367,15 +435,9 @@ object Dedup {
     * shingle, d1 < d2 halves the Σdf² pair rows (ties on size don't
     * emit mirrored duplicates). Returns (contained, container,
     * n_contained, n_container, containment). */
-  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("d1"), col("sh"))
-    val b = sh.select(col("doc_id").as("d2"), col("sh"))
-    a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       dfCap: Option[Long] = None): DataFrame = {
+    commonCounts(shingles(docs), dfCap)
       .withColumn("containment",
         col("c").cast("double") / least(col("n1"), col("n2")))
       .filter(col("containment") >= threshold)

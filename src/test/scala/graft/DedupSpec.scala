@@ -65,4 +65,54 @@ class DedupSpec extends SparkSpec {
     assert(sh.forall(_.getLong(0) == 2L))
     assert(sh.length == 1 && sh.head.getString(1) == "a b c")
   }
+
+  test("df-cap: planted hot shingle — capped answers identical, pair rows bounded") {
+    import spark.implicits._
+    // 60 docs all sharing a 5-word boilerplate header (3 hot shingles,
+    // df = 60 — the "shared header across 10^8 docs" skew shape) plus a
+    // unique 12-word body each. Docs 0/1 and 10/11 are planted near-dups
+    // (bodies differ in the final word only).
+    val header = "terms of service apply here"
+    def body(i: Int) = (0 until 12).map(w => s"w${i}_$w").mkString(" ")
+    val texts = (0 until 60).map {
+      case 1  => s"$header ${body(0).split(' ').dropRight(1).mkString(" ")} tail1"
+      case 11 => s"$header ${body(10).split(' ').dropRight(1).mkString(" ")} tail11"
+      case i  => s"$header ${body(i)}"
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+        math.round(r.getAs[Double]("jac") * 1e9))).toSet
+
+    val uncapped = pairSet(Dedup.jaccardPairs(docs, threshold = 0.5))
+    val capped   = pairSet(Dedup.jaccardPairs(docs, threshold = 0.5, dfCap = Some(5L)))
+    assert(uncapped.nonEmpty, "planted near-dups must qualify")
+    assert(uncapped.map(_._1) == Set((0L, 1L), (10L, 11L)))
+    assert(capped == uncapped, "stop-shingle pruning changed the answer")
+
+    // containment + LSH paths agree too (exact values, not just pair ids)
+    val cu = Dedup.containmentPairs(docs, 0.5).collect().map(_.toSeq).toSet
+    val cc = Dedup.containmentPairs(docs, 0.5, Some(5L)).collect().map(_.toSeq).toSet
+    assert(cc == cu)
+    val lu = pairSet(Dedup.nearDuplicatePairs(docs, 0.6))
+    val lc = pairSet(Dedup.nearDuplicatePairs(docs, 0.6, Some(5L)))
+    assert(lc == lu && lu.map(_._1) == Set((0L, 1L), (10L, 11L)))
+
+    // The bound itself: pair rows generated by the inverted-index stage.
+    // Hot header shingles contribute C(60,2) rows EACH uncapped; zero capped.
+    val sh = Dedup.shingles(docs)
+    def pairRows(index: org.apache.spark.sql.DataFrame): Long =
+      index.select($"doc_id".as("d1"), $"sh")
+        .join(index.select($"doc_id".as("d2"), $"sh"), Seq("sh"))
+        .filter($"d1" < $"d2").count()
+    val hot = sh.groupBy("sh").count().filter($"count" > 5).select("sh")
+    val rowsUncapped = pairRows(sh)
+    val rowsCapped = pairRows(sh.join(hot, Seq("sh"), "left_anti"))
+    assert(rowsUncapped >= 3L * 59 * 60 / 2,
+      s"fixture lost its skew: $rowsUncapped")
+    assert(rowsCapped < 100,
+      s"capped pair stage should be tiny, got $rowsCapped (uncapped $rowsUncapped)")
+  }
 }
