@@ -23,8 +23,14 @@ class TopKByScore(k: Int)
     xs.sortWith(lt).take(k)
 
   override def zero: List[(Double, Long)] = Nil
-  override def reduce(buf: List[(Double, Long)], in: (Long, Double)): List[(Double, Long)] =
-    trim((in._2, in._1) :: buf)
+  override def reduce(buf: List[(Double, Long)], in: (Long, Double)): List[(Double, Long)] = {
+    val e = (in._2, in._1)
+    // buf is kept sorted (trim output), so buf.last is the current
+    // worst survivor — a full buffer rejects non-improving rows in O(1)
+    // instead of re-sorting (the overwhelmingly common case at scale)
+    if (buf.nonEmpty && buf.lengthCompare(k) >= 0 && !lt(e, buf.last)) buf
+    else trim(e :: buf)
+  }
   override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
     trim(a ++ b)
   override def finish(buf: List[(Double, Long)]): Seq[(Long, Double)] =

@@ -32,20 +32,53 @@ object Similarity {
     sqrt(aggregate(transform(c, x => x.cast("double") * x),
       lit(0.0), (acc, x) => acc + x))
 
+  /** Bounded per-query top-k over scored rows (q_id, nb_id, cos) via
+    * the typed [[graft.functions.TopKByScore]] Aggregator: map-side
+    * partial heaps mean at most k rows per query PER PARTITION reach
+    * the shuffle, and parallelism is the corpus partitioning, not the
+    * query count. This is the library default; the per-q_id window
+    * formulation (sorts every query's full candidate set in one
+    * partition — parallelism capped at |queries|) is kept for the
+    * oracle catalog entries, and SimilaritySpec proves the two paths
+    * identical (same (cos desc, nb_id) order, same rn). */
+  private def heapTopK(scored: DataFrame, k: Int): DataFrame = {
+    val session = scored.sparkSession
+    import session.implicits._
+    scored.select(col("q_id").cast("long"), col("nb_id").cast("long"),
+        col("cos").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKByScore(k).toColumn.name("topk"))
+      .flatMap { case (q, nbs) =>
+        nbs.iterator.zipWithIndex.map { case ((nb, c), i) =>
+          (q, nb, c, (i + 1).toLong)
+        }
+      }
+      .toDF("q_id", "nb_id", "cos", "rn")
+  }
+
+  /** Per-query top-k dispatch: heap aggregator (scale path) or window
+    * (oracle-entry path) — bit-identical outputs either way. */
+  private def topKPerQuery(scored: DataFrame, k: Int, useHeap: Boolean): DataFrame =
+    if (useHeap) heapTopK(scored, k)
+    else {
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+    }
+
   /** Shared exact re-rank for ANN variants: candidate pairs with
     * (q_id, qv, vec_id, embedding) → top-k per query by rounded cosine
     * with the catalog's deterministic (cos desc, nb_id) tiebreak. */
   private def rerank(candidates: DataFrame, k: Int,
-      excludeSelf: Boolean = true): DataFrame = {
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id"))
-    candidates
+      excludeSelf: Boolean = true, useHeap: Boolean = false): DataFrame = {
+    val scored = candidates
       .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
       .select(col("q_id"), col("vec_id").as("nb_id"),
         round6(graft.functions.GraftFunctions.cosine_sim(col("qv"), col("embedding")))
           .as("cos"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .orderBy("q_id", "rn")
+    topKPerQuery(scored, k, useHeap).orderBy("q_id", "rn")
   }
 
   /** Exact brute-force cosine top-k for a fixed query set (vec_id <
@@ -72,7 +105,7 @@ object Similarity {
        |FROM ranked WHERE rn <= $TopK
        |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
     val e = Tables(s, dir).embeddings
-    cosineTopK(e, e.filter(col("vec_id") < NumQueries), TopK)
+    cosineTopK(e, e.filter(col("vec_id") < NumQueries), TopK, useHeap = false)
       .orderBy("q_id", "rn")
   }
 
@@ -84,20 +117,25 @@ object Similarity {
     * the query's — correct when the queries are drawn from the corpus
     * (the catalog case). Pass false when the query id space is
     * unrelated to the corpus, or equal ids would silently drop valid
-    * neighbors. */
+    * neighbors.
+    *
+    * `useHeap` (default true) ranks through the bounded TopKByScore
+    * aggregator — at a 10⁶-query batch the per-q_id window would ship
+    * every candidate row to one partition per query; the heap keeps
+    * parallelism at the corpus partitioning and shuffles ≤ k rows per
+    * (query, partition). The window path remains for the oracle
+    * entries (identical output, proven in SimilaritySpec/ApiSpec). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, useHeap: Boolean = true): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id"))
     // native codegen'd cosine expression: one tight loop per pair,
     // bit-identical to the zip_with/aggregate fold (SimilaritySpec)
-    corpus.crossJoin(broadcast(q))
+    val scored = corpus.crossJoin(broadcast(q))
       .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
       .select(col("q_id"), col("vec_id").as("nb_id"),
         round6(graft.functions.GraftFunctions.cosine_sim(col("qv"), col("embedding")))
           .as("cos"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    topKPerQuery(scored, k, useHeap)
   }
 
   /** Deterministic ±1 hyperplane weights per (table, bit, dim) — md5
@@ -364,7 +402,8 @@ object Similarity {
     * [[cosineTopK]] — keep the default only when query ids live in the
     * corpus id space. */
   def ivfSearch(e: DataFrame, cents: DataFrame, queries: DataFrame,
-      nProbe: Int, k: Int, excludeSelf: Boolean = true): DataFrame = {
+      nProbe: Int, k: Int, excludeSelf: Boolean = true,
+      useHeap: Boolean = true): DataFrame = {
     val cos = graft.functions.GraftFunctions.cosine_sim _
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cent_id"))
@@ -384,7 +423,7 @@ object Similarity {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nProbe)
       .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
-    rerank(probes.join(assigned, Seq("cell")), k, excludeSelf)
+    rerank(probes.join(assigned, Seq("cell")), k, excludeSelf, useHeap)
   }
 
   private def annIvfBuild(s: SparkSession, dir: String,
@@ -394,7 +433,8 @@ object Similarity {
     val e = Tables(s, dir).embeddings
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    ivfSearch(e, cents, e.filter(col("vec_id") < NumQueries), nProbe, TopK)
+    ivfSearch(e, cents, e.filter(col("vec_id") < NumQueries), nProbe, TopK,
+      useHeap = false)
   }
 
   /** Int8 vector quantization — the storage-scale trick (4× smaller

@@ -161,4 +161,28 @@ class SimilaritySpec extends SparkSpec {
       .agg(max(abs(col("d")))).head().getDouble(0)
     assert(diffs < 1e-12, s"native vs fold diff $diffs")
   }
+
+  test("heap top-k path is identical to the window path (cosine + IVF)") {
+    import graft.operators.Similarity
+    val e = Tables(spark, sf0001).embeddings
+    val queries = e.filter(col("vec_id") < 32)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "nb_id", "cos", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    // k=7 (not the catalog's 5) and excludeSelf=false: both dials moved
+    val hw = rows(Similarity.cosineTopK(e, queries, k = 7,
+      excludeSelf = false, useHeap = true))
+    val ww = rows(Similarity.cosineTopK(e, queries, k = 7,
+      excludeSelf = false, useHeap = false))
+    assert(hw == ww, s"cosine heap!=window: ${(hw diff ww).take(3)} / ${(ww diff hw).take(3)}")
+
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val hi = rows(Similarity.ivfSearch(e, cents, queries, nProbe = 4, k = 5,
+      useHeap = true))
+    val wi = rows(Similarity.ivfSearch(e, cents, queries, nProbe = 4, k = 5,
+      useHeap = false))
+    assert(hi == wi, s"ivf heap!=window: ${(hi diff wi).take(3)} / ${(wi diff hi).take(3)}")
+  }
 }
