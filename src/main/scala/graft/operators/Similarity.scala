@@ -437,6 +437,95 @@ object Similarity {
       useHeap = false)
   }
 
+  /** K-MEANS-REFINED IVF, hash-oracled end to end (DECISIONS.md #3):
+    * the full [[ivfCentroids]] Lloyd loop (2 rounds here) AND the
+    * probe/re-rank both have DuckDB twins, so the refined approximate
+    * pipeline — seeding, per-round round6-cosine assignment,
+    * decimal-exact element means, float-cast centroids, empty-cell
+    * carry-over, probing, final re-rank — is hash-checked, not just
+    * rows-checked. Every arithmetic step is portable: decimal sums are
+    * exact, float/double casts are IEEE round-to-nearest in both
+    * engines, and decimal-rounding ties are unreachable for binary
+    * floats at scale 6 (a tie needs d.dddddd5 exactly, which no
+    * m/2^e value can hit). */
+  val annIvfKmeans: Q = {
+    val nCells = 16
+    val nProbe = 4
+    val iters = 2
+    val dim = 64
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, $dim), " +
+        s"i -> CAST($a.embedding[i] AS DOUBLE) * $b.embedding[i]))"
+    def dotCv(e: String, c: String): String =
+      s"list_sum(list_transform(generate_series(1, $dim), " +
+        s"i -> CAST($e.embedding[i] AS DOUBLE) * $c.cv[i]))"
+    // one Lloyd round: assign every vector to its best cell by rounded
+    // cosine against c$p's centroids, re-average element-wise with
+    // exact decimal sums, float-cast, carry empty cells forward
+    def round(r: Int, p: String): String =
+      s"""cn$r AS (SELECT cent_id, cv,
+         |              sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * x))) AS cnrm
+         |       FROM $p),
+         |asg$r AS (SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, cn.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${round6Sql(s"${dotCv("e", "cn")} / (e.nrm * cn.cnrm)")} DESC,
+         |                      cn.cent_id) AS arn
+         |    FROM e CROSS JOIN cn$r cn) WHERE arn = 1),
+         |m$r AS (SELECT a.cell AS cent_id, dims.i,
+         |             CAST(sum(CAST(e.embedding[dims.i] AS DECIMAL(25,6))) AS DOUBLE)
+         |               / count(*) AS m
+         |      FROM asg$r a JOIN e ON e.vec_id = a.vec_id
+         |      CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) dims
+         |      GROUP BY a.cell, dims.i),
+         |cv$r AS (SELECT cent_id, list(CAST(m AS REAL) ORDER BY i) AS cv
+         |       FROM m$r GROUP BY cent_id),
+         |c$r AS (SELECT p.cent_id, coalesce(n.cv, p.cv) AS cv
+         |      FROM c${r - 1} p LEFT JOIN cv$r n USING (cent_id))""".stripMargin
+    Q(
+      "n16_ann_ivf_kmeans",
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |                  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+         |           FROM embeddings),
+         |c0 AS (SELECT vec_id AS cent_id, embedding AS cv
+         |       FROM embeddings ORDER BY vec_id LIMIT $nCells),
+         |${(1 to iters).map(r => round(r, s"c${r - 1}")).mkString(",\n")},
+         |cns AS (SELECT cent_id, cv,
+         |               sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * x))) AS cnrm
+         |        FROM c$iters),
+         |asgF AS (SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, cn.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${round6Sql(s"${dotCv("e", "cn")} / (e.nrm * cn.cnrm)")} DESC,
+         |                      cn.cent_id) AS arn
+         |    FROM e CROSS JOIN cns cn) WHERE arn = 1),
+         |probes AS (SELECT q_id, cell FROM (
+         |    SELECT e.vec_id AS q_id, cn.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${round6Sql(s"${dotCv("e", "cn")} / (e.nrm * cn.cnrm)")} DESC,
+         |                      cn.cent_id) AS prn
+         |    FROM e CROSS JOIN cns cn WHERE e.vec_id < $NumQueries) WHERE prn <= $nProbe),
+         |pairs AS (SELECT p.q_id, a.vec_id AS nb_id,
+         |                 ${round6Sql(s"${dot("qe", "ne")} / (qe.nrm * ne.nrm)")} AS cos
+         |          FROM probes p
+         |          JOIN asgF a ON a.cell = p.cell AND a.vec_id <> p.q_id
+         |          JOIN e ne ON ne.vec_id = a.vec_id
+         |          JOIN e qe ON qe.vec_id = p.q_id),
+         |ranked AS (SELECT q_id, nb_id, cos,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                                     ORDER BY cos DESC, nb_id) AS rn
+         |           FROM pairs)
+         |SELECT q_id, nb_id, cos, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= $TopK
+         |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val cents = ivfCentroids(e, k = nCells, iters = iters)
+      ivfSearch(e, cents, e.filter(col("vec_id") < NumQueries), nProbe, TopK,
+        useHeap = false)
+        .orderBy("q_id", "rn")
+    }
+  }
+
   /** Int8 vector quantization — the storage-scale trick (4× smaller
     * embeddings): per-vector symmetric scale s = max|x|/127, code_i =
     * floor(x_i/s·? + 0.5) (portable round), plus the dequantized-vs-
@@ -535,5 +624,5 @@ object Similarity {
   }
 
   val all: Seq[Q] = Seq(cosineTopK, annLsh, embeddingNearDup, annIvf,
-    vectorQuantize, quantizedTopK)
+    annIvfKmeans, vectorQuantize, quantizedTopK)
 }
