@@ -330,6 +330,75 @@ object Dedup {
       .select("d1", "d2", "jac")
   }
 
+  /** PRODUCTION-SHAPED LSH banding, hash-oracled (DECISIONS.md #4):
+    * unlike n04 (16 bands × 1 row — recall ≈ 1 so the exact answer can
+    * be its oracle), this entry runs the configuration a 100 TB corpus
+    * would: 4 bands × 4 rows, P(candidate | J) = 1−(1−J⁴)⁴ < 1. A
+    * recall-lossy pipeline can't be checked against the exact answer —
+    * instead the DuckDB twin recomputes the SAME banding (md5-slice
+    * minhash components are bit-portable, proven by n03; band signature
+    * = '|'-joined components) so candidate generation itself is
+    * hash-checked, then both engines verify exact Jaccard ≥ 0.6 on the
+    * shared candidate set. */
+  val lshBanded: Q = {
+    val bandRows = 4
+    val nBands = NumHashes / bandRows
+    Q(
+      "n17_lsh_banded",
+      s"""WITH $shinglesSql,
+         |mh AS (SELECT doc_id, j,
+         |              min(substr(md5(CAST(j // 4 AS VARCHAR) || ':' || sh),
+         |                         (j % 4) * 8 + 1, 8)) AS mh
+         |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS j) seeds
+         |       GROUP BY doc_id, j),
+         |bands AS (SELECT doc_id, j // $bandRows AS band,
+         |                 string_agg(mh, '|' ORDER BY j) AS sig
+         |          FROM mh GROUP BY doc_id, j // $bandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+         |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |           GROUP BY a.doc_id, b.doc_id),
+         |verified AS (SELECT co.d1, co.d2,
+         |                    CAST(co.c AS DOUBLE) / (s1.n + s2.n - co.c) AS jac
+         |             FROM common co
+         |             JOIN cand USING (d1, d2)
+         |             JOIN sizes s1 ON s1.doc_id = co.d1
+         |             JOIN sizes s2 ON s2.doc_id = co.d2)
+         |SELECT d1, d2, jac FROM verified
+         |WHERE jac >= 0.6
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val sh = shingles(docs)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val wide = minhashWide(sh)
+      val bands = wide.select(col("doc_id"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("|", (0 until bandRows).map(r => col(s"mh${bandRows * b + r}")): _*)
+              .as("sig"))
+        }: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val cand = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("d2"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      val s1 = sh.select(col("doc_id").as("d1"), col("sh"))
+      val s2 = sh.select(col("doc_id").as("d2"), col("sh"))
+      s1.join(s2, Seq("sh")).filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+        .join(cand, Seq("d1", "d2"), "left_semi")
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+        .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
+        .filter(col("jac") >= 0.6)
+        .select("d1", "d2", "jac")
+        .orderBy("d1", "d2")
+    }
+  }
+
   /** Exact n-gram Jaccard similarity join via the inverted shingle
     * index (shuffle on shingle, never all-pairs); threshold 0.5. */
   val ngramJaccard: Q = Q(
@@ -470,5 +539,5 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(exactDedup, normDedup, minhashSignature,
-    lshNearDup, ngramJaccard, simhash, containment)
+    lshNearDup, ngramJaccard, simhash, containment, lshBanded)
 }

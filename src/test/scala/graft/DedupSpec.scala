@@ -66,6 +66,19 @@ class DedupSpec extends SparkSpec {
     assert(sh.length == 1 && sh.head.getString(1) == "a b c")
   }
 
+  test("banded LSH (4x4): subset of exact pairs, recall reported") {
+    val banded = Catalog.queries("n17_lsh_banded")(spark, sf0001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Catalog.queries("n05_ngram_jaccard")(spark, sf0001)
+      .filter(col("jac") >= 0.6)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verify stage makes precision exactly 1; recall may be < 1 by design
+    assert((banded -- exact).isEmpty, s"spurious pairs: ${(banded -- exact).take(3)}")
+    assert(exact.nonEmpty)
+    info(s"banded 4x4 recall = ${banded.size.toDouble / exact.size} " +
+      s"(${banded.size}/${exact.size})")
+  }
+
   test("df-cap: planted hot shingle — capped answers identical, pair rows bounded") {
     import spark.implicits._
     // 60 docs all sharing a 5-word boilerplate header (3 hot shingles,
