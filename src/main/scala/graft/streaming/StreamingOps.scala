@@ -56,6 +56,48 @@ object StreamingOps {
       .drop(fp)
   }
 
+  /** Handle for the streaming near-dup slice: the running survivor
+    * query plus an on-demand batch view of near-dup pairs over
+    * everything survived so far. */
+  final case class NearDupSlice(
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      pairs: () => DataFrame)
+
+  /** STREAMING NEAR-DUP SLICE (DECISIONS.md #6): the two-tier shape a
+    * 100 TB ingest pipeline actually runs. Tier 1 (streaming, cheap,
+    * state = one 32-hex digest per doc inside the watermark):
+    * [[dedupNormalizedWithWatermark]] kills re-deliveries and trivial
+    * mutants on arrival. Tier 2 (batch, heavy): MinHash+LSH near-dup
+    * over the accumulated survivor store, run on demand — banding
+    * doesn't stream (a new doc can collide with any historical bucket),
+    * so the correct split is stream-curate + batch-LSH.
+    *
+    * The survivor store append is naturally idempotent AT THE PAIR
+    * LEVEL: a foreachBatch replay re-appends duplicate (doc_id, text)
+    * rows, but the shingle index is per-doc DISTINCT, so replayed rows
+    * change no Jaccard value and create no d1 < d2 pair — no ledger
+    * needed for correctness of `pairs()`.
+    *
+    * `dfCap` forwards to the LSH verify (the skew guard matters most
+    * exactly here, where the corpus grows unbounded over time). */
+  def nearDupSlice(docs: DataFrame, survivorDir: String, checkpointDir: String,
+      threshold: Double = 0.6, watermark: String = "10 minutes",
+      dfCap: Option[Long] = None): NearDupSlice = {
+    val spark = docs.sparkSession
+    val q = dedupNormalizedWithWatermark(docs, watermark)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          batch.select("doc_id", "text").write.mode("append").parquet(survivorDir)
+      }
+      .start()
+    NearDupSlice(q, () =>
+      graft.operators.Dedup.nearDuplicatePairs(
+        spark.read.parquet(survivorDir), threshold, dfCap))
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState with an
     * event-time timeout — emits a session once `gapMinutes` of event
     * time passes with no activity (the hand-rolled analog of

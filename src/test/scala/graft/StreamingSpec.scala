@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.Event
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, min}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Structured Streaming semantics: watermarks, late-data drop,
@@ -167,6 +167,58 @@ class StreamingSpec extends SparkSpec {
     assert(ids.size == 2)
     assert(ids.contains(4L))
     assert((ids - 4L).subsetOf(Set(1L, 2L, 3L))) // exactly one of the mutants
+  }
+
+  test("streaming near-dup slice equals its batch twin on a planted dup stream") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("neardup_slice").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val slice = StreamingOps.nearDupSlice(docs,
+      s"$dir/survivors", s"$dir/ckpt", threshold = 0.6, watermark = "1 hour")
+    def words(tag: Int, n: Int) = (0 until n).map(w => s"t${tag}_$w").mkString(" ")
+    // 10/11 and 20/21 are near-dups (12 words, last differs: jac = 8/12);
+    // 12 and 22 are exact-mutant redeliveries tier 1 must kill; the rest
+    // are unrelated.
+    val base10 = words(10, 11); val base20 = words(20, 11)
+    try {
+      input.addData(Seq(
+        (10L, ts("2024-01-01 10:00:00"), s"$base10 endA"),
+        (11L, ts("2024-01-01 10:00:01"), s"$base10 endB"),
+        (12L, ts("2024-01-01 10:00:02"), s"  $base10 ENDA "),
+        (30L, ts("2024-01-01 10:00:03"), words(30, 12))))
+      slice.query.processAllAvailable()
+      input.addData(Seq(
+        (20L, ts("2024-01-01 10:10:00"), s"$base20 endA"),
+        (21L, ts("2024-01-01 10:10:01"), s"$base20 endB"),
+        (22L, ts("2024-01-01 10:10:02"), s"${base20.toUpperCase} endA"),
+        (31L, ts("2024-01-01 10:10:03"), words(31, 12))))
+      slice.query.processAllAvailable()
+    } finally slice.query.stop()
+
+    val survivors = spark.read.parquet(s"$dir/survivors")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(10L, 11L, 20L, 21L, 30L, 31L),
+      s"tier-1 survivors wrong: $survivors")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getAs[Double]("jac") * 1e9))).toSet
+    val streamed = pairSet(slice.pairs())
+    // batch twin over the same raw rows: normalized dedup keeping the
+    // first (= min id, matching arrival order) then the same LSH
+    val raw = Seq(
+      (10L, s"$base10 endA"), (11L, s"$base10 endB"), (12L, s"  $base10 ENDA "),
+      (30L, words(30, 12)), (20L, s"$base20 endA"), (21L, s"$base20 endB"),
+      (22L, s"${base20.toUpperCase} endA"), (31L, words(31, 12)))
+      .toDF("doc_id", "text")
+    val kept = raw.groupBy(graft.Det.normFingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(raw, Seq("doc_id"))
+      .select("doc_id", "text")
+    val batch = pairSet(graft.operators.Dedup.nearDuplicatePairs(kept, 0.6))
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.map(t => (t._1, t._2)) == Set((10L, 11L), (20L, 21L)))
   }
 
   test("st04 catalog entry (batch) agrees with the op run as a real stream") {
