@@ -151,8 +151,12 @@ object GtfsPipeline {
         .partitionBy("year", "month", "day", "hour")
         .parquet(dataDir)
       // GeoParquet `geo` footer metadata so external readers recognize
-      // the WKB geometry column (ref gtfs_rt_assets.py:128,141)
-      graft.sources.GeoParquet.stampDirectory(dataDir, "geom")
+      // the WKB geometry column (ref gtfs_rt_assets.py:128,141).
+      // Partition-scoped: stamp only what this batch wrote — the store
+      // grows without bound, the batch doesn't.
+      val touched = df.select("year", "month", "day", "hour").distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      graft.sources.GeoParquet.stampPartitions(dataDir, touched, "geom")
 
       // 4. K2 + A1/A2: one-row ledger append with bbox aggregate.
       //    bbox over WKB via st_x/st_y — all-null geometry ⇒ null bbox
@@ -245,8 +249,9 @@ object GtfsPipeline {
       if (!survivors.isEmpty) {
         survivors.write.mode(SaveMode.Overwrite)
           .partitionBy("year", "month", "day", "hour").parquet(dataDir)
-        // rewritten files need their GeoParquet footer restored
-        graft.sources.GeoParquet.stampDirectory(dataDir, "geom")
+        // rewritten files need their GeoParquet footer restored — only
+        // the partitions this recovery rewrote
+        graft.sources.GeoParquet.stampPartitions(dataDir, partitions, "geom")
       }
       // partitions whose every row was orphaned produce no survivor
       // rows — dynamic overwrite never touches them; delete directly

@@ -3,10 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -64,52 +64,63 @@ case class AsOfJoinExec(
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKey = BindReferences.bindReference(leftKey, left.output)
-    val lTs = BindReferences.bindReference(leftTs, left.output)
-    val rKey = BindReferences.bindReference(rightKey, right.output)
-    val rTs = BindReferences.bindReference(rightTs, right.output)
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+    // Generated evaluation (DECISIONS.md #2 / VERDICT_r02 stretch):
+    // per-row work is two codegen'd (key, ts) UnsafeProjections and two
+    // codegen'd orderings over the projected rows — no interpreted
+    // expression trees, no boxing for primitive keys. GenerateOrdering /
+    // UnsafeProjection carry interpreted fallbacks and a codegen cache,
+    // so per-partition generate() calls amortize to a map lookup.
+    val keyDt = leftKey.dataType
+    val tsDt = leftTs.dataType
     val rightWidth = right.output.size
+    val lExprs = Seq(BindReferences.bindReference(leftKey, left.output),
+      BindReferences.bindReference(leftTs, left.output))
+    val rExprs = Seq(BindReferences.bindReference(rightKey, right.output),
+      BindReferences.bindReference(rightTs, right.output))
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // projected layout: field 0 = key, field 1 = ts
+      val lProj = UnsafeProjection.create(lExprs)
+      val rProj = UnsafeProjection.create(rExprs)
+      val keyOrd = GenerateOrdering.generate(
+        Seq(SortOrder(BoundReference(0, keyDt, nullable = true), Ascending)))
+      val tsOrd = GenerateOrdering.generate(
+        Seq(SortOrder(BoundReference(1, tsDt, nullable = true), Ascending)))
       val rBuf = rIter.buffered
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       var lastMatch: InternalRow = null
-      var lastMatchKey: Any = null
+      var lastMatchExt: InternalRow = null // copied (key, ts) of lastMatch
 
       lIter.map { lRow =>
-        val lk = lKey.eval(lRow)
-        val lt = lTs.eval(lRow)
+        val lExt = lProj(lRow) // buffer reused per left row — no copies held
         // SQL ASOF semantics: NULL keys/timestamps never match (DuckDB
         // oracle parity). NULL-keyed left rows sort first and skip the
         // advance entirely; NULL right keys/timestamps are consumed so
         // they cannot block later rows, but never become the match.
-        if (lk != null && lt != null) {
+        if (!lExt.isNullAt(0) && !lExt.isNullAt(1)) {
           // advance the right side to the last row with key == lk, ts <= lt
           var advancing = true
           while (advancing && rBuf.hasNext) {
-            val head = rBuf.head
-            val hk = rKey.eval(head)
-            val ht = if (hk == null) null else rTs.eval(head)
-            val kc = if (hk == null) -1 else keyOrd.compare(hk, lk)
+            val hExt = rProj(rBuf.head)
+            val hkNull = hExt.isNullAt(0)
+            val htNull = hkNull || hExt.isNullAt(1)
+            val kc = if (hkNull) -1 else keyOrd.compare(hExt, lExt)
             if (kc < 0 || (kc == 0 &&
-                (ht == null || tsOrd.compare(ht, lt) <= 0))) {
+                (htNull || tsOrd.compare(hExt, lExt) <= 0))) {
               val consumed = rBuf.next()
-              if (kc == 0 && ht != null) {
+              if (kc == 0 && !htNull) {
                 lastMatch = consumed.copy() // rows are reused buffers
-                // Re-evaluate the key off the COPIED row: `hk` from the
-                // reused sort-iterator buffer is silently mutated when the
-                // iterator advances for buffer-backed types (UTF8String,
-                // binary, struct, decimal).
-                lastMatchKey = rKey.eval(lastMatch)
+                // Re-project off the COPIED row: hExt points at rProj's
+                // reused result buffer, which the next projection call
+                // overwrites.
+                lastMatchExt = rProj(lastMatch).copy()
               }
             } else advancing = false
           }
         }
-        val matched = lk != null && lt != null && lastMatch != null &&
-          keyOrd.compare(lastMatchKey, lk) == 0
+        val matched = !lExt.isNullAt(0) && !lExt.isNullAt(1) &&
+          lastMatch != null && keyOrd.compare(lastMatchExt, lExt) == 0
         if (matched) joined(lRow, lastMatch) else joined(lRow, nullRight)
       }
     }

@@ -54,6 +54,18 @@ object GeoParquet {
     files.count(p => stampFile(p, primaryColumn))
   }
 
+  /** Stamp only the given Hive partitions — the per-batch COMMIT path:
+    * the writer knows exactly which (year, month, day, hour) partitions
+    * its batch touched, so the walk is O(files in this batch), not
+    * O(entire store). [[stampDirectory]] remains for full-store repair
+    * (recovery from a crash between write and stamp). Idempotent like
+    * stampFile; missing partition dirs count zero. */
+  def stampPartitions(dir: String, partitions: Iterable[(Int, Int, Int, Int)],
+      primaryColumn: String = "geom"): Int =
+    partitions.iterator.map { case (y, m, d, h) =>
+      stampDirectory(s"$dir/year=$y/month=$m/day=$d/hour=$h", primaryColumn)
+    }.sum
+
   /** Add the `geo` entry to one file's footer; false if already
     * present. */
   def stampFile(file: Path, primaryColumn: String): Boolean = {
