@@ -18,6 +18,7 @@ class PlanLintSpec extends SparkSpec {
     "n15_quantized_topk",   // 32-query broadcast build side (int8 codes)
     "n12_embedding_neardup",// documented exact all-pairs baseline
     "n13_ann_ivf",          // 16-centroid broadcast assignment
+    "n16_ann_ivf_kmeans",   // same 16-centroid broadcast, k-means-refined
     "x05_date_spine",       // 31-row generated spine
     "a04_small_qty",        // correlated scalar per-part (broadcast agg)
     "a14_market_share",     // tiny nation-share cross
