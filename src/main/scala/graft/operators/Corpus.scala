@@ -54,12 +54,11 @@ object Corpus {
     labels
   }
 
-  /** Duplicate clusters over the exact-Jaccard near-dup graph at
-    * threshold 0.6: every document that has at least one near-dup,
-    * with its cluster id (= smallest doc_id in the component). Oracle:
-    * DuckDB recursive CTE computing min reachable label. */
-  val dupClusters: Q = Q(
-    "n07_dup_clusters",
+  /** Shared DuckDB CTE chain: exact-Jaccard 0.6 near-dup graph →
+    * recursive min-reachable-label components, ending in
+    * `clusters(doc_id, cluster_id)` — the oracle twin of
+    * jaccardPairs(0.6) |> connectedComponents (n07, n19). */
+  private val clustersSql =
     s"""WITH RECURSIVE
        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (SELECT DISTINCT doc_id,
@@ -78,16 +77,101 @@ object Corpus {
        |          UNION ALL SELECT d2, d1 FROM pairs),
        |reach AS (SELECT a AS node, a AS lbl FROM edges
        |          UNION
-       |          SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b)
-       |SELECT node AS doc_id, min(lbl) AS cluster_id
-       |FROM reach
-       |GROUP BY node
-       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val pairs = Dedup.jaccardPairs(Tables(s, dir).documents, threshold = 0.6)
-      .select("d1", "d2")
-    connectedComponents(pairs)
+       |          SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+       |clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+       |             FROM reach GROUP BY node)""".stripMargin
+
+  /** The Spark side of `clustersSql`. */
+  private def buildClusters(docs: DataFrame): DataFrame =
+    connectedComponents(
+      Dedup.jaccardPairs(docs, threshold = 0.6).select("d1", "d2"))
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy("doc_id")
+
+  /** Duplicate clusters over the exact-Jaccard near-dup graph at
+    * threshold 0.6: every document that has at least one near-dup,
+    * with its cluster id (= smallest doc_id in the component). Oracle:
+    * DuckDB recursive CTE computing min reachable label. */
+  val dupClusters: Q = Q(
+    "n07_dup_clusters",
+    s"""$clustersSql
+       |SELECT doc_id, cluster_id
+       |FROM clusters
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    buildClusters(Tables(s, dir).documents).orderBy("doc_id")
+  }
+
+  /** Cluster-representative selection: for each duplicate cluster keep
+    * the BEST document (longest n_chars, doc_id tiebreak) instead of
+    * the arbitrary min-id — what a curation pipeline actually ships
+    * (drop near-dups, keep the highest-quality witness). One map-side-
+    * combinable max_by aggregation over the cluster labels; no window,
+    * no second shuffle of document bodies. */
+  val clusterReps: Q = Q(
+    "n19_cluster_reps",
+    s"""$clustersSql,
+       |j AS (SELECT c.cluster_id, c.doc_id, d.n_chars
+       |      FROM clusters c JOIN documents d USING (doc_id)),
+       |r AS (SELECT cluster_id, doc_id, n_chars,
+       |             row_number() OVER (PARTITION BY cluster_id
+       |                                ORDER BY n_chars DESC, doc_id) AS rn,
+       |             count(*) OVER (PARTITION BY cluster_id) AS n_docs
+       |      FROM j)
+       |SELECT cluster_id, doc_id AS rep_doc_id,
+       |       CAST(n_chars AS BIGINT) AS rep_chars,
+       |       CAST(n_docs AS BIGINT) AS n_docs
+       |FROM r WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    buildClusters(docs)
+      .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(
+        max_by(struct(col("doc_id"), col("n_chars")),
+          struct(col("n_chars"), -col("doc_id"))).as("best"),
+        count(lit(1)).as("n_docs"))
+      .select(col("cluster_id"), col("best.doc_id").as("rep_doc_id"),
+        col("best.n_chars").cast("long").as("rep_chars"), col("n_docs"))
+      .orderBy("cluster_id")
+  }
+
+  /** Sequence packing (context-window binning): assign documents, in
+    * deterministic doc_id order within each source shard, to
+    * fixed-token-budget bins by exclusive-prefix-sum division — the
+    * training-batch assembly step. bin = floor(tokens_before / budget),
+    * the same streaming heuristic Spark itself uses for
+    * maxPartitionBytes file binning (a bin may overflow by at most one
+    * document; no bin is left needlessly open).
+    *
+    * Scale note: the prefix sum partitions by the shard key (`source`),
+    * so parallelism is the shard count and no global ordering exists —
+    * exactly how a 100 TB corpus is packed (per input shard), not a
+    * single unpartitioned window. */
+  val seqPack: Q = {
+    val budget = 2048
+    Q(
+      "n18_seq_pack",
+      s"""WITH t AS (SELECT doc_id, source,
+         |                 len(string_split(text, ' ')) AS n_tokens
+         |          FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |             coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |      FROM t)
+         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(prior // $budget AS BIGINT) AS bin
+         |FROM c
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr(s"prior div $budget").as("bin"))
+        .orderBy("doc_id")
+    }
   }
 
   /** Benchmark-contamination screen: training docs sharing at least one
@@ -152,5 +236,6 @@ object Corpus {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(dupClusters, contamination, stratifiedSample)
+  val all: Seq[Q] = Seq(dupClusters, contamination, stratifiedSample,
+    seqPack, clusterReps)
 }

@@ -56,6 +56,54 @@ class CorpusSpec extends SparkSpec {
     assert(hits == Set(11L))
   }
 
+  test("sequence packing: bins fill to budget, overflow by at most one doc") {
+    val budget = 2048L
+    val rows = Catalog.queries("n18_seq_pack")(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(2))) // (source, bin, n_tokens)
+    assert(rows.nonEmpty)
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((src, bin), docs) =>
+      val total = docs.map(_._3).sum
+      val largest = docs.map(_._3).max
+      // a bin closes only once it reaches the budget; the closing doc
+      // may overflow it, so total < budget + largest
+      assert(total < budget + largest, s"($src,$bin): $total")
+    }
+    // global fill: by the end of any non-last bin the cumulative token
+    // count has crossed that bin's budget boundary (no bin closes early)
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val perBin = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val last = perBin.keys.max
+      var cum = 0L
+      perBin.toSeq.sortBy(_._1).foreach { case (bin, total) =>
+        cum += total
+        if (bin != last)
+          assert(cum >= (bin + 1) * budget,
+            s"($src,$bin) closed at cumulative $cum < ${(bin + 1) * budget}")
+      }
+    }
+  }
+
+  test("cluster reps: representative is the longest member of its cluster") {
+    val clusters = Catalog.queries("n07_dup_clusters")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val chars = Tables(spark, sf0001).documents
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reps = Catalog.queries("n19_cluster_reps")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(reps.nonEmpty)
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(reps.map(_._1).toSet == byCluster.keySet)
+    reps.foreach { case (cid, rep, repChars, nDocs) =>
+      val members = byCluster(cid)
+      assert(members.contains(rep))
+      assert(nDocs == members.length)
+      assert(repChars == chars(rep))
+      val best = members.map(m => (chars(m), -m)).max
+      assert((chars(rep), -rep) == best, s"cluster $cid: rep $rep not best")
+    }
+  }
+
   test("stratified sample: ~10% per stratum, deterministic") {
     val a = Catalog.queries("n27_stratified_sample")(spark, sf0001).collect()
     val b = Catalog.queries("n27_stratified_sample")(spark, sf0001).collect()
