@@ -286,6 +286,69 @@ object TextAnalysis {
       .orderBy("event_id")
   }
 
+  /** Within-document repetition metrics — the Gopher-family quality
+    * filter (Rae et al. 2021 §A1.1 shape): most-frequent-token
+    * fraction and duplicate 2-/3-gram fractions. High values flag
+    * boilerplate/spam/generated loops that per-corpus dedup cannot see.
+    * Entirely map-side array expressions (zero shuffles, zero explode)
+    * — the per-doc O(tokens·distinct) top-token scan beats shipping
+    * every token through a groupBy at 100 TB. Counts are exact ints and
+    * every ratio is one IEEE division, identical in both engines. */
+  val repetition: Q = Q(
+    "n34_repetition",
+    """WITH f AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, w,
+      |             list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+      |                            i -> w[i] || ' ' || w[i+1]) AS g2,
+      |             list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+      |                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+      |      FROM f)
+      |SELECT doc_id,
+      |       CAST(len(w) AS BIGINT) AS n_tokens,
+      |       CAST(list_max(list_transform(list_distinct(w),
+      |              t -> len(list_filter(w, x -> x = t)))) AS DOUBLE) / len(w)
+      |         AS top_tok_frac,
+      |       CASE WHEN len(g2) = 0 THEN 0.0
+      |            ELSE 1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+      |       END AS dup_2gram_frac,
+      |       CASE WHEN len(g3) = 0 THEN 0.0
+      |            ELSE 1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+      |       END AS dup_3gram_frac
+      |FROM g
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    repetitionMetrics(Tables(s, dir).documents).orderBy("doc_id")
+  }
+
+  /** Library form of n34: (doc_id, n_tokens, top_tok_frac,
+    * dup_2gram_frac, dup_3gram_frac) for any (doc_id, text) frame. */
+  def repetitionMetrics(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+      // guard short docs explicitly (DuckDB's generate_series is empty)
+      .withColumn("g2", expr(
+        """CASE WHEN size(w) >= 2
+          |     THEN transform(sequence(1, size(w) - 1),
+          |            i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+          |     ELSE array() END""".stripMargin))
+      .withColumn("g3", expr(
+        """CASE WHEN size(w) >= 3
+          |     THEN transform(sequence(1, size(w) - 2),
+          |            i -> concat(element_at(w, i), ' ', element_at(w, i + 1),
+          |                        ' ', element_at(w, i + 2)))
+          |     ELSE array() END""".stripMargin))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        expr("""CAST(array_max(transform(array_distinct(w),
+               |  t -> size(filter(w, x -> x = t)))) AS DOUBLE) / size(w)"""
+          .stripMargin).as("top_tok_frac"),
+        expr("IF(size(g2) = 0, 0.0D, " +
+          "1.0D - CAST(size(array_distinct(g2)) AS DOUBLE) / size(g2))")
+          .as("dup_2gram_frac"),
+        expr("IF(size(g3) = 0, 0.0D, " +
+          "1.0D - CAST(size(array_distinct(g3)) AS DOUBLE) / size(g3))")
+          .as("dup_3gram_frac"))
+
   val all: Seq[Q] = Seq(langStats, qualityScore, tokenStats, langId,
-    fingerprint, rollingFingerprint, unigramLogProb, redact)
+    fingerprint, rollingFingerprint, unigramLogProb, redact, repetition)
 }

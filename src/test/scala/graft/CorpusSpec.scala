@@ -104,6 +104,24 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("repetition metrics: planted loop scores high, diverse text low") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),          // pure loop
+      (2L, "the quick brown fox jumps over a lazy sleeping dog"), // diverse
+      (3L, "ab cd ab cd ab cd ab cd"),                           // period-2 loop
+      (4L, "one"), (5L, "one two")                               // short-doc guards
+    ).toDF("doc_id", "text")
+    val m = graft.operators.TextAnalysis.repetitionMetrics(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m(1L)._1 == 1.0 && m(1L)._2 == (1.0 - 1.0 / 7))
+    assert(m(2L)._1 == 0.1 && m(2L)._2 == 0.0 && m(2L)._3 == 0.0)
+    assert(m(3L)._2 > 0.7 && m(3L)._3 > 0.6)
+    assert(m(4L) == ((1.0, 0.0, 0.0))) // 1 token: no n-grams, no crash
+    assert(m(5L)._3 == 0.0)            // 2 tokens: no 3-grams
+  }
+
   test("stratified sample: ~10% per stratum, deterministic") {
     val a = Catalog.queries("n27_stratified_sample")(spark, sf0001).collect()
     val b = Catalog.queries("n27_stratified_sample")(spark, sf0001).collect()
