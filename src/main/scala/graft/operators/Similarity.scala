@@ -247,10 +247,18 @@ object Similarity {
     * (8 tables × 8 bits) catches >99.99%; at cos 0.5 hyperplane LSH
     * is mathematically useless (p ≈ 0.67 ⇒ per-table collision 2%) —
     * near-duplicate thresholds are ≥0.8 in practice, which is why the
-    * catalog's 0.5-threshold oracle entry (n12) stays exact. */
+    * catalog's 0.5-threshold oracle entry (n12) stays exact.
+    *
+    * `probeBits` (LSH path only): multi-probe expansion — each vector
+    * additionally probes the `probeBits` buckets at hamming distance 1
+    * from its signature (low bits flipped; probeBits = nBits covers all
+    * 1-bit neighbors). Per-table collision probability rises from p^n
+    * to p^n + probeBits·p^(n-1)(1−p) at a (probeBits+1)× candidate-side
+    * expansion — the standard recall dial that avoids doubling
+    * nTables (and thus re-hashing the corpus). */
   def nearDuplicateVectors(vecs: DataFrame, threshold: Double,
       exact: Boolean = true, nTables: Int = 8, nBits: Int = 8,
-      dim: Int = -1): DataFrame = {
+      dim: Int = -1, probeBits: Int = 0): DataFrame = {
     val a = vecs.select(col("vec_id").as("v1"), col("embedding").as("e1"))
     val b = vecs.select(col("vec_id").as("v2"), col("embedding").as("e2"))
     val pairs =
@@ -263,8 +271,17 @@ object Similarity {
         val d =
           if (dim > 0) dim
           else vecs.select(size(col("embedding"))).head().getInt(0)
+        require(probeBits >= 0 && probeBits <= nBits,
+          s"probeBits $probeBits out of [0, $nBits]")
         val sigs = hyperplaneSigs(vecs, nTables, nBits, d)
-        val s1 = sigs.select(col("vec_id").as("v1"), col("t"), col("sig"))
+        // expand ONE side: pair (a < b) is caught via a-expanded ∩ b-exact
+        val s1 =
+          if (probeBits == 0)
+            sigs.select(col("vec_id").as("v1"), col("t"), col("sig"))
+          else sigs.select(col("vec_id").as("v1"), col("t"),
+            explode(array(col("sig") +:
+              (0 until probeBits).map(bit =>
+                col("sig").bitwiseXOR(lit(1L << bit))): _*)).as("sig"))
         val s2 = sigs.select(col("vec_id").as("v2"), col("t"), col("sig"))
         s1.join(s2, Seq("t", "sig")).filter(col("v1") < col("v2"))
           .select("v1", "v2").distinct()

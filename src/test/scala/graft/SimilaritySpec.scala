@@ -96,6 +96,41 @@ class SimilaritySpec extends SparkSpec {
       s"missed=${(exact -- approx).take(5)} spurious=${(approx -- exact).take(5)}")
   }
 
+  test("multi-probe LSH widens recall in a starved configuration") {
+    import spark.implicits._
+    // weaker planted dups (cos ≈ 0.93) in a deliberately starved
+    // 1-table × 12-bit configuration: single-probe recall collapses,
+    // hamming-1 probing must strictly widen the candidate set while
+    // staying exact-verified (no spurious pairs). Deterministic seeds —
+    // stable, not flaky.
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val dups = (0 until 30).map { j =>
+      val (srcId, v) = base(j * 5)
+      val w = v.map(x => x + 0.38f * rnd.nextGaussian().toFloat)
+      (1000L + srcId, w)
+    }
+    val vecs = (base ++ dups).toDF("vec_id", "embedding")
+    val exact = graft.operators.Similarity
+      .nearDuplicateVectors(vecs, threshold = 0.85, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20, s"fixture too weak: ${exact.size} pairs")
+    def lsh(probes: Int) = graft.operators.Similarity
+      .nearDuplicateVectors(vecs, threshold = 0.85, exact = false,
+        nTables = 1, nBits = 12, probeBits = probes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val starved = lsh(0)
+    val probed = lsh(12)
+    assert(starved.subsetOf(probed), "multi-probe lost a single-probe pair")
+    assert(probed.subsetOf(exact), s"spurious: ${(probed -- exact).take(3)}")
+    assert(probed.size > starved.size,
+      s"multi-probe must widen recall: ${starved.size} -> ${probed.size}")
+    info(s"recall: single-probe ${starved.size}/${exact.size}, " +
+      s"multi-probe ${probed.size}/${exact.size}")
+  }
+
   test("k-means-refined IVF centroids do not lose recall vs raw anchors") {
     import graft.operators.Similarity
     val e = Tables(spark, sf0001).embeddings
