@@ -58,14 +58,29 @@ object Graft {
     }
 
     /** MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
-      * Returns (d1, d2, jac ≥ threshold). */
-    def nearDuplicates(threshold: Double = 0.8): DataFrame =
-      Dedup.nearDuplicatePairs(df, threshold)
+      * Returns (d1, d2, jac ≥ threshold). `dfCap` enables stop-shingle
+      * pruning for skewed corpora (exact counts preserved; see
+      * Dedup.dropHotShingles). */
+    def nearDuplicates(threshold: Double = 0.8,
+        dfCap: Option[Long] = None): DataFrame =
+      Dedup.nearDuplicatePairs(df, threshold, dfCap)
 
     /** Exact n-gram Jaccard similarity join (inverted index).
       * Returns (d1, d2, n_common, jac ≥ threshold). */
-    def jaccardSimilarityJoin(threshold: Double = 0.5): DataFrame =
-      Dedup.jaccardPairs(df, threshold)
+    def jaccardSimilarityJoin(threshold: Double = 0.5,
+        dfCap: Option[Long] = None): DataFrame =
+      Dedup.jaccardPairs(df, threshold, dfCap)
+
+    /** Gopher-style repetition metrics: (doc_id, n_tokens,
+      * top_tok_frac, dup_2gram_frac, dup_3gram_frac). */
+    def repetitionMetrics(): DataFrame =
+      graft.operators.TextAnalysis.repetitionMetrics(df)
+
+    /** Sequence packing: append (n_tokens, bin) — fixed-token-budget
+      * bins per shard in doc_id order (training-batch assembly). */
+    def packSequences(budget: Long = 2048,
+        shardCol: String = "source"): DataFrame =
+      graft.operators.Corpus.packSequences(df, budget, shardCol)
 
     /** 60-bit SimHash fingerprints. Returns (doc_id, simhash). */
     def simhash(): DataFrame = Dedup.simhashFingerprints(df)
@@ -103,9 +118,12 @@ object Graft {
     /** Embedding near-duplicate pairs (v1, v2, cos ≥ threshold).
       * `exact = false` switches to the hyperplane-LSH candidate
       * prefilter + exact verify — the path that scales past a
-      * broadcastable corpus; intended for thresholds ≥ 0.8. */
+      * broadcastable corpus; intended for thresholds ≥ 0.8.
+      * `probeBits > 0` adds hamming-1 multi-probing (recall dial that
+      * avoids re-hashing the corpus with more tables). */
     def nearDuplicateVectors(threshold: Double = 0.9,
-        exact: Boolean = true): DataFrame =
-      Similarity.nearDuplicateVectors(df, threshold, exact)
+        exact: Boolean = true, probeBits: Int = 0): DataFrame =
+      Similarity.nearDuplicateVectors(df, threshold, exact,
+        probeBits = probeBits)
   }
 }

@@ -146,6 +146,21 @@ object Corpus {
     * so parallelism is the shard count and no global ordering exists —
     * exactly how a 100 TB corpus is packed (per input shard), not a
     * single unpartitioned window. */
+  /** Library form of n18: append (n_tokens, bin) to any (doc_id, text)
+    * frame, packing per `shardCol` in doc_id order. */
+  def packSequences(docs: DataFrame, budget: Long,
+      shardCol: String = "source"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("__graft_prior",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__graft_prior div $budget"))
+      .drop("__graft_prior")
+  }
+
   val seqPack: Q = {
     val budget = 2048
     Q(
@@ -161,15 +176,8 @@ object Corpus {
          |       CAST(prior // $budget AS BIGINT) AS bin
          |FROM c
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      Tables(s, dir).documents
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          expr(s"prior div $budget").as("bin"))
+      packSequences(Tables(s, dir).documents, budget)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))
         .orderBy("doc_id")
     }
   }
