@@ -93,9 +93,19 @@ object StreamingOps {
           batch.select("doc_id", "text").write.mode("append").parquet(survivorDir)
       }
       .start()
-    NearDupSlice(q, () =>
-      graft.operators.Dedup.nearDuplicatePairs(
-        spark.read.parquet(survivorDir), threshold, dfCap))
+    NearDupSlice(q, () => {
+      val p = new org.apache.hadoop.fs.Path(survivorDir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) {
+        // no micro-batch has committed yet: empty pair set, not a crash
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("d1", LongType), StructField("d2", LongType),
+            StructField("jac", DoubleType))))
+      } else
+        graft.operators.Dedup.nearDuplicatePairs(
+          spark.read.parquet(survivorDir), threshold, dfCap)
+    })
   }
 
   /** Custom stateful sessionization via flatMapGroupsWithState with an

@@ -177,6 +177,8 @@ class StreamingSpec extends SparkSpec {
     val docs = input.toDF().toDF("doc_id", "ts", "text")
     val slice = StreamingOps.nearDupSlice(docs,
       s"$dir/survivors", s"$dir/ckpt", threshold = 0.6, watermark = "1 hour")
+    // pairs() before any committed batch: empty frame, not a crash
+    assert(slice.pairs().count() == 0)
     def words(tag: Int, n: Int) = (0 until n).map(w => s"t${tag}_$w").mkString(" ")
     // 10/11 and 20/21 are near-dups (12 words, last differs: jac = 8/12);
     // 12 and 22 are exact-mutant redeliveries tier 1 must kill; the rest
