@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -88,6 +90,21 @@ object Dedup {
   }
   private val sessionCaches =
     new java.util.WeakHashMap[SparkSession, ShingleCache]()
+
+  /** Unpersist and forget every shingle frame cached for `spark` —
+    * long-lived-session hygiene (the cache is bounded by
+    * #tables × #dirs, but a service that cycles corpora can reclaim
+    * executor storage deterministically instead of waiting for
+    * session end). */
+  def clearShingleCache(spark: SparkSession): Unit = {
+    val cache = sessionCaches.synchronized(sessionCaches.remove(spark))
+    if (cache != null) cache.synchronized {
+      (cache.memo.values.iterator().asScala ++ cache.adhoc.map(_._2).iterator)
+        .foreach(df => try df.unpersist() catch { case _: Throwable => () })
+      cache.memo.clear()
+      cache.adhoc = None
+    }
+  }
 
   /** Shared DuckDB CTEs for the shingle set (1-based list indexing). */
   private val shinglesSql =

@@ -66,6 +66,13 @@ class DedupSpec extends SparkSpec {
     assert(sh.length == 1 && sh.head.getString(1) == "a b c")
   }
 
+  test("clearShingleCache: caches rebuild transparently after a clear") {
+    val docs = Tables(spark, sf0001).documents
+    val before = Dedup.shingles(docs).count()
+    Dedup.clearShingleCache(spark)
+    assert(Dedup.shingles(docs).count() == before)
+  }
+
   test("banded LSH (4x4): subset of exact pairs, recall reported") {
     val banded = Catalog.queries("n17_lsh_banded")(spark, sf0001)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
