@@ -81,11 +81,33 @@ object Corpus {
        |clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id
        |             FROM reach GROUP BY node)""".stripMargin
 
-  /** The Spark side of `clustersSql`. */
-  private def buildClusters(docs: DataFrame): DataFrame =
-    connectedComponents(
+  /** The Spark side of `clustersSql`. Memoized per (session, canonical
+    * docs frame) — n07 and n19 both need the component labels, and the
+    * iterative CC is the single most expensive stage in the catalog
+    * (~4 s at sf0.1); its result is a tiny already-localCheckpointed
+    * label frame, so holding it costs nothing. Same policy as
+    * Dedup.shingles: canonical Tables frames only, ad-hoc corpora are
+    * rebuilt every call (correct, just uncached). */
+  private def buildClusters(docs: DataFrame): DataFrame = {
+    def compute() = connectedComponents(
       Dedup.jaccardPairs(docs, threshold = 0.6).select("d1", "d2"))
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    if (!graft.Tables.isCanonical(docs)) compute()
+    else clusterCaches.synchronized {
+      val dead = clusterCaches.entrySet().iterator()
+      while (dead.hasNext) {
+        if (dead.next().getKey.sparkContext.isStopped) dead.remove()
+      }
+      var c = clusterCaches.get(docs.sparkSession)
+      if (c == null) {
+        c = new java.util.HashMap[DataFrame, DataFrame]()
+        clusterCaches.put(docs.sparkSession, c)
+      }
+      c.computeIfAbsent(docs, _ => compute())
+    }
+  }
+  private val clusterCaches =
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[DataFrame, DataFrame]]()
 
   /** Duplicate clusters over the exact-Jaccard near-dup graph at
     * threshold 0.6: every document that has at least one near-dup,

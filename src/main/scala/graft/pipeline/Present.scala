@@ -39,4 +39,53 @@ object Present {
     features.mkString(
       """{"type":"FeatureCollection","features":[""", ",", "]}")
   }
+
+  /** Standalone HTML map document — the engine-side twin of the
+    * reference's folium rendering (read_gtfs_rt.py:10-28 builds a map
+    * at [40.7128, -74.0060] zoom 11 with radius-3 blue CircleMarkers
+    * and per-point property popups; :49-52 saves it as HTML). folium's
+    * own output is a Leaflet page pulling from CDNs; this emits the
+    * same shape directly: Leaflet from the CDN, one circleMarker per
+    * feature, popup listing the feature's properties. The feature
+    * payload is the distributed-built [[geoJsonPoints]] collection —
+    * the driver only templates the finished string.
+    *
+    * `</` is escaped as `<\/` inside the embedded JSON (valid JSON,
+    * required in HTML: a property value containing `</script>` must
+    * not terminate the script element). */
+  def htmlMap(
+      df: DataFrame,
+      lonCol: String,
+      latCol: String,
+      propCols: Seq[String],
+      center: (Double, Double) = (40.7128, -74.0060),
+      zoom: Int = 11,
+      maxFeatures: Int = 100000): String = {
+    val payload = geoJsonPoints(df, lonCol, latCol, propCols, maxFeatures)
+      .replace("</", "<\\/")
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"/>
+       |<link rel="stylesheet" href="https://cdn.jsdelivr.net/npm/leaflet@1.9.3/dist/leaflet.css"/>
+       |<script src="https://cdn.jsdelivr.net/npm/leaflet@1.9.3/dist/leaflet.js"></script>
+       |<style>html,body,#map{height:100%;margin:0}</style></head>
+       |<body><div id="map"></div>
+       |<script>
+       |var map = L.map('map').setView([${center._1}, ${center._2}], $zoom);
+       |L.tileLayer('https://tile.openstreetmap.org/{z}/{x}/{y}.png',
+       |  {maxZoom: 19, attribution: '&copy; OpenStreetMap'}).addTo(map);
+       |var data = $payload;
+       |L.geoJSON(data, {
+       |  pointToLayer: function (f, latlng) {
+       |    return L.circleMarker(latlng, {radius: 3, color: 'blue', fill: true});
+       |  },
+       |  onEachFeature: function (f, layer) {
+       |    var p = f.properties || {};
+       |    layer.bindPopup(Object.keys(p).map(function (k) {
+       |      return k + ' ' + p[k];
+       |    }).join('<br>'));
+       |  }
+       |}).addTo(map);
+       |</script></body></html>
+       |""".stripMargin
+  }
 }

@@ -63,4 +63,29 @@ class PresentSpec extends SparkSpec {
     val feats = (JsonMethods.parse(json) \ "features").asInstanceOf[JArray].arr
     assert(feats.length == 5)
   }
+
+  test("htmlMap: folium-shaped standalone document, script-safe payload") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, -74.0, 40.7, "B62"),
+      // a hostile property value must not terminate the script element
+      (2L, -73.9, 40.8, "</script><b>x</b>"))
+      .toDF("vehicle_id", "lon", "lat", "route_id")
+    val html = Present.htmlMap(df, "lon", "lat", Seq("vehicle_id", "route_id"))
+    assert(html.startsWith("<!DOCTYPE html>"))
+    assert(html.contains("leaflet@1.9.3/dist/leaflet.js"))
+    assert(html.contains("setView([40.7128, -74.006], 11)")) // ref defaults
+    assert(html.contains("radius: 3") && html.contains("color: 'blue'"))
+    assert(html.contains("\"coordinates\":[-74.0,40.7]"))
+    // the raw close tag never appears inside the embedded JSON
+    val payloadStart = html.indexOf("var data = ")
+    val payload = html.substring(payloadStart, html.indexOf("\n", payloadStart))
+    assert(!payload.contains("</script>"))
+    assert(payload.contains("<\\/script>"))
+    // and the escaped form parses back to the original JSON value
+    val parsed = JsonMethods.parse(payload.stripPrefix("var data = ").stripSuffix(";"))
+    val routes = (parsed \\ "route_id").asInstanceOf[org.json4s.JObject].obj
+      .map(_._2.values.toString).toSet
+    assert(routes.contains("</script><b>x</b>"))
+  }
 }
