@@ -75,7 +75,10 @@ object Bench {
     val canaries = Seq(canaryStart, canaryMid, canaryEnd).filter(_ >= 0)
     val drift = if (canaries.min > 0) canaries.max / canaries.min else -1.0
 
-    def fmt(d: Double): String = f"$d%.4f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a comma-decimal locale would silently emit invalid JSON
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val samplesJson = results
