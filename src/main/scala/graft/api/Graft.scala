@@ -59,14 +59,18 @@ object Graft {
 
     /** MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
       * Returns (d1, d2, jac ≥ threshold). `dfCap` enables stop-shingle
-      * pruning for skewed corpora (exact counts preserved; see
-      * Dedup.dropHotShingles). */
+      * pruning for skewed corpora — emitted (c, jac) values stay exact,
+      * but a qualifying pair whose ENTIRE overlap is hot shingles
+      * (boilerplate-only similarity) is dropped; see
+      * Dedup.dropHotShingles for the precise preservation condition. */
     def nearDuplicates(threshold: Double = 0.8,
         dfCap: Option[Long] = None): DataFrame =
       Dedup.nearDuplicatePairs(df, threshold, dfCap)
 
     /** Exact n-gram Jaccard similarity join (inverted index).
-      * Returns (d1, d2, n_common, jac ≥ threshold). */
+      * Returns (d1, d2, n_common, jac ≥ threshold). `dfCap`: same
+      * trade as [[nearDuplicates]] — exact values, boilerplate-only
+      * pairs dropped. */
     def jaccardSimilarityJoin(threshold: Double = 0.5,
         dfCap: Option[Long] = None): DataFrame =
       Dedup.jaccardPairs(df, threshold, dfCap)

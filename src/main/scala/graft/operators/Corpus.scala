@@ -93,21 +93,42 @@ object Corpus {
       Dedup.jaccardPairs(docs, threshold = 0.6).select("d1", "d2"))
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
     if (!graft.Tables.isCanonical(docs)) compute()
-    else clusterCaches.synchronized {
-      val dead = clusterCaches.entrySet().iterator()
-      while (dead.hasNext) {
-        if (dead.next().getKey.sparkContext.isStopped) dead.remove()
+    else {
+      // two-level locking (same as Dedup.shingles): the global lock only
+      // guards the session→cache map — the multi-second eager CC build
+      // runs under the per-session lock, so concurrent sessions never
+      // serialize behind each other's computation
+      val cache = clusterCaches.synchronized {
+        val dead = clusterCaches.entrySet().iterator()
+        while (dead.hasNext) {
+          if (dead.next().getKey.sparkContext.isStopped) dead.remove()
+        }
+        var c = clusterCaches.get(docs.sparkSession)
+        if (c == null) {
+          c = new java.util.HashMap[DataFrame, DataFrame]()
+          clusterCaches.put(docs.sparkSession, c)
+        }
+        c
       }
-      var c = clusterCaches.get(docs.sparkSession)
-      if (c == null) {
-        c = new java.util.HashMap[DataFrame, DataFrame]()
-        clusterCaches.put(docs.sparkSession, c)
-      }
-      c.computeIfAbsent(docs, _ => compute())
+      cache.synchronized(cache.computeIfAbsent(docs, _ => compute()))
     }
   }
   private val clusterCaches =
     new java.util.WeakHashMap[SparkSession, java.util.HashMap[DataFrame, DataFrame]]()
+
+  /** Unpersist and forget every memoized cluster-label frame for
+    * `spark` — the cluster-side twin of Dedup.clearShingleCache (the
+    * labels are localCheckpointed RDD blocks pinned in executor
+    * storage; a service cycling corpus dirs reclaims them here). */
+  def clearClusterCache(spark: SparkSession): Unit = {
+    val cache = clusterCaches.synchronized(clusterCaches.remove(spark))
+    if (cache != null) cache.synchronized {
+      cache.values.forEach { df =>
+        try df.unpersist() catch { case _: Throwable => () }
+      }
+      cache.clear()
+    }
+  }
 
   /** Duplicate clusters over the exact-Jaccard near-dup graph at
     * threshold 0.6: every document that has at least one near-dup,

@@ -223,8 +223,16 @@ object Dedup {
 
   /** LSH candidate pairs (banding only, no verify): docs must have
     * (doc_id, text); returns distinct (d1, d2) with d1 < d2. */
-  private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+  private[graft] def lshCandidates(docs: DataFrame): DataFrame =
+    lshCandidatesFrom(shingles(docs))
+
+  /** Banding over an explicit shingle frame — the capped path hands a
+    * df-capped index here, because a corpus-wide hot shingle doesn't
+    * just poison the verify: it wins the minhash minimum for ~1/(m+1)
+    * of documents per seed and turns band buckets quadratic. MinHash
+    * over the non-hot shingle set (standard stop-shingle MinHash)
+    * bounds the buckets; the verify still counts over FULL sets. */
+  private def lshCandidatesFrom(sh: DataFrame): DataFrame = {
     // band signatures straight off the wide signature row — zero extra
     // shuffles beyond the single minhash aggregation
     val nBands = NumHashes / BandRows
@@ -319,15 +327,19 @@ object Dedup {
     * minhash), so the index side is a superset and the intersection
     * loses nothing.
     *
-    * With `dfCap` set the trade inverts: Σdf² is unbounded under skew,
-    * so the verify switches to the candidate-explode form (bounded by
-    * the LSH candidate set, which banding already keeps small) — counts
-    * stay exact because the full shingle sets are used. */
+    * With `dfCap` set the trade inverts twice: (1) banding runs over
+    * the df-capped shingle set — a hot shingle otherwise wins the
+    * minhash minimum for ~1/(m+1) of docs per seed, making band
+    * buckets themselves quadratic; (2) the verify switches to the
+    * candidate-explode form (bounded by the LSH candidate set) instead
+    * of the Σdf² index self-join. Counts stay exact because the verify
+    * uses the FULL shingle sets; as everywhere with the cap, a pair
+    * whose entire overlap is hot shingles is dropped (see
+    * [[dropHotShingles]]). */
   def nearDuplicatePairs(docs: DataFrame, threshold: Double,
                          dfCap: Option[Long] = None): DataFrame = {
     val sh = shingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val candidates = lshCandidates(docs)
 
     val common = dfCap match {
       case None =>
@@ -335,9 +347,9 @@ object Dedup {
         val s2 = sh.select(col("doc_id").as("d2"), col("sh"))
         s1.join(s2, Seq("sh")).filter(col("d1") < col("d2"))
           .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-          .join(candidates, Seq("d1", "d2"), "left_semi")
-      case Some(_) =>
-        verifyCommon(sh, candidates)
+          .join(lshCandidatesFrom(sh), Seq("d1", "d2"), "left_semi")
+      case Some(cap) =>
+        verifyCommon(sh, lshCandidatesFrom(dropHotShingles(sh, cap)))
     }
     common
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))

@@ -80,8 +80,15 @@ object Present {
        |  },
        |  onEachFeature: function (f, layer) {
        |    var p = f.properties || {};
+       |    // Leaflet renders popup content as HTML; property values come
+       |    // from untrusted feeds, so escape them before concatenation
+       |    var esc = function (v) {
+       |      return String(v).replace(/[&<>"']/g, function (c) {
+       |        return '&#' + c.charCodeAt(0) + ';';
+       |      });
+       |    };
        |    layer.bindPopup(Object.keys(p).map(function (k) {
-       |      return k + ' ' + p[k];
+       |      return esc(k) + ' ' + esc(p[k]);
        |    }).join('<br>'));
        |  }
        |}).addTo(map);

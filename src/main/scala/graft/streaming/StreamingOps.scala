@@ -96,7 +96,12 @@ object StreamingOps {
     NearDupSlice(q, () => {
       val p = new org.apache.hadoop.fs.Path(survivorDir)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(p)) {
+      // a dir with no committed part files (pre-created, or a writer
+      // that died inside _temporary) must also yield the empty set —
+      // bare exists() would pass it to a schema-less parquet read
+      val hasData = fs.exists(p) && fs.listStatus(p).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (!hasData) {
         // no micro-batch has committed yet: empty pair set, not a crash
         import org.apache.spark.sql.types._
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -104,6 +104,13 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("clearClusterCache: labels rebuild transparently after a clear") {
+    val a = Catalog.queries("n07_dup_clusters")(spark, sf0001).collect()
+    graft.operators.Corpus.clearClusterCache(spark)
+    val b = Catalog.queries("n07_dup_clusters")(spark, sf0001).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
   test("repetition metrics: planted loop scores high, diverse text low") {
     import spark.implicits._
     val docs = Seq(

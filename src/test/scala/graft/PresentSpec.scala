@@ -82,6 +82,8 @@ class PresentSpec extends SparkSpec {
     val payload = html.substring(payloadStart, html.indexOf("\n", payloadStart))
     assert(!payload.contains("</script>"))
     assert(payload.contains("<\\/script>"))
+    // popup builder HTML-escapes untrusted property values client-side
+    assert(html.contains("replace(/[&<>\"']/g"))
     // and the escaped form parses back to the original JSON value
     val parsed = JsonMethods.parse(payload.stripPrefix("var data = ").stripSuffix(";"))
     val routes = (parsed \\ "route_id").asInstanceOf[org.json4s.JObject].obj

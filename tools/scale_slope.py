@@ -30,8 +30,10 @@ def run(sf_dir):
         env=env, capture_output=True, text=True, check=True).stdout
     times = {}
     for q in QUERIES:
-        warms = [float(m) for m in re.findall(
-            rf"^{q} (?:warm|warm2)\s+([0-9.]+) s", out, re.M)]
+        # Lab prints via the JVM-locale f-interpolator: accept a comma
+        # decimal separator too (same hazard Bench pins to Locale.ROOT)
+        warms = [float(m.replace(",", ".")) for m in re.findall(
+            rf"^{q} (?:warm|warm2)\s+([0-9.,]+) s", out, re.M)]
         if warms:
             times[q] = min(warms)
     return times
