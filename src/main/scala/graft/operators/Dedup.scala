@@ -106,14 +106,16 @@ object Dedup {
     }
   }
 
-  /** Shared DuckDB CTEs for the shingle set (1-based list indexing). */
-  private val shinglesSql =
-    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
-      |              unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-      |       FROM w),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+  /** Shared DuckDB CTEs for the shingle set (1-based list indexing),
+    * over any (doc_id, text) relation. */
+  private[graft] def shinglesSqlFor(table: String): String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $table),
+       |sh AS (SELECT DISTINCT doc_id,
+       |              unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+       |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |       FROM w),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+  private val shinglesSql = shinglesSqlFor("documents")
 
   /** Exact dedup: group by content fingerprint, keep the smallest
     * doc_id as representative. Grouping on md5(text) rather than text

@@ -109,5 +109,41 @@ object WindowedAggs {
       .orderBy("l_id", "r_id")
   }
 
-  val all: Seq[Q] = Seq(tumbling, sliding, session, attribution)
+  /** Streaming near-dup slice, batch twin (same pattern as st04): the
+    * slice is tier-1 normalized-fingerprint dedup (first arrival = min
+    * doc_id in arrival order) feeding batch MinHash+LSH over the
+    * survivors. StreamingSpec proves the MemoryStream run of
+    * `StreamingOps.nearDupSlice` equals exactly this twin on a planted
+    * dup stream; the twin itself is DuckDB-oracled here (exact-answer
+    * oracle — n04's wide-recall banding configuration). */
+  val streamNearDup: Q = Q(
+    "st05_stream_neardup",
+    s"""WITH kept AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM documents
+       |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+       |docs2 AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),
+       |${graft.operators.Dedup.shinglesSqlFor("docs2")},
+       |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |           GROUP BY a.doc_id, b.doc_id)
+       |SELECT d1, d2,
+       |       CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jac
+       |FROM common
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6
+       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val kept = docs
+      .groupBy(graft.Det.normFingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(docs, Seq("doc_id"))
+      .select("doc_id", "text")
+    graft.operators.Dedup.nearDuplicatePairs(kept, threshold = 0.6)
+      .orderBy("d1", "d2")
+  }
+
+  val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
+    streamNearDup)
 }
