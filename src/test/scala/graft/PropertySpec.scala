@@ -77,6 +77,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packSequences equals the sequential binning model on random corpora") {
+    val budget = 10L
+    val docGen = Gen.zip(Gen.oneOf("s1", "s2", "s3"), Gen.choose(1, 15))
+    (1 to 5).foreach { seed =>
+      val rows = sample(Gen.listOfN(40, docGen), seed).zipWithIndex.map {
+        case ((src, nTok), i) =>
+          (i.toLong, src, (0 until nTok).map(w => s"w$w").mkString(" "))
+      }
+      val docs = rows.toDF("doc_id", "source", "text")
+      val got = Corpus.packSequences(docs, budget)
+        .select("doc_id", "bin").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // sequential model: exclusive running token count per source,
+      // integer-divided by the budget
+      val want = rows.groupBy(_._2).flatMap { case (_, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (id, _, text) =>
+          val bin = cum / budget
+          cum += text.split(" ").length
+          id -> bin
+        }
+      }.toMap
+      assert(got == want, s"seed $seed: ${(got.toSet diff want.toSet).take(3)}")
+    }
+  }
+
   test("connectedComponents equals union-find on random graphs") {
     val gen = Gen.listOfN(50, Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L)))
     (1 to 5).foreach { seed =>
