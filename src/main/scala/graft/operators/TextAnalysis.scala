@@ -349,6 +349,33 @@ object TextAnalysis {
           "1.0D - CAST(size(array_distinct(g3)) AS DOUBLE) / size(g3))")
           .as("dup_3gram_frac"))
 
+  /** Corpus-wide heavy hitters: exact top-20 tokens by count. The plan
+    * is one shuffle of (token, partial count) pairs + TakeOrdered —
+    * never a global sort of the vocabulary; the final rank window runs
+    * over the 20 surviving rows only. The CountMinSketch variant (one
+    * pass, mergeable, no token shuffle at all) is the library/scale
+    * path — CorpusSpec proves its estimates bound these exact counts
+    * within ε·N. */
+  val heavyHitters: Q = Q(
+    "n35_heavy_hitters",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+      |ranked AS (SELECT tok, n,
+      |                  row_number() OVER (ORDER BY n DESC, tok) AS rn
+      |           FROM counts)
+      |SELECT tok, n, CAST(rn AS BIGINT) AS rn
+      |FROM ranked WHERE rn <= 20
+      |ORDER BY rn""".stripMargin) { (s, dir) =>
+    val counts = Tables(s, dir).documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("tok")).limit(20)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("tok"))
+    top.withColumn("rn", row_number().over(w).cast("long")).orderBy("rn")
+  }
+
   val all: Seq[Q] = Seq(langStats, qualityScore, tokenStats, langId,
-    fingerprint, rollingFingerprint, unigramLogProb, redact, repetition)
+    fingerprint, rollingFingerprint, unigramLogProb, redact, repetition,
+    heavyHitters)
 }

@@ -104,6 +104,23 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch bounds the exact heavy-hitter counts") {
+    val toks = Tables(spark, sf0001).documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val n = toks.count()
+    // one-pass mergeable sketch — the no-shuffle scale path for
+    // frequency queries; CMS guarantees exact <= est <= exact + eps*N
+    val cms = toks.stat.countMinSketch("tok", 0.001, 0.9999, 42)
+    val top = Catalog.queries("n35_heavy_hitters")(spark, sf0001).collect()
+    assert(top.length == 20)
+    top.foreach { r =>
+      val (tok, exact) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(tok)
+      assert(est >= exact && est <= exact + (0.001 * n).toLong + 1,
+        s"$tok: est $est vs exact $exact (N=$n)")
+    }
+  }
+
   test("clearClusterCache: labels rebuild transparently after a clear") {
     val a = Catalog.queries("n07_dup_clusters")(spark, sf0001).collect()
     graft.operators.Corpus.clearClusterCache(spark)
