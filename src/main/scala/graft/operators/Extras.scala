@@ -264,7 +264,44 @@ object Extras {
       .orderBy("stage")
   }
 
+  /** Exact interpolated quantiles per group, with the t-digest sketch
+    * (approx_percentile) held to a rank-error bound the same way f09
+    * bounds HLL: the boolean column must be TRUE, so a sketch estimate
+    * drifting outside the exact [q−0.01, q+0.01] quantile envelope
+    * flips the bit and fails the oracle hash. Exact percentile sorts
+    * within each (small) group; the sketch is the 100 TB path — one
+    * pass, mergeable, no sort. */
+  val quantiles: Q = Q(
+    "x12_quantiles",
+    s"""SELECT l_returnflag,
+       |       ${round6Sql("quantile_cont(l_extendedprice, 0.25)")} AS p25,
+       |       ${round6Sql("quantile_cont(l_extendedprice, 0.50)")} AS p50,
+       |       ${round6Sql("quantile_cont(l_extendedprice, 0.95)")} AS p95,
+       |       TRUE AS sketch_within_band
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val exact = expr(
+      "percentile(l_extendedprice, array(0.25D, 0.50D, 0.95D))")
+    val band = expr(
+      "percentile(l_extendedprice, array(0.24D, 0.26D, 0.49D, 0.51D, 0.94D, 0.96D))")
+    val sketch = expr(
+      "approx_percentile(l_extendedprice, array(0.25D, 0.50D, 0.95D), 10000)")
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(exact.as("ex"), band.as("bd"), sketch.as("sk"))
+      .select(col("l_returnflag"),
+        round6(element_at(col("ex"), 1)).as("p25"),
+        round6(element_at(col("ex"), 2)).as("p50"),
+        round6(element_at(col("ex"), 3)).as("p95"),
+        (element_at(col("sk"), 1).between(element_at(col("bd"), 1), element_at(col("bd"), 2)) &&
+         element_at(col("sk"), 2).between(element_at(col("bd"), 3), element_at(col("bd"), 4)) &&
+         element_at(col("sk"), 3).between(element_at(col("bd"), 5), element_at(col("bd"), 6)))
+          .as("sketch_within_band"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(explodeOuter, multisetOps, latestPerGroup, nthValue,
     dateSpine, nullSafeOps, mapFuncs, posExplode, histogram, momentsExact,
-    funnel)
+    funnel, quantiles)
 }
