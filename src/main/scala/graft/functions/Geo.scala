@@ -68,6 +68,60 @@ object VectorOps {
   }
 }
 
+/** Static helper for the MinHash hot loop (Dedup.minhashWide): all 16
+  * md5-slice signature components of one shingle in a single call —
+  * exactly min-compatible with the SQL formulation
+  * `substr(md5(a || ':' || sh), 8b+1, 8)` for component j = 4a+b
+  * (n03/n17's DuckDB oracles pin the bytes). One pass = 4 digests and
+  * 16 small byte arrays; the expression-tree formulation pays 4
+  * UTF8String concats + 4 hex-string materializations + 16 substrings
+  * per shingle and leans on codegen subexpression elimination to avoid
+  * recomputing digests. */
+object HashOps {
+  private val hexDigits = "0123456789abcdef".getBytes("ASCII")
+  def md5Slices(sh: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val body = sh.getBytes
+    val out = new Array[AnyRef](16)
+    var a = 0
+    while (a < 4) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(('0' + a).toByte)
+      md.update(':'.toByte)
+      md.update(body)
+      val dig = md.digest()
+      var b = 0
+      while (b < 4) {
+        // hex of digest bytes [4b, 4b+4) = hex chars [8b, 8b+8)
+        val slice = new Array[Byte](8)
+        var i = 0
+        while (i < 4) {
+          val v = dig(4 * b + i) & 0xff
+          slice(2 * i) = hexDigits(v >>> 4)
+          slice(2 * i + 1) = hexDigits(v & 0xf)
+          i += 1
+        }
+        out(4 * a + b) = org.apache.spark.unsafe.types.UTF8String.fromBytes(slice)
+        b += 1
+      }
+      a += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** md5_slices(sh) → array<string> of the 16 MinHash components. */
+case class Md5Slices(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "md5_slices"
+  override protected def nullSafeEval(s: Any): Any =
+    HashOps.md5Slices(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.md5Slices($c)")
+  override protected def withNewChildInternal(c: Expression): Md5Slices = copy(c)
+}
+
 /** st_point(lon, lat) → WKB binary. Codegen emits a single static
   * call — stays inside whole-stage codegen, no fallback path. */
 case class StPoint(left: Expression, right: Expression)
@@ -155,6 +209,8 @@ object GraftFunctions {
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def quantized_cos(a: Column, b: Column): Column =
     ColumnBridge.column(QuantizedCos(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def md5_slices(s: Column): Column =
+    ColumnBridge.column(Md5Slices(ColumnBridge.expression(s)))
 
   /** Register for SQL use (st_point / st_x / st_y / cosine_sim). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -164,5 +220,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("st_y", es => StY(es.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("quantized_cos", es => QuantizedCos(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("md5_slices", es => Md5Slices(es.head), "built-in")
   }
 }

@@ -156,15 +156,20 @@ object Dedup {
     * each): component 4a+b = min over substr(md5(a:sh), 8b+1, 8).
     * Fixed-width lowercase hex orders exactly like the numeric value,
     * so `min` is a true MinHash — at 1/4 the digest cost of hashing
-    * per-component (the former hot loop of the whole dedup family). */
-  private def minhashWide(sh: DataFrame): DataFrame =
-    sh.groupBy("doc_id").agg(
-      min(substring(md5(concat(lit("0:"), col("sh")).cast("binary")), 1, 8)).as("mh0"),
-      (1 until NumHashes).map { j =>
-        val (a, b) = (j / 4, j % 4)
-        min(substring(md5(concat(lit(s"$a:"), col("sh")).cast("binary")),
-          8 * b + 1, 8)).as(s"mh$j")
-      }: _*)
+    * per-component (the former hot loop of the whole dedup family).
+    *
+    * All 16 components come from ONE codegen'd `md5_slices` call per
+    * shingle (4 digests, no intermediate concat/hex strings) —
+    * bit-identical to the expression-tree formulation it replaced
+    * (ExpressionsSpec), and the n03/n17 oracles pin the bytes. */
+  private def minhashWide(sh: DataFrame): DataFrame = {
+    val sliced = sh.select(col("doc_id"),
+      graft.functions.GraftFunctions.md5_slices(col("sh")).as("sl"))
+    sliced.groupBy("doc_id").agg(
+      min(element_at(col("sl"), 1)).as("mh0"),
+      (1 until NumHashes).map(j =>
+        min(element_at(col("sl"), j + 1)).as(s"mh$j")): _*)
+  }
 
   /** Same wide-signature plan with xxhash64 instead of md5: the LSH
     * banding path only needs uniform hashes that collide on equality,

@@ -55,4 +55,25 @@ class ExpressionsSpec extends SparkSpec {
     assert(GeoWkb.readX(bb.array()) == 11.0)
     assert(GeoWkb.readY(bb.array()) == 22.0)
   }
+
+  test("md5_slices equals the substring-of-md5 expression tree, null-safe") {
+    import spark.implicits._
+    val df = Seq(Some("alpha beta gamma"), Some(""), Some("δ unicode ß"), None)
+      .toDF("s")
+    val viaExpr = df.select(GraftFunctions.md5_slices(col("s")).as("sl"))
+    val viaTree = df.select(array((0 until 16).map { j =>
+      val (a, b) = (j / 4, j % 4)
+      substring(md5(concat(lit(s"$a:"), col("s")).cast("binary")), 8 * b + 1, 8)
+    }: _*).as("sl"))
+    val got = viaExpr.collect().map(r =>
+      if (r.isNullAt(0)) null else r.getSeq[String](0))
+    val want = viaTree.collect().map(r =>
+      if (r.isNullAt(0)) null else r.getSeq[String](0))
+    assert(got.length == want.length)
+    // pairwise on non-null inputs (the tree form maps null to an
+    // array OF nulls; the expression nulls out whole-row, which is
+    // what the aggregation wants)
+    got.zip(want).take(3).foreach { case (g, w) => assert(g == w) }
+    assert(got(3) == null) // null in, null out
+  }
 }
