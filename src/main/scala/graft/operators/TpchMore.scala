@@ -235,7 +235,147 @@ object TpchMore {
       .orderBy("cntrycode")
   }
 
+  /** Q1-shaped: the pricing summary — full-scan grouped decimal sums,
+    * the canonical map-side-combinable aggregation. */
+  val pricingSummary: Q = Q(
+    "a25_pricing_summary",
+    s"""SELECT l_returnflag, l_linestatus,
+       |       ${dsumSql("l_quantity")} AS sum_qty,
+       |       ${dsumSql("l_extendedprice")} AS sum_base_price,
+       |       ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       |       ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       |       CAST(count(*) AS BIGINT) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2001-08-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .filter(col("l_shipdate") <= lit("2001-08-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Q9-shaped: product-type profit by nation and year (no partsupp in
+    * the harness schema, so supply cost is proxied from p_retailprice —
+    * the plan shape is the point: fact ⋈ two broadcast dims ⋈ fact,
+    * grouped decimal sums over an expression of both sides). */
+  val productProfit: Q = Q(
+    "a26_product_profit",
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |       ${dsumSql(
+            "l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity")} AS sum_profit
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |WHERE p_name LIKE '%widget%'
+       |GROUP BY n_name, year(o_orderdate)
+       |ORDER BY nation, o_year""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.lineitem
+      .join(broadcast(t.part.filter(col("p_name").contains("widget"))),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(t.supplier), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(t.nation), col("n_nationkey") === col("s_nationkey"))
+      .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        - lit(0.5) * col("p_retailprice") * col("l_quantity")).as("sum_profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** Q11-shaped: important stock — per-part value vs a global
+    * threshold (grouped agg + broadcast scalars, strict inequality on
+    * decimal-exact values). The cut is scale-free — parts worth more
+    * than 2× the mean part value — so the result doesn't collapse to
+    * empty as the part count grows (Q11's fixed fraction would). */
+  val importantStock: Q = Q(
+    "a27_important_stock",
+    s"""WITH v AS (SELECT l_partkey,
+       |                  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS value
+       |           FROM lineitem GROUP BY l_partkey),
+       |t AS (SELECT ${dsumSql("l_extendedprice * (1 - l_discount)")} AS total
+       |      FROM lineitem),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS np FROM v)
+       |SELECT l_partkey, value
+       |FROM v, t, n
+       |WHERE value > total * 1.25 / np
+       |ORDER BY value DESC, l_partkey""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir).lineitem
+    val v = li.groupBy("l_partkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("value"))
+    val t = li.agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .as("total"))
+    val n = v.agg(count(lit(1)).as("np"))
+    v.crossJoin(broadcast(t)).crossJoin(broadcast(n))
+      .filter(col("value") > col("total") * lit(1.25) / col("np"))
+      .select("l_partkey", "value")
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** Q15-shaped: top supplier — quarterly revenue per supplier, kept
+    * where revenue equals the global max (broadcast scalar equality on
+    * decimal-exact sums — the view-based original, subquery-free). */
+  val topSupplier: Q = Q(
+    "a28_top_supplier",
+    s"""WITH rev AS (SELECT l_suppkey,
+       |                    ${dsumSql("l_extendedprice * (1 - l_discount)")} AS total_rev
+       |             FROM lineitem
+       |             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |               AND l_shipdate < TIMESTAMP '1997-04-01'
+       |             GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_rev
+       |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+       |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val rev = t.lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("mx"))
+      .join(broadcast(t.supplier), col("s_suppkey") === col("l_suppkey"))
+      .select("s_suppkey", "s_name", "total_rev")
+      .orderBy("s_suppkey")
+  }
+
+  /** Q16-shaped: parts/supplier relationship — distinct-supplier counts
+    * per (brand, size) with an excluded brand, ordered by count. */
+  val partsSuppliers: Q = Q(
+    "a29_parts_suppliers",
+    """SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+      |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_size <= 25
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.lineitem
+      .join(broadcast(t.part.filter(col("p_brand") =!= "Brand#13"
+        && col("p_size") <= 25)), col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .select(col("p_brand"), col("p_size").cast("long").as("p_size"),
+        col("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
   val all: Seq[Q] = Seq(priorityCount, forecastRevenue, promoShare,
     shipmodePriority, custOrderDistribution, bracketRevenue, soleReturner,
-    inactiveRich)
+    inactiveRich, pricingSummary, productProfit, importantStock,
+    topSupplier, partsSuppliers)
 }
