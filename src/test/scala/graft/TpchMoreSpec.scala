@@ -1,6 +1,8 @@
 package graft
 
-/** Plan-shape assertions for the a17–a24 TPC-H-shaped suite (values
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Plan-shape assertions for the a17–a29 TPC-H-shaped suite (values
   * are oracle-checked by the driver; these pin the *plans*). */
 class TpchMoreSpec extends SparkSpec {
 
@@ -39,5 +41,33 @@ class TpchMoreSpec extends SparkSpec {
     val rows = Catalog.queries("a21_order_distribution")(spark, sf0001).collect()
     val total = rows.map(_.getAs[Long]("custdist")).sum
     assert(total == Tables(spark, sf0001).customer.count(), "every customer binned once")
+  }
+
+  test("a26: all three dimensions broadcast; only the fact-fact join shuffles") {
+    val p = plan("a26_product_profit")
+    // part/supplier/nation ride BroadcastExchange; lineitem⋈orders is
+    // the one key shuffle
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
+
+  test("a28: exactly one supplier wins; scalar max rides a broadcast") {
+    val p = plan("a28_top_supplier")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "max-revenue scalar should broadcast")
+    val rows = Catalog.queries("a28_top_supplier")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // ties on the exact decimal max would all surface — with this data
+    // the max is unique, and every surviving row carries that max
+    val revs = rows.map(_.getAs[Double]("total_rev")).distinct
+    assert(revs.length == 1)
+  }
+
+  test("a25: pricing summary bins every pre-cutoff line exactly once") {
+    val rows = Catalog.queries("a25_pricing_summary")(spark, sf0001).collect()
+    val binned = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables(spark, sf0001).lineitem
+      .filter(col("l_shipdate") <= lit("2001-08-01").cast("timestamp")).count()
+    assert(binned == expected)
   }
 }
