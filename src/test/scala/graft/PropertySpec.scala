@@ -77,6 +77,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs equals the brute-force model on random corpora") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val doc = Gen.choose(4, 14).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    (1 to 5).foreach { seed =>
+      val texts = sample(Gen.listOfN(25, doc), seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(docs, threshold = 0.5)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("containment")))
+        .toMap
+
+      def shingles(t: String): Set[String] =
+        t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val sh = texts.map(shingles)
+      val want = (for {
+        i <- texts.indices; j <- texts.indices if i < j
+        si = sh(i); sj = sh(j)
+        inter = (si intersect sj).size
+        if inter > 0 && math.min(si.size, sj.size) > 0
+        cont = inter.toDouble / math.min(si.size, sj.size)
+        if cont >= 0.5
+        contained = if (si.size <= sj.size) i.toLong else j.toLong
+        container = if (si.size <= sj.size) j.toLong else i.toLong
+      } yield ((contained, container), cont)).toMap
+
+      assert(got.keySet == want.keySet,
+        s"seed $seed: missing=${(want.keySet -- got.keySet).take(3)} " +
+          s"spurious=${(got.keySet -- want.keySet).take(3)}")
+      got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12) }
+    }
+  }
+
   test("packSequences equals the sequential binning model on random corpora") {
     val budget = 10L
     val docGen = Gen.zip(Gen.oneOf("s1", "s2", "s3"), Gen.choose(1, 15))
