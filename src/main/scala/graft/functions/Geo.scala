@@ -82,9 +82,11 @@ object HashOps {
   def md5Slices(sh: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val body = sh.getBytes
     val out = new Array[AnyRef](16)
+    // one provider lookup per call, not per digest — digest() resets
+    // the instance, so it can be reused across the 4 seed groups
+    val md = java.security.MessageDigest.getInstance("MD5")
     var a = 0
     while (a < 4) {
-      val md = java.security.MessageDigest.getInstance("MD5")
       md.update(('0' + a).toByte)
       md.update(':'.toByte)
       md.update(body)

@@ -264,13 +264,16 @@ object Extras {
       .orderBy("stage")
   }
 
-  /** Exact interpolated quantiles per group, with the t-digest sketch
-    * (approx_percentile) held to a rank-error bound the same way f09
-    * bounds HLL: the boolean column must be TRUE, so a sketch estimate
-    * drifting outside the exact [q−0.01, q+0.01] quantile envelope
-    * flips the bit and fails the oracle hash. Exact percentile sorts
-    * within each (small) group; the sketch is the 100 TB path — one
-    * pass, mergeable, no sort. */
+  /** Exact interpolated quantiles per group, with the
+    * Greenwald–Khanna summary (approx_percentile — rank error bounded
+    * by N/accuracy, NOT a t-digest) held to a rank-error band the same
+    * way f09 bounds HLL: the boolean column must be TRUE, so a sketch
+    * estimate drifting outside the exact [q−0.01, q+0.01] quantile
+    * envelope flips the bit and fails the oracle hash. Exact
+    * percentile sorts within each (small) group; the sketch is the
+    * 100 TB path — one pass, mergeable, no sort. All nine exact
+    * quantiles come from ONE percentile aggregate (each extra exact
+    * percentile expression buffers its own copy of every value). */
   val quantiles: Q = Q(
     "x12_quantiles",
     s"""SELECT l_returnflag,
@@ -281,22 +284,23 @@ object Extras {
        |FROM lineitem
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-    val exact = expr(
-      "percentile(l_extendedprice, array(0.25D, 0.50D, 0.95D))")
-    val band = expr(
-      "percentile(l_extendedprice, array(0.24D, 0.26D, 0.49D, 0.51D, 0.94D, 0.96D))")
+    // one buffer for all nine exact quantiles: [band-lo, exact, band-hi]
+    // triplets at 0.25 / 0.50 / 0.95
+    val nine = expr(
+      "percentile(l_extendedprice, array(0.24D, 0.25D, 0.26D, " +
+        "0.49D, 0.50D, 0.51D, 0.94D, 0.95D, 0.96D))")
     val sketch = expr(
       "approx_percentile(l_extendedprice, array(0.25D, 0.50D, 0.95D), 10000)")
     Tables(s, dir).lineitem
       .groupBy("l_returnflag")
-      .agg(exact.as("ex"), band.as("bd"), sketch.as("sk"))
+      .agg(nine.as("ex"), sketch.as("sk"))
       .select(col("l_returnflag"),
-        round6(element_at(col("ex"), 1)).as("p25"),
-        round6(element_at(col("ex"), 2)).as("p50"),
-        round6(element_at(col("ex"), 3)).as("p95"),
-        (element_at(col("sk"), 1).between(element_at(col("bd"), 1), element_at(col("bd"), 2)) &&
-         element_at(col("sk"), 2).between(element_at(col("bd"), 3), element_at(col("bd"), 4)) &&
-         element_at(col("sk"), 3).between(element_at(col("bd"), 5), element_at(col("bd"), 6)))
+        round6(element_at(col("ex"), 2)).as("p25"),
+        round6(element_at(col("ex"), 5)).as("p50"),
+        round6(element_at(col("ex"), 8)).as("p95"),
+        (element_at(col("sk"), 1).between(element_at(col("ex"), 1), element_at(col("ex"), 3)) &&
+         element_at(col("sk"), 2).between(element_at(col("ex"), 4), element_at(col("ex"), 6)) &&
+         element_at(col("sk"), 3).between(element_at(col("ex"), 7), element_at(col("ex"), 9)))
           .as("sketch_within_band"))
       .orderBy("l_returnflag")
   }

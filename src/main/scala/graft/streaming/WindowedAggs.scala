@@ -134,11 +134,11 @@ object WindowedAggs {
        |JOIN sizes s2 ON s2.doc_id = d2
        |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6
        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-    val docs = Tables(s, dir).documents
-    val kept = docs
-      .groupBy(graft.Det.normFingerprint(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .join(docs, Seq("doc_id"))
+    import graft.api.Graft._
+    // one-shuffle window dedup (the groupBy + join-back formulation
+    // scans documents twice for the same survivor set)
+    val kept = Tables(s, dir).documents
+      .distinctDocuments(normalize = true)
       .select("doc_id", "text")
     graft.operators.Dedup.nearDuplicatePairs(kept, threshold = 0.6)
       .orderBy("d1", "d2")
