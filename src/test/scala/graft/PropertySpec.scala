@@ -137,6 +137,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("protobuf decoder: random byte soup never crashes the JVM or hangs") {
+    // decode failures must surface as ordinary exceptions the pipeline's
+    // per-feed isolation catches — never unbounded allocation, stack
+    // overflow, or an infinite varint loop. 200 deterministic random
+    // payloads across a range of sizes.
+    val gen = Gen.choose(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    (1 to 200).foreach { seed =>
+      val bytes = sample(gen, seed).toArray
+      try {
+        val out = graft.sources.GtfsRt.decodeFeed(bytes)
+        // decoded garbage must still be bounded by the payload itself
+        assert(out.length <= bytes.length + 1)
+      } catch {
+        case e: Exception => assert(e.getMessage != null || true) // controlled failure
+        case e: StackOverflowError => fail(s"seed $seed: stack overflow")
+      }
+    }
+  }
+
   test("connectedComponents equals union-find on random graphs") {
     val gen = Gen.listOfN(50, Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L)))
     (1 to 5).foreach { seed =>
