@@ -81,11 +81,10 @@ object Similarity {
     topKPerQuery(scored, k, useHeap).orderBy("q_id", "rn")
   }
 
-  /** Exact brute-force cosine top-k for a fixed query set (vec_id <
-    * 32), k = 5. Broadcast queries × corpus scan; per-query top-k via
-    * row_number (TakeOrdered per partition at scale). */
-  val cosineTopK: Q = Q(
-    "n10_cosine_topk",
+  /** DuckDB twin of the brute-force cosine top-k — shared verbatim by
+    * n10 (window rank) and n10h (heap rank): both Spark paths must
+    * hash-match the SAME oracle answer. */
+  private val cosineTopKSql =
     s"""WITH e AS (SELECT vec_id, embedding,
        |                  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
        |           FROM embeddings),
@@ -103,9 +102,30 @@ object Similarity {
        |           FROM pairs)
        |SELECT q_id, nb_id, cos, CAST(rn AS BIGINT) AS rn
        |FROM ranked WHERE rn <= $TopK
-       |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+       |ORDER BY q_id, rn""".stripMargin
+
+  /** Exact brute-force cosine top-k for a fixed query set (vec_id <
+    * 32), k = 5. Broadcast queries × corpus scan; per-query top-k via
+    * row_number (TakeOrdered per partition at scale). */
+  val cosineTopK: Q = Q(
+    "n10_cosine_topk",
+    cosineTopKSql) { (s, dir) =>
     val e = Tables(s, dir).embeddings
     cosineTopK(e, e.filter(col("vec_id") < NumQueries), TopK, useHeap = false)
+      .orderBy("q_id", "rn")
+  }
+
+  /** Driver-checked heap path (VERDICT_r03 #8): the SAME query as n10
+    * run through the bounded TopKByScore aggregator (useHeap = true —
+    * the library's scale default, ≤ k rows per (query, partition) at
+    * the shuffle) against the SAME DuckDB oracle, so the scale path is
+    * hash-checked by the driver, not only by SimilaritySpec's
+    * window == heap equality proof. */
+  val cosineTopKHeap: Q = Q(
+    "n10h_cosine_topk_heap",
+    cosineTopKSql) { (s, dir) =>
+    val e = Tables(s, dir).embeddings
+    cosineTopK(e, e.filter(col("vec_id") < NumQueries), TopK, useHeap = true)
       .orderBy("q_id", "rn")
   }
 
@@ -640,6 +660,6 @@ object Similarity {
     }
   }
 
-  val all: Seq[Q] = Seq(cosineTopK, annLsh, embeddingNearDup, annIvf,
-    annIvfKmeans, vectorQuantize, quantizedTopK)
+  val all: Seq[Q] = Seq(cosineTopK, cosineTopKHeap, annLsh,
+    embeddingNearDup, annIvf, annIvfKmeans, vectorQuantize, quantizedTopK)
 }

@@ -295,9 +295,14 @@ object TpchMore {
   }
 
   /** Q11-shaped: important stock — per-part value vs a global
-    * threshold (grouped agg + broadcast scalars, strict inequality on
-    * decimal-exact values). The cut is scale-free — parts worth more
-    * than 1.25× the mean part value (the synthetic values are
+    * threshold (grouped agg + broadcast scalars). The inputs (value,
+    * total) are decimal-exact sums cast to DOUBLE; the threshold
+    * comparison itself runs in DOUBLE space in BOTH engines with the
+    * same left-to-right order (total × 1.25, then ÷ np — the 1.25 is
+    * an explicit DOUBLE in the SQL twin so DuckDB can't pick a DECIMAL
+    * multiply), so the two sides are bit-identical IEEE ops, not
+    * "decimal-exact" end to end. The cut is scale-free — parts worth
+    * more than 1.25× the mean part value (the synthetic values are
     * near-uniform, max ≈ 1.75× mean, so this keeps roughly the top
     * decile) — and doesn't collapse to empty as the part count grows
     * (Q11's fixed fraction would). */
@@ -311,7 +316,7 @@ object TpchMore {
        |n AS (SELECT CAST(count(*) AS BIGINT) AS np FROM v)
        |SELECT l_partkey, value
        |FROM v, t, n
-       |WHERE value > total * 1.25 / np
+       |WHERE value > total * CAST(1.25 AS DOUBLE) / np
        |ORDER BY value DESC, l_partkey""".stripMargin) { (s, dir) =>
     val li = Tables(s, dir).lineitem
     val v = li.groupBy("l_partkey")

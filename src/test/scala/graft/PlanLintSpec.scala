@@ -15,6 +15,7 @@ class PlanLintSpec extends SparkSpec {
     "a24_inactive_rich",    // 1-row threshold broadcast
     "n28_unigram_logprob",  // 1-row corpus-total broadcast
     "n10_cosine_topk",      // 32-query broadcast build side
+    "n10h_cosine_topk_heap",// same broadcast build side, heap rank
     "n15_quantized_topk",   // 32-query broadcast build side (int8 codes)
     "n12_embedding_neardup",// documented exact all-pairs baseline
     "n13_ann_ivf",          // 16-centroid broadcast assignment
