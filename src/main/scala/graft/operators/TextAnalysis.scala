@@ -290,10 +290,15 @@ object TextAnalysis {
     * filter (Rae et al. 2021 §A1.1 shape): most-frequent-token
     * fraction and duplicate 2-/3-gram fractions. High values flag
     * boilerplate/spam/generated loops that per-corpus dedup cannot see.
-    * Entirely map-side array expressions (zero shuffles, zero explode)
-    * — the per-doc O(tokens·distinct) top-token scan beats shipping
-    * every token through a groupBy at 100 TB. Counts are exact ints and
-    * every ratio is one IEEE division, identical in both engines. */
+    * Entirely map-side array expressions (zero shuffles, zero explode).
+    * The top-token count is max run length over the SORTED token array
+    * — O(L log L) per document (round-4 fix: the former
+    * distinct×filter scan was O(L·distinct), i.e. quadratic in
+    * document length, and one adversarial 1 M-token doc would pin a
+    * single task for ~10¹² comparisons). The DuckDB twin computes the
+    * same integer via per-doc unnest + GROUP BY max(count) — different
+    * route, identical exact counts, so the oracle hash is unchanged.
+    * Every ratio is one IEEE division, identical in both engines. */
   val repetition: Q = Q(
     "n34_repetition",
     """WITH f AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -302,19 +307,20 @@ object TextAnalysis {
       |                            i -> w[i] || ' ' || w[i+1]) AS g2,
       |             list_transform(generate_series(1, greatest(len(w) - 2, 0)),
       |                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
-      |      FROM f)
+      |      FROM f),
+      |toks AS (SELECT doc_id, unnest(w) AS tok FROM f),
+      |cnts AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+      |tops AS (SELECT doc_id, max(c) AS top_cnt FROM cnts GROUP BY doc_id)
       |SELECT doc_id,
       |       CAST(len(w) AS BIGINT) AS n_tokens,
-      |       CAST(list_max(list_transform(list_distinct(w),
-      |              t -> len(list_filter(w, x -> x = t)))) AS DOUBLE) / len(w)
-      |         AS top_tok_frac,
+      |       CAST(top_cnt AS DOUBLE) / len(w) AS top_tok_frac,
       |       CASE WHEN len(g2) = 0 THEN 0.0
       |            ELSE 1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
       |       END AS dup_2gram_frac,
       |       CASE WHEN len(g3) = 0 THEN 0.0
       |            ELSE 1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
       |       END AS dup_3gram_frac
-      |FROM g
+      |FROM g JOIN tops USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     repetitionMetrics(Tables(s, dir).documents).orderBy("doc_id")
   }
@@ -339,8 +345,15 @@ object TextAnalysis {
           |     ELSE array() END""".stripMargin))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
-        expr("""CAST(array_max(transform(array_distinct(w),
-               |  t -> size(filter(w, x -> x = t)))) AS DOUBLE) / size(w)"""
+        // max multiplicity = max run length over the sorted array:
+        // one O(L log L) sort + one linear fold, never L × distinct
+        expr("""CAST(aggregate(array_sort(w),
+               |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+               |  (acc, x) -> named_struct(
+               |    'prev', x,
+               |    'run',  IF(x <=> acc.prev, acc.run + 1, 1),
+               |    'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))),
+               |  acc -> acc.best) AS DOUBLE) / size(w)"""
           .stripMargin).as("top_tok_frac"),
         expr("IF(size(g2) = 0, 0.0D, " +
           "1.0D - CAST(size(array_distinct(g2)) AS DOUBLE) / size(g2))")

@@ -157,6 +157,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("repetitionMetrics handles a 100k-token adversarial doc (and matches brute force)") {
+    // Round-4 de-quadratic proof: the former top_tok_frac formulation
+    // scanned the token array once per DISTINCT token — on this doc
+    // (100k tokens, ~50k distinct) that is ~5×10⁹ comparisons in ONE
+    // task and does not finish interactively; the sort+run-length form
+    // is a single O(L log L) pass. Completing at all (bounded below) IS
+    // the demonstration; exactness is checked against a Scala model.
+    val n = 100000
+    // every even position is a unique token, odd positions repeat "the"
+    // → ~50k distinct tokens, top multiplicity = 50k
+    val toks = (0 until n).map(i => if (i % 2 == 1) "the" else s"tok$i")
+    val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val row = graft.operators.TextAnalysis.repetitionMetrics(docs).head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 60.0, f"top_tok_frac took $sec%.1f s on a 100k-token doc " +
+      "— the per-doc scan has gone quadratic again")
+    val counts = toks.groupBy(identity).map(_._2.size)
+    assert(row.getAs[Long]("n_tokens") == n.toLong)
+    assert(row.getAs[Double]("top_tok_frac") == counts.max.toDouble / n)
+  }
+
   test("connectedComponents equals union-find on random graphs") {
     val gen = Gen.listOfN(50, Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L)))
     (1 to 5).foreach { seed =>
