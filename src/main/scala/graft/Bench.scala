@@ -20,12 +20,28 @@ import java.nio.file.{Files, Paths}
   * A query that throws is recorded as -1 (not a silent normal timing) and
   * listed under "failed" — a broken query must be distinguishable from a
   * slow one.
+  *
+  * Round-4 hardening (VERDICT_r03 #5 + ADVICE): the canary now GATES
+  * instead of only reporting — when end-of-run drift exceeds
+  * SPARK_GRAFT_BENCH_DRIFT_MAX (default 1.5), the queries with the
+  * worst per-sample spread (up to 20) are re-timed once and their
+  * minimums folded in, the final drift is re-measured, and the JSON
+  * carries "contended": true if it STILL exceeds the gate — so a noisy
+  * host is machine-readable and no future round re-litigates it.
+  * Cache semantics are explicit: the dedup/cluster session memoizers
+  * deliberately persist across queries AND reps (that is the library's
+  * production shape — n03 builds the shingle index once, n04/n05 reuse
+  * it), so dedup-family minimums are warm-cache figures; the JSON says
+  * so via "cache": "warm". SPARK_GRAFT_BENCH_COLD=1 clears both
+  * memoizers before every sample for cold-index numbers instead.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val driftMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_MAX", "1.5").toDouble
+    val cold = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,32 +64,69 @@ object Bench {
       spark.range(0L, 400000000L, 1L, cpus.toInt).selectExpr("sum(id)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
-    canary() // untimed canary warmup (its own codegen)
+    // Untimed canary warmup: 3 rounds (6 spins) — one round leaves the
+    // first TIMED canary still JIT-inflated (~3× observed at sf0.001),
+    // which would read as drift and trip the gate on a quiet host.
+    (1 to 3).foreach(_ => canary())
+
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      if (cold) {
+        operators.Dedup.clearShingleCache(spark)
+        operators.Corpus.clearClusterCache(spark)
+      }
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (if (ok) sec else -1.0, ok)
+    }
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val canaryStart = canary()
     val half = names.size / 2
     var canaryMid = -1.0
-    val results = names.zipWithIndex.map { case ((name, fn), i) =>
+    var results = names.zipWithIndex.map { case ((name, fn), i) =>
       if (i == half) canaryMid = canary()
-      val samples = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-          }
-        val sec = (System.nanoTime() - t0) / 1e9
-        (if (ok) sec else -1.0, ok)
-      }
+      val samples = (1 to reps).map(_ => timeOnce(name, fn))
       val ok = samples.forall(_._2)
       val best = if (ok) samples.map(_._1).min else -1.0
       (name, best, samples.map(_._1), ok)
     }
-    val canaryEnd = canary()
-    val canaries = Seq(canaryStart, canaryMid, canaryEnd).filter(_ >= 0)
-    val drift = if (canaries.min > 0) canaries.max / canaries.min else -1.0
+    var canaryEnd = canary()
+    def driftOf(cs: Seq[Double]): Double = {
+      val live = cs.filter(_ >= 0)
+      if (live.nonEmpty && live.min > 0) live.max / live.min else -1.0
+    }
+    var drift = driftOf(Seq(canaryStart, canaryMid, canaryEnd))
+
+    // Drift gate: a contended sample is re-measured, not re-litigated.
+    // Re-time the worst-spread queries once (their min can only drop),
+    // then re-measure drift; if still past the gate, flag the run.
+    var retimed: Seq[String] = Nil
+    if (drift > driftMax) {
+      val fnByName = names.toMap
+      val worst = results
+        .filter { case (_, _, ss, ok) => ok && ss.min > 0 }
+        .sortBy { case (_, _, ss, _) => -(ss.max / ss.min) }
+        .takeWhile { case (_, _, ss, _) => ss.max / ss.min > driftMax }
+        .take(20).map(_._1).toSet
+      if (worst.nonEmpty) {
+        retimed = results.map(_._1).filter(worst)
+        results = results.map {
+          case r @ (name, best, ss, ok) if worst(name) =>
+            val (sec, ok2) = timeOnce(name, fnByName(name))
+            if (ok2) (name, math.min(best, sec), ss :+ sec, ok) else r
+          case r => r
+        }
+        canaryEnd = canary()
+        drift = driftOf(Seq(canaryStart, canaryMid, canaryEnd))
+      }
+    }
+    val contended = drift > driftMax
 
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and
     // a comma-decimal locale would silently emit invalid JSON
@@ -88,9 +141,9 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.filter(_._4).map(_._2).sum
     val canaryJson =
-      s"""{"start":${fmt(canaryStart)},"mid":${fmt(canaryMid)},"end":${fmt(canaryEnd)},"drift":${fmt(drift)}}"""
+      s"""{"start":${fmt(canaryStart)},"mid":${fmt(canaryMid)},"end":${fmt(canaryEnd)},"drift":${fmt(drift)},"drift_max":${fmt(driftMax)},"contended":$contended,"retimed":${retimed.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"failed":$failed,"canary":$canaryJson,"samples":$samplesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"cache":"${if (cold) "cold" else "warm"}","queries":$qs,"failed":$failed,"canary":$canaryJson,"samples":$samplesJson,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try Files.writeString(Paths.get(out), line + "\n")

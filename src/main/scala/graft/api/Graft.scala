@@ -51,10 +51,16 @@ object Graft {
       val rn = fresh("__graft_rn")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(fp)).orderBy(col("doc_id"))
-      df.withColumn(fp, key)
+      val out = df.withColumn(fp, key)
         .withColumn(rn, row_number().over(w))
         .filter(col(rn) === 1)
         .drop(fp, rn)
+      // deterministic transform of a canonical table → register so the
+      // dedup family memoizes ONE shingle index for this logical corpus
+      // across invocations (st05 rebuilds this frame every call; without
+      // the key it churned the single ad-hoc cache slot — VERDICT_r03 #6)
+      Dedup.registerDerivedCorpus(out, df, s"distinctDocuments(normalize=$normalize)")
+      out
     }
 
     /** MinHash+LSH near-duplicate pairs, exact-Jaccard verified.

@@ -97,36 +97,53 @@ object Corpus {
       // two-level locking (same as Dedup.shingles): the global lock only
       // guards the session→cache map — the multi-second eager CC build
       // runs under the per-session lock, so concurrent sessions never
-      // serialize behind each other's computation
-      val cache = clusterCaches.synchronized {
-        val dead = clusterCaches.entrySet().iterator()
-        while (dead.hasNext) {
-          if (dead.next().getKey.sparkContext.isStopped) dead.remove()
+      // serialize behind each other's computation. Same clear/build
+      // race guard as Dedup.shingles (ADVICE r03): re-validate the
+      // dead flag under the per-cache lock and retry if a concurrent
+      // clearClusterCache drained this cache object.
+      while (true) {
+        val cache = clusterCaches.synchronized {
+          val dead = clusterCaches.entrySet().iterator()
+          while (dead.hasNext) {
+            if (dead.next().getKey.sparkContext.isStopped) dead.remove()
+          }
+          var c = clusterCaches.get(docs.sparkSession)
+          if (c == null) {
+            c = new ClusterCache
+            clusterCaches.put(docs.sparkSession, c)
+          }
+          c
         }
-        var c = clusterCaches.get(docs.sparkSession)
-        if (c == null) {
-          c = new java.util.HashMap[DataFrame, DataFrame]()
-          clusterCaches.put(docs.sparkSession, c)
+        cache.synchronized {
+          if (!cache.dead)
+            return cache.memo.computeIfAbsent(docs, _ => compute())
         }
-        c
       }
-      cache.synchronized(cache.computeIfAbsent(docs, _ => compute()))
+      throw new IllegalStateException("unreachable")
     }
   }
+  private final class ClusterCache {
+    val memo = new java.util.HashMap[DataFrame, DataFrame]()
+    var dead = false
+  }
   private val clusterCaches =
-    new java.util.WeakHashMap[SparkSession, java.util.HashMap[DataFrame, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, ClusterCache]()
 
   /** Unpersist and forget every memoized cluster-label frame for
     * `spark` — the cluster-side twin of Dedup.clearShingleCache (the
     * labels are localCheckpointed RDD blocks pinned in executor
-    * storage; a service cycling corpus dirs reclaims them here). */
+    * storage; a service cycling corpus dirs reclaims them here). Dead
+    * flag + lock ordering as in clearShingleCache: a racing build
+    * either completes first and is drained here, or observes dead and
+    * retries into a fresh cache. */
   def clearClusterCache(spark: SparkSession): Unit = {
     val cache = clusterCaches.synchronized(clusterCaches.remove(spark))
     if (cache != null) cache.synchronized {
-      cache.values.forEach { df =>
+      cache.dead = true
+      cache.memo.values.forEach { df =>
         try df.unpersist() catch { case _: Throwable => () }
       }
-      cache.clear()
+      cache.memo.clear()
     }
   }
 

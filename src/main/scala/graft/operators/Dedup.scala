@@ -38,39 +38,83 @@ object Dedup {
     * concurrent sessions cannot churn each other's slots; entries of
     * stopped sessions are evicted on the next access, since the cached
     * frames pin their session and defeat weak-key collection alone).
-    * Within a session: frames from the Tables cache (identity-stable
-    * across catalog queries) are memoized so n03/n04/n05 share one
-    * materialized index per run — bounded by #tables × #dirs; ad-hoc
-    * corpora (API facade, curation pipeline) occupy a single slot that
-    * is unpersisted when the next ad-hoc corpus arrives. */
+    * Within a session, three tiers:
+    *   1. frames from the Tables cache (identity-stable across catalog
+    *      queries) are memoized so n03/n04/n05 share one materialized
+    *      index per run — bounded by #tables × #dirs;
+    *   2. DERIVED corpora registered via [[registerDerivedCorpus]]
+    *      (e.g. `distinctDocuments` of a canonical table — st05's
+    *      survivor frame) are memoized under their logical
+    *      (canonical parent, transform) key, so a deterministic
+    *      transform re-built as a fresh DataFrame object still shares
+    *      one shingle index instead of churning the ad-hoc slot
+    *      (VERDICT_r03 #6) — bounded by #parents × #transform tags;
+    *   3. everything else occupies a single ad-hoc slot that is
+    *      unpersisted when the next ad-hoc corpus arrives.
+    *
+    * Clear/build race (ADVICE r03): a concurrent [[clearShingleCache]]
+    * marks the cache object dead under its own lock; this method
+    * re-validates the flag inside the per-cache lock and retries the
+    * whole lookup, so a late build can never pin a frame inside an
+    * orphaned (already-drained) cache. */
   def shingles(docs: DataFrame): DataFrame = {
-    val cache = sessionCaches.synchronized {
-      // The cached DataFrames strongly reference their session, which
-      // pins the WeakHashMap key — so weak-key eviction alone cannot
-      // fire. Explicitly drop entries for stopped sessions here.
-      val dead = sessionCaches.entrySet().iterator()
-      while (dead.hasNext) {
-        if (dead.next().getKey.sparkContext.isStopped) dead.remove()
+    while (true) {
+      val cache = sessionCaches.synchronized {
+        // The cached DataFrames strongly reference their session, which
+        // pins the WeakHashMap key — so weak-key eviction alone cannot
+        // fire. Explicitly drop entries for stopped sessions here.
+        val dead = sessionCaches.entrySet().iterator()
+        while (dead.hasNext) {
+          if (dead.next().getKey.sparkContext.isStopped) dead.remove()
+        }
+        var c = sessionCaches.get(docs.sparkSession)
+        if (c == null) { c = new ShingleCache; sessionCaches.put(docs.sparkSession, c) }
+        c
       }
-      var c = sessionCaches.get(docs.sparkSession)
-      if (c == null) { c = new ShingleCache; sessionCaches.put(docs.sparkSession, c) }
-      c
-    }
-    cache.synchronized {
-      if (graft.Tables.isCanonical(docs))
-        cache.memo.computeIfAbsent(docs, buildShingles(_).cache())
-      else cache.adhoc match {
-        case Some((k, v)) if k eq docs => v
-        case prev =>
-          prev.foreach { case (_, v) =>
-            try v.unpersist() catch { case _: Throwable => () }
-          }
-          val v = buildShingles(docs).cache()
-          cache.adhoc = Some((docs, v))
-          v
+      cache.synchronized {
+        if (!cache.dead) {
+          val derivedKey =
+            derivedCorpora.synchronized(Option(derivedCorpora.get(docs)))
+          val result =
+            if (graft.Tables.isCanonical(docs))
+              cache.memo.computeIfAbsent(docs, buildShingles(_).cache())
+            else derivedKey match {
+              case Some(key) =>
+                cache.derived.computeIfAbsent(key, _ => buildShingles(docs).cache())
+              case None => cache.adhoc match {
+                case Some((k, v)) if k eq docs => v
+                case prev =>
+                  prev.foreach { case (_, v) =>
+                    try v.unpersist() catch { case _: Throwable => () }
+                  }
+                  val v = buildShingles(docs).cache()
+                  cache.adhoc = Some((docs, v))
+                  v
+              }
+            }
+          return result
+        }
+        // cache was cleared between fetch and lock — retry with a fresh one
       }
     }
+    throw new IllegalStateException("unreachable")
   }
+
+  /** Register `derived` as the result of deterministic `transform`
+    * applied to canonical `parent`, so [[shingles]] memoizes its index
+    * under the logical (parent, transform) key: a re-built DataFrame
+    * object for the same logical corpus (st05 rebuilds its survivor
+    * frame on every invocation) shares the cached index. Only
+    * canonical parents register (anything else falls through to the
+    * ad-hoc slot); the registry holds the derived frame weakly. */
+  private[graft] def registerDerivedCorpus(derived: DataFrame,
+      parent: DataFrame, transform: String): Unit =
+    if (graft.Tables.isCanonical(parent))
+      derivedCorpora.synchronized {
+        derivedCorpora.put(derived, (parent, transform)): Unit
+      }
+  private val derivedCorpora =
+    new java.util.WeakHashMap[DataFrame, (DataFrame, String)]()
 
   private def buildShingles(docs: DataFrame): DataFrame =
     docs
@@ -86,7 +130,12 @@ object Dedup {
 
   private final class ShingleCache {
     val memo = new java.util.HashMap[DataFrame, DataFrame]()
+    val derived = new java.util.HashMap[(DataFrame, String), DataFrame]()
     var adhoc: Option[(DataFrame, DataFrame)] = None
+    /** Set (under this cache's lock) once the cache is drained by
+      * [[clearShingleCache]]; a racing [[shingles]] lookup re-checks it
+      * and retries instead of writing into the orphaned object. */
+    var dead = false
   }
   private val sessionCaches =
     new java.util.WeakHashMap[SparkSession, ShingleCache]()
@@ -95,13 +144,21 @@ object Dedup {
     * long-lived-session hygiene (the cache is bounded by
     * #tables × #dirs, but a service that cycles corpora can reclaim
     * executor storage deterministically instead of waiting for
-    * session end). */
+    * session end). The dead flag is flipped under the per-cache lock
+    * BEFORE draining, so an in-flight shingles() call either completes
+    * against the still-live cache (and its frame is drained here, the
+    * lock orders the two) or observes dead and retries against a fresh
+    * cache — no frame can stay pinned in an unreachable cache. */
   def clearShingleCache(spark: SparkSession): Unit = {
     val cache = sessionCaches.synchronized(sessionCaches.remove(spark))
     if (cache != null) cache.synchronized {
-      (cache.memo.values.iterator().asScala ++ cache.adhoc.map(_._2).iterator)
+      cache.dead = true
+      (cache.memo.values.iterator().asScala ++
+        cache.derived.values.iterator().asScala ++
+        cache.adhoc.map(_._2).iterator)
         .foreach(df => try df.unpersist() catch { case _: Throwable => () })
       cache.memo.clear()
+      cache.derived.clear()
       cache.adhoc = None
     }
   }

@@ -136,10 +136,12 @@ object WindowedAggs {
        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     import graft.api.Graft._
     // one-shuffle window dedup (the groupBy + join-back formulation
-    // scans documents twice for the same survivor set)
+    // scans documents twice for the same survivor set); the survivor
+    // frame is passed UNPROJECTED so its (canonical parent, transform)
+    // registration reaches the shingle cache — shingles() projects to
+    // (doc_id, text) itself
     val kept = Tables(s, dir).documents
       .distinctDocuments(normalize = true)
-      .select("doc_id", "text")
     graft.operators.Dedup.nearDuplicatePairs(kept, threshold = 0.6)
       .orderBy("d1", "d2")
   }

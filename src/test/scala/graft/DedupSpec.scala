@@ -73,6 +73,27 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.shingles(docs).count() == before)
   }
 
+  test("derived-corpus cache: distinctDocuments survivors share ONE shingle index") {
+    import graft.api.Graft._
+    val docs = Tables(spark, sf0001).documents
+    // two separate invocations build two distinct DataFrame objects for
+    // the same logical corpus (st05's per-call situation) — the cache
+    // must return the identical memoized index, not churn the ad-hoc
+    // slot (VERDICT_r03 #6)
+    val k1 = docs.distinctDocuments(normalize = true)
+    val k2 = docs.distinctDocuments(normalize = true)
+    assert(k1 ne k2)
+    val s1 = Dedup.shingles(k1)
+    assert(s1 eq Dedup.shingles(k2), "derived corpora rebuilt the index")
+    // an unrelated ad-hoc corpus must NOT evict the derived entry
+    import spark.implicits._
+    Dedup.shingles(Seq((1L, "a b c d")).toDF("doc_id", "text"))
+    assert(s1 eq Dedup.shingles(k1), "ad-hoc corpus evicted the derived entry")
+    // and a clear still resets it cleanly
+    Dedup.clearShingleCache(spark)
+    assert(s1 ne Dedup.shingles(docs.distinctDocuments(normalize = true)))
+  }
+
   test("banded LSH (4x4): subset of exact pairs, recall reported") {
     val banded = Catalog.queries("n17_lsh_banded")(spark, sf0001)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
