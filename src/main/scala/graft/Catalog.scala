@@ -80,6 +80,7 @@ object Catalog {
     operators.Windows.all,
     functions.Scalars.all,
     operators.Dedup.all,
+    operators.IncrementalDedup.all,
     operators.Corpus.all,
     operators.Similarity.all,
     operators.TextAnalysis.all,

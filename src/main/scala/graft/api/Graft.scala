@@ -110,6 +110,33 @@ object Graft {
       df.join(dupIds, Seq("doc_id"), "left_anti")
     }
 
+    /** Build the persistable dedup/decontamination index for this
+      * corpus (fingerprints + LSH bands + inverted shingle index +
+      * window hashes). Pair with [[dedupAgainstIndex]] /
+      * `IncrementalDedup.writeIndex` for the incremental daily-batch
+      * flow that never re-shuffles the prior corpus. */
+    def buildDedupIndex(dfCap: Option[Long] = None): graft.operators.DedupIndex =
+      graft.operators.IncrementalDedup.buildIndex(df, dfCap)
+
+    /** Incremental screen: rows of THIS frame (the new batch) that are
+      * neither exact nor near duplicates (jac ≥ threshold) of anything
+      * in the prior `index`. Touches only the batch and the index —
+      * the prior corpus is never re-read. */
+    def dedupAgainstIndex(index: graft.operators.DedupIndex,
+        threshold: Double = 0.8, normalize: Boolean = false): DataFrame =
+      graft.operators.IncrementalDedup.dedupAgainstIndex(df, index, threshold, normalize)
+
+    /** Cross-snapshot near-dup pairs of this batch vs the prior index:
+      * (d_new, d_prior, jac ≥ threshold), exact-Jaccard verified. */
+    def nearDuplicatesAgainstIndex(index: graft.operators.DedupIndex,
+        threshold: Double = 0.8): DataFrame =
+      graft.operators.IncrementalDedup.nearDupPairsAgainstIndex(df, index, threshold)
+
+    /** Benchmark decontamination: (doc_id, n_shared) for batch docs
+      * sharing ≥ 1 window fingerprint with the held-out `index`. */
+    def contaminatedAgainstIndex(index: graft.operators.DedupIndex): DataFrame =
+      graft.operators.IncrementalDedup.contaminatedAgainstIndex(df, index)
+
     /** Duplicate clusters: connected components over the exact-Jaccard
       * near-dup graph. Returns (doc_id, cluster_id = smallest doc_id in
       * the component) for every doc with at least one near-dup. */

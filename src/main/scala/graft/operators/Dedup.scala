@@ -290,18 +290,17 @@ object Dedup {
   private[graft] def lshCandidates(docs: DataFrame): DataFrame =
     lshCandidatesFrom(shingles(docs))
 
-  /** Banding over an explicit shingle frame — the capped path hands a
-    * df-capped index here, because a corpus-wide hot shingle doesn't
-    * just poison the verify: it wins the minhash minimum for ~1/(m+1)
-    * of documents per seed and turns band buckets quadratic. MinHash
-    * over the non-hot shingle set (standard stop-shingle MinHash)
-    * bounds the buckets; the verify still counts over FULL sets. */
-  private def lshCandidatesFrom(sh: DataFrame): DataFrame = {
-    // band signatures straight off the wide signature row — zero extra
-    // shuffles beyond the single minhash aggregation
+  /** LSH band signatures (doc_id, band, sig) straight off the wide
+    * xxhash64 minhash row — zero extra shuffles beyond the single
+    * minhash aggregation. Deterministic across sessions (xxhash64 is a
+    * pure function of the shingle bytes), so signatures persisted by
+    * one run collide correctly with signatures computed by a later run
+    * over the same shingle filter — the property
+    * [[IncrementalDedup]]'s persisted band index relies on. */
+  private[operators] def bandSignatures(sh: DataFrame): DataFrame = {
     val nBands = NumHashes / BandRows
     val wide = minhashWideFast(sh)
-    val bands = wide.select(col("doc_id"),
+    wide.select(col("doc_id"),
       explode(array((0 until nBands).map { b =>
         // single-row bands keep the raw long (cheaper join key than a
         // concat string); multi-row bands concat their components
@@ -311,6 +310,16 @@ object Dedup {
         struct(lit(b).as("band"), sig.as("sig"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Banding over an explicit shingle frame — the capped path hands a
+    * df-capped index here, because a corpus-wide hot shingle doesn't
+    * just poison the verify: it wins the minhash minimum for ~1/(m+1)
+    * of documents per seed and turns band buckets quadratic. MinHash
+    * over the non-hot shingle set (standard stop-shingle MinHash)
+    * bounds the buckets; the verify still counts over FULL sets. */
+  private def lshCandidatesFrom(sh: DataFrame): DataFrame = {
+    val bands = bandSignatures(sh)
     val b1 = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
     val b2 = bands.select(col("doc_id").as("d2"), col("band"), col("sig"))
     b1.join(b2, Seq("band", "sig"))

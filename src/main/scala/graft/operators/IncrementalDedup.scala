@@ -1,0 +1,329 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** The persisted dedup index: everything a daily-crawl pipeline needs
+  * to dedup/decontaminate a NEW batch against the accumulated corpus
+  * WITHOUT recomputing (or re-shuffling) anything over the prior
+  * corpus. Five component relations, each persistable as Parquet:
+  *
+  *   - `fingerprints` (doc_id, fp, nfp): exact and normalized content
+  *     digests — the tier-1 anti-join side.
+  *   - `bands` (doc_id, band, sig): LSH band signatures of the
+  *     xxhash64 minhash over the (optionally df-capped) shingle set —
+  *     the candidate-probe side. xxhash64 is a pure function of the
+  *     shingle bytes, so signatures persisted by one run collide
+  *     correctly with a later run's.
+  *   - `shingles` (doc_id, sh): the FULL inverted shingle index — the
+  *     exact-Jaccard verify side (values stay exact even when banding
+  *     is capped).
+  *   - `sizes` (doc_id, n): distinct-shingle counts (precomputed so a
+  *     probe never re-aggregates the whole persisted index).
+  *   - `winHashes` (h): distinct Rabin–Karp window fingerprints — the
+  *     benchmark-decontamination probe side (n26's screen against a
+  *     REAL held-out index instead of an in-corpus stand-in).
+  *   - `hotShingles` (sh): the df-capped stop-shingle list the bands
+  *     were built WITHOUT. Persisted because MinHash only collides
+  *     when both sides minimize over the SAME shingle filter — a probe
+  *     must drop exactly this set from the new batch before banding,
+  *     or signatures of identical documents would disagree.
+  *
+  * All frames are lazy: a caller that only fingerprint-screens never
+  * executes the band/shingle lineage.
+  */
+final case class DedupIndex(
+    fingerprints: DataFrame,
+    bands: DataFrame,
+    shingles: DataFrame,
+    sizes: DataFrame,
+    winHashes: DataFrame,
+    hotShingles: DataFrame)
+
+/** Incremental cross-snapshot dedup (VERDICT r03 #1): the batch dedup
+  * family (n01–n08) recomputes over the full corpus; a daily-crawl
+  * pipeline instead dedups each NEW batch against a persisted index of
+  * everything already accepted — touching only the new batch and the
+  * index. This module provides that operation, mirroring the
+  * reference's own incremental cadence (gtfs_rt_assets.py:253-257
+  * re-reads only the new minute's snapshot) at corpus scale.
+  *
+  * Scale shape: the probe shuffles (a) the new batch's shingles/bands
+  * — proportional to the BATCH, not the corpus — and (b) index rows
+  * semi-filtered to candidate doc_ids. The prior corpus's text is
+  * never read, its shingles never recomputed, its minhash never
+  * re-aggregated. At 100 TB the index components would additionally be
+  * written bucketed by their join key (bands by sig, shingles by
+  * doc_id) so the probe-side joins prune/co-locate; the logic is
+  * unchanged.
+  */
+object IncrementalDedup {
+
+  /** Build the in-memory index frames for `docs` (doc_id, text).
+    *
+    * `dfCap`: stop-shingle cap for the BANDING side only (see
+    * [[Dedup.dropHotShingles]] for the preservation argument). The hot
+    * list is computed here, applied to the bands, and stored in the
+    * index so probes band over the identical shingle filter. The
+    * stored `shingles`/`sizes` always cover the FULL sets — verified
+    * Jaccard values are exact regardless of the cap. */
+  def buildIndex(docs: DataFrame, dfCap: Option[Long] = None): DedupIndex = {
+    val sh = Dedup.shingles(docs)
+    val hot = dfCap match {
+      case Some(cap) =>
+        sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+      case None => // empty, schema-stable
+        sh.select("sh").limit(0)
+    }
+    val banded = dfCap match {
+      case Some(_) => sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      case None    => sh
+    }
+    DedupIndex(
+      fingerprints = docs.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("fp"),
+        graft.Det.normFingerprint(col("text")).as("nfp")),
+      bands = Dedup.bandSignatures(banded),
+      shingles = sh,
+      sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n")),
+      winHashes = TextAnalysis.windowHashes(docs).select(col("win_hash").as("h")).distinct(),
+      hotShingles = hot)
+  }
+
+  private val Components =
+    Seq("fingerprints", "bands", "shingles", "sizes", "winhash", "hot")
+
+  /** Persist `index` under `path` (one Parquet dir per component),
+    * overwriting any prior index there. */
+  def writeIndex(index: DedupIndex, path: String): Unit = {
+    val frames = Seq(index.fingerprints, index.bands, index.shingles,
+      index.sizes, index.winHashes, index.hotShingles)
+    Components.zip(frames).foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$path/$name")
+    }
+  }
+
+  /** Build and persist the index for `docs` in one call. */
+  def buildAndWriteIndex(docs: DataFrame, path: String,
+      dfCap: Option[Long] = None): Unit =
+    writeIndex(buildIndex(docs, dfCap), path)
+
+  /** Reopen a persisted index. Lazy — nothing is read until a probe
+    * executes. */
+  def readIndex(spark: SparkSession, path: String): DedupIndex = {
+    def rd(name: String) = spark.read.parquet(s"$path/$name")
+    DedupIndex(rd("fingerprints"), rd("bands"), rd("shingles"),
+      rd("sizes"), rd("winhash"), rd("hot"))
+  }
+
+  /** Grow a persisted index by `newDocs` WITHOUT rebuilding: appends
+    * each component's rows for the new batch only. The new batch bands
+    * over the PERSISTED hot-shingle list (band-filter consistency —
+    * see [[DedupIndex]]); a shingle that only became hot corpus-wide
+    * after many appends is not retro-capped, so a long-lived index
+    * should be re-built periodically (the usual compaction trade).
+    * Doc_ids are assumed unique across snapshots (pipeline contract —
+    * the reference's batch_id-scoped ids satisfy it). */
+  def appendToIndex(newDocs: DataFrame, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val persistedHot = spark.read.parquet(s"$path/hot")
+    val sh = Dedup.shingles(newDocs)
+    val banded = sh.join(broadcast(persistedHot), Seq("sh"), "left_anti")
+    val frames = Seq(
+      newDocs.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("fp"),
+        graft.Det.normFingerprint(col("text")).as("nfp")),
+      Dedup.bandSignatures(banded),
+      sh,
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n")),
+      TextAnalysis.windowHashes(newDocs).select(col("win_hash").as("h")).distinct())
+    Components.zip(frames).foreach { case (name, df) =>
+      df.write.mode("append").parquet(s"$path/$name")
+    }
+  }
+
+  /** Exact-duplicate hits of the new batch against the index:
+    * (d_new, d_prior) where the content fingerprint matches.
+    * `normalize = true` matches on the canonical normalized
+    * fingerprint instead (case/whitespace variants). This is the only
+    * screen that catches sub-shingle-length documents (< 3 words ⇒
+    * empty shingle set ⇒ invisible to MinHash). */
+  def exactDupsAgainstIndex(newDocs: DataFrame, index: DedupIndex,
+      normalize: Boolean = false): DataFrame = {
+    val key =
+      if (normalize) graft.Det.normFingerprint(col("text"))
+      else md5(col("text").cast("binary"))
+    val idxKey = if (normalize) "nfp" else "fp"
+    newDocs.select(col("doc_id").as("d_new"), key.as("__k"))
+      .join(index.fingerprints.select(col(idxKey).as("__k"),
+        col("doc_id").as("d_prior")), Seq("__k"))
+      .select("d_new", "d_prior")
+  }
+
+  /** Near-duplicate pairs of the new batch against the index:
+    * (d_new, d_prior, jac ≥ threshold), exact-Jaccard verified.
+    *
+    * Plan: new-batch shingles → drop the index's persisted hot list →
+    * band → probe the persisted band index (equi-join on (band, sig))
+    * → DISTINCT candidates → verify by exploding each candidate
+    * against the new doc's full shingle set and matching the persisted
+    * inverted index, semi-filtered to candidate priors first. Cost is
+    * bounded by |batch| + |candidates|·|sh/doc| — never Σdf² over the
+    * corpus, never a scan of prior text. */
+  def nearDupPairsAgainstIndex(newDocs: DataFrame, index: DedupIndex,
+      threshold: Double): DataFrame = {
+    val newSh = Dedup.shingles(newDocs)
+    val banded = newSh.join(broadcast(index.hotShingles), Seq("sh"), "left_anti")
+    val cand = Dedup.bandSignatures(banded)
+      .select(col("doc_id").as("d_new"), col("band"), col("sig"))
+      .join(index.bands.select(col("doc_id").as("d_prior"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select("d_new", "d_prior").distinct()
+    // verify on FULL sets: values exact even when banding was capped
+    val priorSh = index.shingles
+      .join(cand.select(col("d_prior").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("d_prior"), col("sh"))
+    val common = cand
+      .join(newSh.select(col("doc_id").as("d_new"), col("sh")), Seq("d_new"))
+      .join(priorSh, Seq("d_prior", "sh"))
+      .groupBy("d_new", "d_prior").agg(count(lit(1)).as("c"))
+    val newSizes = newSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    common
+      .join(newSizes.select(col("doc_id").as("d_new"), col("n").as("n_new")),
+        Seq("d_new"))
+      .join(index.sizes.select(col("doc_id").as("d_prior"), col("n").as("n_prior")),
+        Seq("d_prior"))
+      .withColumn("jac",
+        col("c").cast("double") / (col("n_new") + col("n_prior") - col("c")))
+      .filter(col("jac") >= threshold)
+      .select("d_new", "d_prior", "jac")
+  }
+
+  /** The full incremental screen: new-batch rows surviving BOTH the
+    * exact-fingerprint anti-join and the near-duplicate probe. Returns
+    * `newDocs` rows unchanged (all caller columns kept). Intra-batch
+    * duplicates are the existing batch family's job
+    * (`Graft.distinctDocuments` / `nearDuplicates`) — run it first,
+    * exactly as a pipeline would (cheap tier-1 before the index probe). */
+  def dedupAgainstIndex(newDocs: DataFrame, index: DedupIndex,
+      threshold: Double = 0.8, normalize: Boolean = false): DataFrame = {
+    val exactHit = exactDupsAgainstIndex(newDocs, index, normalize)
+      .select(col("d_new").as("doc_id")).distinct()
+    val nearHit = nearDupPairsAgainstIndex(newDocs, index, threshold)
+      .select(col("d_new").as("doc_id")).distinct()
+    newDocs
+      .join(exactHit, Seq("doc_id"), "left_anti")
+      .join(nearHit, Seq("doc_id"), "left_anti")
+  }
+
+  /** Benchmark decontamination against a persisted held-out index:
+    * (doc_id, n_shared) for each new-batch doc sharing ≥ 1 distinct
+    * 8-token window fingerprint with the index's corpus — n26's screen
+    * run the way a training pipeline actually runs it (the held-out
+    * set is indexed once; every candidate batch probes it). The
+    * defensive distinct() keeps counts correct even after
+    * [[appendToIndex]] wrote overlapping window-hash sets. */
+  def contaminatedAgainstIndex(newDocs: DataFrame, index: DedupIndex): DataFrame =
+    TextAnalysis.windowHashes(newDocs)
+      .select(col("doc_id"), col("win_hash").as("h")).distinct()
+      .join(index.winHashes.select("h").distinct(), Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+
+  // ---------------------------------------------------------------------
+  // Catalog entries: planted two-snapshot corpus — prior = even doc_ids,
+  // new batch = odd. The oracle is the FULL-REBUILD answer restricted to
+  // cross-snapshot pairs, so a recall miss anywhere in the incremental
+  // pipeline (banding, hot-list handling, verify) flips the hash.
+  // ---------------------------------------------------------------------
+
+  private def splitDocs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables(s, dir).documents
+    val prior = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    // deterministic transforms of a canonical table → one shingle index
+    // per parity across the three incremental entries
+    Dedup.registerDerivedCorpus(prior, docs, "parity=0")
+    Dedup.registerDerivedCorpus(fresh, docs, "parity=1")
+    (prior, fresh)
+  }
+
+  private val shinglesSql = Dedup.shinglesSqlFor("documents")
+
+  /** Cross-snapshot near-dup pairs: incremental probe vs the exact
+    * full-rebuild answer restricted to (new, prior) pairs. */
+  val incrementalNearDup: Q = Q(
+    "n37_incremental_neardup",
+    s"""WITH $shinglesSql,
+       |common AS (SELECT a.doc_id AS d_new, b.doc_id AS d_prior, count(*) AS c
+       |           FROM sh a JOIN sh b ON a.sh = b.sh
+       |           WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+       |           GROUP BY 1, 2)
+       |SELECT d_new, d_prior,
+       |       CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jac
+       |FROM common
+       |JOIN sizes s1 ON s1.doc_id = d_new
+       |JOIN sizes s2 ON s2.doc_id = d_prior
+       |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6
+       |ORDER BY d_new, d_prior""".stripMargin) { (s, dir) =>
+    val (prior, fresh) = splitDocs(s, dir)
+    nearDupPairsAgainstIndex(fresh, buildIndex(prior), threshold = 0.6)
+      .orderBy("d_new", "d_prior")
+  }
+
+  /** Surviving new-batch docs after the full incremental screen
+    * (exact fingerprint + near-dup ≥ 0.6 against the prior index). */
+  val incrementalDedup: Q = Q(
+    "n38_incremental_dedup",
+    s"""WITH $shinglesSql,
+       |common AS (SELECT a.doc_id AS d_new, b.doc_id AS d_prior, count(*) AS c
+       |           FROM sh a JOIN sh b ON a.sh = b.sh
+       |           WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+       |           GROUP BY 1, 2),
+       |near AS (SELECT DISTINCT co.d_new
+       |         FROM common co
+       |         JOIN sizes s1 ON s1.doc_id = co.d_new
+       |         JOIN sizes s2 ON s2.doc_id = co.d_prior
+       |         WHERE CAST(co.c AS DOUBLE) / (s1.n + s2.n - co.c) >= 0.6),
+       |exact AS (SELECT DISTINCT doc_id FROM documents
+       |          WHERE doc_id % 2 = 1 AND md5(text) IN
+       |            (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0))
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 2 = 1
+       |  AND doc_id NOT IN (SELECT d_new FROM near)
+       |  AND doc_id NOT IN (SELECT doc_id FROM exact)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val (prior, fresh) = splitDocs(s, dir)
+    dedupAgainstIndex(fresh, buildIndex(prior), threshold = 0.6)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** New-batch decontamination against the prior snapshot's window-hash
+    * index (n26's screen with a real held-out index). */
+  val incrementalDecontaminate: Q = Q(
+    "n39_incremental_decontaminate",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |pos AS (SELECT doc_id, tk,
+       |               unnest(generate_series(1, greatest(len(tk) - ${TextAnalysis.RollingWindow - 1}, 0))) AS p
+       |        FROM toks),
+       |wh AS (SELECT doc_id,
+       |              list_reduce(list_transform(tk[p:p+${TextAnalysis.RollingWindow - 1}],
+       |                t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % ${TextAnalysis.P}),
+       |                (a, b) -> (a * ${TextAnalysis.B} + b) % ${TextAnalysis.P}) AS h
+       |       FROM pos),
+       |bench AS (SELECT DISTINCT h FROM wh WHERE doc_id % 2 = 0),
+       |train AS (SELECT DISTINCT doc_id, h FROM wh WHERE doc_id % 2 = 1)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM train t JOIN bench b ON t.h = b.h
+       |GROUP BY t.doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val (prior, fresh) = splitDocs(s, dir)
+    contaminatedAgainstIndex(fresh, buildIndex(prior))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(incrementalNearDup, incrementalDedup,
+    incrementalDecontaminate)
+}

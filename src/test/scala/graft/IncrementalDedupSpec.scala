@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, IncrementalDedup}
+
+/** Incremental cross-snapshot dedup (VERDICT r03 #1): the planted
+  * two-snapshot proofs — incremental == full rebuild, the Parquet
+  * round-trip changes nothing, appends grow the index correctly, and
+  * the persisted hot-shingle list keeps banding consistent across
+  * snapshots. */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private def docs = Tables(spark, sf0001).documents
+  private def prior = docs.filter(col("doc_id") % 2 === 0)
+  private def fresh = docs.filter(col("doc_id") % 2 === 1)
+
+  private def pairSet(df: DataFrame, c1: String, c2: String): Set[(Long, Long)] =
+    df.select(c1, c2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("incremental near-dup probe equals full rebuild restricted to cross pairs") {
+    val incremental = pairSet(
+      IncrementalDedup.nearDupPairsAgainstIndex(
+        fresh, IncrementalDedup.buildIndex(prior), threshold = 0.6),
+      "d_new", "d_prior")
+    // full rebuild over the whole corpus, restricted to (odd, even) pairs
+    val full = Dedup.nearDuplicatePairs(docs, threshold = 0.6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a % 2 != b % 2 }
+      .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) }
+      .toSet
+    assert(incremental == full,
+      s"missed ${(full -- incremental).size}, extra ${(incremental -- full).size}")
+  }
+
+  test("parquet round-trip: probe from the persisted index alone matches in-memory") {
+    val dir = java.nio.file.Files.createTempDirectory("incr_index").toString
+    IncrementalDedup.buildAndWriteIndex(prior, dir)
+    val fromDisk = IncrementalDedup.readIndex(spark, dir)
+    val inMem = IncrementalDedup.buildIndex(prior)
+
+    val a = pairSet(
+      IncrementalDedup.nearDupPairsAgainstIndex(fresh, fromDisk, 0.6),
+      "d_new", "d_prior")
+    val b = pairSet(
+      IncrementalDedup.nearDupPairsAgainstIndex(fresh, inMem, 0.6),
+      "d_new", "d_prior")
+    assert(a == b && a.nonEmpty)
+
+    // survivors identical too — and computed without the prior docs frame
+    val sa = IncrementalDedup.dedupAgainstIndex(fresh, fromDisk, 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sb = IncrementalDedup.dedupAgainstIndex(fresh, inMem, 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sa == sb)
+  }
+
+  test("appendToIndex grows the index identically to a rebuild over the union") {
+    import spark.implicits._
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val batch1 = docs.filter(col("doc_id") % 3 === 1)
+    val batch2 = docs.filter(col("doc_id") % 3 === 2)
+
+    val dir = java.nio.file.Files.createTempDirectory("incr_append").toString
+    IncrementalDedup.buildAndWriteIndex(base, dir)
+    IncrementalDedup.appendToIndex(batch1, dir)
+    val appended = IncrementalDedup.readIndex(spark, dir)
+    val rebuilt = IncrementalDedup.buildIndex(base.unionByName(batch1))
+
+    val a = pairSet(
+      IncrementalDedup.nearDupPairsAgainstIndex(batch2, appended, 0.6),
+      "d_new", "d_prior")
+    val b = pairSet(
+      IncrementalDedup.nearDupPairsAgainstIndex(batch2, rebuilt, 0.6),
+      "d_new", "d_prior")
+    assert(a == b && a.nonEmpty,
+      s"appended-index probe ${a.size} pairs vs rebuild ${b.size}")
+
+    // decontamination probe agrees as well
+    val ca = IncrementalDedup.contaminatedAgainstIndex(batch2, appended)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cb = IncrementalDedup.contaminatedAgainstIndex(batch2, rebuilt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ca == cb)
+  }
+
+  test("exact fingerprint screen catches sub-shingle-length duplicates") {
+    import spark.implicits._
+    // 2-word docs: empty shingle set, invisible to MinHash — only the
+    // fingerprint tier can drop the cross-snapshot duplicate
+    val priorDocs = Seq((0L, "tiny doc"), (2L, "other text")).toDF("doc_id", "text")
+    val newDocs = Seq((1L, "tiny doc"), (3L, "fresh thing")).toDF("doc_id", "text")
+    val idx = IncrementalDedup.buildIndex(priorDocs)
+    val survivors = IncrementalDedup.dedupAgainstIndex(newDocs, idx, 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(3L))
+    // normalized variant also drops the case-mutated twin
+    val mutated = Seq((5L, "  TINY   DOC "), (7L, "fresh thing")).toDF("doc_id", "text")
+    val survNorm = IncrementalDedup.dedupAgainstIndex(mutated, idx, 0.6,
+      normalize = true).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survNorm == Set(7L))
+  }
+
+  test("persisted hot list keeps capped banding consistent across snapshots") {
+    import spark.implicits._
+    // boilerplate header hot in the PRIOR corpus; the planted cross-
+    // snapshot near-dup pair shares plenty of non-hot shingles
+    val boiler = "terms of service apply to this page"
+    def body(i: Int) = s"unique payload $i alpha beta gamma delta epsilon zeta"
+    val priorDocs = ((0 until 40).map(i => (i.toLong * 2, s"$boiler ${body(i)}")) :+
+      (1000L, s"target document shared core alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (1001L, s"target document shared core alpha beta gamma delta epsilon zeta eta iota"),
+      (1003L, "completely unrelated content nothing in common here at all"))
+      .toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("incr_hot").toString
+    // cap 10 makes every boilerplate shingle hot (df=40) while the
+    // target pair's shared shingles (df<=2) all survive
+    IncrementalDedup.buildAndWriteIndex(priorDocs, dir, dfCap = Some(10L))
+    val idx = IncrementalDedup.readIndex(spark, dir)
+    assert(idx.hotShingles.count() > 0, "cap should have flagged boilerplate")
+
+    val pairs = pairSet(
+      IncrementalDedup.nearDupPairsAgainstIndex(newDocs, idx, 0.5),
+      "d_new", "d_prior")
+    assert(pairs.contains((1001L, 1000L)),
+      s"planted pair lost under capped banding: $pairs")
+
+    // the capped probe agrees with the uncapped full rebuild on this pair
+    val full = Dedup.nearDuplicatePairs(priorDocs.unionByName(newDocs), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((1000L, 1001L)))
+  }
+
+  test("catalog survivors = new batch minus exact and near hits (internal consistency)") {
+    val idx = IncrementalDedup.buildIndex(prior)
+    val near = IncrementalDedup.nearDupPairsAgainstIndex(fresh, idx, 0.6)
+      .select("d_new").collect().map(_.getLong(0)).toSet
+    val exact = IncrementalDedup.exactDupsAgainstIndex(fresh, idx)
+      .select("d_new").collect().map(_.getLong(0)).toSet
+    val survivors = IncrementalDedup.dedupAgainstIndex(fresh, idx, 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == all -- near -- exact)
+    assert(near.nonEmpty, "fixture should contain cross-snapshot near-dups")
+  }
+}
