@@ -163,6 +163,58 @@ object Dedup {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Row-level twins of the shingle/minhash pipeline, for the streaming
+  // state store (StreamingOps.streamingNearDupPairs). ONE definition of
+  // the constants and hash chain lives here so batch and stream can
+  // never drift: the stream's band signatures are bit-identical to
+  // bandSignatures' (xxhash64 chain, seed 42, Int-then-String), pinned
+  // by StreamingSpec against the batch plan.
+  // -------------------------------------------------------------------
+
+  /** The distinct word-3-gram shingle set of one document — row-level
+    * twin of [[buildShingles]] (split keeps trailing empties, exactly
+    * like Spark's regex split with limit −1). */
+  private[graft] def rowShingles(text: String): Array[String] = {
+    val w = text.split(" ", -1)
+    if (w.length < 3) Array.empty
+    else w.sliding(3).map(_.mkString(" ")).toArray.distinct
+  }
+
+  private def chainHash(j: Int, sh: org.apache.spark.unsafe.types.UTF8String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    // xxhash64(lit(j), sh): fold the 42L seed through each argument
+    val h1 = XxHash64Function.hash(j, IntegerType, 42L)
+    XxHash64Function.hash(sh, StringType, h1)
+  }
+
+  /** (band signatures, sorted distinct shingle hashes) for one
+    * document — row-level twin of [[minhashWideFast]] +
+    * [[bandSignatures]] (BandRows = 1 ⇒ sig b = mh_b). The shingle
+    * hashes (xxhash64, seed 42) stand in for the shingle strings in
+    * the stream's state store; Jaccard over them equals Jaccard over
+    * the strings barring a 64-bit collision inside one pair's union
+    * (~1e-19 per pair). */
+  private[graft] def rowBandSigs(shingles: Array[String]): (Array[Long], Array[Long]) = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val utf8 = shingles.map(UTF8String.fromString)
+    val sigs = Array.tabulate(NumHashes) { j =>
+      var m = Long.MaxValue
+      var i = 0
+      while (i < utf8.length) {
+        val h = chainHash(j, utf8(i)); if (h < m) m = h; i += 1
+      }
+      m
+    }
+    val hashes = utf8.map(s =>
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(s, org.apache.spark.sql.types.StringType, 42L)).sorted
+    (sigs, hashes)
+  }
+
+  private[graft] def numHashes: Int = NumHashes
+
   /** Shared DuckDB CTEs for the shingle set (1-based list indexing),
     * over any (doc_id, text) relation. */
   private[graft] def shinglesSqlFor(table: String): String =

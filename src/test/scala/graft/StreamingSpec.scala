@@ -223,6 +223,83 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(t => (t._1, t._2)) == Set((10L, 11L), (20L, 21L)))
   }
 
+  test("stateful streaming LSH equals the st05 batch twin across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import graft.api.Graft._
+    // the planted multi-batch stream: st05's own tier-1 survivor corpus,
+    // delivered in three micro-batches
+    val kept = Tables(spark, sf0001).documents
+      .distinctDocuments(normalize = true)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val chunks = kept.grouped((kept.length + 2) / 3).toSeq
+    assert(chunks.length == 3)
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingNearDupPairs(
+      input.toDF().toDF("doc_id", "text"), threshold = 0.6)
+      .writeStream.format("memory").queryName("incr_lsh")
+      .outputMode(OutputMode.Update).start()
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      chunks.foreach { c =>
+        input.addData(c.toSeq); q.processAllAvailable()
+        perBatch += spark.table("incr_lsh").count()
+      }
+    } finally q.stop()
+
+    def jmap(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jac")).toMap
+    val streamed = spark.table("incr_lsh").collect().toSeq
+    // each pair exactly once across the whole stream
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1))).distinct.size == streamed.size,
+      "pair emitted more than once")
+    // pairs arrived incrementally, not all in the last batch
+    assert(perBatch.head > 0 && perBatch.last > perBatch.head,
+      s"emission not incremental: $perBatch")
+    val batchTwin = jmap(graft.operators.Dedup.nearDuplicatePairs(
+      Tables(spark, sf0001).documents.distinctDocuments(normalize = true), 0.6)
+      .collect().toSeq)
+    assert(jmap(streamed) == batchTwin,
+      s"stream ${streamed.size} pairs vs batch ${batchTwin.size}")
+  }
+
+  test("streaming LSH: redelivered docs emit nothing new; sig chain matches SQL xxhash64") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def words(tag: Int, n: Int) = (0 until n).map(w => s"r${tag}_$w").mkString(" ")
+    val base = words(1, 11)
+    val a = (100L, s"$base endA"); val b = (101L, s"$base endB")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingNearDupPairs(
+      input.toDF().toDF("doc_id", "text"), threshold = 0.6)
+      .writeStream.format("memory").queryName("incr_redeliver")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(Seq(a)); q.processAllAvailable()
+      assert(spark.table("incr_redeliver").count() == 0)
+      // redelivery of a + the near-dup b: exactly one pair, no self-pair
+      input.addData(Seq(a, b)); q.processAllAvailable()
+      // a third delivery of both: nothing new
+      input.addData(Seq(a, b)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("incr_redeliver").collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 100L &&
+      rows.head.getLong(1) == 101L, rows.mkString(","))
+
+    // pin the row-level hash chain to the batch plan's xxhash64(lit(j), sh):
+    // a 3-word doc has exactly one shingle, so sig j IS the chained hash
+    val doc = "alpha beta gamma"
+    val (sigs, hashes) = graft.operators.Dedup.rowBandSigs(
+      graft.operators.Dedup.rowShingles(doc))
+    val sqlSigs = (0 until graft.operators.Dedup.numHashes).map { j =>
+      spark.sql(s"SELECT xxhash64($j, '$doc')").head().getLong(0)
+    }
+    assert(sigs.toSeq == sqlSigs, "row-level chain drifted from SQL xxhash64")
+    assert(hashes.toSeq ==
+      Seq(spark.sql(s"SELECT xxhash64('$doc')").head().getLong(0)))
+  }
+
   test("st04 catalog entry (batch) agrees with the op run as a real stream") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.Encoders
