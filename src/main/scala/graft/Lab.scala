@@ -57,12 +57,23 @@ object Lab {
             .count()
         }
       case "q" =>
-        // time any catalog query cold/warm: Lab q <name> [<name>...]
+        // time any catalog query cold/warm: Lab q <name> [<name>...].
+        // SPARK_GRAFT_LAB_COLD=1 clears the dedup/cluster memoizers
+        // before every sample (same semantics as Bench's
+        // SPARK_GRAFT_BENCH_COLD) so warm runs measure warm-JVM but
+        // cache-cold operator cost — required for scale-slope numbers,
+        // where a memoized cluster frame would fake a 0 exponent.
+        val coldCaches = sys.env.get("SPARK_GRAFT_LAB_COLD").contains("1")
         args.drop(1).foreach { name =>
           val fn = SparkEntry.queries(name)
-          time(s"$name cold")(fn(spark, sfDir).count())
-          time(s"$name warm")(fn(spark, sfDir).count())
-          time(s"$name warm2")(fn(spark, sfDir).count())
+          def sample(tag: String): Unit = {
+            if (coldCaches) {
+              operators.Dedup.clearShingleCache(spark)
+              operators.Corpus.clearClusterCache(spark)
+            }
+            time(s"$name $tag")(fn(spark, sfDir).count())
+          }
+          sample("cold"); sample("warm"); sample("warm2")
         }
       case "explain" =>
         args.drop(1).foreach { name =>

@@ -162,5 +162,24 @@ object Graft {
         exact: Boolean = true, probeBits: Int = 0): DataFrame =
       Similarity.nearDuplicateVectors(df, threshold, exact,
         probeBits = probeBits)
+
+    /** Build the persistable IVF index (Lloyd centroids + corpus cell
+      * assignments) for this embedding corpus. Pair with
+      * [[searchAnnIndex]] / `IncrementalAnn.writeIndex` for the
+      * cluster-once, probe-per-batch flow. */
+    def buildAnnIndex(nCells: Int, iters: Int = 2): graft.operators.AnnIndex =
+      graft.operators.IncrementalAnn.buildIndex(df, nCells, iters)
+
+    /** IVF search of THIS frame (as queries) against a prior index:
+      * (q_id, nb_id, cos, rn ≤ k) from the probed cells only. */
+    def searchAnnIndex(index: graft.operators.AnnIndex, nProbe: Int = 4,
+        k: Int = 10): DataFrame =
+      graft.operators.IncrementalAnn.searchIndex(df, index, nProbe, k)
+
+    /** Embedding near-dup screen of THIS frame (the new batch) against
+      * a prior index: (v_new, v_prior, cos ≥ threshold). */
+    def nearDuplicateVectorsAgainstIndex(index: graft.operators.AnnIndex,
+        threshold: Double = 0.9, nProbe: Int = 4): DataFrame =
+      graft.operators.IncrementalAnn.nearDupAgainstIndex(df, index, threshold, nProbe)
   }
 }

@@ -242,6 +242,80 @@ object Corpus {
     }
   }
 
+  /** INCREMENTAL cluster maintenance (round 4, completing the
+    * VERDICT r03 #1 theme for n07): fold a batch of NEW near-dup pairs
+    * into an existing (node, lbl) cluster store WITHOUT re-running
+    * connected components over the prior graph.
+    *
+    * Contraction: each pair endpoint maps to its current super-node
+    * (its stored label, or itself if unlabeled — new docs and prior
+    * singletons). CC runs over the CONTRACTED edge set only — sized by
+    * the new batch, not the corpus. Contracting whole components
+    * preserves connectivity, and min-labels compose (an old label IS
+    * its component's min member, so the min over merged super-nodes is
+    * the global min) — the result equals a full rebuild over
+    * old ∪ new edges, proven in CorpusSpec both on planted merge
+    * topologies and against the harness corpus.
+    *
+    * The store update is two joins: members of touched clusters
+    * relabel through their old label (at 100 TB: the store is bucketed
+    * by lbl, so this is a broadcast of the tiny relabel map against a
+    * co-located store — no corpus shuffle), and nodes new to the store
+    * append. Pairs between two members of one existing cluster
+    * contract to self-loops and are dropped — re-delivered or
+    * redundant pairs are no-ops by construction. */
+  def mergeClusterLabels(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val pairs = newPairs.select(col("d1"), col("d2"))
+    val contracted = pairs
+      .join(labels.select(col("node").as("d1"), col("lbl").as("s1")), Seq("d1"), "left")
+      .join(labels.select(col("node").as("d2"), col("lbl").as("s2")), Seq("d2"), "left")
+      .select(coalesce(col("s1"), col("d1")).as("d1"),
+        coalesce(col("s2"), col("d2")).as("d2"))
+      .filter(col("d1") =!= col("d2"))
+    val comp = connectedComponents(contracted)
+    // members of touched clusters follow their old label's new label
+    val relabeled = labels
+      .join(comp.select(col("node").as("lbl"), col("lbl").as("nl")), Seq("lbl"), "left")
+      .select(col("node"), coalesce(col("nl"), col("lbl")).as("lbl"))
+    // nodes new to the store: new batch docs and prior singletons
+    val freshNodes = pairs.select(col("d1").as("node"))
+      .union(pairs.select(col("d2").as("node"))).distinct()
+      .join(labels.select("node"), Seq("node"), "left_anti")
+    val freshLabeled = freshNodes
+      .join(comp, Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+    relabeled.unionByName(freshLabeled)
+  }
+
+  /** Incremental duplicate clusters over the parity split: prior
+    * labels from the even half's graph, then ONE merge of the new
+    * batch's pairs — cross pairs from the persisted-index probe
+    * ([[IncrementalDedup.nearDupPairsAgainstIndex]]) plus the
+    * intra-batch pairs. Oracle: n07's full-rebuild recursive CTE over
+    * the whole corpus — the incremental path must reproduce the
+    * from-scratch answer exactly. */
+  val incrementalClusters: Q = Q(
+    "n42_incremental_clusters",
+    s"""$clustersSql
+       |SELECT doc_id, cluster_id
+       |FROM clusters
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val prior = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    Dedup.registerDerivedCorpus(prior, docs, "parity=0")
+    Dedup.registerDerivedCorpus(fresh, docs, "parity=1")
+    val priorLabels = connectedComponents(
+      Dedup.jaccardPairs(prior, 0.6).select("d1", "d2"))
+    val cross = IncrementalDedup.nearDupPairsAgainstIndex(
+      fresh, IncrementalDedup.buildIndex(prior), threshold = 0.6)
+      .select(col("d_new").as("d1"), col("d_prior").as("d2"))
+    val intra = Dedup.nearDuplicatePairs(fresh, 0.6).select("d1", "d2")
+    mergeClusterLabels(priorLabels, cross.unionByName(intra))
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark-contamination screen: training docs sharing at least one
     * 8-token window fingerprint (n25's mod-p Rabin–Karp hash) with the
     * held-out set (stand-in: doc_id % 10 == 0). Returns the
@@ -305,5 +379,5 @@ object Corpus {
   }
 
   val all: Seq[Q] = Seq(dupClusters, contamination, stratifiedSample,
-    seqPack, clusterReps)
+    seqPack, clusterReps, incrementalClusters)
 }

@@ -71,7 +71,7 @@ object Similarity {
   /** Shared exact re-rank for ANN variants: candidate pairs with
     * (q_id, qv, vec_id, embedding) → top-k per query by rounded cosine
     * with the catalog's deterministic (cos desc, nb_id) tiebreak. */
-  private def rerank(candidates: DataFrame, k: Int,
+  private[operators] def rerank(candidates: DataFrame, k: Int,
       excludeSelf: Boolean = true, useHeap: Boolean = false): DataFrame = {
     val scored = candidates
       .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
@@ -440,19 +440,34 @@ object Similarity {
     * corpus id space. */
   def ivfSearch(e: DataFrame, cents: DataFrame, queries: DataFrame,
       nProbe: Int, k: Int, excludeSelf: Boolean = true,
-      useHeap: Boolean = true): DataFrame = {
+      useHeap: Boolean = true): DataFrame =
+    rerank(probeCells(queries, cents, nProbe)
+      .join(assignCells(e, cents), Seq("cell")), k, excludeSelf, useHeap)
+
+  /** Cell assignment (vec_id, embedding, cell): each vector to its
+    * best centroid by rounded cosine, (csim desc, cent_id) tiebreak.
+    * The corpus half of [[ivfSearch]], shared with the persisted-index
+    * path ([[IncrementalAnn]]) so assignment semantics cannot drift. */
+  private[operators] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val cos = graft.functions.GraftFunctions.cosine_sim _
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cent_id"))
-    val assigned = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         round6(cos(col("embedding"), col("cv"))).as("csim"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
+  /** Probe selection (q_id, qv, cell): each query's nProbe best cells.
+    * The query half of [[ivfSearch]]. */
+  private[operators] def probeCells(queries: DataFrame, cents: DataFrame,
+      nProbe: Int): DataFrame = {
+    val cos = graft.functions.GraftFunctions.cosine_sim _
     val wProbe = Window.partitionBy("q_id")
       .orderBy(col("psim").desc, col("cent_id"))
-    val probes = queries
+    queries
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       .crossJoin(broadcast(cents))
       .select(col("q_id"), col("qv"), col("cent_id"),
@@ -460,7 +475,6 @@ object Similarity {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nProbe)
       .select(col("q_id"), col("qv"), col("cent_id").as("cell"))
-    rerank(probes.join(assigned, Seq("cell")), k, excludeSelf, useHeap)
   }
 
   private def annIvfBuild(s: SparkSession, dir: String,

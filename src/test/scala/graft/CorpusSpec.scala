@@ -38,6 +38,30 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("mergeClusterLabels: planted merge topologies equal a full rebuild") {
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val labels = Corpus.connectedComponents(oldPairs)
+    // 20 bridges the two old clusters; 30-31 is a fresh cluster; 41
+    // links prior singleton 40; (1,3) is a redundant same-cluster pair
+    val newPairs = Seq((20L, 3L), (20L, 10L), (30L, 31L), (41L, 40L), (1L, 3L))
+      .toDF("d1", "d2")
+    val merged = Corpus.mergeClusterLabels(labels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Corpus.connectedComponents(oldPairs.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == full)
+    assert(merged(11L) == 1L, "old clusters merged via bridge keep the global min")
+    assert(merged(41L) == 40L && merged(30L) == 30L)
+  }
+
+  test("incremental clusters (n42) equal n07's full rebuild on the harness corpus") {
+    val inc = Catalog.queries("n42_incremental_clusters")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Catalog.queries("n07_dup_clusters")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full && inc.nonEmpty)
+  }
+
   test("contamination screen catches a planted benchmark copy") {
     val passage = (1 to 12).map(i => s"tok$i").mkString(" ")
     val docs = Seq(

@@ -20,11 +20,16 @@ QUERIES = ["n03_minhash_sig", "n04_lsh_neardup", "n05_ngram_jaccard",
 base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10x"
 ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+if len(sys.argv) > 4:  # optional subset, e.g. the 100x ladder's worst two
+    QUERIES = sys.argv[4].split(",")
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run(sf_dir):
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
+    # operator caches cleared per sample: a memoized cluster/shingle
+    # frame would fake a ~0 exponent (warm-JVM, cache-cold semantics)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_LAB_COLD="1")
     out = subprocess.run(
         [os.path.join(repo, "tools/run.sh"), "graft.Lab", "q"] + QUERIES,
         env=env, capture_output=True, text=True, check=True).stdout
