@@ -107,7 +107,12 @@ object Graft {
     def dropNearDuplicates(threshold: Double = 0.8): DataFrame = {
       val dupIds = Dedup.nearDuplicatePairs(df, threshold)
         .select(col("d2").as("doc_id")).distinct()
-      df.join(dupIds, Seq("doc_id"), "left_anti")
+      val out = df.join(dupIds, Seq("doc_id"), "left_anti")
+      // deterministic transform — chains through a registered parent
+      // (e.g. n43's quality→distinct→dropNearDup pipeline) so a
+      // downstream index probe reuses one shingle index per stage
+      Dedup.registerDerivedCorpus(out, df, s"dropNearDuplicates($threshold)")
+      out
     }
 
     /** Build the persistable dedup/decontamination index for this

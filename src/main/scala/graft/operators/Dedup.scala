@@ -101,20 +101,34 @@ object Dedup {
   }
 
   /** Register `derived` as the result of deterministic `transform`
-    * applied to canonical `parent`, so [[shingles]] memoizes its index
-    * under the logical (parent, transform) key: a re-built DataFrame
-    * object for the same logical corpus (st05 rebuilds its survivor
-    * frame on every invocation) shares the cached index. Only
-    * canonical parents register (anything else falls through to the
-    * ad-hoc slot); the registry holds the derived frame weakly. */
+    * applied to `parent`, so [[shingles]] memoizes its index under the
+    * logical (root canonical parent, transform chain) key: a re-built
+    * DataFrame object for the same logical corpus (st05 rebuilds its
+    * survivor frame on every invocation; n43 rebuilds its whole
+    * curation chain) shares the cached index. Parents CHAIN: a parent
+    * that is itself registered resolves to its root with the
+    * transforms concatenated, so multi-stage pipelines (filter →
+    * dedup → near-dup drop) stay cache-keyed end to end. Unregistered
+    * non-canonical parents fall through to the ad-hoc slot; the
+    * registry holds the derived frame weakly. */
   private[graft] def registerDerivedCorpus(derived: DataFrame,
-      parent: DataFrame, transform: String): Unit =
-    if (graft.Tables.isCanonical(parent))
-      derivedCorpora.synchronized {
-        derivedCorpora.put(derived, (parent, transform)): Unit
-      }
+      parent: DataFrame, transform: String): Unit = {
+    val key =
+      if (graft.Tables.isCanonical(parent)) Some((parent, transform))
+      else derivedKeyOf(parent).map { case (root, pt) => (root, s"$pt|$transform") }
+    key.foreach { k =>
+      derivedCorpora.synchronized { derivedCorpora.put(derived, k): Unit }
+    }
+  }
   private val derivedCorpora =
     new java.util.WeakHashMap[DataFrame, (DataFrame, String)]()
+
+  /** The logical (canonical parent, transform) identity of a frame
+    * registered via [[registerDerivedCorpus]], if any — shared with
+    * the cluster memoizer so BOTH per-session caches key derived
+    * corpora the same way. */
+  private[graft] def derivedKeyOf(df: DataFrame): Option[(DataFrame, String)] =
+    derivedCorpora.synchronized(Option(derivedCorpora.get(df)))
 
   private def buildShingles(docs: DataFrame): DataFrame =
     docs

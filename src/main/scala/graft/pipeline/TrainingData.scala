@@ -73,5 +73,105 @@ object TrainingData {
     curate(Tables(s, dir).documents).orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(curateQ)
+  /** The INCREMENTAL curation flow (round 4): what a daily-crawl run
+    * actually executes — curate the NEW batch locally (quality →
+    * intra-batch exact dedup → intra-batch near-dup drop, i.e.
+    * [[curate]] on the batch), then screen the survivors against the
+    * PRIOR corpus' persisted dedup index (exact fingerprint + cross
+    * near-dup ≥ threshold). Only the batch and candidate-filtered
+    * index rows are touched; the accepted corpus is never re-read. */
+  def curateIncremental(newDocs: DataFrame,
+      index: graft.operators.DedupIndex, threshold: Double = 0.6): DataFrame =
+    graft.operators.IncrementalDedup.dedupAgainstIndex(
+      curateKeepText(newDocs), index, threshold)
+      .select("doc_id", "lang", "source", "n_tokens", "ttr")
+
+  /** [[curate]] retaining the text column (the index screen needs it). */
+  private def curateKeepText(docs: DataFrame): DataFrame = {
+    val featured = docs
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("w"))).cast("double") / size(col("w")))
+          .as("ttr"))
+    val quality = featured.filter(col("n_tokens") >= 20 && col("ttr") >= 0.3)
+    // registration chains to docs' root (if registered), so every
+    // dedup stage downstream keys its shingle cache logically
+    graft.operators.Dedup.registerDerivedCorpus(quality, docs, "curateQuality")
+    quality.distinctDocuments()
+      .dropNearDuplicates(threshold = 0.6)
+  }
+
+  /** Catalog entry: parity split (prior = even, new batch = odd). The
+    * oracle is the whole composition from scratch in DuckDB — the
+    * batch-local n40 chain, then the cross-snapshot exact/near screens
+    * restricted to (batch survivor, prior) pairs. As everywhere in the
+    * incremental family, the Spark side computes the cross screen from
+    * the persisted-index probe, so a recall miss anywhere flips the
+    * hash. */
+  val curateIncrementalQ: Q = Q(
+    "n43_incremental_curate",
+    """WITH featured AS (
+      |  SELECT doc_id, lang, source, text,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / len(string_split(text, ' ')) AS ttr
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |quality AS (
+      |  SELECT * FROM featured WHERE n_tokens >= 20 AND ttr >= 0.3),
+      |reps AS (
+      |  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+      |exact AS (
+      |  SELECT q.* FROM quality q JOIN reps USING (doc_id)),
+      |w1 AS (SELECT doc_id, string_split(text, ' ') AS w FROM exact),
+      |sh1 AS (SELECT DISTINCT doc_id,
+      |              unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |        FROM w1),
+      |sizes1 AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY doc_id),
+      |common1 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |            FROM sh1 a JOIN sh1 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |            GROUP BY a.doc_id, b.doc_id),
+      |dups1 AS (SELECT DISTINCT d2 AS doc_id
+      |          FROM common1
+      |          JOIN sizes1 s1 ON s1.doc_id = d1
+      |          JOIN sizes1 s2 ON s2.doc_id = d2
+      |          WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6),
+      |clean AS (SELECT * FROM exact
+      |          WHERE doc_id NOT IN (SELECT doc_id FROM dups1)),
+      |w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh2 AS (SELECT DISTINCT doc_id,
+      |              unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |        FROM w2),
+      |sizes2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+      |commonX AS (SELECT a.doc_id AS d_new, b.doc_id AS d_prior, count(*) AS c
+      |            FROM sh2 a JOIN sh2 b ON a.sh = b.sh
+      |            WHERE a.doc_id IN (SELECT doc_id FROM clean)
+      |              AND b.doc_id % 2 = 0
+      |            GROUP BY 1, 2),
+      |nearX AS (SELECT DISTINCT co.d_new AS doc_id
+      |          FROM commonX co
+      |          JOIN sizes2 s1 ON s1.doc_id = co.d_new
+      |          JOIN sizes2 s2 ON s2.doc_id = co.d_prior
+      |          WHERE CAST(co.c AS DOUBLE) / (s1.n + s2.n - co.c) >= 0.6),
+      |exactX AS (SELECT doc_id FROM clean
+      |           WHERE md5(text) IN
+      |             (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0))
+      |SELECT doc_id, lang, source, n_tokens, ttr
+      |FROM clean
+      |WHERE doc_id NOT IN (SELECT doc_id FROM nearX)
+      |  AND doc_id NOT IN (SELECT doc_id FROM exactX)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val prior = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    graft.operators.Dedup.registerDerivedCorpus(prior, docs, "parity=0")
+    curateIncremental(fresh,
+      graft.operators.IncrementalDedup.buildIndex(prior), threshold = 0.6)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(curateQ, curateIncrementalQ)
 }

@@ -135,6 +135,25 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(full.contains((1000L, 1001L)))
   }
 
+  test("incremental curation drops planted cross-snapshot dups, keeps clean docs") {
+    import spark.implicits._
+    def words(tag: String, n: Int) = (0 until n).map(w => s"${tag}_w$w").mkString(" ")
+    val priorDocs = Seq(
+      (0L, "en", "web", words("a", 30)),
+      (2L, "en", "web", words("b", 30))).toDF("doc_id", "lang", "source", "text")
+    val newDocs = Seq(
+      (1L, "en", "web", words("a", 30)),           // exact dup of 0 → dropped
+      (3L, "en", "web", words("b", 30) + " extra_tail_token"), // near-dup of 2 → dropped
+      (5L, "en", "web", words("c", 30)),           // clean → kept
+      (7L, "en", "web", "too short"),              // fails quality → dropped
+      (9L, "en", "web", words("c", 30)))           // intra-batch dup of 5 → dropped
+      .toDF("doc_id", "lang", "source", "text")
+    val out = graft.pipeline.TrainingData.curateIncremental(
+      newDocs, IncrementalDedup.buildIndex(priorDocs), threshold = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(5L), s"survivors: $out")
+  }
+
   test("catalog survivors = new batch minus exact and near hits (internal consistency)") {
     val idx = IncrementalDedup.buildIndex(prior)
     val near = IncrementalDedup.nearDupPairsAgainstIndex(fresh, idx, 0.6)
