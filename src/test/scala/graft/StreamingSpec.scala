@@ -300,6 +300,59 @@ class StreamingSpec extends SparkSpec {
       Seq(spark.sql(s"SELECT xxhash64('$doc')").head().getLong(0)))
   }
 
+  test("indexedIngest: accepted store stays dup-free while the index grows per batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("indexed_ingest").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.indexedIngest(docs, s"$dir/index", s"$dir/ckpt",
+      threshold = 0.6, watermark = "1 hour", acceptedDir = Some(s"$dir/accepted"))
+    def words(tag: Int, n: Int) = (0 until n).map(w => s"i${tag}_$w").mkString(" ")
+    val base = words(10, 11)
+    try {
+      // batch 1: intra-batch near-dup pair (keep 10) + a clean doc
+      input.addData(Seq(
+        (10L, ts("2024-01-01 10:00:00"), s"$base endA"),
+        (11L, ts("2024-01-01 10:00:01"), s"$base endB"),
+        (30L, ts("2024-01-01 10:00:02"), words(30, 12))))
+      q.processAllAvailable()
+      // batch 2, four event-hours later (tier-1 state for batch 1 is
+      // past the watermark, so cross-batch dups reach the INDEX screen):
+      // 12 = exact text of 10 → fingerprint hit; 13 = near-dup of 10 →
+      // band-probe hit; 31 clean → kept
+      input.addData(Seq(
+        (12L, ts("2024-01-01 14:00:00"), s"$base endA"),
+        (13L, ts("2024-01-01 14:00:01"), s"$base endC"),
+        (31L, ts("2024-01-01 14:00:02"), words(31, 12))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val accepted = spark.read.parquet(s"$dir/accepted")
+    val ids = accepted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(10L, 30L, 31L), s"accepted: $ids")
+    // invariant: the accepted store has no near-dup pair at threshold
+    assert(graft.operators.Dedup.nearDuplicatePairs(accepted, 0.6).count() == 0)
+    // the persisted index covers exactly the accepted docs
+    val idx = graft.operators.IncrementalDedup.readIndex(spark, s"$dir/index")
+    assert(idx.fingerprints.select("doc_id").collect().map(_.getLong(0)).toSet == ids)
+    // self-healing replay: re-screening an accepted doc against the
+    // grown index yields an empty survivor set (fingerprint self-hit)
+    val replayed = accepted.filter(org.apache.spark.sql.functions.col("doc_id") === 10L)
+    assert(graft.operators.IncrementalDedup
+      .dedupAgainstIndex(replayed, idx, 0.6).count() == 0)
+    // and the commit markers for both micro-batches exist
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/index/_committed_batch_0")))
+    // a fresh near-dup of doc 10 probes the index and hits it
+    val probe = Seq((99L, s"$base endZ")).toDF("doc_id", "text")
+    val hits = graft.operators.IncrementalDedup
+      .nearDupPairsAgainstIndex(probe, idx, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.contains((99L, 10L)), s"probe hits: ${hits.mkString(",")}")
+  }
+
   test("st04 catalog entry (batch) agrees with the op run as a real stream") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.Encoders
