@@ -131,15 +131,18 @@ object IncrementalDedup {
     val persistedHot = spark.read.parquet(s"$path/hot")
     val sh = Dedup.shingles(newDocs)
     val banded = sh.join(broadcast(persistedHot), Seq("sh"), "left_anti")
+    // every component EXCEPT "hot" appends batch rows — the hot list is
+    // a property of the index's banding configuration, never appended
     val frames = Seq(
-      newDocs.select(col("doc_id"),
+      "fingerprints" -> newDocs.select(col("doc_id"),
         md5(col("text").cast("binary")).as("fp"),
         graft.Det.normFingerprint(col("text")).as("nfp")),
-      Dedup.bandSignatures(banded),
-      sh,
-      sh.groupBy("doc_id").agg(count(lit(1)).as("n")),
-      TextAnalysis.windowHashes(newDocs).select(col("win_hash").as("h")).distinct())
-    Components.zip(frames).foreach { case (name, df) =>
+      "bands" -> Dedup.bandSignatures(banded),
+      "shingles" -> sh,
+      "sizes" -> sh.groupBy("doc_id").agg(count(lit(1)).as("n")),
+      "winhash" -> TextAnalysis.windowHashes(newDocs)
+        .select(col("win_hash").as("h")).distinct())
+    frames.foreach { case (name, df) =>
       df.write.mode("append").parquet(s"$path/$name")
     }
   }

@@ -266,10 +266,16 @@ object StreamingOps {
           val b = batch.select("doc_id", "text")
           val hasIndex = fs.exists(
             new org.apache.hadoop.fs.Path(s"$indexPath/fingerprints"))
+          // normalize = true: the loop's identity notion is the
+          // normalized fingerprint EVERYWHERE (tier-1 state and index
+          // screen agree), so whether a cross-batch mutant is caught by
+          // live tier-1 state or by the index after the watermark
+          // expired, the accepted set is the same
           val screened =
             if (hasIndex)
               IncrementalDedup.dedupAgainstIndex(b,
-                IncrementalDedup.readIndex(spark, indexPath), threshold)
+                IncrementalDedup.readIndex(spark, indexPath), threshold,
+                normalize = true)
             else b
           // drop near-dups WITHIN the batch (the index can't see them
           // yet), then materialize: the survivor frame lazily READS the

@@ -146,6 +146,96 @@ object WindowedAggs {
       .orderBy("d1", "d2")
   }
 
+  /** Batch twin of [[StreamingOps.indexedIngest]] (same pattern as
+    * st04/st05): two sequential snapshots (doc_id % 4 == 1 then == 3)
+    * pushed through the exact loop semantics — tier-1 normalized
+    * dedup (first arrival wins; cross-batch re-deliveries of ANYTHING
+    * seen are suppressed, matching the stream's watermark-live state),
+    * index screen of batch 2 against batch 1's accepted survivors
+    * (normalized fingerprint + near-dup ≥ 0.6), then the intra-batch
+    * near-dup drop. StreamingSpec proves the MemoryStream run of
+    * `indexedIngest` produces exactly this accepted set; the twin
+    * itself is DuckDB-oracled here, so the loop's semantics are
+    * driver-hash-checked end to end. */
+  val indexedIngestTwin: Q = Q(
+    "st06_indexed_ingest",
+    s"""WITH nf AS (SELECT doc_id, text,
+       |                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nfp
+       |            FROM documents),
+       |b1 AS (SELECT * FROM nf WHERE doc_id % 4 = 1),
+       |b2 AS (SELECT * FROM nf WHERE doc_id % 4 = 3),
+       |${graft.operators.Dedup.shinglesSqlFor("documents")},
+       |k1 AS (SELECT min(doc_id) AS doc_id FROM b1 GROUP BY nfp),
+       |c1 AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+       |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |       WHERE a.doc_id IN (SELECT doc_id FROM k1)
+       |         AND b.doc_id IN (SELECT doc_id FROM k1)
+       |       GROUP BY 1, 2),
+       |dup1 AS (SELECT DISTINCT db AS doc_id FROM c1
+       |         JOIN sizes za ON za.doc_id = da
+       |         JOIN sizes zb ON zb.doc_id = db
+       |         WHERE CAST(c AS DOUBLE) / (za.n + zb.n - c) >= 0.6),
+       |s1 AS (SELECT doc_id FROM k1
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
+       |k2 AS (SELECT min(doc_id) AS doc_id FROM b2
+       |       WHERE nfp NOT IN (SELECT nfp FROM b1)
+       |       GROUP BY nfp),
+       |ex2 AS (SELECT k.doc_id FROM k2 k JOIN nf d USING (doc_id)
+       |        WHERE d.nfp IN (SELECT d1.nfp FROM nf d1 JOIN s1 ON d1.doc_id = s1.doc_id)),
+       |c2 AS (SELECT a.doc_id AS dn, b.doc_id AS dp, count(*) AS c
+       |       FROM sh a JOIN sh b ON a.sh = b.sh
+       |       WHERE a.doc_id IN (SELECT doc_id FROM k2)
+       |         AND b.doc_id IN (SELECT doc_id FROM s1)
+       |       GROUP BY 1, 2),
+       |near2 AS (SELECT DISTINCT dn AS doc_id FROM c2
+       |          JOIN sizes za ON za.doc_id = dn
+       |          JOIN sizes zb ON zb.doc_id = dp
+       |          WHERE CAST(c AS DOUBLE) / (za.n + zb.n - c) >= 0.6),
+       |scr AS (SELECT doc_id FROM k2
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM ex2)
+       |          AND doc_id NOT IN (SELECT doc_id FROM near2)),
+       |c3 AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+       |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |       WHERE a.doc_id IN (SELECT doc_id FROM scr)
+       |         AND b.doc_id IN (SELECT doc_id FROM scr)
+       |       GROUP BY 1, 2),
+       |dup2 AS (SELECT DISTINCT db AS doc_id FROM c3
+       |         JOIN sizes za ON za.doc_id = da
+       |         JOIN sizes zb ON zb.doc_id = db
+       |         WHERE CAST(c AS DOUBLE) / (za.n + zb.n - c) >= 0.6),
+       |s2 AS (SELECT doc_id FROM scr
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM dup2))
+       |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM s1
+       |UNION ALL
+       |SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM s2
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.api.Graft._
+    import graft.operators.{Dedup, IncrementalDedup}
+    val docs = Tables(s, dir).documents
+    val b1 = docs.filter(col("doc_id") % 4 === 1)
+    val b2 = docs.filter(col("doc_id") % 4 === 3)
+    Dedup.registerDerivedCorpus(b1, docs, "parity4=1")
+    Dedup.registerDerivedCorpus(b2, docs, "parity4=3")
+    val s1 = b1.distinctDocuments(normalize = true)
+      .dropNearDuplicates(threshold = 0.6)
+    // tier-1 suppression of cross-batch re-deliveries: anything whose
+    // normalized fingerprint was SEEN in batch 1 (accepted or not)
+    val seen1 = b1.select(graft.Det.normFingerprint(col("text")).as("__nfp"))
+      .distinct()
+    val k2 = b2.distinctDocuments(normalize = true)
+    val d2 = k2
+      .withColumn("__nfp", graft.Det.normFingerprint(col("text")))
+      .join(seen1, Seq("__nfp"), "left_anti")
+      .drop("__nfp")
+    Dedup.registerDerivedCorpus(d2, k2, "minusSeen1")
+    val screened = IncrementalDedup.dedupAgainstIndex(
+      d2, IncrementalDedup.buildIndex(s1), threshold = 0.6, normalize = true)
+    val s2 = screened.dropNearDuplicates(threshold = 0.6)
+    s1.select(col("doc_id"), lit(1L).as("batch"))
+      .unionByName(s2.select(col("doc_id"), lit(2L).as("batch")))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
-    streamNearDup)
+    streamNearDup, indexedIngestTwin)
 }

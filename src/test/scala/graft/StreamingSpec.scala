@@ -353,6 +353,37 @@ class StreamingSpec extends SparkSpec {
     assert(hits.contains((99L, 10L)), s"probe hits: ${hits.mkString(",")}")
   }
 
+  test("indexedIngest stream equals the st06 batch twin on sequential snapshots") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ingest_twin").toString
+    def half(m: Long) = Tables(spark, sf0001).documents
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 4 === m)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    def stamped(rows: Array[(Long, String)], offset: Int) =
+      rows.zipWithIndex.map { case ((id, text), i) =>
+        (id, new Timestamp(t0 + (offset + i) * 1000L), text) }.toSeq
+    val input = MemoryStream[(Long, Timestamp, String)]
+    // long watermark: tier-1 state stays live across both batches, the
+    // regime st06's seen1 CTE models
+    val q = StreamingOps.indexedIngest(input.toDF().toDF("doc_id", "ts", "text"),
+      s"$dir/index", s"$dir/ckpt", threshold = 0.6, watermark = "30 days",
+      acceptedDir = Some(s"$dir/accepted"))
+    try {
+      input.addData(stamped(half(1), 0)); q.processAllAvailable()
+      input.addData(stamped(half(3), 100000)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val twin = Catalog.queries("st06_indexed_ingest")(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == twin,
+      s"stream-only ${(streamed -- twin).size}, twin-only ${(twin -- streamed).size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("st04 catalog entry (batch) agrees with the op run as a real stream") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.Encoders
