@@ -83,7 +83,10 @@ object TrainingData {
   def curateIncremental(newDocs: DataFrame,
       index: graft.operators.DedupIndex, threshold: Double = 0.6): DataFrame =
     graft.operators.IncrementalDedup.dedupAgainstIndex(
-      curateKeepText(newDocs), index, threshold)
+      // the curated batch is referenced by the fingerprint screen, the
+      // band probe, the verify and two anti-joins — materialize its
+      // quality+dedup lineage once instead of ~3× (measured on n43)
+      curateKeepText(newDocs).localCheckpoint(), index, threshold)
       .select("doc_id", "lang", "source", "n_tokens", "ttr")
 
   /** [[curate]] retaining the text column (the index screen needs it). */

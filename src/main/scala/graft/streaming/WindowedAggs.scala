@@ -216,8 +216,13 @@ object WindowedAggs {
     val b2 = docs.filter(col("doc_id") % 4 === 3)
     Dedup.registerDerivedCorpus(b1, docs, "parity4=1")
     Dedup.registerDerivedCorpus(b2, docs, "parity4=3")
+    // the accepted store of batch 1 is materialized once — in the real
+    // loop it IS persisted parquet; without this the window-dedup + LSH
+    // lineage re-executes for every index component and the final union
+    // (measured ~3× on this entry)
     val s1 = b1.distinctDocuments(normalize = true)
       .dropNearDuplicates(threshold = 0.6)
+      .localCheckpoint()
     // tier-1 suppression of cross-batch re-deliveries: anything whose
     // normalized fingerprint was SEEN in batch 1 (accepted or not)
     val seen1 = b1.select(graft.Det.normFingerprint(col("text")).as("__nfp"))
@@ -227,6 +232,7 @@ object WindowedAggs {
       .withColumn("__nfp", graft.Det.normFingerprint(col("text")))
       .join(seen1, Seq("__nfp"), "left_anti")
       .drop("__nfp")
+      .localCheckpoint() // referenced by fp screen, band probe, verify and anti-joins
     Dedup.registerDerivedCorpus(d2, k2, "minusSeen1")
     val screened = IncrementalDedup.dedupAgainstIndex(
       d2, IncrementalDedup.buildIndex(s1), threshold = 0.6, normalize = true)

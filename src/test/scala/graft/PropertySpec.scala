@@ -204,4 +204,27 @@ class PropertySpec extends SparkSpec {
         (got.toSet diff want.toSet).take(3)}")
     }
   }
+
+  test("mergeClusterLabels equals full CC for ANY old/new split of random graphs") {
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 29L), Gen.choose(0L, 29L)))
+    (1 to 5).foreach { seed =>
+      val raw = sample(gen, seed).filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // deterministic split: edge index parity decides old vs new —
+      // exercises bridges, fresh clusters, singletons and redundant
+      // same-cluster pairs without hand-picking topologies
+      val (oldE, newE) = raw.zipWithIndex.partition(_._2 % 2 == 0)
+      val oldPairs = oldE.map(_._1).toDF("d1", "d2")
+      val newPairs = newE.map(_._1).toDF("d1", "d2")
+      if (oldE.nonEmpty && newE.nonEmpty) {
+        val merged = Corpus.mergeClusterLabels(
+          Corpus.connectedComponents(oldPairs), newPairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val full = Corpus.connectedComponents(raw.toDF("d1", "d2"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(merged == full, s"seed $seed: first diff ${
+          (merged.toSet diff full.toSet).take(3)}")
+      }
+    }
+  }
 }
