@@ -85,6 +85,7 @@ object Catalog {
     operators.Similarity.all,
     operators.IncrementalAnn.all,
     operators.TextAnalysis.all,
+    operators.SpanDedup.all,
     operators.Multimodal.all,
     streaming.WindowedAggs.all,
     pipeline.PipelineQueries.all,

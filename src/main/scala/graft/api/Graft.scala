@@ -115,6 +115,19 @@ object Graft {
       out
     }
 
+    /** Exact-substring surgery (Lee et al. 2022): rewrite `text` with
+      * every ≥[[graft.operators.SpanDedup.W]]-token run that repeats
+      * anywhere in the corpus removed, keeping the corpus-wide first
+      * occurrence. `maxDf` caps hot boilerplate windows (conservative
+      * skew guard — see SpanDedup). */
+    def dropDuplicateSpans(maxDf: Option[Long] = None): DataFrame =
+      graft.operators.SpanDedup.dropDuplicateSpans(df, maxDf)
+
+    /** Maximal duplicated token spans per document (keep-first):
+      * (doc_id, span_start, span_end, n_windows). */
+    def duplicateSpans(maxDf: Option[Long] = None): DataFrame =
+      graft.operators.SpanDedup.duplicateSpans(df, maxDf)
+
     /** Build the persistable dedup/decontamination index for this
       * corpus (fingerprints + LSH bands + inverted shingle index +
       * window hashes). Pair with [[dedupAgainstIndex]] /
