@@ -86,6 +86,14 @@ object Graft {
     def repetitionMetrics(): DataFrame =
       graft.operators.TextAnalysis.repetitionMetrics(df)
 
+    /** Deterministic resample to an exact target domain mixture:
+      * integer parts per key (e.g. en→3, de→1), largest corpus whose
+      * composition is exactly proportional. See
+      * [[graft.operators.Corpus.mixtureResample]]. */
+    def mixtureResample(parts: Seq[(String, Long)],
+        keyCol: String = "source"): DataFrame =
+      graft.operators.Corpus.mixtureResample(df, parts, keyCol)
+
     /** Sequence packing: append (n_tokens, bin) — fixed-token-budget
       * bins per shard in doc_id order (training-batch assembly). */
     def packSequences(budget: Long = 2048,

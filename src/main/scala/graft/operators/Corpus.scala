@@ -401,6 +401,67 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Deterministic resampling to a TARGET DOMAIN MIXTURE — the
+    * training-mix assembler: given integer mixture parts per key
+    * (e.g. en:3, de:1, …), keep the largest corpus whose composition
+    * is EXACTLY proportional to the parts. All arithmetic is integer
+    * (m = min over keys of count div part; target per key = part × m)
+    * so both engines agree bit-for-bit — no float-ratio parity risk.
+    * Selection inside each key is the n27 pattern: rank by
+    * md5(doc_id) (content-independent, resume-safe), keep the first
+    * `target`. Keys absent from `parts` are dropped; `parts` keys
+    * absent from the data contribute nothing to `m`'s min (document
+    * your mixture against reality).
+    *
+    * Scale: one tiny count agg, a 1-row `m` scalar broadcast, and ONE
+    * rank window per key — the skew hazard is a dominant key (rank
+    * sorts that key's partition range); at 100 TB pre-partition by a
+    * salted key range and merge ranks, or accept the sort (it is a
+    * disk-backed range sort, not a single-machine pinch). */
+  def mixtureResample(docs: DataFrame, parts: Seq[(String, Long)],
+      keyCol: String = "source"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = parts.toDF(keyCol, "__p")
+    val m = docs.groupBy(keyCol).agg(count(lit(1)).as("__n"))
+      .join(broadcast(w), keyCol)
+      .agg(min(expr("__n div __p")).as("__m"))
+    val tgt = broadcast(w).crossJoin(broadcast(m))
+      .select(col(keyCol), (col("__p") * col("__m")).as("__tgt"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("__rk", row_number().over(rk))
+      .join(broadcast(tgt), keyCol)
+      .filter(col("__rk") <= col("__tgt"))
+      .drop("__rk", "__tgt")
+  }
+
+  val mixture: Q = {
+    val parts = Seq("en" -> 3L, "de" -> 1L, "es" -> 1L, "fr" -> 1L, "zh" -> 1L)
+    val values = parts.map { case (k, p) => s"('$k', $p)" }.mkString(", ")
+    Q(
+      "n46_mixture_resample",
+      s"""WITH w(lang, p) AS (VALUES $values),
+         |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |m AS (SELECT min(n // p) AS m FROM c JOIN w USING (lang)),
+         |t AS (SELECT w.lang, w.p * m.m AS tgt FROM w, m),
+         |r AS (SELECT doc_id, lang, source,
+         |             row_number() OVER (PARTITION BY lang
+         |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |      FROM documents)
+         |SELECT r.doc_id, r.lang, r.source
+         |FROM r JOIN t ON r.lang = t.lang AND r.rk <= t.tgt
+         |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+      mixtureResample(
+        Tables(s, dir).documents.select("doc_id", "lang", "source"),
+        parts, keyCol = "lang")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(dupClusters, contamination, stratifiedSample,
-    seqPack, clusterReps, incrementalClusters)
+    seqPack, clusterReps, incrementalClusters, mixture)
 }

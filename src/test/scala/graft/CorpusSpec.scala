@@ -198,4 +198,29 @@ class CorpusSpec extends SparkSpec {
         s"$lang: ${rows.length} of ${perLang(lang)}")
     }
   }
+
+  test("mixtureResample hits the exact integer mixture and is deterministic") {
+    // counts: a=10, b=7, c=3; parts a:3, b:2 => m = min(10/3, 7/2) = 3
+    // => targets a=9, b=6; c is not in the mixture and must vanish
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "a")) ++
+      (11 to 17).map(i => (i.toLong, "b")) ++
+      (18 to 20).map(i => (i.toLong, "c"))).toDF("doc_id", "src")
+    val parts = Seq("a" -> 3L, "b" -> 2L)
+    val out = Corpus.mixtureResample(docs, parts, keyCol = "src")
+    val byKey = out.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey == Map("a" -> 9L, "b" -> 6L))
+    // deterministic: identical id set across runs, and a subset of input
+    val ids1 = out.select("doc_id").as[Long].collect().toSet
+    val ids2 = Corpus.mixtureResample(docs, parts, keyCol = "src")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2 && ids1.subsetOf((1L to 20L).toSet))
+    // a parts key missing from the data starves the mixture to zero
+    // (m = min over joined keys only when the key EXISTS; absent key
+    // never joins, so it cannot raise m — but it also cannot be
+    // satisfied; the caller sees its absence in the output)
+    val out2 = Corpus.mixtureResample(docs, parts :+ ("z" -> 1L), "src")
+    assert(!out2.select("src").as[String].collect().contains("z"))
+  }
 }

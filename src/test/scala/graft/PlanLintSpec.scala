@@ -26,7 +26,8 @@ class PlanLintSpec extends SparkSpec {
     "a14_market_share",     // tiny nation-share cross
     "a15_min_cost_supplier",// correlated min-cost broadcast
     "a27_important_stock",  // two 1-row broadcast scalars (total, n)
-    "a28_top_supplier"      // 1-row broadcast max-revenue scalar
+    "a28_top_supplier",     // 1-row broadcast max-revenue scalar
+    "n46_mixture_resample"  // 1-row mixture-scale scalar × 5-key part list
   )
 
   private lazy val plans: Map[String, String] =
