@@ -86,6 +86,11 @@ object Graft {
     def repetitionMetrics(): DataFrame =
       graft.operators.TextAnalysis.repetitionMetrics(df)
 
+    /** Gopher-style hard quality gates: per-rule booleans + `passes`
+      * conjunction (see [[graft.operators.TextAnalysis.gopherRules]]). */
+    def gopherRules(): DataFrame =
+      graft.operators.TextAnalysis.gopherRules(df)
+
     /** Deterministic resample to an exact target domain mixture:
       * integer parts per key (e.g. en→3, de→1), largest corpus whose
       * composition is exactly proportional. See

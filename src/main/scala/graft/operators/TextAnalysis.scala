@@ -455,7 +455,80 @@ object TextAnalysis {
     }
   }
 
+  /** Gopher-style RULE filter (Rae et al. 2021 §A1.1, public): the
+    * hard per-document quality gates a pretraining pipeline applies
+    * BEFORE any learned scoring — each rule a named boolean, plus the
+    * conjunction, so downstream can both filter and audit which rule
+    * fired. Thresholds are the published ones where our tokenizer
+    * applies (word count ≥ 50, mean word length in [3,10], ≥ 2
+    * stopword hits, ≥ 80 % alphabetic words) plus a type-token-ratio
+    * floor standing in for the repetition family (full versions in
+    * n34). All features are integer counts or int/int double division
+    * — the n21 parity rules — so the flags hash-match exactly.
+    * Map-side only: one pass of higher-order functions over the token
+    * array, no shuffle at any scale. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val tk = split(col("text"), " ", -1)
+    docs
+      .withColumn("__tk", tk)
+      .select(
+        col("doc_id"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        expr("aggregate(__tk, 0L, (a, x) -> a + length(x))").as("sum_len"),
+        expr("size(filter(__tk, x -> x = 'the' OR x = 'a' OR x = 'of'" +
+          " OR x = 'and' OR x = 'in'))").cast("long").as("stop_hits"),
+        size(array_distinct(col("__tk"))).cast("long").as("n_uniq"),
+        expr("size(filter(__tk, x -> x rlike '[A-Za-z]'))")
+          .cast("long").as("n_alpha"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("sum_len").cast("double") / col("n_tokens")).as("mean_tok_len"),
+        col("stop_hits"),
+        (col("n_uniq").cast("double") / col("n_tokens")).as("ttr"),
+        (col("n_alpha").cast("double") / col("n_tokens")).as("alpha_frac"))
+      .withColumn("r_len", col("n_tokens").between(50L, 100000L))
+      .withColumn("r_mean_len", col("mean_tok_len").between(3.0, 10.0))
+      .withColumn("r_stop", col("stop_hits") >= 2L)
+      .withColumn("r_ttr", col("ttr") >= 0.3)
+      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("passes",
+        col("r_len") && col("r_mean_len") && col("r_stop") &&
+          col("r_ttr") && col("r_alpha"))
+  }
+
+  val gopher: Q = Q(
+    "n47_gopher_rules",
+    """WITH f AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |feat AS (
+      |  SELECT doc_id,
+      |         CAST(len(w) AS BIGINT) AS n_tokens,
+      |         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+      |         CAST(len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of'
+      |                                   OR x = 'and' OR x = 'in')) AS BIGINT) AS stop_hits,
+      |         CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+      |         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha
+      |  FROM f),
+      |m AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(sum_len AS DOUBLE) / n_tokens AS mean_tok_len,
+      |         stop_hits,
+      |         CAST(n_uniq AS DOUBLE) / n_tokens AS ttr,
+      |         CAST(n_alpha AS DOUBLE) / n_tokens AS alpha_frac
+      |  FROM feat)
+      |SELECT doc_id, n_tokens, mean_tok_len, stop_hits, ttr, alpha_frac,
+      |       n_tokens BETWEEN 50 AND 100000 AS r_len,
+      |       mean_tok_len BETWEEN 3.0 AND 10.0 AS r_mean_len,
+      |       stop_hits >= 2 AS r_stop,
+      |       ttr >= 0.3 AS r_ttr,
+      |       alpha_frac >= 0.8 AS r_alpha,
+      |       (n_tokens BETWEEN 50 AND 100000) AND (mean_tok_len BETWEEN 3.0 AND 10.0)
+      |         AND stop_hits >= 2 AND ttr >= 0.3 AND alpha_frac >= 0.8 AS passes
+      |FROM m
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    gopherRules(Tables(s, dir).documents).orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(langStats, qualityScore, tokenStats, langId,
     fingerprint, rollingFingerprint, unigramLogProb, redact, repetition,
-    heavyHitters, cmsHeavyHitters)
+    heavyHitters, cmsHeavyHitters, gopher)
 }

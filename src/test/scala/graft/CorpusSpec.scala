@@ -199,6 +199,22 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules: each gate fails on its planted violation") {
+    import graft.operators.TextAnalysis
+    val good = ((1 to 60).map(i => s"word$i") ++ Seq("the", "a")).mkString(" ")
+    val short = "the a few words only"                        // r_len
+    val repeats = (Seq.fill(60)("spam") ++ Seq("the", "a")).mkString(" ") // r_ttr
+    val noStop = (1 to 60).map(i => s"word$i").mkString(" ")  // r_stop
+    val docs = Seq((1L, good), (2L, short), (3L, repeats), (4L, noStop))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Boolean]("passes"))
+    assert(!m(2L).getAs[Boolean]("r_len") && !m(2L).getAs[Boolean]("passes"))
+    assert(!m(3L).getAs[Boolean]("r_ttr") && !m(3L).getAs[Boolean]("passes"))
+    assert(!m(4L).getAs[Boolean]("r_stop") && !m(4L).getAs[Boolean]("passes"))
+  }
+
   test("mixtureResample hits the exact integer mixture and is deterministic") {
     // counts: a=10, b=7, c=3; parts a:3, b:2 => m = min(10/3, 7/2) = 3
     // => targets a=9, b=6; c is not in the mixture and must vanish
