@@ -83,6 +83,7 @@ object Catalog {
     operators.IncrementalDedup.all,
     operators.Corpus.all,
     operators.Similarity.all,
+    operators.SemDedup.all,
     operators.IncrementalAnn.all,
     operators.TextAnalysis.all,
     operators.SpanDedup.all,

@@ -168,6 +168,19 @@ object Graft {
     def contaminatedAgainstIndex(index: graft.operators.DedupIndex): DataFrame =
       graft.operators.IncrementalDedup.contaminatedAgainstIndex(df, index)
 
+    /** Exact-tier incremental screen through a Bloom prefilter: rows
+      * whose fingerprint the filter rejects skip the verify join
+      * entirely (definitely new); the rest are exact-verified — the
+      * result is identical to the plain anti-join at a fraction of its
+      * join traffic once the index dwarfs the batch. */
+    def bloomScreenAgainstIndex(index: graft.operators.DedupIndex,
+        expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame =
+      graft.operators.IncrementalDedup.bloomScreenExact(df, index, expectedItems, fpp)
+
+    /** Top-k terms per document by smoothed TF-IDF. */
+    def tfidfTopTerms(k: Int = 3): DataFrame =
+      graft.operators.TextAnalysis.tfidfTopTerms(df, k)
+
     /** Duplicate clusters: connected components over the exact-Jaccard
       * near-dup graph. Returns (doc_id, cluster_id = smallest doc_id in
       * the component) for every doc with at least one near-dup. */
@@ -212,5 +225,18 @@ object Graft {
     def nearDuplicateVectorsAgainstIndex(index: graft.operators.AnnIndex,
         threshold: Double = 0.9, nProbe: Int = 4): DataFrame =
       graft.operators.IncrementalAnn.nearDupAgainstIndex(df, index, threshold, nProbe)
+
+    /** SemDeDup audit frame (vec_id, cell, max_lower_cos, is_dup):
+      * k-means cells + intra-cell cosine prune at τ = threshold.
+      * Filter on !is_dup (or use [[semanticSurvivors]]) to dedup. */
+    def semanticDuplicates(k: Int = 16, iters: Int = 2,
+        threshold: Double = 0.4): DataFrame =
+      graft.operators.SemDedup.semanticDups(df, k, iters, threshold)
+
+    /** Rows of this corpus surviving SemDeDup (keep-lowest-id
+      * representative per semantic near-dup group within a cell). */
+    def semanticSurvivors(k: Int = 16, iters: Int = 2,
+        threshold: Double = 0.4): DataFrame =
+      graft.operators.SemDedup.survivors(df, k, iters, threshold)
   }
 }

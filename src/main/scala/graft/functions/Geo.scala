@@ -214,6 +214,17 @@ object GraftFunctions {
   def md5_slices(s: Column): Column =
     ColumnBridge.column(Md5Slices(ColumnBridge.expression(s)))
 
+  /** Spark's own runtime-filter membership test, exposed for explicit
+    * Bloom prefilters: `bloom` must be a CONSTANT binary column (a
+    * serialized `org.apache.spark.util.sketch.BloomFilter` literal —
+    * the expression rejects non-foldable filter sides by design) and
+    * `h` the xxhash64 of the probed value, matching the long-hash the
+    * filter was built over. */
+  def might_contain(bloom: Column, h: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnBridge.expression(bloom), ColumnBridge.expression(h)))
+
   /** Register for SQL use (st_point / st_x / st_y / cosine_sim). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -222,6 +222,41 @@ object IncrementalDedup {
       .join(nearHit, Seq("doc_id"), "left_anti")
   }
 
+  /** Bloom-prefiltered exact screen of a new batch against the index —
+    * the shape the fingerprint anti-join takes once the index holds
+    * billions of rows: a Bloom filter over the index fingerprints is
+    * built DISTRIBUTED (treeAggregate of per-partition bitsets, only
+    * the final ~`-n·ln(fpp)/ln²2` bits reach the driver), inlined as a
+    * constant, and evaluated per-row inside the new batch's scan
+    * stage. Rows the filter rejects are DEFINITELY new and never enter
+    * a join; only the true-duplicate + false-positive sliver (≈
+    * dup_rate + fpp of the batch) is exact-verified against the index.
+    * The result is EXACT regardless of fpp — Bloom errors can only
+    * send extra rows to the verify join, never drop one — so the
+    * oracle is the plain anti-join answer. At fpp = 1 % a 10⁹-row
+    * index costs ~1.2 GB of filter, the usual broadcast-vs-shard
+    * trade; per-batch sharding of the index (probe each shard's
+    * filter) is the same pattern one level down. */
+  def bloomScreenExact(newDocs: DataFrame, index: DedupIndex,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val bloom = index.fingerprints.select(xxhash64(col("fp")).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = graft.functions.GraftFunctions.might_contain(
+      lit(bytes), xxhash64(md5(col("text").cast("binary"))))
+    val definitelyNew = newDocs.filter(!probe)
+    val candidates = newDocs.filter(probe)
+      .withColumn("__fp", md5(col("text").cast("binary")))
+      .join(index.fingerprints.select(col("fp").as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+    definitelyNew.unionByName(candidates)
+  }
+
   /** Benchmark decontamination against a persisted held-out index:
     * (doc_id, n_shared) for each new-batch doc sharing ≥ 1 distinct
     * 8-token window fingerprint with the index's corpus — n26's screen
@@ -327,6 +362,23 @@ object IncrementalDedup {
       .orderBy("doc_id")
   }
 
+  /** Exact-tier survivors through the Bloom prefilter: same planted
+    * two-snapshot corpus, oracle = the plain fingerprint anti-join —
+    * the Bloom path must produce the IDENTICAL survivor set (false
+    * positives resolved by the verify join, false negatives impossible
+    * by construction), so the driver hash-checks the exactness claim,
+    * and IncrementalDedupSpec checks the prefilter actually prunes. */
+  val bloomScreen: Q = Q(
+    "n49_bloom_screen",
+    """SELECT doc_id FROM documents
+      |WHERE doc_id % 2 = 1
+      |  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val (prior, fresh) = splitDocs(s, dir)
+    bloomScreenExact(fresh, buildIndex(prior))
+      .select("doc_id").orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(incrementalNearDup, incrementalDedup,
-    incrementalDecontaminate)
+    incrementalDecontaminate, bloomScreen)
 }

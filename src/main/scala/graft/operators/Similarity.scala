@@ -448,7 +448,7 @@ object Similarity {
     * best centroid by rounded cosine, (csim desc, cent_id) tiebreak.
     * The corpus half of [[ivfSearch]], shared with the persisted-index
     * path ([[IncrementalAnn]]) so assignment semantics cannot drift. */
-  private[operators] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val cos = graft.functions.GraftFunctions.cosine_sim _
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cent_id"))
@@ -488,6 +488,61 @@ object Similarity {
       useHeap = false)
   }
 
+  /** DuckDB twin fragments of the [[ivfCentroids]] Lloyd loop, shared
+    * by n16 (k-means IVF search) and n48 (SemDeDup) so the oracle-side
+    * k-means definition exists exactly once and cannot drift between
+    * the two entries. [[prefix]] yields the CTE chain
+    * `e, c0, c1..cIters, cns, asgF` where `asgF` is every vector's
+    * final (vec_id, cell) assignment; callers append their own CTEs. */
+  private[operators] object LloydSql {
+    val Dim = 64
+    def dotE(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, $Dim), " +
+        s"i -> CAST($a.embedding[i] AS DOUBLE) * $b.embedding[i]))"
+    def dotCv(e: String, c: String): String =
+      s"list_sum(list_transform(generate_series(1, $Dim), " +
+        s"i -> CAST($e.embedding[i] AS DOUBLE) * $c.cv[i]))"
+    // one Lloyd round: assign every vector to its best cell by rounded
+    // cosine against c$p's centroids, re-average element-wise with
+    // exact decimal sums, float-cast, carry empty cells forward
+    private def round(r: Int, p: String): String =
+      s"""cn$r AS (SELECT cent_id, cv,
+         |              sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * x))) AS cnrm
+         |       FROM $p),
+         |asg$r AS (SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, cn.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${round6Sql(s"${dotCv("e", "cn")} / (e.nrm * cn.cnrm)")} DESC,
+         |                      cn.cent_id) AS arn
+         |    FROM e CROSS JOIN cn$r cn) WHERE arn = 1),
+         |m$r AS (SELECT a.cell AS cent_id, dims.i,
+         |             CAST(sum(CAST(e.embedding[dims.i] AS DECIMAL(25,6))) AS DOUBLE)
+         |               / count(*) AS m
+         |      FROM asg$r a JOIN e ON e.vec_id = a.vec_id
+         |      CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) dims
+         |      GROUP BY a.cell, dims.i),
+         |cv$r AS (SELECT cent_id, list(CAST(m AS REAL) ORDER BY i) AS cv
+         |       FROM m$r GROUP BY cent_id),
+         |c$r AS (SELECT p.cent_id, coalesce(n.cv, p.cv) AS cv
+         |      FROM c${r - 1} p LEFT JOIN cv$r n USING (cent_id))""".stripMargin
+    def prefix(nCells: Int, iters: Int): String =
+      s"""e AS (SELECT vec_id, embedding,
+         |                  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+         |           FROM embeddings),
+         |c0 AS (SELECT vec_id AS cent_id, embedding AS cv
+         |       FROM embeddings ORDER BY vec_id LIMIT $nCells),
+         |${(1 to iters).map(r => round(r, s"c${r - 1}")).mkString(",\n")},
+         |cns AS (SELECT cent_id, cv,
+         |               sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * x))) AS cnrm
+         |        FROM c$iters),
+         |asgF AS (SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, cn.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${round6Sql(s"${dotCv("e", "cn")} / (e.nrm * cn.cnrm)")} DESC,
+         |                      cn.cent_id) AS arn
+         |    FROM e CROSS JOIN cns cn) WHERE arn = 1)""".stripMargin
+  }
+
   /** K-MEANS-REFINED IVF, hash-oracled end to end (DECISIONS.md #3):
     * the full [[ivfCentroids]] Lloyd loop (2 rounds here) AND the
     * probe/re-rank both have DuckDB twins, so the refined approximate
@@ -503,53 +558,11 @@ object Similarity {
     val nCells = 16
     val nProbe = 4
     val iters = 2
-    val dim = 64
-    def dot(a: String, b: String): String =
-      s"list_sum(list_transform(generate_series(1, $dim), " +
-        s"i -> CAST($a.embedding[i] AS DOUBLE) * $b.embedding[i]))"
-    def dotCv(e: String, c: String): String =
-      s"list_sum(list_transform(generate_series(1, $dim), " +
-        s"i -> CAST($e.embedding[i] AS DOUBLE) * $c.cv[i]))"
-    // one Lloyd round: assign every vector to its best cell by rounded
-    // cosine against c$p's centroids, re-average element-wise with
-    // exact decimal sums, float-cast, carry empty cells forward
-    def round(r: Int, p: String): String =
-      s"""cn$r AS (SELECT cent_id, cv,
-         |              sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * x))) AS cnrm
-         |       FROM $p),
-         |asg$r AS (SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, cn.cent_id AS cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${round6Sql(s"${dotCv("e", "cn")} / (e.nrm * cn.cnrm)")} DESC,
-         |                      cn.cent_id) AS arn
-         |    FROM e CROSS JOIN cn$r cn) WHERE arn = 1),
-         |m$r AS (SELECT a.cell AS cent_id, dims.i,
-         |             CAST(sum(CAST(e.embedding[dims.i] AS DECIMAL(25,6))) AS DOUBLE)
-         |               / count(*) AS m
-         |      FROM asg$r a JOIN e ON e.vec_id = a.vec_id
-         |      CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) dims
-         |      GROUP BY a.cell, dims.i),
-         |cv$r AS (SELECT cent_id, list(CAST(m AS REAL) ORDER BY i) AS cv
-         |       FROM m$r GROUP BY cent_id),
-         |c$r AS (SELECT p.cent_id, coalesce(n.cv, p.cv) AS cv
-         |      FROM c${r - 1} p LEFT JOIN cv$r n USING (cent_id))""".stripMargin
+    def dot(a: String, b: String): String = LloydSql.dotE(a, b)
+    def dotCv(e: String, c: String): String = LloydSql.dotCv(e, c)
     Q(
       "n16_ann_ivf_kmeans",
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |                  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
-         |           FROM embeddings),
-         |c0 AS (SELECT vec_id AS cent_id, embedding AS cv
-         |       FROM embeddings ORDER BY vec_id LIMIT $nCells),
-         |${(1 to iters).map(r => round(r, s"c${r - 1}")).mkString(",\n")},
-         |cns AS (SELECT cent_id, cv,
-         |               sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * x))) AS cnrm
-         |        FROM c$iters),
-         |asgF AS (SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, cn.cent_id AS cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${round6Sql(s"${dotCv("e", "cn")} / (e.nrm * cn.cnrm)")} DESC,
-         |                      cn.cent_id) AS arn
-         |    FROM e CROSS JOIN cns cn) WHERE arn = 1),
+      s"""WITH ${LloydSql.prefix(nCells, iters)},
          |probes AS (SELECT q_id, cell FROM (
          |    SELECT e.vec_id AS q_id, cn.cent_id AS cell,
          |           row_number() OVER (PARTITION BY e.vec_id

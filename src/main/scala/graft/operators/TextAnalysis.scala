@@ -264,6 +264,56 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top terms per document — the classic keyword/topic
+    * extraction a curation pipeline uses for domain tagging and
+    * mixture construction (n46's buckets, but content-derived).
+    * Smoothed idf = ln((N+1)/(df+1)) + 1 (the scikit-learn
+    * formulation); scores are round6'd BEFORE ranking so the
+    * (tfidf desc, tok) order is identical in both engines.
+    * Scale shape: two map-side-combinable aggregations — (doc, tok)
+    * term counts, then tok document frequencies — a broadcast 1-row
+    * corpus size, and a per-doc window whose parallelism is the
+    * document count. Nothing is driver-side, nothing all-pairs. */
+  val tfidfTop: Q = {
+    val k = 3
+    Q(
+      "n50_tfidf_topterms",
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT doc_id, tok, tf,
+         |                  ${round6Sql("tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)")} AS tfidf
+         |           FROM tf JOIN dfreq USING (tok) CROSS JOIN nd),
+         |ranked AS (SELECT doc_id, tok, tf, tfidf,
+         |                  row_number() OVER (PARTITION BY doc_id
+         |                                     ORDER BY tfidf DESC, tok) AS rn
+         |           FROM scored)
+         |SELECT doc_id, tok, tf, tfidf, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= $k
+         |ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
+      tfidfTopTerms(Tables(s, dir).documents, k).orderBy("doc_id", "rn")
+    }
+  }
+
+  /** Library form of n50: top-k terms per document by smoothed TF-IDF
+    * over any (doc_id, text) frame. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, Seq("tok")).crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("tok"), col("tf"),
+        round6(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0))
+          .as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Payload redaction — the PII-scrub shape every training pipeline
     * runs before ingest: mask sensitive spans (here: numeric literals
     * in the event props — the corpus stand-in for phone/account
@@ -529,6 +579,6 @@ object TextAnalysis {
   }
 
   val all: Seq[Q] = Seq(langStats, qualityScore, tokenStats, langId,
-    fingerprint, rollingFingerprint, unigramLogProb, redact, repetition,
-    heavyHitters, cmsHeavyHitters, gopher)
+    fingerprint, rollingFingerprint, unigramLogProb, tfidfTop, redact,
+    repetition, heavyHitters, cmsHeavyHitters, gopher)
 }

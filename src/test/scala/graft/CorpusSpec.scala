@@ -239,4 +239,29 @@ class CorpusSpec extends SparkSpec {
     val out2 = Corpus.mixtureResample(docs, parts :+ ("z" -> 1L), "src")
     assert(!out2.select("src").as[String].collect().contains("z"))
   }
+
+  test("n50: tfidf top terms match hand-computed smoothed scores") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian durian durian")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.tfidfTopTerms(docs, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4)) -> (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // N=3; df: apple 1, banana 2, cherry 2, durian 1
+    // idf = ln((N+1)/(df+1)) + 1: rare 1.6931..., common 1.2876...
+    val rare = math.log(2.0) + 1
+    val common = math.log(4.0 / 3.0) + 1
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out((1L, 1L)) == ("apple", 2L, r6(2 * rare)))
+    assert(out((1L, 2L)) == ("banana", 1L, r6(common)))
+    assert(!out.contains((1L, 3L)), "doc 1 has only two distinct terms")
+    assert(out((3L, 1L)) == ("durian", 3L, r6(3 * rare)))
+    assert(out((3L, 2L)) == ("cherry", 1L, r6(common)))
+    // equal scores break ties lexicographically by token
+    assert(out((2L, 1L)) == ("banana", 1L, r6(common)))
+    assert(out((2L, 2L)) == ("cherry", 1L, r6(common)))
+  }
 }

@@ -154,6 +154,51 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(out == Set(5L), s"survivors: $out")
   }
 
+  test("bloom screen equals the plain exact anti-join and drops a planted dup") {
+    import spark.implicits._
+    val idx = IncrementalDedup.buildIndex(prior)
+    val viaBloom = IncrementalDedup.bloomScreenExact(fresh, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaAntiJoin = fresh
+      .join(prior.select(md5(col("text").cast("binary")).as("__k")).distinct()
+          .join(fresh.select(col("doc_id"),
+            md5(col("text").cast("binary")).as("__k")), Seq("__k"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == viaAntiJoin)
+
+    // planted cross-snapshot exact dup is dropped, clean doc kept —
+    // proof the bloom's maybe-path actually verifies and drops
+    val priorDocs = Seq((0L, "shared body text"), (2L, "other content"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq((1L, "shared body text"), (3L, "novel content"))
+      .toDF("doc_id", "text")
+    val out = IncrementalDedup.bloomScreenExact(
+      newDocs, IncrementalDedup.buildIndex(priorDocs))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(3L), s"survivors: $out")
+  }
+
+  test("bloom prefilter rejects almost all novel fingerprints (the pruning claim)") {
+    val idx = IncrementalDedup.buildIndex(prior)
+    val bloom = idx.fingerprints.select(xxhash64(col("fp")).as("h"))
+      .stat.bloomFilter("h", 1L << 20, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    // sf0.001 has no cross-parity exact dups, so every fresh doc that
+    // passes the filter is a false positive — at fpp 1% over 25 docs,
+    // more than a couple would mean the filter isn't pruning
+    val probe = graft.functions.GraftFunctions.might_contain(
+      lit(bytes), xxhash64(md5(col("text").cast("binary"))))
+    val maybes = fresh.filter(probe).count()
+    val total = fresh.count()
+    assert(maybes <= total / 5,
+      s"bloom passed $maybes of $total novel docs — not pruning")
+  }
+
   test("catalog survivors = new batch minus exact and near hits (internal consistency)") {
     val idx = IncrementalDedup.buildIndex(prior)
     val near = IncrementalDedup.nearDupPairsAgainstIndex(fresh, idx, 0.6)
