@@ -21,6 +21,8 @@ class PlanLintSpec extends SparkSpec {
     "n13_ann_ivf",          // 16-centroid broadcast assignment
     "n16_ann_ivf_kmeans",   // same 16-centroid broadcast, k-means-refined
     "n41_incremental_ann",  // same 16-centroid broadcast, persisted-index path
+    "n48_semdedup",         // same 16-centroid broadcast, SemDeDup assignment
+    "n50_tfidf_topterms",   // 1-row corpus-count broadcast (n28's pattern)
     "x05_date_spine",       // 31-row generated spine
     "a04_small_qty",        // correlated scalar per-part (broadcast agg)
     "a14_market_share",     // tiny nation-share cross
