@@ -84,8 +84,10 @@ object Catalog {
     operators.Corpus.all,
     operators.Similarity.all,
     operators.SemDedup.all,
+    operators.Pq.all,
     operators.IncrementalAnn.all,
     operators.TextAnalysis.all,
+    operators.ScaleOps.all,
     operators.SpanDedup.all,
     operators.Multimodal.all,
     streaming.WindowedAggs.all,

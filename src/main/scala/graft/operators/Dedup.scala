@@ -706,6 +706,77 @@ object Dedup {
       .orderBy("contained", "container")
   }
 
+  /** MinHash estimate calibration: for every pair sharing enough
+    * content to matter (exact Jaccard ≥ 0.05 via the inverted index),
+    * the signature-only Jaccard ESTIMATE (matching components / 16)
+    * side by side with the exact value and the absolute error. This is
+    * the measurement that justifies the entire LSH family's existence:
+    * E[est] = J per component (the MinHash identity), so the observed
+    * errors sit inside the Binomial(16, J) envelope — and at 100 TB,
+    * where the exact join is unaffordable corpus-wide, this calibration
+    * on a sampled slice is how a pipeline validates its banding
+    * thresholds before committing to them. The DuckDB twin recomputes
+    * signatures (n03's md5-slice machinery), exact Jaccard, AND the
+    * match counts, so estimate and error are hash-checked bit-for-bit.
+    *
+    * Scale shape: the estimate side joins the 16-column wide signature
+    * frame (one row per doc) onto the BOUNDED calibration pair set —
+    * never all signature pairs; the exact side is the same Σdf²
+    * inverted-index join n05 pays (cap-able via [[dropHotShingles]]
+    * on a skewed corpus). */
+  val minhashEstimate: Q = {
+    val minJac = 0.05
+    Q(
+      "n55_minhash_estimate",
+      s"""WITH $shinglesSql,
+         |mh AS (SELECT doc_id, j,
+         |              min(substr(md5(CAST(j // 4 AS VARCHAR) || ':' || sh),
+         |                         (j % 4) * 8 + 1, 8)) AS mh
+         |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS j) seeds
+         |       GROUP BY doc_id, j),
+         |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+         |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |           GROUP BY a.doc_id, b.doc_id),
+         |jacs AS (SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jac
+         |         FROM common
+         |         JOIN sizes s1 ON s1.doc_id = d1
+         |         JOIN sizes s2 ON s2.doc_id = d2
+         |         WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= $minJac),
+         |est AS (SELECT j.d1, j.d2,
+         |               CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS matches
+         |        FROM jacs j
+         |        JOIN mh a ON a.doc_id = j.d1
+         |        JOIN mh b ON b.doc_id = j.d2 AND b.j = a.j
+         |        GROUP BY j.d1, j.d2)
+         |SELECT d1, d2, jac, matches,
+         |       CAST(matches AS DOUBLE) / $NumHashes AS est,
+         |       abs(CAST(matches AS DOUBLE) / $NumHashes - jac) AS abs_err
+         |FROM jacs JOIN est USING (d1, d2)
+         |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+      val sh = shingles(Tables(s, dir).documents)
+      val jacs = commonCounts(sh, None)
+        .withColumn("jac",
+          col("c").cast("double") / (col("n1") + col("n2") - col("c")))
+        .filter(col("jac") >= minJac)
+        .select("d1", "d2", "jac")
+      val m = minhashWide(sh)
+      val m1 = m.select(col("doc_id").as("d1") +:
+        (0 until NumHashes).map(j => col(s"mh$j").as(s"a_mh$j")): _*)
+      val m2 = m.select(col("doc_id").as("d2") +:
+        (0 until NumHashes).map(j => col(s"mh$j").as(s"b_mh$j")): _*)
+      val matches = (0 until NumHashes)
+        .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      jacs.join(m1, Seq("d1")).join(m2, Seq("d2"))
+        .withColumn("matches", matches)
+        .select(col("d1"), col("d2"), col("jac"), col("matches"),
+          (col("matches").cast("double") / NumHashes).as("est"),
+          abs(col("matches").cast("double") / NumHashes - col("jac")).as("abs_err"))
+        .orderBy("d1", "d2")
+    }
+  }
+
   val all: Seq[Q] = Seq(exactDedup, normDedup, minhashSignature,
-    lshNearDup, ngramJaccard, simhash, containment, lshBanded)
+    lshNearDup, ngramJaccard, simhash, containment, lshBanded,
+    minhashEstimate)
 }

@@ -379,6 +379,62 @@ object IncrementalDedup {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Manifest-level churn between two snapshot fingerprint manifests
+    * (doc_id, fp): one full-outer join on the key classifies every id
+    * as added / removed / changed / unchanged. The audit a daily
+    * pipeline runs BEFORE content-level dedup — it bounds how much work
+    * the incremental screens above even have to do, and its "changed +
+    * added" output IS their input batch. Presence is tracked with
+    * explicit flags and the fp comparison is null-safe, so a null
+    * payload digest can never masquerade as an add/remove.
+    *
+    * Scale shape: both manifests shuffle once on doc_id (at rest they
+    * would be bucketed by it — the reference's ledger is exactly such a
+    * manifest, gtfs_rt_assets.py:253-257); fingerprints are 16 bytes,
+    * text is never read. */
+  def snapshotDiff(oldMan: DataFrame, newMan: DataFrame): DataFrame =
+    oldMan.select(col("doc_id"), col("fp").as("old_fp"), lit(true).as("__in_old"))
+      .join(newMan.select(col("doc_id"), col("fp").as("new_fp"),
+        lit(true).as("__in_new")), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!(col("old_fp") <=> col("new_fp")), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_fp"), col("new_fp"))
+
+  /** Catalog entry: churn audit over a planted snapshot pair — every
+    * 10th doc is dropped and re-ingested under a new id (removed +
+    * added), every doc ≡ 5 (mod 10) is edited (changed), the rest are
+    * untouched. The full (doc_id, status, old_fp, new_fp) frame is
+    * hash-checked, so one misclassified row anywhere flips the oracle. */
+  val snapshotChurn: Q = Q(
+    "n54_snapshot_churn",
+    """WITH oldm AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |newm AS (SELECT CASE WHEN doc_id % 10 = 0 THEN doc_id + 1000000
+      |                     ELSE doc_id END AS doc_id,
+      |                CASE WHEN doc_id % 10 = 5 THEN md5(text || ' v2')
+      |                     ELSE md5(text) END AS fp
+      |         FROM documents)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |       CASE WHEN o.doc_id IS NULL THEN 'added'
+      |            WHEN n.doc_id IS NULL THEN 'removed'
+      |            WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
+      |            ELSE 'unchanged' END AS status,
+      |       o.fp AS old_fp, n.fp AS new_fp
+      |FROM oldm o FULL JOIN newm n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val oldMan = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val newMan = docs.select(
+      when(col("doc_id") % 10 === 0, col("doc_id") + 1000000L)
+        .otherwise(col("doc_id")).as("doc_id"),
+      when(col("doc_id") % 10 === 5,
+        md5(concat(col("text"), lit(" v2")).cast("binary")))
+        .otherwise(md5(col("text").cast("binary"))).as("fp"))
+    snapshotDiff(oldMan, newMan).orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(incrementalNearDup, incrementalDedup,
-    incrementalDecontaminate, bloomScreen)
+    incrementalDecontaminate, bloomScreen, snapshotChurn)
 }

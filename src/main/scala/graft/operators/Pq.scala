@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.Det._
+
+/** Product quantization for ANN (Jégou et al. 2011, "Product
+  * Quantization for Nearest Neighbor Search"): split the 64-dim
+  * embedding into M = 4 contiguous 16-dim subspaces, k-means each
+  * subspace independently (K = 8 codes, L2 distance — PQ is a
+  * EUCLIDEAN quantizer, unlike the cosine IVF family), encode every
+  * vector as 4 code ids (= 4 bytes instead of 256), and answer queries
+  * with the ASYMMETRIC distance computation: the query stays
+  * un-quantized, per-subspace distance TABLES (query → each of the 8
+  * centroids) are built once, and a database vector's distance is just
+  * 4 table lookups summed.
+  *
+  * Scale shape (100 TB): training touches M·K tiny centroids
+  * (broadcast); encoding is one broadcast-assignment pass over the
+  * corpus (all M subspaces in ONE Lloyd state frame keyed by `m`, so
+  * the loop runs one job per round, not M); the search never reads
+  * embeddings — it joins the 4-byte code table against a broadcast
+  * (q, m, cent) distance table of |Q|·M·K rows and ranks by a
+  * fixed-order 4-term sum. That 16×-smaller scan side is the entire
+  * point of PQ at scale.
+  *
+  * Determinism/oracle: seeding = first K vec_ids' sub-vectors; L2
+  * distances are identical left-to-right folds in both engines;
+  * assignment ties break by (round6(d2), cent_id); means are
+  * decimal-exact and float-cast (the n16 Lloyd rules). The DuckDB twin
+  * regenerates the ENTIRE chain — both Lloyd rounds per subspace, the
+  * codebook, the codes, the distance tables, the 4-term ADC sum — from
+  * the same generated SQL, so the approximate answer itself is
+  * hash-checked (n11/n16's standard).
+  */
+object Pq {
+
+  val M = 4        // subspaces
+  val SubDim = 16  // dims per subspace (M * SubDim = 64)
+  val K = 16       // codes per subspace (production PQ uses 256; 16
+                   //   keeps the oracle's 2-round Lloyd chain tractable
+                   //   while the harness embeddings — random, clusterless,
+                   //   PQ's worst case — still rank far above chance)
+  val Iters = 2    // Lloyd rounds per subspace
+
+  private val NumQueries = 32
+  private val TopK = 5
+
+  /** Deterministic L2² between two equal-length float vectors: a
+    * left-to-right fold, bit-identical to DuckDB's list_sum over
+    * list_transform in index order. */
+  private def d2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** (m, cent_id, cv) sub-vector seeds: the first K vec_ids' slices,
+    * all M subspaces in one frame. */
+  private def seedCentroids(vecs: DataFrame): DataFrame =
+    vecs.orderBy("vec_id").limit(K)
+      .select(col("vec_id").as("cent_id"), explode(expr(
+        s"transform(sequence(0, ${M - 1}), " +
+          s"m -> named_struct('m', m, 'cv', slice(embedding, m * $SubDim + 1, $SubDim)))"))
+        .as("s"))
+      .select(col("s.m").as("m"), col("cent_id"), col("s.cv").as("cv"))
+
+  /** (vec_id, m, sv): every vector's M sub-vectors — map-side explode,
+    * the shared input of training, encoding and the query tables. */
+  private def subVectors(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${M - 1}), " +
+        s"m -> named_struct('m', m, 'sv', slice(embedding, m * $SubDim + 1, $SubDim)))"))
+      .as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+
+  /** One assignment pass: each (vector, subspace) to its nearest
+    * centroid by (round6(L2²), cent_id). Returns (vec_id, m, cell, sv). */
+  private def assign(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cent_id"), col("sv"),
+        round6(d2(col("sv"), col("cv"))).as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(struct(col("cent_id"), col("sv")),
+        struct(col("dist"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("m"),
+        col("best.cent_id").as("cell"), col("best.sv").as("sv"))
+
+  /** Per-subspace k-means codebooks: (m, cent_id, cv) after `iters`
+    * Lloyd rounds. All M subspaces train in ONE state frame — one
+    * broadcast-assignment job + one (m, cell, pos) mean aggregation
+    * per round regardless of M. */
+  def codebooks(vecs: DataFrame, iters: Int = Iters): DataFrame = {
+    val sub = subVectors(vecs)
+    var cents = seedCentroids(vecs).localCheckpoint()
+    (1 to iters).foreach { _ =>
+      // float → DOUBLE → decimal: Spark rounds a FLOAT's 9-digit
+      // shortest string to the decimal scale, DuckDB rounds the binary
+      // value — they disagree on .5e-6-boundary elements (observed:
+      // 109/512 centroid floats off by ulps before this, 2/160 ADC
+      // rows flipping round6). Both engines round the same DOUBLE the
+      // same way; the twin casts CAST(x AS DOUBLE) identically.
+      val refreshed = assign(sub, cents)
+        .select(col("m"), col("cell").as("cent_id"), posexplode(col("sv")))
+        .groupBy("m", "cent_id", "pos")
+        .agg((sum(col("col").cast("double").cast("decimal(25,6)")).cast("double") /
+          count(lit(1))).as("mu"))
+        .groupBy("m", "cent_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+        .select(col("m"), col("cent_id"),
+          transform(col("pm"), s => s.getField("mu")).cast("array<float>").as("cv"))
+      // empty cells keep their previous centroid (k must not shrink)
+      cents = cents.select(col("m"), col("cent_id"), col("cv").as("prev"))
+        .join(refreshed, Seq("m", "cent_id"), "left")
+        .select(col("m"), col("cent_id"),
+          coalesce(col("cv"), col("prev")).as("cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** PQ codes: (vec_id, m, code) — the 4-byte-per-vector representation
+    * the 100 TB search scans instead of embeddings. */
+  def encode(vecs: DataFrame, books: DataFrame): DataFrame =
+    assign(subVectors(vecs), books)
+      .select(col("vec_id"), col("m"), col("cell").as("code"))
+
+  /** Asymmetric-distance top-k: exact per-subspace distance tables for
+    * each query (|Q|·M·K rows, broadcast), then a lookup join against
+    * the code table and a FIXED-ORDER 4-term sum (a floating sum under
+    * groupBy would be partition-order-dependent — the m-pivot keeps it
+    * deterministic and oracle-matchable). */
+  def adcTopK(codes: DataFrame, books: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val qsub = subVectors(queries).select(
+      col("vec_id").as("q_id"), col("m"), col("sv").as("qs"))
+    val dtab = qsub.join(books, Seq("m"))
+      .select(col("q_id"), col("m"), col("cent_id"), d2(col("qs"), col("cv")).as("d"))
+    val perM = codes
+      .join(broadcast(dtab),
+        codes("m") === dtab("m") && codes("code") === dtab("cent_id"))
+      .select(col("q_id"), col("vec_id"), codes("m").as("m"), col("d"))
+      .groupBy("q_id", "vec_id")
+      .agg(max(when(col("m") === 0, col("d"))).as("d0"),
+        (1 until M).map(m => max(when(col("m") === m, col("d"))).as(s"d$m")): _*)
+    val adc = round6((0 until M).map(m => col(s"d$m")).reduce(_ + _))
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("nb_id"))
+    perM
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("nb_id"), adc.as("adc"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB twin: the same chain as generated SQL.
+  // ---------------------------------------------------------------------
+
+  /** Strict LEFT-FOLD L2² (list_reduce, not list_sum): DuckDB's
+    * list_sum may re-associate the accumulation, which differs from
+    * Spark's sequential `aggregate` fold by an ulp — enough to flip
+    * round6 on a .xxxxxx5-boundary ADC value (observed: 2/160 rows at
+    * sf0.01 before this). list_reduce folds in index order, matching
+    * Spark bit-for-bit. */
+  private def d2Sql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, $SubDim), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), (acc, x) -> acc + x)"
+
+  private def roundSql(r: Int): String =
+    s"""asg$r AS (SELECT vec_id, m, cell, sv FROM (
+       |    SELECT s.vec_id, s.m, c.cent_id AS cell, s.sv,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY ${round6Sql(d2Sql("s.sv", "c.cv"))}, c.cent_id) AS rn
+       |    FROM sub s JOIN c${r - 1} c ON c.m = s.m) WHERE rn = 1),
+       |mm$r AS (SELECT a.m, a.cell AS cent_id, d.i,
+       |               CAST(sum(CAST(CAST(a.sv[d.i] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+       |                 / count(*) AS mu
+       |        FROM asg$r a
+       |        CROSS JOIN (SELECT unnest(generate_series(1, $SubDim)) AS i) d
+       |        GROUP BY 1, 2, 3),
+       |cv$r AS (SELECT m, cent_id, list(CAST(mu AS REAL) ORDER BY i) AS cv
+       |        FROM mm$r GROUP BY m, cent_id),
+       |c$r AS (SELECT p.m, p.cent_id, coalesce(n.cv, p.cv) AS cv
+       |       FROM c${r - 1} p LEFT JOIN cv$r n
+       |         ON n.m = p.m AND n.cent_id = p.cent_id)""".stripMargin
+
+  private val pqSql: String =
+    s"""WITH sub AS (SELECT vec_id, md.m,
+       |                    list_slice(embedding, md.m * $SubDim + 1,
+       |                               (md.m + 1) * $SubDim) AS sv
+       |             FROM embeddings
+       |             CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS m) md),
+       |c0 AS (SELECT m, vec_id AS cent_id, sv AS cv FROM sub
+       |       WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $K)),
+       |${(1 to Iters).map(roundSql).mkString(",\n")},
+       |codes AS (SELECT vec_id, m, cell AS code FROM (
+       |    SELECT s.vec_id, s.m, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY ${round6Sql(d2Sql("s.sv", "c.cv"))}, c.cent_id) AS rn
+       |    FROM sub s JOIN c$Iters c ON c.m = s.m) WHERE rn = 1),
+       |dtab AS (SELECT q.vec_id AS q_id, q.m, c.cent_id,
+       |                ${d2Sql("q.sv", "c.cv")} AS d
+       |         FROM sub q JOIN c$Iters c ON c.m = q.m
+       |         WHERE q.vec_id < $NumQueries),
+       |adc AS (SELECT dt.q_id, cd.vec_id,
+       |               ${round6Sql((0 until M)
+              .map(m => s"max(CASE WHEN cd.m = $m THEN dt.d END)")
+              .mkString(" + "))} AS adc
+       |        FROM codes cd
+       |        JOIN dtab dt ON dt.m = cd.m AND dt.cent_id = cd.code
+       |        WHERE dt.q_id <> cd.vec_id
+       |        GROUP BY 1, 2),
+       |ranked AS (SELECT q_id, vec_id AS nb_id, adc,
+       |                  row_number() OVER (PARTITION BY q_id
+       |                                     ORDER BY adc, vec_id) AS rn
+       |           FROM adc)
+       |SELECT q_id, nb_id, adc, CAST(rn AS BIGINT) AS rn
+       |FROM ranked WHERE rn <= $TopK
+       |ORDER BY q_id, rn""".stripMargin
+
+  /** Catalog entry: the full PQ pipeline — train, encode, ADC search —
+    * hash-checked end to end. PqSpec additionally bounds recall vs the
+    * exact L2 answer (the property a hash oracle can't state). */
+  val pqAdc: Q = Q("n56_pq_adc", pqSql) { (s, dir) =>
+    val e = Tables(s, dir).embeddings
+    val books = codebooks(e)
+    adcTopK(encode(e, books), books, e.filter(col("vec_id") < NumQueries), TopK)
+      .orderBy("q_id", "rn")
+  }
+
+  val all: Seq[Q] = Seq(pqAdc)
+}

@@ -418,7 +418,13 @@ object Similarity {
       val refreshed = assigned
         .select(col("cent_id"), posexplode(col("embedding")))
         .groupBy("cent_id", "pos")
-        .agg((sum(col("col").cast("decimal(25,6)")).cast("double") /
+        // float → DOUBLE → decimal (round-4 hardening, found via n56):
+        // Spark rounds a FLOAT's 9-digit shortest string to the decimal
+        // scale, DuckDB rounds the binary value — boundary elements
+        // disagree by one 1e-6 step and shift cell means by ~1e-8,
+        // which round6 can surface on a .5-boundary. Rounding the same
+        // DOUBLE (twin: CAST(x AS DOUBLE) first) removes the hazard.
+        .agg((sum(col("col").cast("double").cast("decimal(25,6)")).cast("double") /
           count(lit(1))).as("m"))
         .groupBy("cent_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
@@ -516,7 +522,7 @@ object Similarity {
          |                      cn.cent_id) AS arn
          |    FROM e CROSS JOIN cn$r cn) WHERE arn = 1),
          |m$r AS (SELECT a.cell AS cent_id, dims.i,
-         |             CAST(sum(CAST(e.embedding[dims.i] AS DECIMAL(25,6))) AS DOUBLE)
+         |             CAST(sum(CAST(CAST(e.embedding[dims.i] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
          |               / count(*) AS m
          |      FROM asg$r a JOIN e ON e.vec_id = a.vec_id
          |      CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) dims

@@ -264,6 +264,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram extraction as a MAP-SIDE array transform: adjacent token
+    * pairs come straight out of the split array (no posexplode + window
+    * sort — at 100 TB a per-token window shuffle would dwarf the two
+    * count aggregations that follow). Docs with < 2 tokens contribute
+    * no bigrams (the size filter — Spark's sequence(0,-1) would
+    * otherwise DESCEND, and explode of the empty transform emits
+    * nothing anyway). */
+  def bigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(tk) - 2), " +
+          "i -> named_struct('w1', tk[i], 'w2', tk[i + 1]))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+
+  /** Bigram log-probability scoring — the second-order companion to
+    * n28: score each document by the mean ln p(w2 | w1) under the
+    * corpus's own MLE bigram model. The conditional denominator is the
+    * count of w1 AS A BIGRAM PREFIX (= Σ_w c(w1,w), so the conditional
+    * distribution sums to exactly 1 — no end-of-document leakage), and
+    * every observed bigram has count ≥ 1, so no smoothing is needed
+    * and the log is always finite. A fluency filter one notch sharper
+    * than unigram scoring: word-salad documents built from common
+    * tokens pass n28 but fail here.
+    *
+    * Scale shape: bigram extraction is map-side ([[bigrams]]); then two
+    * partial-aggregated counts (prefix counts, bigram counts) and one
+    * join keyed on the bigram — the same two-shuffle budget as n28.
+    * ln on an int/int double ratio is bit-identical across engines
+    * (n28's proven rule); the mean uses the DECIMAL-sum machinery. */
+  val bigramLogProb: Q = Q(
+    "n51_bigram_logprob",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |big AS (SELECT doc_id, tk[p] AS w1, tk[p + 1] AS w2
+       |        FROM (SELECT doc_id, tk,
+       |                     unnest(generate_series(1, len(tk) - 1)) AS p
+       |              FROM toks)),
+       |pre AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+       |bi AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       ${davgSql("ln(CAST(c2 AS DOUBLE) / c1)")} AS avg_logp
+       |FROM big JOIN bi USING (w1, w2) JOIN pre USING (w1)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val big = bigrams(Tables(s, dir).documents)
+    val pre = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    big.join(bi, Seq("w1", "w2")).join(pre, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        davg(log(col("c2").cast("double") / col("c1"))).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF top terms per document — the classic keyword/topic
     * extraction a curation pipeline uses for domain tagging and
     * mixture construction (n46's buckets, but content-derived).
@@ -546,6 +602,28 @@ object TextAnalysis {
           col("r_ttr") && col("r_alpha"))
   }
 
+  /** The n47 gate as a single boolean COLUMN over a text column — the
+    * streaming-safe form (no intermediate frame, usable inside a
+    * `filter` on an unbounded stream, where [[gopherRules]]'s audit
+    * frame shape isn't needed). Same arithmetic as the audit frame
+    * rule-for-rule; PropsSpec pins filter(gopherPass) ≡
+    * gopherRules.passes so the two can never drift. */
+  def gopherPass(text: Column): Column = {
+    val tk = split(text, " ", -1)
+    val n = size(tk).cast("long")
+    val sumLen = aggregate(tk, lit(0L), (a, x) => a + length(x))
+    val stopHits = size(filter(tk, x =>
+      x === "the" || x === "a" || x === "of" || x === "and" || x === "in"))
+      .cast("long")
+    val nUniq = size(array_distinct(tk)).cast("long")
+    val nAlpha = size(filter(tk, x => x.rlike("[A-Za-z]"))).cast("long")
+    n.between(50L, 100000L) &&
+      (sumLen.cast("double") / n).between(3.0, 10.0) &&
+      stopHits >= 2L &&
+      (nUniq.cast("double") / n) >= 0.3 &&
+      (nAlpha.cast("double") / n) >= 0.8
+  }
+
   val gopher: Q = Q(
     "n47_gopher_rules",
     """WITH f AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -579,6 +657,6 @@ object TextAnalysis {
   }
 
   val all: Seq[Q] = Seq(langStats, qualityScore, tokenStats, langId,
-    fingerprint, rollingFingerprint, unigramLogProb, tfidfTop, redact,
-    repetition, heavyHitters, cmsHeavyHitters, gopher)
+    fingerprint, rollingFingerprint, unigramLogProb, bigramLogProb,
+    tfidfTop, redact, repetition, heavyHitters, cmsHeavyHitters, gopher)
 }

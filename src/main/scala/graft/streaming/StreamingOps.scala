@@ -56,6 +56,20 @@ object StreamingOps {
       .drop(fp)
   }
 
+  /** Streaming quality-gated ingest: the n47 Gopher hard gates applied
+    * ON ARRIVAL (a map-side predicate — [[graft.operators.TextAnalysis
+    * .gopherPass]], the exact batch arithmetic), then the watermarked
+    * normalized-fingerprint dedup. The order matters at 100 TB: the
+    * gate is stateless and runs in the scan stage, so junk documents
+    * never enter dedup state — state size is bounded by the SURVIVING
+    * rate, not the arrival rate. st07 is the DuckDB-oracled batch twin;
+    * StreamingSpec proves this stream produces exactly its answer. */
+  def qualityGatedIngest(docs: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    dedupNormalizedWithWatermark(
+      docs.filter(graft.operators.TextAnalysis.gopherPass(col("text"))),
+      watermark)
+
   /** Handle for the streaming near-dup slice: the running survivor
     * query plus an on-demand batch view of near-dup pairs over
     * everything survived so far. */

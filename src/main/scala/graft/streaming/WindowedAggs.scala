@@ -242,6 +242,40 @@ object WindowedAggs {
       .orderBy("doc_id")
   }
 
+  /** Batch twin of [[StreamingOps.qualityGatedIngest]] (st04/st05's
+    * pattern): Gopher hard gates as a map-side predicate, then
+    * keep-first normalized dedup — the exact curation the stream runs
+    * on arrival, restated so DuckDB can hash-check it. StreamingSpec
+    * proves the MemoryStream run emits exactly this doc_id set. */
+  val qualityGateTwin: Q = Q(
+    "st07_stream_quality_gate",
+    """WITH f AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      |m AS (SELECT doc_id, text,
+      |             CAST(len(w) AS BIGINT) AS n_tokens,
+      |             CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+      |               / len(w) AS mean_tok_len,
+      |             CAST(len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of'
+      |                                       OR x = 'and' OR x = 'in')) AS BIGINT) AS stop_hits,
+      |             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+      |             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      |               / len(w) AS alpha_frac
+      |      FROM f),
+      |pass AS (SELECT doc_id, text FROM m
+      |         WHERE n_tokens BETWEEN 50 AND 100000
+      |           AND mean_tok_len BETWEEN 3.0 AND 10.0
+      |           AND stop_hits >= 2 AND ttr >= 0.3 AND alpha_frac >= 0.8)
+      |SELECT min(doc_id) AS doc_id
+      |FROM pass
+      |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.api.Graft._
+    Tables(s, dir).documents
+      .filter(graft.operators.TextAnalysis.gopherPass(col("text")))
+      .distinctDocuments(normalize = true)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
-    streamNearDup, indexedIngestTwin)
+    streamNearDup, indexedIngestTwin, qualityGateTwin)
 }

@@ -29,7 +29,8 @@ class PlanLintSpec extends SparkSpec {
     "a15_min_cost_supplier",// correlated min-cost broadcast
     "a27_important_stock",  // two 1-row broadcast scalars (total, n)
     "a28_top_supplier",     // 1-row broadcast max-revenue scalar
-    "n46_mixture_resample"  // 1-row mixture-scale scalar × 5-key part list
+    "n46_mixture_resample", // 1-row mixture-scale scalar × 5-key part list
+    "n52_skew_audit"        // 1-row total-rows broadcast over the key histogram
   )
 
   private lazy val plans: Map[String, String] =

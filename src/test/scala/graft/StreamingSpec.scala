@@ -441,4 +441,39 @@ class StreamingSpec extends SparkSpec {
     }.collect().toSet
     assert(sessions == batch)
   }
+
+  test("streaming quality gate equals its batch twin (st07)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // a Gopher-passing doc: 50 tokens, 2 stopword hits, all-alpha,
+    // all-distinct (ttr 1.0), mean token length ~5
+    def good(tag: Int) =
+      s"the of " + (0 until 48).map(w => s"w${tag}x$w").mkString(" ")
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), good(1)),
+      (2L, ts("2024-01-01 10:00:01"), good(1) + "  "), // ws mutant of 1: passes gate, tier-1 dedup kills it
+      (3L, ts("2024-01-01 10:00:02"), "too short"),    // fails r_len
+      (4L, ts("2024-01-01 10:00:03"),                  // fails r_alpha + r_ttr
+        (0 until 60).map(_ => "12345").mkString(" ")),
+      (5L, ts("2024-01-01 10:00:04"), good(5)))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.qualityGatedIngest(docs, "1 hour")
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("qgate").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // batch twin (the st07 catalog shape) over the same raw rows
+    import graft.api.Graft._
+    val twin = rows.toDF("doc_id", "ts", "text")
+      .filter(graft.operators.TextAnalysis.gopherPass(col("text")))
+      .distinctDocuments(normalize = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == Set(1L, 5L))
+    assert(twin == streamed)
+  }
 }
