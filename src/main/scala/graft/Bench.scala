@@ -85,12 +85,20 @@ object Bench {
       (if (ok) sec else -1.0, ok)
     }
 
+    // 1-minute system load at the canary points — context for reading
+    // totals across rounds (the canary sees CPU-speed contention; the
+    // load gauge sees how many OTHER runnable threads the host carried)
+    def loadNow(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val canaryStart = canary()
+    val loadStart = loadNow()
     val half = names.size / 2
     var canaryMid = -1.0
+    var loadMid = -1.0
     var results = names.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == half) canaryMid = canary()
+      if (i == half) { canaryMid = canary(); loadMid = loadNow() }
       val samples = (1 to reps).map(_ => timeOnce(name, fn))
       val ok = samples.forall(_._2)
       val best = if (ok) samples.map(_._1).min else -1.0
@@ -103,28 +111,36 @@ object Bench {
     }
     var drift = driftOf(Seq(canaryStart, canaryMid, canaryEnd))
 
-    // Drift gate: a contended sample is re-measured, not re-litigated.
-    // Re-time the worst-spread queries once (their min can only drop),
-    // then re-measure drift; if still past the gate, flag the run.
+    // Contention gate: a contended sample is re-measured, not
+    // re-litigated. Two triggers, because they see different noise:
+    //  - canary drift > driftMax: single-thread CPU contention (the
+    //    host got slower between canary points);
+    //  - per-query spread (max/min across reps) > spreadMax: burst
+    //    contention the canary can MISS — a co-tenant saturating many
+    //    cores inflates wide shuffle stages while a 0.1 s single-spin
+    //    canary threads between the bursts (observed: drift 1.17 with
+    //    heavy queries 3-8x their quiet-host cost).
+    // Worst-spread queries get one extra sample each (their min can
+    // only drop); drift is then re-measured for the contended flag.
+    val spreadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD_MAX", "2.5").toDouble
     var retimed: Seq[String] = Nil
-    if (drift > driftMax) {
-      val fnByName = names.toMap
-      val worst = results
-        .filter { case (_, _, ss, ok) => ok && ss.min > 0 }
-        .sortBy { case (_, _, ss, _) => -(ss.max / ss.min) }
-        .takeWhile { case (_, _, ss, _) => ss.max / ss.min > driftMax }
-        .take(20).map(_._1).toSet
-      if (worst.nonEmpty) {
-        retimed = results.map(_._1).filter(worst)
-        results = results.map {
-          case r @ (name, best, ss, ok) if worst(name) =>
-            val (sec, ok2) = timeOnce(name, fnByName(name))
-            if (ok2) (name, math.min(best, sec), ss :+ sec, ok) else r
-          case r => r
-        }
-        canaryEnd = canary()
-        drift = driftOf(Seq(canaryStart, canaryMid, canaryEnd))
+    val fnByName = names.toMap
+    val spreadTrigger = math.min(spreadMax, if (drift > driftMax) driftMax else spreadMax)
+    val worst = results
+      .filter { case (_, _, ss, ok) => ok && ss.min > 0 }
+      .sortBy { case (_, _, ss, _) => -(ss.max / ss.min) }
+      .takeWhile { case (_, _, ss, _) => ss.max / ss.min > spreadTrigger }
+      .take(20).map(_._1).toSet
+    if (worst.nonEmpty) {
+      retimed = results.map(_._1).filter(worst)
+      results = results.map {
+        case r @ (name, best, ss, ok) if worst(name) =>
+          val (sec, ok2) = timeOnce(name, fnByName(name))
+          if (ok2) (name, math.min(best, sec), ss :+ sec, ok) else r
+        case r => r
       }
+      canaryEnd = canary()
+      drift = driftOf(Seq(canaryStart, canaryMid, canaryEnd))
     }
     val contended = drift > driftMax
 
@@ -142,8 +158,10 @@ object Bench {
     val total = results.filter(_._4).map(_._2).sum
     val canaryJson =
       s"""{"start":${fmt(canaryStart)},"mid":${fmt(canaryMid)},"end":${fmt(canaryEnd)},"drift":${fmt(drift)},"drift_max":${fmt(driftMax)},"contended":$contended,"retimed":${retimed.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    val hostJson =
+      s"""{"cpus":${Runtime.getRuntime.availableProcessors},"load":[${fmt(loadStart)},${fmt(loadMid)},${fmt(loadNow())}]}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"cache":"${if (cold) "cold" else "warm"}","queries":$qs,"failed":$failed,"canary":$canaryJson,"samples":$samplesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"cache":"${if (cold) "cold" else "warm"}","queries":$qs,"failed":$failed,"canary":$canaryJson,"host":$hostJson,"samples":$samplesJson,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try Files.writeString(Paths.get(out), line + "\n")

@@ -64,6 +64,29 @@ object IncrementalAnn {
       .write.mode("append").parquet(s"$path/assignments")
   }
 
+  /** In-memory mirror of [[appendToIndex]]: the index frames after a
+    * batch's assignment rows land (same rows the file path writes). */
+  def appendAssignments(index: AnnIndex, newVecs: DataFrame): AnnIndex =
+    AnnIndex(index.centroids,
+      index.assignments.unionByName(Similarity.assignCells(newVecs, index.centroids)))
+
+  /** Compact an appended ANN index: collapse crash-replayed assignment
+    * batches (appends are not atomic — a retried batch lands twice,
+    * and duplicated assignment rows occupy duplicate top-k slots at
+    * search time, pushing out legitimate neighbors) and coalesce the
+    * per-append small files on rewrite. Assignment content is a pure
+    * function of (vec_id, centroids), so replayed rows are bit-equal
+    * and one distinct per component restores freshly-built state.
+    * Centroids are immutable across appends (standard IVF practice);
+    * retraining them is a REBUILD — [[buildIndex]] — not compaction. */
+  def compactIndex(index: AnnIndex): AnnIndex =
+    AnnIndex(index.centroids.distinct(), index.assignments.distinct())
+
+  /** File-level compaction: read, compact, rewrite to a fresh path
+    * (parquet has no atomic in-place swap — caller promotes). */
+  def compactAndRewrite(spark: SparkSession, path: String, outPath: String): Unit =
+    writeIndex(compactIndex(readIndex(spark, path)), outPath)
+
   /** IVF search of `queries` (vec_id, embedding) against the persisted
     * index: probe each query's nProbe best cells, exact re-rank inside
     * probed cells only. Identical semantics to [[Similarity.ivfSearch]]
@@ -155,5 +178,27 @@ object IncrementalAnn {
     }
   }
 
-  val all: Seq[Q] = Seq(incrementalAnn)
+  /** Compaction proof for the ANN index (n57's pattern on the vector
+    * family): the even half accrues as base build (vec_id ≡ 0 mod 4) +
+    * one append (≡ 2 mod 4) + the SAME append replayed, then
+    * compaction; the search must equal n41's fresh-build oracle — a
+    * surviving duplicate assignment row would occupy a duplicate top-k
+    * slot and flip the hash. Centroids are the same oracle-locked
+    * anchors as n41, shared by every stage. */
+  val annCompaction: Q = Q(
+    "n59_ann_compaction",
+    incrementalAnn.oracle.get) { (s, dir) =>
+    val e = Tables(s, dir).embeddings
+    val p0 = e.filter(col("vec_id") % 4 === 0)
+    val p2 = e.filter(col("vec_id") % 4 === 2)
+    val fresh = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 2 * NQueries)
+    val cents = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 2 * NCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val appended = appendAssignments(indexWith(p0, cents), p2)
+    val replayed = appendAssignments(appended, p2) // crash-replay: batch lands twice
+    searchIndex(fresh, compactIndex(replayed), NProbe, TopK)
+      .orderBy("q_id", "rn")
+  }
+
+  val all: Seq[Q] = Seq(incrementalAnn, annCompaction)
 }

@@ -126,14 +126,16 @@ object IncrementalDedup {
     * should be re-built periodically (the usual compaction trade).
     * Doc_ids are assumed unique across snapshots (pipeline contract —
     * the reference's batch_id-scoped ids satisfy it). */
-  def appendToIndex(newDocs: DataFrame, path: String): Unit = {
-    val spark = newDocs.sparkSession
-    val persistedHot = spark.read.parquet(s"$path/hot")
+  /** The rows [[appendToIndex]] writes for one batch, as component
+    * frames — every component EXCEPT "hot" (the hot list is a property
+    * of the index's banding configuration, never appended). Shared by
+    * the file-append path and [[appendComponents]] so the two can
+    * never drift. */
+  private def batchComponents(newDocs: DataFrame,
+      persistedHot: DataFrame): Seq[(String, DataFrame)] = {
     val sh = Dedup.shingles(newDocs)
     val banded = sh.join(broadcast(persistedHot), Seq("sh"), "left_anti")
-    // every component EXCEPT "hot" appends batch rows — the hot list is
-    // a property of the index's banding configuration, never appended
-    val frames = Seq(
+    Seq(
       "fingerprints" -> newDocs.select(col("doc_id"),
         md5(col("text").cast("binary")).as("fp"),
         graft.Det.normFingerprint(col("text")).as("nfp")),
@@ -142,10 +144,80 @@ object IncrementalDedup {
       "sizes" -> sh.groupBy("doc_id").agg(count(lit(1)).as("n")),
       "winhash" -> TextAnalysis.windowHashes(newDocs)
         .select(col("win_hash").as("h")).distinct())
-    frames.foreach { case (name, df) =>
+  }
+
+  def appendToIndex(newDocs: DataFrame, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val persistedHot = spark.read.parquet(s"$path/hot")
+    batchComponents(newDocs, persistedHot).foreach { case (name, df) =>
       df.write.mode("append").parquet(s"$path/$name")
     }
   }
+
+  /** In-memory mirror of [[appendToIndex]]: the index frames AFTER the
+    * batch's rows land — the same rows the file path writes, as lazy
+    * unions. Lets probes (and the compaction oracle) exercise the
+    * appended state without a filesystem round-trip. */
+  def appendComponents(index: DedupIndex, newDocs: DataFrame): DedupIndex = {
+    val byName = batchComponents(newDocs, index.hotShingles).toMap
+    DedupIndex(
+      fingerprints = index.fingerprints.unionByName(byName("fingerprints")),
+      bands = index.bands.unionByName(byName("bands")),
+      shingles = index.shingles.unionByName(byName("shingles")),
+      sizes = index.sizes.unionByName(byName("sizes")),
+      winHashes = index.winHashes.unionByName(byName("winhash")),
+      hotShingles = index.hotShingles)
+  }
+
+  /** Compact an appended index back to freshly-built state, reading
+    * ONLY the index itself (the corpus text is never re-read or
+    * re-shingled — the inverted shingle index already holds everything
+    * banding needs). Heals the documented append-path failure modes:
+    *
+    *   - crash-replayed batches (a batch whose append ran twice):
+    *     every component dedupes to one copy, so Jaccard verify counts
+    *     and sizes are exact again;
+    *   - cross-batch winhash duplicates (each append writes its own
+    *     DISTINCT set): collapsed, so probes drop the defensive
+    *     re-distinct;
+    *   - stale banding under a df-cap (appends band against the
+    *     ORIGINAL hot list; shingles that became hot corpus-wide since
+    *     are not retro-capped): with `dfCap` set the hot list is
+    *     recomputed over the accumulated shingle index and bands are
+    *     rebuilt under it, restoring the band-filter consistency
+    *     invariant for all FUTURE probes.
+    *
+    * Scale shape: one distinct/agg shuffle per component, keyed on the
+    * component's natural key; band rebuild is the n03 single-pass agg
+    * over the compacted shingle index. Pair with [[writeIndex]] to a
+    * fresh path and swap — the usual compaction cadence. */
+  def compactIndex(index: DedupIndex, dfCap: Option[Long] = None): DedupIndex = {
+    val sh = index.shingles.distinct()
+    val hot = dfCap match {
+      case Some(cap) =>
+        sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+      case None => index.hotShingles.distinct()
+    }
+    val banded = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    DedupIndex(
+      fingerprints = index.fingerprints.distinct(),
+      bands = Dedup.bandSignatures(banded),
+      shingles = sh,
+      sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n")),
+      winHashes = index.winHashes.distinct(),
+      hotShingles = hot)
+  }
+
+  /** File-level compaction: read `path`, compact, write to `outPath`
+    * (a fresh directory — parquet has no atomic in-place swap; the
+    * caller promotes `outPath` once the write commits, the usual
+    * pointer-flip). Also the small-files remedy: each append wrote ≥ 1
+    * file per component, the rewrite coalesces to the session's
+    * shuffle-partition count. */
+  def compactAndRewrite(spark: SparkSession, path: String, outPath: String,
+      dfCap: Option[Long] = None): Unit =
+    writeIndex(compactIndex(readIndex(spark, path), dfCap), outPath)
 
   /** Exact-duplicate hits of the new batch against the index:
     * (d_new, d_prior) where the content fingerprint matches.
@@ -435,6 +507,44 @@ object IncrementalDedup {
     snapshotDiff(oldMan, newMan).orderBy("doc_id")
   }
 
+  /** Compaction proof: the prior corpus is assembled the way a real
+    * index accrues — base build (doc_id ≡ 0 mod 4), one append
+    * (≡ 2 mod 4), then the SAME append replayed (the crash-midway
+    * failure mode [[appendToIndex]] documents: component appends are
+    * not atomic, so a retried batch lands twice). The replayed index
+    * is WRONG to probe (duplicated shingle rows double the Jaccard
+    * numerators — IncrementalDedupSpec shows the corruption);
+    * [[compactIndex]] must restore exactly freshly-built state, so the
+    * oracle is n37's full-rebuild answer over the whole even half. One
+    * lost row (over-dedupe) or surviving duplicate (under-dedupe)
+    * anywhere in compaction flips the hash. */
+  val compactionProbe: Q = Q(
+    "n57_index_compaction",
+    s"""WITH $shinglesSql,
+       |common AS (SELECT a.doc_id AS d_new, b.doc_id AS d_prior, count(*) AS c
+       |           FROM sh a JOIN sh b ON a.sh = b.sh
+       |           WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+       |           GROUP BY 1, 2)
+       |SELECT d_new, d_prior,
+       |       CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jac
+       |FROM common
+       |JOIN sizes s1 ON s1.doc_id = d_new
+       |JOIN sizes s2 ON s2.doc_id = d_prior
+       |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6
+       |ORDER BY d_new, d_prior""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val p0 = docs.filter(col("doc_id") % 4 === 0)
+    val p2 = docs.filter(col("doc_id") % 4 === 2)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    Dedup.registerDerivedCorpus(p0, docs, "parity4=0")
+    Dedup.registerDerivedCorpus(p2, docs, "parity4=2")
+    Dedup.registerDerivedCorpus(fresh, docs, "parity=1")
+    val appended = appendComponents(buildIndex(p0), p2)
+    val replayed = appendComponents(appended, p2) // crash-replay: batch lands twice
+    nearDupPairsAgainstIndex(fresh, compactIndex(replayed), threshold = 0.6)
+      .orderBy("d_new", "d_prior")
+  }
+
   val all: Seq[Q] = Seq(incrementalNearDup, incrementalDedup,
-    incrementalDecontaminate, bloomScreen, snapshotChurn)
+    incrementalDecontaminate, bloomScreen, snapshotChurn, compactionProbe)
 }

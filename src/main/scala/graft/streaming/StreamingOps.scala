@@ -56,6 +56,21 @@ object StreamingOps {
       .drop(fp)
   }
 
+  /** Stream-static enrichment join: each arriving event picks up its
+    * dimension attributes from a STATIC (or slowly-refreshed) table —
+    * the standard streaming star-join. Stateless and append-safe: the
+    * dimension side is broadcast, so enrichment happens in the scan
+    * stage with no streaming state and no watermark requirement; at
+    * 100 TB/day of events the dimension is still the small side (users,
+    * feeds, catalogs), which is why this is THE shape for stream
+    * enrichment. Left join: an event with no dimension row passes
+    * through with nulls (never dropped — audit downstream). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      stream(streamKey) === dim(dimKey), "left_outer")
+      .drop(dimKey)
+
   /** Streaming quality-gated ingest: the n47 Gopher hard gates applied
     * ON ARRIVAL (a map-side predicate — [[graft.operators.TextAnalysis
     * .gopherPass]], the exact batch arithmetic), then the watermarked

@@ -223,6 +223,9 @@ object WindowedAggs {
     val s1 = b1.distinctDocuments(normalize = true)
       .dropNearDuplicates(threshold = 0.6)
       .localCheckpoint()
+    // deterministic accepted-store content → key the index build's
+    // shingle frame instead of churning the ad-hoc slot every rep
+    Dedup.registerDerivedCorpus(s1, b1, "accepted")
     // tier-1 suppression of cross-batch re-deliveries: anything whose
     // normalized fingerprint was SEEN in batch 1 (accepted or not)
     val seen1 = b1.select(graft.Det.normFingerprint(col("text")).as("__nfp"))
@@ -276,6 +279,35 @@ object WindowedAggs {
       .orderBy("doc_id")
   }
 
+  /** Batch twin of [[StreamingOps.enrichWithDim]] + daily tumbling
+    * rollup (st01's window shape over the enriched stream): events
+    * pick up the customer market segment via the broadcast dimension
+    * join, then count/total per (day, segment). The left join's
+    * null-passthrough is part of the contract (COALESCE to 'unknown'
+    * in the rollup), so a dropped unmatched event would flip the
+    * hash. StreamingSpec proves the streaming enrichment emits exactly
+    * the batch join's rows. */
+  val streamEnrichTwin: Q = Q(
+    "st08_stream_enrich",
+    s"""SELECT CAST(epoch_ms(date_trunc('day', e.ts)) AS BIGINT) AS wstart_ms,
+       |       COALESCE(c.c_mktsegment, 'unknown') AS segment,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       ${dsumSql("e.value")} AS total
+       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+       |GROUP BY 1, 2
+       |ORDER BY wstart_ms, segment""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    StreamingOps.enrichWithDim(t.events,
+        t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        "user_id", "c_custkey")
+      .groupBy(window(col("ts"), "1 day"),
+        coalesce(col("c_mktsegment"), lit("unknown")).as("segment"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(epochMs(col("window.start")).as("wstart_ms"),
+        col("segment"), col("n"), col("total"))
+      .orderBy("wstart_ms", "segment")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
-    streamNearDup, indexedIngestTwin, qualityGateTwin)
+    streamNearDup, indexedIngestTwin, qualityGateTwin, streamEnrichTwin)
 }

@@ -49,6 +49,28 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("compaction heals a crash-replayed assignment append (file level)") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_replay").toString
+    val half1 = prior.filter(col("vec_id") % 4 === 0)
+    val half2 = prior.filter(col("vec_id") % 4 === 2)
+    IncrementalAnn.writeIndex(IncrementalAnn.indexWith(half1, cents), dir)
+    IncrementalAnn.appendToIndex(half2, dir)
+    IncrementalAnn.appendToIndex(half2, dir) // crash-midway retry
+    val replayed = IncrementalAnn.readIndex(spark, dir)
+    // the replay is visible: half2's assignment rows landed twice
+    assert(replayed.assignments.count() ==
+      half1.count() + 2 * half2.count())
+
+    val out = java.nio.file.Files.createTempDirectory("ann_compact").toString
+    IncrementalAnn.compactAndRewrite(spark, dir, out)
+    val compacted = IncrementalAnn.readIndex(spark, out)
+    val rebuilt = IncrementalAnn.indexWith(prior, cents)
+    assert(compacted.assignments.count() == prior.count())
+    val a = resultSet(IncrementalAnn.searchIndex(freshQ, compacted, 4, 5))
+    val b = resultSet(IncrementalAnn.searchIndex(freshQ, rebuilt, 4, 5))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("k-means index via buildIndex: Lloyd centroids + assignment round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("ann_kmeans").toString
     IncrementalAnn.buildAndWriteIndex(prior, dir, nCells = 8, iters = 2)

@@ -85,6 +85,91 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(ca == cb)
   }
 
+  test("compaction heals a crash-replayed append (file level) and matches a fresh build") {
+    import spark.implicits._
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    // planted near-dup pair across the append/probe batches, so the
+    // replay-corrupts-jaccard claim is checkable regardless of what the
+    // harness corpus happens to contain
+    val stem = "shared tokens one two three four five six seven eight nine ten"
+    val batch1 = docs.filter(col("doc_id") % 3 === 1)
+      .unionByName(Seq((1000001L, s"$stem endA")).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(docs.columns.map(col): _*))
+    val batch2 = docs.filter(col("doc_id") % 3 === 2)
+      .unionByName(Seq((1000002L, s"$stem endB")).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(docs.columns.map(col): _*))
+
+    val dir = java.nio.file.Files.createTempDirectory("incr_replay").toString
+    IncrementalDedup.buildAndWriteIndex(base, dir)
+    IncrementalDedup.appendToIndex(batch1, dir)
+    IncrementalDedup.appendToIndex(batch1, dir) // crash-midway retry: batch lands twice
+
+    val replayed = IncrementalDedup.readIndex(spark, dir)
+    val freshIdx = IncrementalDedup.buildIndex(base.unionByName(batch1))
+    val want = IncrementalDedup.nearDupPairsAgainstIndex(batch2, freshIdx, 0.6)
+      .select("d_new", "d_prior", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // the replayed index is corrupt to probe: duplicated shingle rows
+    // double the common counts, so at least one jac value is wrong
+    val corrupt = IncrementalDedup.nearDupPairsAgainstIndex(batch2, replayed, 0.6)
+      .select("d_new", "d_prior", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(corrupt != want, "replayed index should corrupt the probe")
+
+    // compacted rewrite probes exactly like the fresh build
+    val out = java.nio.file.Files.createTempDirectory("incr_compact").toString
+    IncrementalDedup.compactAndRewrite(spark, dir, out)
+    val compacted = IncrementalDedup.readIndex(spark, out)
+    val got = IncrementalDedup.nearDupPairsAgainstIndex(batch2, compacted, 0.6)
+      .select("d_new", "d_prior", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want && got.nonEmpty)
+
+    // and the component row counts are back to one copy per row
+    assert(compacted.shingles.count() == freshIdx.shingles.distinct().count())
+    assert(compacted.sizes.count() == freshIdx.sizes.count())
+  }
+
+  test("compaction under a df-cap retro-caps the banding (hot list recomputed)") {
+    import spark.implicits._
+    // base: the hot boilerplate appears once — under cap 3 it is NOT hot
+    // at build time. Appends add 4 more copies, so corpus-wide df = 5 > 3:
+    // an append-only index keeps banding on the stale (empty) hot list;
+    // compaction must recompute it.
+    def boiler(tag: Int) =
+      s"all rights reserved contact us at legal department office $tag"
+    val base = Seq((0L, boiler(0)), (1L, "completely unrelated words apple banana cherry"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("incr_cap").toString
+    IncrementalDedup.writeIndex(IncrementalDedup.buildIndex(base, dfCap = Some(3L)), dir)
+    (2 to 5).foreach { i =>
+      IncrementalDedup.appendToIndex(Seq((i.toLong, boiler(i))).toDF("doc_id", "text"), dir)
+    }
+    val appended = IncrementalDedup.readIndex(spark, dir)
+    assert(appended.hotShingles.count() == 0, "append path never grows the hot list")
+
+    val out = java.nio.file.Files.createTempDirectory("incr_cap_out").toString
+    IncrementalDedup.compactAndRewrite(spark, dir, out, dfCap = Some(3L))
+    val compacted = IncrementalDedup.readIndex(spark, out)
+    // the 8 shared boilerplate shingles (df 5) are hot now...
+    assert(compacted.hotShingles.count() > 0)
+    // ...and the rebuilt bands exclude them: same answer as a fresh
+    // capped build over the accumulated corpus
+    val all = base.unionByName(
+      (2 to 5).map(i => (i.toLong, boiler(i))).toDF("doc_id", "text"))
+    val freshCapped = IncrementalDedup.buildIndex(all, dfCap = Some(3L))
+    val bandsA = compacted.bands.select("doc_id", "band", "sig").collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2))).toSet
+    val bandsB = freshCapped.bands.select("doc_id", "band", "sig").collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2))).toSet
+    assert(bandsA == bandsB)
+  }
+
   test("exact fingerprint screen catches sub-shingle-length duplicates") {
     import spark.implicits._
     // 2-word docs: empty shingle set, invisible to MinHash — only the

@@ -21,6 +21,7 @@ class PlanLintSpec extends SparkSpec {
     "n13_ann_ivf",          // 16-centroid broadcast assignment
     "n16_ann_ivf_kmeans",   // same 16-centroid broadcast, k-means-refined
     "n41_incremental_ann",  // same 16-centroid broadcast, persisted-index path
+    "n59_ann_compaction",   // same 16-centroid broadcast, compacted-index path
     "n48_semdedup",         // same 16-centroid broadcast, SemDeDup assignment
     "n50_tfidf_topterms",   // 1-row corpus-count broadcast (n28's pattern)
     "x05_date_spine",       // 31-row generated spine
@@ -30,7 +31,8 @@ class PlanLintSpec extends SparkSpec {
     "a27_important_stock",  // two 1-row broadcast scalars (total, n)
     "a28_top_supplier",     // 1-row broadcast max-revenue scalar
     "n46_mixture_resample", // 1-row mixture-scale scalar × 5-key part list
-    "n52_skew_audit"        // 1-row total-rows broadcast over the key histogram
+    "n52_skew_audit",       // 1-row total-rows broadcast over the key histogram
+    "n60_curation_audit"    // four 1-row stage-count scalars crossed into one row
   )
 
   private lazy val plans: Map[String, String] =

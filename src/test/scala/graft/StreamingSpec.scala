@@ -442,6 +442,31 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == batch)
   }
 
+  test("stream-static enrichment emits exactly the batch join's rows (st08)") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:01:00"), 2, "view", 2.0),
+      Event(3, ts("2024-01-01 10:02:00"), 9, "click", 3.0)) // no dim row → null passthrough
+    val input = MemoryStream[Event]
+    val q = StreamingOps.enrichWithDim(input.toDF(), dim, "user_id", "c_custkey")
+      .select("event_id", "c_mktsegment")
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("enrich")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val batch = StreamingOps.enrichWithDim(events.toDF(), dim, "user_id", "c_custkey")
+      .select("event_id", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(streamed == Set((1L, Some("BUILDING")), (2L, Some("MACHINERY")), (3L, None)))
+    assert(batch == streamed)
+  }
+
   test("streaming quality gate equals its batch twin (st07)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
