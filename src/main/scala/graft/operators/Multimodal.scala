@@ -196,5 +196,74 @@ object Multimodal {
       crc, feats)
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaDecode, mediaResize, mediaFrameSample)
+  /** Perceptual-hash media dedup (n61): a 16-bit structural signature
+    * per payload — sample the byte stream at 16 evenly-spaced
+    * positions, set bit k when the sampled byte clears the payload's
+    * mean byte value — then ONE groupBy on the hash emits duplicate
+    * groups. This is the aHash/pHash dedup shape for images at 100 TB:
+    * the hash is computed in the scan stage (map-side, no decode
+    * needed here; with real codecs the same pipeline hashes DCT
+    * coefficients), and the only shuffle moves an 8-byte key — the
+    * corpus' media bytes never cross the network. The thresholding
+    * arithmetic is pure integer ops (sum, floor-division, compare,
+    * shift), so the DuckDB twin matches bit-for-bit; byte-identical
+    * payloads always collide, which makes the planted exact dups the
+    * recall floor. Members are emitted as a sorted CSV so the group
+    * row is deterministic. */
+  val mediaPhashDedup: Q = Q(
+    "n61_media_phash_dedup",
+    """WITH b AS (SELECT doc_id,
+      |                  list_transform(generate_series(1, length(text)),
+      |                                 i -> unicode(substr(text, i, 1))) AS bs,
+      |                  CAST(length(text) AS BIGINT) AS n
+      |           FROM documents WHERE length(text) >= 16),
+      |ph AS (SELECT doc_id,
+      |              CAST(list_sum(list_transform(generate_series(0, 15),
+      |                k -> CASE WHEN bs[CAST((n * k) // 16 AS INTEGER) + 1]
+      |                               >= list_sum(bs) // n
+      |                          THEN 1 << k ELSE 0 END)) AS BIGINT) AS phash
+      |       FROM b)
+      |SELECT phash,
+      |       CAST(count(*) AS BIGINT) AS n_members,
+      |       array_to_string(list_sort(list(doc_id)), ';') AS members
+      |FROM ph
+      |GROUP BY phash
+      |HAVING count(*) >= 2
+      |ORDER BY phash""".stripMargin) { (s, dir) =>
+    phashGroups(Tables(s, dir).documents).orderBy("phash")
+  }
+
+  /** (doc_id, phash) for every payload of ≥ 16 bytes — the library
+    * half of n61. */
+  def phashes(docs: DataFrame): DataFrame = {
+    val bs = expr("transform(split(text, ''), c -> ascii(c))")
+    val n = length(col("text")).cast("long")
+    // `div` (integral division), NOT `/` (double division) — the twin's
+    // `//` floors in integer space and a fractional mean would flip
+    // bits on any byte equal to the floored mean
+    val mean = expr("aggregate(__bs, 0L, (a, x) -> a + x) div __n")
+    val bits = (0 until 16).map { k =>
+      when(expr(s"element_at(__bs, CAST((__n * $k) div 16 AS INT) + 1)")
+        .cast("long") >= col("__mean"),
+        lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs
+      .filter(length(col("text")) >= 16)
+      .select(col("doc_id"), bs.as("__bs"), n.as("__n"))
+      .withColumn("__mean", mean)
+      .select(col("doc_id"), bits.as("phash"))
+  }
+
+  /** Duplicate groups by perceptual hash: (phash, n_members, members
+    * as a sorted CSV). */
+  def phashGroups(docs: DataFrame): DataFrame =
+    phashes(docs)
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_members"),
+        array_join(array_sort(collect_list(col("doc_id"))).cast("array<string>"), ";")
+          .as("members"))
+      .filter(col("n_members") >= 2)
+
+  val all: Seq[Q] = Seq(mediaMeta, mediaDecode, mediaResize, mediaFrameSample,
+    mediaPhashDedup)
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Multimodal
 import graft.operators.Multimodal.MediaRow
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Multimodal binary-column plumbing (stubbed codec). */
@@ -49,6 +50,32 @@ class MultimodalSpec extends SparkSpec {
     val perDoc = frames.groupBy(_.getAs[Long]("doc_id")).values.map(_.length)
     assert(perDoc.forall(n => n >= 1 && n <= 4))
     assert(frames.forall(_.getAs[Int]("frame_idx") < 4))
+  }
+
+  test("phash dedup: byte-identical payloads collide; groups are sorted and deduped") {
+    val groups = Catalog.queries("n61_media_phash_dedup")(spark, sf0001).collect()
+    assert(groups.nonEmpty) // near-collisions exist even without exact dups
+    groups.foreach { g =>
+      val members = g.getAs[String]("members").split(";").map(_.toLong)
+      assert(members.length == g.getAs[Long]("n_members"))
+      assert(members.length >= 2)
+      assert(members.sorted.sameElements(members), "members must be sorted")
+    }
+  }
+
+  test("phash dedup: planted identical payloads form one group; distinct structure separates") {
+    import spark.implicits._
+    // payload bytes differ wildly in structure: 1/2 are byte-identical,
+    // 3 shares their length but alternates high/low bytes, 4 is all-low
+    val docs = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz011235"),
+      (2L, "abcdefghijklmnopqrstuvwxyz011235"),
+      (3L, "aZaZaZaZaZaZaZaZaZaZaZaZaZaZaZaZ"),
+      (4L, "short text here!")).toDF("doc_id", "text")
+    val groups = Multimodal.phashGroups(docs).collect()
+      .map(g => g.getAs[String]("members")).toSet
+    assert(groups.contains("1;2"), s"identical payloads must group, got $groups")
+    assert(!groups.exists(m => m.contains("3") || m.contains("4")))
   }
 
   test("media metadata agrees between oracle query and typed decode") {
