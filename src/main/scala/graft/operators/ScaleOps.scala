@@ -95,15 +95,34 @@ object ScaleOps {
   // n53: Z-order layout + min-max pruning audit
   // ---------------------------------------------------------------------
 
-  /** Bits per dimension in the interleave. 16 covers every key in the
-    * harness tables with headroom; production would quantize wider
-    * domains to this many bits first (rank- or range-quantization). */
+  /** Bits per dimension in the interleave. NOTE the interleave reads
+    * only the low ZBits of each key: keys ≥ 2^ZBits silently ALIAS
+    * (hash-consistent across engines — both truncate identically — but
+    * the z-curve's locality degrades, so layout quality drops without
+    * an error). 16 bits cover the harness tables (l_partkey tops out
+    * at 65535 around sf≈0.35); a production deployment quantizes wider
+    * domains to ZBits first (rank- or range-quantization) or calls
+    * [[assertZDomain]] so a too-wide domain fails loudly instead of
+    * silently aliasing. */
   val ZBits = 16
+
+  /** Fail loudly when a key column exceeds the interleave domain — one
+    * cheap max() agg over the two key columns (keys-not-rows). Call
+    * before [[zorderLayout]] at an untested scale factor. */
+  def assertZDomain(df: DataFrame, x: String, y: String): Unit = {
+    val row = df.agg(max(col(x)).as("mx"), max(col(y)).as("my")).head()
+    val lim = 1L << ZBits
+    val (mx, my) = (row.getAs[Number](0).longValue, row.getAs[Number](1).longValue)
+    require(mx < lim && my < lim,
+      s"z-order keys exceed $ZBits-bit domain: max($x)=$mx, max($y)=$my, " +
+        s"limit=$lim — quantize the keys or widen ZBits")
+  }
 
   /** Morton (Z-order) interleave of two non-negative keys, x on even
     * bits and y on odd bits — 2·ZBits output bits, built from shifts
     * and masks only so the whole expression stays inside whole-stage
-    * codegen. */
+    * codegen. Only the low ZBits of each key participate (see
+    * [[ZBits]] on aliasing). */
   def zValue(x: Column, y: Column): Column =
     (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
       acc

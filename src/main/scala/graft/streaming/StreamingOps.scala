@@ -69,7 +69,10 @@ object StreamingOps {
       streamKey: String, dimKey: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim),
       stream(streamKey) === dim(dimKey), "left_outer")
-      .drop(dimKey)
+      // drop via the dim-side REFERENCE, not by name: drop("k") removes
+      // every column named k, so a shared natural key (streamKey ==
+      // dimKey, the common case) would lose the stream's key too
+      .drop(dim(dimKey))
 
   /** Streaming quality-gated ingest: the n47 Gopher hard gates applied
     * ON ARRIVAL (a map-side predicate — [[graft.operators.TextAnalysis

@@ -56,6 +56,21 @@ class ExpressionsSpec extends SparkSpec {
     assert(GeoWkb.readY(bb.array()) == 22.0)
   }
 
+  test("char_sum equals the split/transform fold it replaces, null-safe") {
+    import spark.implicits._
+    val df = Seq(Some("abc"), Some(""), Some("aZ09 !"), Some("δß€"), None)
+      .toDF("s")
+    val got = df.select(GraftFunctions.char_sum(col("s")).as("n")).collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    val want = df.select(
+      coalesce(aggregate(transform(split(col("s"), ""), c => ascii(c).cast("long")),
+        lit(0L), (a, x) => a + x), lit(-1L)).as("n")).collect()
+      .map(_.getLong(0))
+    // 'abc' = 97+98+99; the boxed-array fold is the semantic spec
+    assert(got(0) == 294L)
+    assert(got.sameElements(want), s"got=${got.mkString(",")} want=${want.mkString(",")}")
+  }
+
   test("md5_slices equals the substring-of-md5 expression tree, null-safe") {
     import spark.implicits._
     val df = Seq(Some("alpha beta gamma"), Some(""), Some("δ unicode ß"), None)

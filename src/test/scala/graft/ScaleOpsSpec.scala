@@ -28,6 +28,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.distinct.size == samples.size)
   }
 
+  test("assertZDomain passes in-domain keys and fails loudly past 2^ZBits") {
+    // harness tables fit the 16-bit interleave domain at this SF ...
+    val li = Tables(spark, sf0001).lineitem
+    ScaleOps.assertZDomain(li, "l_partkey", "l_suppkey")
+    // ... and a key past 2^ZBits must throw, not silently alias
+    val wide = Seq((70000L, 1L), (3L, 4L)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.assertZDomain(wide, "x", "y")
+    }
+    assert(e.getMessage.contains("exceed"))
+  }
+
   test("z-order layout prunes the probe; the natural layout does not") {
     val li = Tables(spark, sf0001).lineitem
       .select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber")

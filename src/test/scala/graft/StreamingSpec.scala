@@ -358,7 +358,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ingest_twin").toString
     def half(m: Long) = Tables(spark, sf0001).documents
-      .filter(org.apache.spark.sql.functions.col("doc_id") % 4 === m)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 16 === m)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     val t0 = ts("2024-01-01 00:00:00").getTime
