@@ -28,6 +28,23 @@ import java.nio.file.{Files, Paths}
   * minimums folded in, the final drift is re-measured, and the JSON
   * carries "contended": true if it STILL exceeds the gate — so a noisy
   * host is machine-readable and no future round re-litigates it.
+  *
+  * Round-5 hardening (VERDICT_r04 "do this" #1): spread-retiming fails
+  * exactly when contention is SUSTAINED — all samples inflate together,
+  * the spread stays tight, and a 29x-inflated minimum gets recorded
+  * without a second look (observed: w01 [10.5, 8.2, 6.9]). The fix is a
+  * persisted per-query reference of quiet-host costs (BENCH_REF.json,
+  * keyed by sf directory name, committed to the repo): any query whose
+  * MIN exceeds SPARK_GRAFT_BENCH_REF_RATIO (default 3.0) x its
+  * reference is re-timed up to 2 more times REGARDLESS of spread. On a
+  * quiet run (final drift within the gate) the file ratchets: a better
+  * min replaces the stored reference, and a still-over-ratio min
+  * measured QUIET replaces it too (that is a real plan-cost change, not
+  * noise — without the upward path a slower-by-design query would be
+  * flagged and double-retimed forever). The JSON carries a "ref"
+  * section (reference total over the shared queries + which queries
+  * stayed over-ratio) so a contended total is attributable per query
+  * without re-measurement.
   * Cache semantics are explicit: the dedup/cluster session memoizers
   * deliberately persist across queries AND reps (that is the library's
   * production shape — n03 builds the shingle index once, n04/n05 reuse
@@ -42,6 +59,34 @@ object Bench {
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val driftMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_MAX", "1.5").toDouble
     val cold = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json")
+    val refRatio = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF_RATIO", "3.0").toDouble
+    val sfBase = new java.io.File(sfDir).getName
+    // BENCH_REF.json: {"<sf dir name>": {"<query>": quiet-min-seconds}}.
+    // Jackson ships with Spark; parse failures degrade to "no refs"
+    // (the gate just doesn't fire), never to a crashed bench.
+    val allRefs: Map[String, Map[String, Double]] =
+      try {
+        val p = Paths.get(refPath)
+        if (!Files.exists(p)) Map.empty
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = om.readTree(Files.readString(p))
+          val out = scala.collection.mutable.Map[String, Map[String, Double]]()
+          root.fields().forEachRemaining { sfe =>
+            val qs = scala.collection.mutable.Map[String, Double]()
+            sfe.getValue.fields().forEachRemaining { qe =>
+              qs(qe.getKey) = qe.getValue.asDouble()
+            }
+            out(sfe.getKey) = qs.toMap
+          }
+          out.toMap
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not read $refPath: ${e.getMessage}")
+        Map.empty
+      }
+    val refs: Map[String, Double] = allRefs.getOrElse(sfBase, Map.empty)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -142,7 +187,73 @@ object Bench {
       canaryEnd = canary()
       drift = driftOf(Seq(canaryStart, canaryMid, canaryEnd))
     }
+
+    // Reference gate (round 5): sustained contention inflates every
+    // sample together — tight spread, inflated min, spread gate blind.
+    // The quiet-reference comparison catches exactly that: any query
+    // whose min is still > refRatio x its stored quiet cost gets up to
+    // 2 more samples (its min can only drop; if the host quieted since
+    // the first pass, the true cost is recovered).
+    var refRetimed: Seq[String] = Nil
+    if (refs.nonEmpty) {
+      def overRef(name: String, best: Double): Boolean =
+        refs.get(name).exists(r => r > 0 && best > refRatio * r)
+      val over = results
+        .filter { case (name, best, _, ok) => ok && overRef(name, best) }
+        .map(_._1).toSet
+      if (over.nonEmpty) {
+        refRetimed = results.map(_._1).filter(over)
+        results = results.map {
+          case (name, best, ss, ok) if over(name) =>
+            var b = best
+            var s = ss
+            var tries = 0
+            while (tries < 2 && overRef(name, b)) {
+              val (sec, ok2) = timeOnce(name, fnByName(name))
+              if (ok2) { b = math.min(b, sec); s = s :+ sec }
+              tries += 1
+            }
+            (name, b, s, ok)
+          case r => r
+        }
+        canaryEnd = canary()
+        drift = driftOf(Seq(canaryStart, canaryMid, canaryEnd))
+      }
+    }
     val contended = drift > driftMax
+    // queries STILL over-ratio after retiming: on a quiet host these
+    // are real plan-cost changes; on a contended one, the attributable
+    // inflation the driver's reader should discount
+    val stillOver = results.filter { case (name, best, _, ok) =>
+      ok && refs.get(name).exists(r => r > 0 && best > refRatio * r)
+    }.map(_._1)
+
+    // Ratchet the reference file on QUIET runs only: better min -> new
+    // reference; still-over-ratio min -> accept the new plan cost
+    // (measured quiet = trustworthy); queries without a reference get
+    // seeded. Contended runs never touch the file.
+    if (!contended) {
+      val measured = results.filter(_._4).map { case (n, b, _, _) => n -> b }.toMap
+      val updated = measured.map { case (n, b) =>
+        refs.get(n) match {
+          case Some(r) if b >= r && b <= refRatio * r => n -> r
+          case _ => n -> b
+        }
+      }
+      if (updated != refs) {
+        val all2 = allRefs + (sfBase -> updated)
+        val body = all2.toSeq.sortBy(_._1).map { case (sf, qs) =>
+          "\"" + sf + "\":" + qs.toSeq.sortBy(_._1)
+            .map { case (q, v) =>
+              "\"" + q + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+            }.mkString("{", ",", "}")
+        }.mkString("{\n", ",\n", "\n}")
+        try Files.writeString(Paths.get(refPath), body + "\n")
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] could not write $refPath: ${e.getMessage}")
+        }
+      }
+    }
 
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and
     // a comma-decimal locale would silently emit invalid JSON
@@ -158,10 +269,18 @@ object Bench {
     val total = results.filter(_._4).map(_._2).sum
     val canaryJson =
       s"""{"start":${fmt(canaryStart)},"mid":${fmt(canaryMid)},"end":${fmt(canaryEnd)},"drift":${fmt(drift)},"drift_max":${fmt(driftMax)},"contended":$contended,"retimed":${retimed.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    // reference comparison: refTotal sums the stored quiet costs of the
+    // queries this run also measured, so value/ref_total reads as the
+    // run's overall inflation factor without any re-measurement
+    val refTotal = results
+      .filter { case (n, _, _, ok) => ok && refs.contains(n) }
+      .map { case (n, _, _, _) => refs(n) }.sum
+    val refJson =
+      s"""{"path":"$refPath","n_refs":${refs.size},"ref_total":${fmt(refTotal)},"ratio_max":${fmt(refRatio)},"retimed":${refRetimed.map("\"" + _ + "\"").mkString("[", ",", "]")},"still_over":${stillOver.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val hostJson =
       s"""{"cpus":${Runtime.getRuntime.availableProcessors},"load":[${fmt(loadStart)},${fmt(loadMid)},${fmt(loadNow())}]}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"cache":"${if (cold) "cold" else "warm"}","queries":$qs,"failed":$failed,"canary":$canaryJson,"host":$hostJson,"samples":$samplesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"cache":"${if (cold) "cold" else "warm"}","queries":$qs,"failed":$failed,"canary":$canaryJson,"ref":$refJson,"host":$hostJson,"samples":$samplesJson,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try Files.writeString(Paths.get(out), line + "\n")

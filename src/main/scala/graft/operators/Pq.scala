@@ -59,10 +59,10 @@ object Pq {
       }),
       lit(0.0), (acc, x) => acc + x)
 
-  /** (m, cent_id, cv) sub-vector seeds: the first K vec_ids' slices,
+  /** (m, cent_id, cv) sub-vector seeds: the first k vec_ids' slices,
     * all M subspaces in one frame. */
-  private def seedCentroids(vecs: DataFrame): DataFrame =
-    vecs.orderBy("vec_id").limit(K)
+  private def seedCentroids(vecs: DataFrame, k: Int): DataFrame =
+    vecs.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cent_id"), explode(expr(
         s"transform(sequence(0, ${M - 1}), " +
           s"m -> named_struct('m', m, 'cv', slice(embedding, m * $SubDim + 1, $SubDim)))"))
@@ -93,10 +93,12 @@ object Pq {
   /** Per-subspace k-means codebooks: (m, cent_id, cv) after `iters`
     * Lloyd rounds. All M subspaces train in ONE state frame — one
     * broadcast-assignment job + one (m, cell, pos) mean aggregation
-    * per round regardless of M. */
-  def codebooks(vecs: DataFrame, iters: Int = Iters): DataFrame = {
+    * per round regardless of M. `k` defaults to the oracle-tractable
+    * 16; pass 256 for production 8-bit codes (n62 does — seeds clamp
+    * to the corpus size when it is smaller). */
+  def codebooks(vecs: DataFrame, iters: Int = Iters, k: Int = K): DataFrame = {
     val sub = subVectors(vecs)
-    var cents = seedCentroids(vecs).localCheckpoint()
+    var cents = seedCentroids(vecs, k).localCheckpoint()
     (1 to iters).foreach { _ =>
       // float → DOUBLE → decimal: Spark rounds a FLOAT's 9-digit
       // shortest string to the decimal scale, DuckDB rounds the binary
@@ -166,9 +168,9 @@ object Pq {
     * round6 on a .xxxxxx5-boundary ADC value (observed: 2/160 rows at
     * sf0.01 before this). list_reduce folds in index order, matching
     * Spark bit-for-bit. */
-  private def d2Sql(a: String, b: String): String =
+  private def d2Sql(a: String, b: String, dim: Int = SubDim): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      s"list_transform(generate_series(1, $SubDim), " +
+      s"list_transform(generate_series(1, $dim), " +
       s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), (acc, x) -> acc + x)"
 
@@ -190,14 +192,18 @@ object Pq {
        |       FROM c${r - 1} p LEFT JOIN cv$r n
        |         ON n.m = p.m AND n.cent_id = p.cent_id)""".stripMargin
 
-  private val pqSql: String =
-    s"""WITH sub AS (SELECT vec_id, md.m,
+  /** The shared twin chain: sub-vectors, k seeds, the full Lloyd loop,
+    * the code table, and the per-query distance tables — everything up
+    * to the ADC ranking, which n56 (all pairs) and n62 (IVF-restricted)
+    * finish differently. */
+  private def lloydChainSql(k: Int): String =
+    s"""sub AS (SELECT vec_id, md.m,
        |                    list_slice(embedding, md.m * $SubDim + 1,
        |                               (md.m + 1) * $SubDim) AS sv
        |             FROM embeddings
        |             CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS m) md),
        |c0 AS (SELECT m, vec_id AS cent_id, sv AS cv FROM sub
-       |       WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $K)),
+       |       WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
        |${(1 to Iters).map(roundSql).mkString(",\n")},
        |codes AS (SELECT vec_id, m, cell AS code FROM (
        |    SELECT s.vec_id, s.m, c.cent_id AS cell,
@@ -207,11 +213,15 @@ object Pq {
        |dtab AS (SELECT q.vec_id AS q_id, q.m, c.cent_id,
        |                ${d2Sql("q.sv", "c.cv")} AS d
        |         FROM sub q JOIN c$Iters c ON c.m = q.m
-       |         WHERE q.vec_id < $NumQueries),
-       |adc AS (SELECT dt.q_id, cd.vec_id,
-       |               ${round6Sql((0 until M)
-              .map(m => s"max(CASE WHEN cd.m = $m THEN dt.d END)")
-              .mkString(" + "))} AS adc
+       |         WHERE q.vec_id < $NumQueries)""".stripMargin
+
+  private val adcSumSql: String = round6Sql((0 until M)
+    .map(m => s"max(CASE WHEN cd.m = $m THEN dt.d END)")
+    .mkString(" + "))
+
+  private val pqSql: String =
+    s"""WITH ${lloydChainSql(K)},
+       |adc AS (SELECT dt.q_id, cd.vec_id, $adcSumSql AS adc
        |        FROM codes cd
        |        JOIN dtab dt ON dt.m = cd.m AND dt.cent_id = cd.code
        |        WHERE dt.q_id <> cd.vec_id
@@ -234,5 +244,136 @@ object Pq {
       .orderBy("q_id", "rn")
   }
 
-  val all: Seq[Q] = Seq(pqAdc)
+  // ---------------------------------------------------------------------
+  // n62: IVF-PQ — the standard 100 TB ANN shape (VERDICT r04 #2).
+  // ---------------------------------------------------------------------
+
+  val IvfCells = 8   // coarse cells (deterministic anchors: first 8 ids)
+  val IvfProbe = 2   // cells probed per query
+  val KProd = 256    // production codebook: 8-bit codes per subspace
+
+  private val FullDim = M * SubDim
+
+  /** Coarse L2 cell assignment: (vec_id, cell) — each vector to its
+    * nearest anchor by (round6(L2²), cell) over the FULL embedding.
+    * L2 throughout (anchor assignment, probe selection, ADC) so the
+    * composed search optimizes one metric end to end — unlike the
+    * cosine IVF family (n13/n16), which pairs with cosine re-rank. */
+  private def assignCoarse(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        round6(d2(col("embedding"), col("cv"))).as("dist"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
+
+  /** Probe selection: each query's `nProbe` nearest cells by the same
+    * rounded-L2 order. */
+  private def probeCoarse(queries: DataFrame, cents: DataFrame,
+      nProbe: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))
+    queries.select(col("vec_id").as("q_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cell"),
+        round6(d2(col("embedding"), col("cv"))).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select("q_id", "cell")
+  }
+
+  /** IVF-PQ top-k: coarse cells prune the corpus, PQ/ADC ranks inside
+    * the probed cells. This is the composition a 100 TB deployment
+    * runs: the corpus at rest is 8-bit PQ codes PARTITIONED BY coarse
+    * cell, a query reads only its nProbe cells' code partitions
+    * (partition pruning — nProbe/nCells of the code table, which is
+    * itself 16× smaller than the embeddings), and the scan side of the
+    * ADC join never touches a float vector. Candidate generation and
+    * ranking are both candidate-bounded; nothing rescans the corpus.
+    *
+    * Deterministic end to end (round6 + id tiebreaks at every argmin),
+    * so the whole composition — anchors, assignment, probes, Lloyd
+    * codebooks, codes, distance tables, restricted ADC — hash-checks
+    * against the DuckDB twin. */
+  def ivfPqTopK(vecs: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = IvfCells, nProbe: Int = IvfProbe,
+      kCodes: Int = KProd): DataFrame = {
+    val cents = vecs.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    val asg = assignCoarse(vecs, cents)
+    val cand = probeCoarse(queries, cents, nProbe)
+      .join(asg, Seq("cell"))
+      .select(col("q_id"), col("vec_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+    val books = codebooks(vecs, Iters, kCodes)
+    val codes = encode(vecs, books)
+    val qsub = subVectors(queries).select(
+      col("vec_id").as("q_id"), col("m"), col("sv").as("qs"))
+    val dtab = qsub.join(books, Seq("m"))
+      .select(col("q_id"), col("m"), col("cent_id"), d2(col("qs"), col("cv")).as("d"))
+    // candidate-restricted ADC: codes flow through the (q_id, vec_id)
+    // candidate set FIRST, so only probed cells' codes reach the
+    // distance-table lookup (the partition-pruning read, as a join)
+    val withCodes = cand.join(codes, Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("m"), col("code"))
+    val perM = withCodes
+      .join(broadcast(dtab.withColumnRenamed("m", "__dm")
+          .withColumnRenamed("cent_id", "__dc")
+          .withColumnRenamed("q_id", "__dq")),
+        withCodes("m") === col("__dm") && withCodes("code") === col("__dc") &&
+          withCodes("q_id") === col("__dq"))
+      .select(col("q_id"), col("vec_id"), col("m"), col("d"))
+      .groupBy("q_id", "vec_id")
+      .agg(max(when(col("m") === 0, col("d"))).as("d0"),
+        (1 until M).map(m => max(when(col("m") === m, col("d"))).as(s"d$m")): _*)
+    val adc = round6((0 until M).map(m => col(s"d$m")).reduce(_ + _))
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("nb_id"))
+    perM
+      .select(col("q_id"), col("vec_id").as("nb_id"), adc.as("adc"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  private val ivfPqSql: String =
+    s"""WITH ${lloydChainSql(KProd)},
+       |cc AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+       |       WHERE vec_id < $IvfCells),
+       |asg AS (SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${round6Sql(d2Sql("e.embedding", "c.cv", FullDim))}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cc c) WHERE rn = 1),
+       |probes AS (SELECT q_id, cell FROM (
+       |    SELECT e.vec_id AS q_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${round6Sql(d2Sql("e.embedding", "c.cv", FullDim))}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cc c
+       |    WHERE e.vec_id < $NumQueries) WHERE rn <= $IvfProbe),
+       |cand AS (SELECT p.q_id, a.vec_id FROM probes p
+       |         JOIN asg a ON a.cell = p.cell
+       |         WHERE a.vec_id <> p.q_id),
+       |adc AS (SELECT cn.q_id, cd.vec_id, $adcSumSql AS adc
+       |        FROM cand cn
+       |        JOIN codes cd ON cd.vec_id = cn.vec_id
+       |        JOIN dtab dt ON dt.m = cd.m AND dt.cent_id = cd.code
+       |                    AND dt.q_id = cn.q_id
+       |        GROUP BY 1, 2),
+       |ranked AS (SELECT q_id, vec_id AS nb_id, adc,
+       |                  row_number() OVER (PARTITION BY q_id
+       |                                     ORDER BY adc, vec_id) AS rn
+       |           FROM adc)
+       |SELECT q_id, nb_id, adc, CAST(rn AS BIGINT) AS rn
+       |FROM ranked WHERE rn <= $TopK
+       |ORDER BY q_id, rn""".stripMargin
+
+  /** Catalog entry: IVF-PQ with K = 256 8-bit codes — coarse anchors,
+    * assignment, probes, the 256-centroid Lloyd chain, encoding, and
+    * the cell-restricted ADC ranking, hash-checked end to end. PqSpec
+    * additionally proves the pruning (candidates ≪ corpus) and bounds
+    * recall vs the in-cell exact-L2 answer. */
+  val ivfPqAdc: Q = Q("n62_ivf_pq", ivfPqSql) { (s, dir) =>
+    val e = Tables(s, dir).embeddings
+    ivfPqTopK(e, e.filter(col("vec_id") < NumQueries), TopK)
+      .orderBy("q_id", "rn")
+  }
+
+  val all: Seq[Q] = Seq(pqAdc, ivfPqAdc)
 }
