@@ -95,14 +95,64 @@ object IncrementalDedup {
   private val Components =
     Seq("fingerprints", "bands", "shingles", "sizes", "winhash", "hot")
 
-  /** Persist `index` under `path` (one Parquet dir per component),
-    * overwriting any prior index there. */
+  // ---------------------------------------------------------------------
+  // On-disk layout + atomic commit (VERDICT r04 #4). Each write lands in
+  // per-batch subdirectories — `<path>/<component>/b_<label>/` — and
+  // becomes VISIBLE only when its one-file manifest commits:
+  // `<path>/_manifests/<label>`, created by write-temp + rename (atomic
+  // on HDFS and local fs; object stores substitute their atomic-put).
+  // Readers list the manifest dir and read exactly the manifested batch
+  // dirs, so a crash ANYWHERE between the five component writes leaves
+  // the index readable at its pre-batch state — no torn reads, no
+  // compaction needed. Recovery is O(batch): re-running the SAME label
+  // overwrites the partial dirs and then commits. Concurrent appends are
+  // not supported (one writer per index — the ingest-loop contract);
+  // labels are per-batch unique by construction.
+  // ---------------------------------------------------------------------
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Labels of committed batches, in commit-label order. */
+  def committedLabels(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val mdir = new org.apache.hadoop.fs.Path(s"$path/_manifests")
+    if (!fs.exists(mdir)) Nil
+    else fs.listStatus(mdir).filter(_.isFile).map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+  }
+
+  /** The commit point: an empty manifest file appears atomically (temp
+    * file + rename). Everything before this is invisible to readers;
+    * after it, the batch is durable. */
+  private def commitManifest(spark: SparkSession, path: String,
+      label: String): Unit = {
+    val fs = fsOf(spark, path)
+    val mdir = new org.apache.hadoop.fs.Path(s"$path/_manifests")
+    fs.mkdirs(mdir)
+    val dst = new org.apache.hadoop.fs.Path(mdir, label)
+    if (!fs.exists(dst)) {
+      val tmp = new org.apache.hadoop.fs.Path(mdir, s".$label.tmp")
+      fs.create(tmp, true).close()
+      require(fs.rename(tmp, dst), s"manifest rename failed for $label")
+    }
+  }
+
+  /** Persist `index` under `path` as the base batch, REPLACING any
+    * prior index there (manifests cleared first, so a reader never sees
+    * old batches mixed with the new base). */
   def writeIndex(index: DedupIndex, path: String): Unit = {
+    val spark = index.fingerprints.sparkSession
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(root)) fs.delete(root, true): Unit
     val frames = Seq(index.fingerprints, index.bands, index.shingles,
       index.sizes, index.winHashes, index.hotShingles)
     Components.zip(frames).foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$path/$name")
+      df.write.mode("overwrite").parquet(s"$path/$name/b_base")
     }
+    commitManifest(spark, path, "base")
   }
 
   /** Build and persist the index for `docs` in one call. */
@@ -110,10 +160,18 @@ object IncrementalDedup {
       dfCap: Option[Long] = None): Unit =
     writeIndex(buildIndex(docs, dfCap), path)
 
-  /** Reopen a persisted index. Lazy — nothing is read until a probe
-    * executes. */
+  /** Reopen a persisted index — the union of all COMMITTED batches.
+    * Lazy — nothing is read until a probe executes. Unmanifested
+    * (crash-torn) batch directories are invisible. */
   def readIndex(spark: SparkSession, path: String): DedupIndex = {
-    def rd(name: String) = spark.read.parquet(s"$path/$name")
+    val labels = committedLabels(spark, path)
+    require(labels.nonEmpty, s"no committed index at $path")
+    val fs = fsOf(spark, path)
+    def rd(name: String) = {
+      val dirs = labels.map(l => s"$path/$name/b_$l")
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+      spark.read.parquet(dirs: _*)
+    }
     DedupIndex(rd("fingerprints"), rd("bands"), rd("shingles"),
       rd("sizes"), rd("winhash"), rd("hot"))
   }
@@ -146,12 +204,34 @@ object IncrementalDedup {
         .select(col("win_hash").as("h")).distinct())
   }
 
-  def appendToIndex(newDocs: DataFrame, path: String): Unit = {
+  def appendToIndex(newDocs: DataFrame, path: String,
+      label: String = ""): Unit =
+    appendToIndexImpl(newDocs, path, label, failAfterComponents = Int.MaxValue)
+
+  /** The append body, with a crash-injection point for the recovery
+    * spec: `failAfterComponents = n` throws after n component writes,
+    * BEFORE the manifest commit — exactly the torn state a mid-append
+    * crash leaves. Production callers never set it. */
+  private[graft] def appendToIndexImpl(newDocs: DataFrame, path: String,
+      label: String, failAfterComponents: Int): Unit = {
     val spark = newDocs.sparkSession
-    val persistedHot = spark.read.parquet(s"$path/hot")
-    batchComponents(newDocs, persistedHot).foreach { case (name, df) =>
-      df.write.mode("append").parquet(s"$path/$name")
+    val index = readIndex(spark, path) // hot list + implicit "index exists"
+    // default label: one past the committed count — unique under the
+    // one-writer contract, deterministic given the index state
+    val lbl =
+      if (label.nonEmpty) label
+      else s"a${committedLabels(spark, path).size}"
+    var written = 0
+    batchComponents(newDocs, index.hotShingles).foreach { case (name, df) =>
+      if (written >= failAfterComponents)
+        throw new RuntimeException(
+          s"injected crash after $written component writes (batch $lbl)")
+      // overwrite INTO THIS BATCH'S dir: a retry of a torn batch
+      // replaces its own partial files and never duplicates rows
+      df.write.mode("overwrite").parquet(s"$path/$name/b_$lbl")
+      written += 1
     }
+    commitManifest(spark, path, lbl)
   }
 
   /** In-memory mirror of [[appendToIndex]]: the index frames AFTER the

@@ -148,9 +148,13 @@ object StreamingOps {
   /** One (band, sig) probe row for the stateful LSH: the document's
     * identity plus everything the bucket needs to verify and to
     * deduplicate emissions (its sorted shingle-hash set and full band
-    * signature vector). */
+    * signature vector). `ts` is the document's event time (null when
+    * the caller runs without retention) — the bucket's eviction clock;
+    * it rides on the probe row because the retention watermark must be
+    * declared on the frame that feeds the stateful operator (watermark
+    * column metadata does not survive a typed flatMap). */
   final case class BandProbe(band: Int, sig: Long, doc_id: Long,
-      hashes: Array[Long], sigs: Array[Long])
+      hashes: Array[Long], sigs: Array[Long], ts: Timestamp = null)
   final case class BucketEntry(doc_id: Long, hashes: Array[Long],
       sigs: Array[Long])
   final case class BucketState(entries: List[BucketEntry])
@@ -180,69 +184,129 @@ object StreamingOps {
     *
     * State cost: Σ_buckets Σ_docs |shingle hashes| — the price of
     * zero-rescan incremental dedup. Corpus-global dedup state cannot
-    * be watermark-evicted (a new doc may near-dup the oldest one);
-    * a deployment bounds it by retention policy (e.g. drop buckets
-    * untouched for N days) via a timeout — orthogonal to the
-    * semantics proven here. Recall is the batch family's 16×1-band
-    * configuration: P(miss | J ≥ 0.6) ≤ 4.3e-7, so the accumulated
-    * output equals the batch twin's exact answer (StreamingSpec).
+    * be WATERMARK-evicted (a new doc may near-dup the oldest one), so
+    * by default (`retention = None`) state only grows. `retention =
+    * Some("7 days")` implements the production retention policy
+    * (VERDICT r04 #3): each bucket carries an EVENT-TIME timeout at
+    * (last arrival's event time + retention); when the stream's
+    * watermark passes it, the whole bucket is dropped. Eviction
+    * semantics, conservative by construction:
+    *
+    *   - a new doc pairs only with docs whose buckets are still live —
+    *     near-dups of evicted history are treated as NEW (the policy's
+    *     contract: "I only care about dups within N days");
+    *   - eviction is PER-BUCKET, and a pair emits only from its first
+    *     colliding band, so a pair whose first-band bucket expired is
+    *     not emitted by a later live band (a drop at the retention
+    *     boundary, never a duplicate — exactly-once is preserved);
+    *   - any arrival into a bucket (including a redelivery) re-arms
+    *     its timeout: retention counts from last touch, not creation.
+    *
+    * With retention, `docs` must also carry an event-time `ts` column;
+    * the PROBE frame is watermarked here (`watermark` — 0 seconds
+    * default: eviction exactly at the retention horizon) because
+    * EventTimeTimeout requires a watermark on the stateful operator's
+    * input, and each probe carries its document's `ts`.
     *
     * `docs` must be a streaming frame with (doc_id, text); docs with
     * < 3 words have no shingles and never probe (the fingerprint tier
     * — [[dedupNormalizedWithWatermark]] — is their screen, same as
     * batch). Returns a streaming (d1, d2, jac) frame, d1 < d2, each
     * qualifying pair exactly once across the whole stream. */
-  def streamingNearDupPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+  def streamingNearDupPairs(docs: DataFrame, threshold: Double = 0.6,
+      retention: Option[String] = None,
+      watermark: String = "0 seconds"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     implicit val probeEnc = Encoders.product[BandProbe]
     implicit val stateEnc = Encoders.product[BucketState]
     implicit val outEnc = Encoders.product[NearDupPair]
+    val withRet = retention.isDefined
+    val retMs = retention.map(durationMs).getOrElse(0L)
 
-    val probes = docs.select(col("doc_id"), col("text"))
-      .as(Encoders.product[(Long, String)])
-      .flatMap { case (id, text) =>
-        val sh = graft.operators.Dedup.rowShingles(text)
-        if (sh.isEmpty) Iterator.empty
-        else {
-          val (sigs, hashes) = graft.operators.Dedup.rowBandSigs(sh)
-          sigs.iterator.zipWithIndex.map { case (sig, b) =>
-            BandProbe(b, sig, id, hashes, sigs)
-          }
+    val src: Dataset[(Long, String, Timestamp)] =
+      if (withRet)
+        docs.select(col("doc_id"), col("text"), col("ts"))
+          .as(Encoders.product[(Long, String, Timestamp)])
+      else
+        docs.select(col("doc_id"), col("text"),
+          lit(null).cast("timestamp").as("ts"))
+          .as(Encoders.product[(Long, String, Timestamp)])
+
+    val rawProbes = src.flatMap { case (id, text, ts) =>
+      val sh = graft.operators.Dedup.rowShingles(text)
+      if (sh.isEmpty) Iterator.empty
+      else {
+        val (sigs, hashes) = graft.operators.Dedup.rowBandSigs(sh)
+        sigs.iterator.zipWithIndex.map { case (sig, b) =>
+          BandProbe(b, sig, id, hashes, sigs, ts)
         }
       }
+    }
+    // the watermark lives on the probe frame (its ts = the document's),
+    // declared AFTER the flatMap so the stateful operator sees it
+    val probes =
+      if (withRet) rawProbes.toDF().withWatermark("ts", watermark)
+        .as(Encoders.product[BandProbe])
+      else rawProbes
 
     probes.groupByKey(p => (p.band, p.sig))
       .flatMapGroupsWithState[BucketState, NearDupPair](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update,
+        if (withRet) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
         (key: (Int, Long), rows: Iterator[BandProbe], state: GroupState[BucketState]) =>
-          var entries = state.getOption.map(_.entries).getOrElse(Nil)
-          val out = List.newBuilder[NearDupPair]
-          // doc_id order makes same-batch arrivals deterministic
-          rows.toSeq.sortBy(_.doc_id).foreach { p =>
-            if (!entries.exists(_.doc_id == p.doc_id)) {
-              entries.foreach { e =>
-                // emit from the pair's FIRST colliding band only
-                var first = -1
-                var b = 0
-                while (first < 0 && b < e.sigs.length) {
-                  if (e.sigs(b) == p.sigs(b)) first = b
-                  b += 1
+          if (withRet && state.hasTimedOut) {
+            // watermark passed (last touch + retention): drop the bucket
+            state.remove()
+            Iterator.empty
+          } else {
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            val out = List.newBuilder[NearDupPair]
+            var lastTs = 0L
+            // doc_id order makes same-batch arrivals deterministic
+            rows.toSeq.sortBy(_.doc_id).foreach { p =>
+              if (p.ts != null && p.ts.getTime > lastTs) lastTs = p.ts.getTime
+              if (!entries.exists(_.doc_id == p.doc_id)) {
+                entries.foreach { e =>
+                  // emit from the pair's FIRST colliding band only
+                  var first = -1
+                  var b = 0
+                  while (first < 0 && b < e.sigs.length) {
+                    if (e.sigs(b) == p.sigs(b)) first = b
+                    b += 1
+                  }
+                  if (first == key._1) {
+                    val inter = sortedIntersection(e.hashes, p.hashes)
+                    val jac = inter.toDouble / (e.hashes.length + p.hashes.length - inter)
+                    if (jac >= threshold)
+                      out += NearDupPair(math.min(e.doc_id, p.doc_id),
+                        math.max(e.doc_id, p.doc_id), jac)
+                  }
                 }
-                if (first == key._1) {
-                  val inter = sortedIntersection(e.hashes, p.hashes)
-                  val jac = inter.toDouble / (e.hashes.length + p.hashes.length - inter)
-                  if (jac >= threshold)
-                    out += NearDupPair(math.min(e.doc_id, p.doc_id),
-                      math.max(e.doc_id, p.doc_id), jac)
-                }
+                entries = BucketEntry(p.doc_id, p.hashes, p.sigs) :: entries
               }
-              entries = BucketEntry(p.doc_id, p.hashes, p.sigs) :: entries
             }
+            state.update(BucketState(entries))
+            // re-arm from this batch's newest arrival; the +1 guard keeps
+            // the timestamp legal (strictly past the current watermark)
+            // when a late-but-in-watermark row's ts + retention has
+            // already been overtaken
+            if (withRet) state.setTimeoutTimestamp(
+              math.max(lastTs + retMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
           }
-          state.update(BucketState(entries))
-          out.result().iterator
       }.toDF()
+  }
+
+  /** Milliseconds in a `withWatermark`-style duration string — parsed
+    * by Spark's own interval parser so the two notations can never
+    * disagree. Day-time units only (a month has no fixed ms). */
+  private def durationMs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, s"retention '$s' must use day-time units")
+    iv.days * 86400000L + iv.microseconds / 1000L
   }
 
   /** Intersection size of two sorted long arrays (linear merge). */
@@ -275,11 +339,14 @@ object StreamingOps {
     * the index; a replayed batch is skipped outright. Even without the
     * marker the loop self-heals for fully-appended batches — replayed
     * docs fingerprint-match their own index entries and screen to an
-    * empty survivor set. What the marker does NOT cover is a crash
-    * MIDWAY through the component appends (the five parquet appends
-    * are not atomic): such a batch must be re-indexed by compaction
-    * (`IncrementalDedup.buildAndWriteIndex` over the accepted store) —
-    * the standard manifest-commit trade, documented not hidden. */
+    * empty survivor set. A crash MIDWAY through the component appends
+    * is healed by the index's manifest commit (round 5 — VERDICT r04
+    * #4): the five component writes land in per-batch directories that
+    * readers cannot see until the one-file manifest commits, so the
+    * replayed batch probes the index at its exact pre-batch state and
+    * its retry overwrites the torn directories under the same batchId
+    * label — O(batch) recovery, no compaction required
+    * (IncrementalDedupSpec injects this crash and proves it). */
   def indexedIngest(docs: DataFrame, indexPath: String, checkpointDir: String,
       threshold: Double = 0.6, watermark: String = "10 minutes",
       acceptedDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -296,8 +363,10 @@ object StreamingOps {
           s"$indexPath/_committed_batch_$batchId")
         if (!fs.exists(marker) && !batch.isEmpty) {
           val b = batch.select("doc_id", "text")
-          val hasIndex = fs.exists(
-            new org.apache.hadoop.fs.Path(s"$indexPath/fingerprints"))
+          // committed manifests, not a raw dir probe: a torn base build
+          // (components without a manifest) must read as "no index"
+          val hasIndex =
+            IncrementalDedup.committedLabels(spark, indexPath).nonEmpty
           // normalize = true: the loop's identity notion is the
           // normalized fingerprint EVERYWHERE (tier-1 state and index
           // screen agree), so whether a cross-batch mutant is caught by
@@ -317,7 +386,10 @@ object StreamingOps {
             screened.dropNearDuplicates(threshold).localCheckpoint()
           }
           if (!survivors.isEmpty) {
-            if (hasIndex) IncrementalDedup.appendToIndex(survivors, indexPath)
+            // label = batchId: a replay of a torn batch overwrites its
+            // own partial component dirs before the manifest commits
+            if (hasIndex)
+              IncrementalDedup.appendToIndex(survivors, indexPath, s"$batchId")
             else IncrementalDedup.buildAndWriteIndex(survivors, indexPath)
             acceptedDir.foreach(d =>
               survivors.write.mode("append").parquet(d))

@@ -85,6 +85,49 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(ca == cb)
   }
 
+  test("manifest commit: a crash between component appends is invisible, retry recovers O(batch)") {
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val batch1 = docs.filter(col("doc_id") % 3 === 1)
+    val probeBatch = docs.filter(col("doc_id") % 3 === 2)
+
+    val dir = java.nio.file.Files.createTempDirectory("incr_atomic").toString
+    IncrementalDedup.buildAndWriteIndex(base, dir)
+    val beforeProbe = pairSet(
+      IncrementalDedup.nearDupPairsAgainstIndex(
+        probeBatch, IncrementalDedup.readIndex(spark, dir), 0.6),
+      "d_new", "d_prior")
+
+    // crash injection: two of five component writes land, then death —
+    // the torn state a mid-append crash leaves on disk
+    intercept[RuntimeException] {
+      IncrementalDedup.appendToIndexImpl(batch1, dir, "b1",
+        failAfterComponents = 2)
+    }
+    // the torn batch is INVISIBLE: same committed labels, and a probe
+    // reads the exact pre-batch state (no torn fingerprint/band mix)
+    assert(IncrementalDedup.committedLabels(spark, dir) == Seq("base"))
+    val tornProbe = pairSet(
+      IncrementalDedup.nearDupPairsAgainstIndex(
+        probeBatch, IncrementalDedup.readIndex(spark, dir), 0.6),
+      "d_new", "d_prior")
+    assert(tornProbe == beforeProbe, "torn append leaked into a read")
+
+    // recovery = retry the SAME label: partial dirs overwritten, then
+    // one manifest commit — no compaction, nothing else re-read
+    IncrementalDedup.appendToIndex(batch1, dir, "b1")
+    assert(IncrementalDedup.committedLabels(spark, dir) == Seq("b1", "base"))
+    val recovered = pairSet(
+      IncrementalDedup.nearDupPairsAgainstIndex(
+        probeBatch, IncrementalDedup.readIndex(spark, dir), 0.6),
+      "d_new", "d_prior")
+    val rebuilt = pairSet(
+      IncrementalDedup.nearDupPairsAgainstIndex(
+        probeBatch, IncrementalDedup.buildIndex(base.unionByName(batch1)), 0.6),
+      "d_new", "d_prior")
+    assert(recovered == rebuilt && recovered.nonEmpty,
+      s"recovered probe ${recovered.size} pairs vs rebuild ${rebuilt.size}")
+  }
+
   test("compaction heals a crash-replayed append (file level) and matches a fresh build") {
     import spark.implicits._
     val base = docs.filter(col("doc_id") % 3 === 0)

@@ -23,6 +23,7 @@ class PlanLintSpec extends SparkSpec {
     "n41_incremental_ann",  // same 16-centroid broadcast, persisted-index path
     "n59_ann_compaction",   // same 16-centroid broadcast, compacted-index path
     "n48_semdedup",         // same 16-centroid broadcast, SemDeDup assignment
+    "n62_ivf_pq",           // 8-anchor broadcast coarse assignment/probe
     "n50_tfidf_topterms",   // 1-row corpus-count broadcast (n28's pattern)
     "x05_date_spine",       // 31-row generated spine
     "a04_small_qty",        // correlated scalar per-part (broadcast agg)

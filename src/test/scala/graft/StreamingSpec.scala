@@ -300,6 +300,46 @@ class StreamingSpec extends SparkSpec {
       Seq(spark.sql(s"SELECT xxhash64('$doc')").head().getLong(0)))
   }
 
+  test("streaming LSH retention: watermark evicts only stale buckets; live window unaffected") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def words(tag: Int, n: Int) = (0 until n).map(w => s"e${tag}_$w").mkString(" ")
+    val base = words(1, 11)
+    // four mutual near-dups (11 shared words, jac = 9/11) spread across
+    // the retention horizon, plus two unrelated watermark-driver docs
+    val batches: Seq[Seq[(Long, Timestamp, String)]] = Seq(
+      Seq((1L, ts("2024-01-01 10:00:00"), s"$base endA")),
+      Seq((2L, ts("2024-01-01 10:05:00"), s"$base endB")), // pairs with 1
+      Seq((50L, ts("2024-01-01 12:00:00"), words(50, 12))), // watermark → 12:00
+      // a second driver batch: eviction fires for buckets with NO data in
+      // the batch, so the stale buckets of 1/2 (timeout 10:15) drop HERE
+      Seq((51L, ts("2024-01-01 12:00:30"), words(51, 12))),
+      Seq((3L, ts("2024-01-01 12:01:00"), s"$base endC")), // history evicted → no pair
+      Seq((4L, ts("2024-01-01 12:05:00"), s"$base endD"))) // pairs with live 3
+    def run(name: String, retention: String): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, Timestamp, String)]
+      val q = StreamingOps.streamingNearDupPairs(
+        input.toDF().toDF("doc_id", "ts", "text"), threshold = 0.6,
+        retention = Some(retention))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // 10-minute retention: docs 1/2 are stale by the time 3 arrives —
+    // (1,2) from the live era, (3,4) from the new era, nothing across
+    val evicted = run("lsh_ret10m", "10 minutes")
+    assert(evicted == Set((1L, 2L), (3L, 4L)), s"got $evicted")
+    // 1-day retention, SAME stream: nothing expires, so every mutual
+    // pair emits — proving the drop above was eviction, and that the
+    // retention path keeps full batch-equivalent recall inside the
+    // live window
+    val live = run("lsh_ret1d", "1 day")
+    assert(live == Set((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L)), s"got $live")
+  }
+
   test("indexedIngest: accepted store stays dup-free while the index grows per batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
