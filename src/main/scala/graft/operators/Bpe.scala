@@ -71,9 +71,14 @@ object Bpe {
     * localCheckpoint truncates the per-round lineage (iterative-loop
     * rule, same as the Lloyd trainer). Returns the ordered merge
     * list. */
-  def train(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+  def train(docs: DataFrame, nMerges: Int): Seq[(String, String)] =
+    trainWithStats(docs, nMerges).map { case (c1, c2, _) => (c1, c2) }
+
+  /** [[train]] keeping the argmax evidence: (c1, c2, cnt) per round —
+    * what the n63 oracle hash-checks. */
+  def trainWithStats(docs: DataFrame, nMerges: Int): Seq[(String, String, Long)] = {
     var vocab = symbolize(wordFreqs(docs)).localCheckpoint()
-    val merges = Seq.newBuilder[(String, String)]
+    val merges = Seq.newBuilder[(String, String, Long)]
     var continue = true
     var round = 0
     while (continue && round < nMerges) {
@@ -83,7 +88,7 @@ object Bpe {
       if (top.isEmpty) continue = false
       else {
         val (c1, c2) = (top(0).getString(0), top(0).getString(1))
-        merges += ((c1, c2))
+        merges += ((c1, c2, top(0).getLong(2)))
         vocab = vocab.select(
           mergePair(col("syms"), lit(c1), lit(c2)).as("syms"), col("f"))
           .localCheckpoint()
@@ -121,5 +126,68 @@ object Bpe {
       .orderBy("rn")
   }
 
-  val all: Seq[Q] = Seq(pairStatsQ)
+  // ---------------------------------------------------------------------
+  // n63: the trainer LOOP oracled (VERDICT r04 #7) — the n16 Lloyd-loop
+  // technique applied to train(): a generated DuckDB twin replays every
+  // merge round (argmax + vocabulary rewrite) and the driver hash-checks
+  // the merge SEQUENCE itself, not just round-1 statistics.
+  // ---------------------------------------------------------------------
+
+  /** Merge rounds the n63 entry replays. */
+  val TrainRounds = 3
+
+  /** SQL twin of one BPE merge applied to a `|`-delimited symbol
+    * encoding ("|a|b|c|"): replace "|c1|c2|" with "|c1c2|", iterated.
+    * One replace() pass is left-to-right non-overlapping but consumes
+    * the shared delimiter between adjacent occurrences ("|a|b|a|b|"
+    * matches once per pass), so the pass is iterated to a fixpoint —
+    * each pass merges at least the leftmost remaining occurrence, and
+    * the fixpoint equals [[mergePair]]'s single left-to-right fold
+    * (a merge never creates a new (c1, c2) adjacency: c1||c2 ≠ c1
+    * because c2 is non-empty, and both delimiters around a match are
+    * preserved). Max word length in the harness tables is 8 chars ⇒
+    * ≤ 4 occurrences per word ⇒ 6 nested passes is a safe fixpoint
+    * bound. The delimiters on BOTH sides of the pattern make matches
+    * whole-symbol ("|ab|c|" never matches inside "|xab|c|"). */
+  private def mergeSqlN(expr: String, passes: Int): String =
+    (1 to passes).foldLeft(expr) { (acc, _) =>
+      s"replace($acc, '|' || c1 || '|' || c2 || '|', '|' || c1 || c2 || '|')"
+    }
+
+  private def trainRoundSql(r: Int): String =
+    s"""p$r AS (SELECT c1, c2, CAST(sum(f) AS BIGINT) AS cnt FROM (
+       |    SELECT l[i] AS c1, l[i + 1] AS c2, f FROM (
+       |      SELECT l, f, unnest(generate_series(1, len(l) - 1)) AS i FROM (
+       |        SELECT list_filter(string_split(enc, '|'), s -> s <> '') AS l, f
+       |        FROM v$r) WHERE len(l) >= 2))
+       |  GROUP BY c1, c2),
+       |m$r AS (SELECT c1, c2, cnt, CAST(${r + 1} AS BIGINT) AS rn
+       |        FROM p$r ORDER BY cnt DESC, c1, c2 LIMIT 1),
+       |v${r + 1} AS (SELECT ${mergeSqlN("enc", 6)} AS enc, f
+       |              FROM v$r, m$r)""".stripMargin
+
+  private val trainSql: String =
+    s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wf AS (SELECT w, count(*) AS f FROM words WHERE length(w) >= 1 GROUP BY w),
+       |v0 AS (SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS enc, f FROM wf),
+       |${(0 until TrainRounds).map(trainRoundSql).mkString(",\n")}
+       |SELECT rn, c1, c2, cnt
+       |FROM (${(0 until TrainRounds).map(r => s"SELECT rn, c1, c2, cnt FROM m$r")
+                .mkString(" UNION ALL ")})
+       |ORDER BY rn""".stripMargin
+
+  /** Catalog entry: the 3-merge trainer chain — each round's winning
+    * pair and its count, hash-checked against the DuckDB replay of the
+    * full loop. A wrong argmax, tiebreak, or rewrite in ANY round
+    * changes every later round and flips the hash. */
+  val trainQ: Q = Q("n63_bpe_train", trainSql) { (s, dir) =>
+    import s.implicits._
+    trainWithStats(Tables(s, dir).documents, TrainRounds)
+      .zipWithIndex
+      .map { case ((c1, c2, cnt), i) => (i + 1L, c1, c2, cnt) }
+      .toDF("rn", "c1", "c2", "cnt")
+      .orderBy("rn")
+  }
+
+  val all: Seq[Q] = Seq(pairStatsQ, trainQ)
 }

@@ -64,6 +64,13 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
   }
 
+  test("trainWithStats carries the hand-computed argmax counts per round") {
+    // same corpus as above; wf: aaab f=3, ab f=1 — counts traced by hand
+    val docs = Seq((1L, "aaab aaab aaab ab")).toDF("doc_id", "text")
+    val merges = Bpe.trainWithStats(docs, nMerges = 3)
+    assert(merges == Seq(("a", "a", 6L), ("a", "b", 4L), ("aa", "ab", 3L)))
+  }
+
   test("train stops early when no pairs remain") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // round 1 merges (a,b); afterwards every word is a single symbol
