@@ -35,8 +35,16 @@ object Scale {
     * co-locate without a shuffle (Exchange-free sort-merge join). */
   def writeBucketed(df: DataFrame, table: String, key: String,
       numBuckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), numBuckets)
+
+  /** Multi-key variant: bucket+sort by the full composite join key
+    * (e.g. the LSH band probe's (band, sig)) so the bucketing hash
+    * matches the join's clustering exactly on every Spark version. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      numBuckets: Int): Unit =
     df.write.mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, key).sortBy(key)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
 }

@@ -128,4 +128,50 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("bucketed dedup index: band probe joins exchange-free, answers unchanged") {
+    import graft.operators.{Dedup, IncrementalDedup}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val docs = Tables(spark, sf0001).documents
+    val prior = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("bucketed_idx").toString
+    try {
+      IncrementalDedup.buildAndWriteIndex(prior, dir)
+      IncrementalDedup.publishBucketed(spark, dir, "idx", numBuckets = 4)
+      // the daily-pipeline shape: the batch's bands staged bucketed the
+      // same way, then the candidate probe = co-located (band, sig) join
+      graft.plans.Scale.writeBucketed(
+        IncrementalDedup.buildIndex(fresh).bands
+          .select(col("doc_id").as("d_new"), col("band"), col("sig")),
+        "batch_bands", Seq("band", "sig"), 4)
+      // candidate generation only (the downstream DISTINCT keys on
+      // (d_new, d_prior) and legitimately re-shuffles); the claim under
+      // test is that the (band, sig) JOIN itself co-locates
+      val probe = spark.table("batch_bands")
+        .join(spark.table("idx_bands")
+          .select(col("doc_id").as("d_prior"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .select("d_new", "d_prior")
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed band probe should not shuffle the join:\n$plan")
+      // and the bucketed index yields the IDENTICAL near-dup answer
+      val bucketed = IncrementalDedup.nearDupPairsAgainstIndex(
+        fresh, IncrementalDedup.readBucketed(spark, "idx"), 0.6)
+        .select("d_new", "d_prior").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plain = IncrementalDedup.nearDupPairsAgainstIndex(
+        fresh, IncrementalDedup.readIndex(spark, dir), 0.6)
+        .select("d_new", "d_prior").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bucketed == plain && bucketed.nonEmpty,
+        s"bucketed ${bucketed.size} pairs vs plain ${plain.size}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      Seq("idx_bands", "idx_shingles", "idx_sizes", "idx_fingerprints",
+        "idx_winhash", "idx_hot", "batch_bands").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
