@@ -41,27 +41,48 @@ object IncrementalAnn {
   def indexWith(vecs: DataFrame, cents: DataFrame): AnnIndex =
     AnnIndex(cents, Similarity.assignCells(vecs, cents))
 
+  /** Persist as the base batch under [[IndexCommit]]'s manifest layout
+    * (round 5): the two component writes become visible only when the
+    * one-file manifest commits, so a crash between them can never
+    * produce an index with centroids but no assignments (or vice
+    * versa). */
   def writeIndex(index: AnnIndex, path: String): Unit = {
-    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    index.assignments.write.mode("overwrite").parquet(s"$path/assignments")
+    val spark = index.centroids.sparkSession
+    IndexCommit.clear(spark, path)
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids/b_base")
+    index.assignments.write.mode("overwrite").parquet(s"$path/assignments/b_base")
+    IndexCommit.commitManifest(spark, path, "base")
   }
 
   def buildAndWriteIndex(vecs: DataFrame, path: String, nCells: Int,
       iters: Int = 2): Unit =
     writeIndex(buildIndex(vecs, nCells, iters), path)
 
-  def readIndex(spark: SparkSession, path: String): AnnIndex =
-    AnnIndex(spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/assignments"))
+  /** The union of all COMMITTED batches; crash-torn appends are
+    * invisible. */
+  def readIndex(spark: SparkSession, path: String): AnnIndex = {
+    val labels = IndexCommit.committedLabels(spark, path)
+    require(labels.nonEmpty, s"no committed index at $path")
+    AnnIndex(
+      IndexCommit.readComponent(spark, path, "centroids", labels),
+      IndexCommit.readComponent(spark, path, "assignments", labels))
+  }
 
   /** Assign ONLY the new batch against the persisted centroids and
     * append — the prior corpus is never re-read or re-assigned.
-    * Vec_ids are assumed unique across batches (pipeline contract). */
-  def appendToIndex(newVecs: DataFrame, path: String): Unit = {
+    * Vec_ids are assumed unique across batches (pipeline contract).
+    * The batch lands in its own manifested dir (atomic commit, retry
+    * under the same label recovers a torn write O(batch)). */
+  def appendToIndex(newVecs: DataFrame, path: String,
+      label: String = ""): Unit = {
     val spark = newVecs.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids")
-    Similarity.assignCells(newVecs, cents)
-      .write.mode("append").parquet(s"$path/assignments")
+    val index = readIndex(spark, path)
+    val lbl =
+      if (label.nonEmpty) label
+      else s"a${IndexCommit.committedLabels(spark, path).size}"
+    Similarity.assignCells(newVecs, index.centroids)
+      .write.mode("overwrite").parquet(s"$path/assignments/b_$lbl")
+    IndexCommit.commitManifest(spark, path, lbl)
   }
 
   /** In-memory mirror of [[appendToIndex]]: the index frames after a
