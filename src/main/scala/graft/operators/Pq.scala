@@ -179,7 +179,7 @@ object Pq {
        |    SELECT s.vec_id, s.m, c.cent_id AS cell, s.sv,
        |           row_number() OVER (PARTITION BY s.vec_id, s.m
        |             ORDER BY ${round6Sql(d2Sql("s.sv", "c.cv"))}, c.cent_id) AS rn
-       |    FROM sub s JOIN c${r - 1} c ON c.m = s.m) WHERE rn = 1),
+       |    FROM tsub s JOIN c${r - 1} c ON c.m = s.m) WHERE rn = 1),
        |mm$r AS (SELECT a.m, a.cell AS cent_id, d.i,
        |               CAST(sum(CAST(CAST(a.sv[d.i] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
        |                 / count(*) AS mu
@@ -195,15 +195,20 @@ object Pq {
   /** The shared twin chain: sub-vectors, k seeds, the full Lloyd loop,
     * the code table, and the per-query distance tables — everything up
     * to the ADC ranking, which n56 (all pairs) and n62 (IVF-restricted)
-    * finish differently. */
-  private def lloydChainSql(k: Int): String =
+    * finish differently. `trainWhere` restricts SEEDING and the Lloyd
+    * rounds to a sub-corpus (n64's frozen-codebook semantics: train on
+    * the prior snapshot, encode everything); codes and query tables
+    * always cover the full corpus. */
+  private def lloydChainSql(k: Int, trainWhere: String = "true"): String =
     s"""sub AS (SELECT vec_id, md.m,
        |                    list_slice(embedding, md.m * $SubDim + 1,
        |                               (md.m + 1) * $SubDim) AS sv
        |             FROM embeddings
        |             CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS m) md),
+       |tsub AS (SELECT * FROM sub WHERE $trainWhere),
        |c0 AS (SELECT m, vec_id AS cent_id, sv AS cv FROM sub
-       |       WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |       WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE $trainWhere
+       |                        ORDER BY vec_id LIMIT $k)),
        |${(1 to Iters).map(roundSql).mkString(",\n")},
        |codes AS (SELECT vec_id, m, cell AS code FROM (
        |    SELECT s.vec_id, s.m, c.cent_id AS cell,
@@ -305,21 +310,30 @@ object Pq {
       .filter(col("q_id") =!= col("vec_id"))
     val books = codebooks(vecs, Iters, kCodes)
     val codes = encode(vecs, books)
-    val qsub = subVectors(queries).select(
-      col("vec_id").as("q_id"), col("m"), col("sv").as("qs"))
-    val dtab = qsub.join(books, Seq("m"))
-      .select(col("q_id"), col("m"), col("cent_id"), d2(col("qs"), col("cv")).as("d"))
     // candidate-restricted ADC: codes flow through the (q_id, vec_id)
     // candidate set FIRST, so only probed cells' codes reach the
     // distance-table lookup (the partition-pruning read, as a join)
     val withCodes = cand.join(codes, Seq("vec_id"))
       .select(col("q_id"), col("vec_id"), col("m"), col("code"))
-    val perM = withCodes
+    restrictedAdc(withCodes, books, queries, k)
+  }
+
+  /** The shared tail of every cell-restricted search (n62/n64): per-
+    * query distance tables against `books`, a broadcast lookup join
+    * over the candidate (q_id, vec_id, m, code) rows, the fixed-order
+    * M-term ADC sum, and the (adc, nb_id) ranking. */
+  private def restrictedAdc(candCodes: DataFrame, books: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val qsub = subVectors(queries).select(
+      col("vec_id").as("q_id"), col("m"), col("sv").as("qs"))
+    val dtab = qsub.join(books, Seq("m"))
+      .select(col("q_id"), col("m"), col("cent_id"), d2(col("qs"), col("cv")).as("d"))
+    val perM = candCodes
       .join(broadcast(dtab.withColumnRenamed("m", "__dm")
           .withColumnRenamed("cent_id", "__dc")
           .withColumnRenamed("q_id", "__dq")),
-        withCodes("m") === col("__dm") && withCodes("code") === col("__dc") &&
-          withCodes("q_id") === col("__dq"))
+        candCodes("m") === col("__dm") && candCodes("code") === col("__dc") &&
+          candCodes("q_id") === col("__dq"))
       .select(col("q_id"), col("vec_id"), col("m"), col("d"))
       .groupBy("q_id", "vec_id")
       .agg(max(when(col("m") === 0, col("d"))).as("d0"),
@@ -375,5 +389,154 @@ object Pq {
       .orderBy("q_id", "rn")
   }
 
-  val all: Seq[Q] = Seq(pqAdc, ivfPqAdc)
+  // ---------------------------------------------------------------------
+  // n64: the PERSISTED IVF-PQ index — the serving lifecycle of the n62
+  // composition. Train once on the prior corpus (anchors + codebooks),
+  // persist codes PARTITIONED BY coarse cell, append new batches by
+  // encoding them against the FROZEN codebooks (standard IVF-PQ
+  // practice — retraining is a rebuild, the n57/n59 compaction trade),
+  // and search by reading only the probed cells' code partitions.
+  // ---------------------------------------------------------------------
+
+  /** The persisted IVF-PQ index: coarse anchors (cell, cv), per-
+    * subspace codebooks (m, cent_id, cv), and the cell-partitioned
+    * code table (vec_id, cell, m, code) — 4 bytes + a cell id per
+    * vector, the only thing a search scans. */
+  final case class PqIndex(anchors: DataFrame, books: DataFrame,
+      codes: DataFrame)
+
+  /** Train on `vecs`: anchors = first `nCells` vec_ids (oracle-locked,
+    * the n41 pattern — the Lloyd loop is hash-oracled separately),
+    * codebooks = the shared one-frame Lloyd trainer, codes = every
+    * vector's (cell, 4 sub-codes). */
+  def buildPqIndex(vecs: DataFrame, nCells: Int = IvfCells,
+      kCodes: Int = KProd): PqIndex = {
+    val anchors = vecs.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    val books = codebooks(vecs, Iters, kCodes)
+    val codes = encode(vecs, books)
+      .join(assignCoarse(vecs, anchors), Seq("vec_id"))
+    PqIndex(anchors, books, codes)
+  }
+
+  /** Append a new batch with the index's FROZEN anchors + codebooks:
+    * one broadcast encode/assign pass over the batch — the prior
+    * corpus's codes are untouched, its embeddings never re-read. */
+  def appendPqIndex(index: PqIndex, newVecs: DataFrame): PqIndex =
+    index.copy(codes = index.codes.unionByName(
+      encode(newVecs, index.books)
+        .join(assignCoarse(newVecs, index.anchors), Seq("vec_id"))))
+
+  /** Search the index: probe selection against the broadcast anchors,
+    * then the restricted ADC over ONLY the probed cells' code rows —
+    * with the at-rest cell partitioning, that cell join is partition
+    * pruning. */
+  def searchPqIndex(queries: DataFrame, index: PqIndex,
+      nProbe: Int = IvfProbe, k: Int = TopK): DataFrame = {
+    val candCodes = probeCoarse(queries, index.anchors, nProbe)
+      .join(index.codes, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("m"), col("code"))
+    restrictedAdc(candCodes, index.books, queries, k)
+  }
+
+  /** Persist under [[IndexCommit]]'s manifest layout; `codes` is
+    * additionally partitioned by `cell` on disk, so a probe's cell
+    * filter becomes directory-level partition pruning. */
+  def writePqIndex(index: PqIndex, path: String): Unit = {
+    val spark = index.anchors.sparkSession
+    IndexCommit.clear(spark, path)
+    index.anchors.write.mode("overwrite").parquet(s"$path/anchors/b_base")
+    index.books.write.mode("overwrite").parquet(s"$path/books/b_base")
+    index.codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes/b_base")
+    IndexCommit.commitManifest(spark, path, "base")
+  }
+
+  /** Append a batch's codes on disk (frozen anchors/books read from
+    * the index, batch codes land cell-partitioned in their own
+    * manifested dir — atomic commit, O(batch) retry). */
+  def appendToPqIndex(newVecs: DataFrame, path: String,
+      label: String = ""): Unit = {
+    val spark = newVecs.sparkSession
+    val index = readPqIndex(spark, path)
+    val lbl =
+      if (label.nonEmpty) label
+      else s"a${IndexCommit.committedLabels(spark, path).size}"
+    encode(newVecs, index.books)
+      .join(assignCoarse(newVecs, index.anchors), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes/b_$lbl")
+    IndexCommit.commitManifest(spark, path, lbl)
+  }
+
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqIndex = {
+    val labels = IndexCommit.committedLabels(spark, path)
+    require(labels.nonEmpty, s"no committed index at $path")
+    // codes are cell-partitioned WITHIN each batch dir, so the dirs
+    // cannot share one multi-path read (conflicting partition roots);
+    // read per batch — each infers its own cell= layout — and union
+    val codes = IndexCommit.componentDirs(spark, path, "codes", labels)
+      .map(d => spark.read.parquet(d))
+      .reduce(_.unionByName(_))
+    PqIndex(
+      IndexCommit.readComponent(spark, path, "anchors", labels),
+      IndexCommit.readComponent(spark, path, "books", labels),
+      codes)
+  }
+
+  private val ivfPqIndexSql: String = {
+    val trainWhere = "vec_id % 2 = 0"
+    s"""WITH ${lloydChainSql(KProd, trainWhere)},
+       |cc AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+       |       WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE $trainWhere
+       |                        ORDER BY vec_id LIMIT $IvfCells)),
+       |asg AS (SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${round6Sql(d2Sql("e.embedding", "c.cv", FullDim))}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cc c) WHERE rn = 1),
+       |probes AS (SELECT q_id, cell FROM (
+       |    SELECT e.vec_id AS q_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${round6Sql(d2Sql("e.embedding", "c.cv", FullDim))}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cc c
+       |    WHERE e.vec_id < $NumQueries) WHERE rn <= $IvfProbe),
+       |cand AS (SELECT p.q_id, a.vec_id FROM probes p
+       |         JOIN asg a ON a.cell = p.cell
+       |         WHERE a.vec_id <> p.q_id),
+       |adc AS (SELECT cn.q_id, cd.vec_id, $adcSumSql AS adc
+       |        FROM cand cn
+       |        JOIN codes cd ON cd.vec_id = cn.vec_id
+       |        JOIN dtab dt ON dt.m = cd.m AND dt.cent_id = cd.code
+       |                    AND dt.q_id = cn.q_id
+       |        GROUP BY 1, 2),
+       |ranked AS (SELECT q_id, vec_id AS nb_id, adc,
+       |                  row_number() OVER (PARTITION BY q_id
+       |                                     ORDER BY adc, vec_id) AS rn
+       |           FROM adc)
+       |SELECT q_id, nb_id, adc, CAST(rn AS BIGINT) AS rn
+       |FROM ranked WHERE rn <= $TopK
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** Catalog entry: the persisted-index lifecycle — train on the even
+    * snapshot (anchors, 256-code books), append the odd snapshot with
+    * FROZEN books, search mixed queries over the accumulated index.
+    * The twin trains its Lloyd chain on the even half only and encodes
+    * everything, so a leak of the new batch into training (the frozen-
+    * codebook contract) flips the hash as surely as a wrong ADC value.
+    * PqSpec proves the file round-trip (manifest layout, cell-
+    * partitioned codes) returns the identical answer. */
+  val ivfPqIndexQ: Q = Q("n64_pq_index", ivfPqIndexSql) { (s, dir) =>
+    val e = Tables(s, dir).embeddings
+    val prior = e.filter(col("vec_id") % 2 === 0)
+    val fresh = e.filter(col("vec_id") % 2 === 1)
+    searchPqIndex(e.filter(col("vec_id") < NumQueries),
+      appendPqIndex(buildPqIndex(prior), fresh))
+      .orderBy("q_id", "rn")
+  }
+
+  val all: Seq[Q] = Seq(pqAdc, ivfPqAdc, ivfPqIndexQ)
 }

@@ -24,6 +24,7 @@ class PlanLintSpec extends SparkSpec {
     "n59_ann_compaction",   // same 16-centroid broadcast, compacted-index path
     "n48_semdedup",         // same 16-centroid broadcast, SemDeDup assignment
     "n62_ivf_pq",           // 8-anchor broadcast coarse assignment/probe
+    "n64_pq_index",         // same 8-anchor broadcast, persisted-index path
     "n50_tfidf_topterms",   // 1-row corpus-count broadcast (n28's pattern)
     "x05_date_spine",       // 31-row generated spine
     "a04_small_qty",        // correlated scalar per-part (broadcast agg)

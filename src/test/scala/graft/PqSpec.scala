@@ -108,6 +108,30 @@ class PqSpec extends SparkSpec {
       s"coarse layout degenerate: worst-2-cell mass $worstTwoCells of $n")
   }
 
+  test("persisted PQ index: file round-trip + frozen-codebook append answer identically") {
+    val prior = e.filter(col("vec_id") % 2 === 0)
+    val fresh = e.filter(col("vec_id") % 2 === 1)
+    val queries = e.filter(col("vec_id") < 32)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "nb_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val inMem = Pq.appendPqIndex(Pq.buildPqIndex(prior), fresh)
+    val expected = key(Pq.searchPqIndex(queries, inMem))
+
+    // disk lifecycle: base write (cell-partitioned codes, manifest),
+    // a SEPARATE append batch, then search from the reopened index
+    val dir = java.nio.file.Files.createTempDirectory("pq_index").toString
+    Pq.writePqIndex(Pq.buildPqIndex(prior), dir)
+    Pq.appendToPqIndex(fresh, dir, "b1")
+    val fromDisk = Pq.readPqIndex(spark, dir)
+    assert(key(Pq.searchPqIndex(queries, fromDisk)) == expected)
+    // the codes really are cell-partitioned at rest (pruning layout)
+    val base = new java.io.File(s"$dir/codes/b_base")
+    assert(base.listFiles().exists(_.getName.startsWith("cell=")),
+      s"expected cell= partition dirs under ${base.getPath}")
+  }
+
   test("IVF-PQ recall vs the in-cell exact L2 answer isolates PQ error from pruning") {
     val queries = e.filter(col("vec_id") < 32)
     val got = Pq.ivfPqTopK(e, queries, 5)
