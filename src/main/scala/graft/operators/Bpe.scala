@@ -163,14 +163,20 @@ object Bpe {
        |  GROUP BY c1, c2),
        |m$r AS (SELECT c1, c2, cnt, CAST(${r + 1} AS BIGINT) AS rn
        |        FROM p$r ORDER BY cnt DESC, c1, c2 LIMIT 1),
-       |v${r + 1} AS (SELECT ${mergeSqlN("enc", 6)} AS enc, f
+       |v${r + 1} AS (SELECT w, ${mergeSqlN("enc", 6)} AS enc, f
        |              FROM v$r, m$r)""".stripMargin
 
-  private val trainSql: String =
-    s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+  /** The shared twin chain: word frequencies, the `|`-encoded vocab,
+    * and all `TrainRounds` merge rounds (v0..v{R}, m0..m{R-1}) — n63
+    * reads the merge rows, n65 the final vocabulary. */
+  private val trainChainSql: String =
+    s"""words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
        |wf AS (SELECT w, count(*) AS f FROM words WHERE length(w) >= 1 GROUP BY w),
-       |v0 AS (SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS enc, f FROM wf),
-       |${(0 until TrainRounds).map(trainRoundSql).mkString(",\n")}
+       |v0 AS (SELECT w, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS enc, f FROM wf),
+       |${(0 until TrainRounds).map(trainRoundSql).mkString(",\n")}""".stripMargin
+
+  private val trainSql: String =
+    s"""WITH $trainChainSql
        |SELECT rn, c1, c2, cnt
        |FROM (${(0 until TrainRounds).map(r => s"SELECT rn, c1, c2, cnt FROM m$r")
                 .mkString(" UNION ALL ")})
@@ -189,5 +195,51 @@ object Bpe {
       .orderBy("rn")
   }
 
-  val all: Seq[Q] = Seq(pairStatsQ, trainQ)
+  // ---------------------------------------------------------------------
+  // n65: tokenizer APPLICATION — the post-induction step every training
+  // pipeline runs over the full corpus (sequence budgeting, packing,
+  // mixture token accounting all key on it).
+  // ---------------------------------------------------------------------
+
+  /** Per-document token counts under an ordered BPE merge list. Scale
+    * shape: merges apply on the VOCABULARY frame (|distinct words|
+    * rows — the same reason training is feasible), as `nMerges` nested
+    * map-side folds; the corpus is touched once to extract words, and
+    * the per-word token counts join back on the word key (the
+    * word-frequency shuffle the pipeline already pays). */
+  def tokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val vocab = wordFreqs(docs).select(col("w"),
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"))
+    val applied = merges.foldLeft(col("syms")) { case (c, (a, b)) =>
+      mergePair(c, lit(a), lit(b))
+    }
+    val perWord = vocab.select(col("w"), size(applied).cast("long").as("nt"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(perWord, Seq("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("nt")).as("n_tokens"))
+  }
+
+  private val tokenizeSql: String =
+    s"""WITH $trainChainSql,
+       |tokc AS (SELECT w, len(list_filter(string_split(enc, '|'), s -> s <> '')) AS nt
+       |         FROM v$TrainRounds),
+       |docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_tokens
+       |FROM docw JOIN tokc USING (w)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Catalog entry: train the 3-merge model, then tokenize the whole
+    * corpus with it — per-doc token counts hash-checked against the
+    * twin's replay of the SAME trained model (a wrong merge anywhere
+    * in training shifts token counts corpus-wide). */
+  val tokenizeQ: Q = Q("n65_bpe_tokenize", tokenizeSql) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    tokenCounts(docs, train(docs, TrainRounds)).orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(pairStatsQ, trainQ, tokenizeQ)
 }

@@ -71,6 +71,16 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq(("a", "a", 6L), ("a", "b", 4L), ("aa", "ab", 3L)))
   }
 
+  test("tokenCounts applies the merge list in order (hand-computed)") {
+    val docs = Seq((1L, "aaab aaab aaab ab")).toDF("doc_id", "text")
+    def counts(n: Int): Long =
+      Bpe.tokenCounts(docs, Bpe.train(docs, n)).head().getLong(1)
+    // 2 merges: aaab → [aa, ab] (2), ab → [ab] (1) ⇒ 3·2 + 1 = 7
+    assert(counts(2) == 7L)
+    // 3rd merge (aa, ab) collapses aaab to one token ⇒ 3·1 + 1 = 4
+    assert(counts(3) == 4L)
+  }
+
   test("train stops early when no pairs remain") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // round 1 merges (a,b); afterwards every word is a single symbol
