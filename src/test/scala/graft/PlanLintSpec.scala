@@ -23,6 +23,7 @@ class PlanLintSpec extends SparkSpec {
     "n41_incremental_ann",  // same 16-centroid broadcast, persisted-index path
     "n59_ann_compaction",   // same 16-centroid broadcast, compacted-index path
     "n48_semdedup",         // same 16-centroid broadcast, SemDeDup assignment
+    "n66_incremental_semdedup", // same 16-centroid broadcast, incremental screen
     "n62_ivf_pq",           // 8-anchor broadcast coarse assignment/probe
     "n64_pq_index",         // same 8-anchor broadcast, persisted-index path
     "n50_tfidf_topterms",   // 1-row corpus-count broadcast (n28's pattern)

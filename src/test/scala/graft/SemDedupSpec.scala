@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{SemDedup, Similarity}
+import graft.operators.{IncrementalAnn, SemDedup, Similarity}
 
 /** SemDeDup (n48): planted-duplicate proofs for the k-means +
   * intra-cell cosine prune — an exact clone is flagged (and only the
@@ -40,6 +40,29 @@ class SemDedupSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(!survivors.contains(maxId + 1) && survivors.contains(3L))
     assert(survivors.size == audit.count(!_._2._2))
+  }
+
+  test("incremental screen: a planted clone of an accepted vector is dropped, novel kept") {
+    import spark.implicits._
+    val prior = emb.filter(col("vec_id") % 2 === 0)
+    val cents = Similarity.ivfCentroids(prior, k = 4, iters = 1)
+    val index = IncrementalAnn.indexWith(prior, cents)
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    // batch = a clone of accepted vector 2 (cos 1.0 to it) + odd novels
+    val clone = prior.filter(col("vec_id") === 2)
+      .withColumn("vec_id", col("vec_id") + maxId + 1)
+    val batch = emb.filter(col("vec_id") % 2 === 1).unionByName(clone)
+    val audit = SemDedup.semanticScreenAudit(batch, index, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(audit(maxId + 3)._1 == 1.0 && audit(maxId + 3)._2,
+      s"clone not flagged: ${audit(maxId + 3)}")
+    // survivors = batch minus flagged rows, and the clone is gone
+    val surv = SemDedup.semanticScreen(batch, index, tau = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!surv.contains(maxId + 3))
+    assert(surv.size == audit.count(!_._2._2))
+    // audit covers the whole batch (total frame, n47's auditability rule)
+    assert(audit.size == batch.count())
   }
 
   test("pairs are intra-cell only: flags are reproducible from the assignment") {
