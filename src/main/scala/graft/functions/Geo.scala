@@ -48,6 +48,25 @@ object VectorOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Squared L2 distance between two float vectors, as the EXACT
+    * left-to-right fold `acc + (x-y)²` in doubles — bit-identical to
+    * the `aggregate(zip_with(...))` expression tree it replaces in the
+    * PQ family's hot assignment path (same FP operation sequence), and
+    * to DuckDB's list_reduce twin. A tight loop instead of per-row
+    * higher-order-function dispatch: the 256-codebook Lloyd assignment
+    * evaluates this ~corpus × K times per round. */
+  def l2SqFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** Cosine similarity between two int8-quantized code vectors
     * (array<long>): per-vector symmetric scales cancel, so the whole
     * computation is EXACT integer arithmetic until one final double
@@ -215,6 +234,25 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** l2_sq(a, b) → squared L2 distance between two array<float>
+  * vectors, the exact left-to-right double fold (see
+  * VectorOps.l2SqFloat). */
+case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_sq"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.l2SqFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorOps.l2SqFloat($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 /** quantized_cos(a, b) over array<long> int8 codes — exact integer
   * dot/norms, one double division at the end (see
   * VectorOps.cosineQuantized). */
@@ -242,6 +280,8 @@ object GraftFunctions {
   def st_y(wkb: Column): Column = ColumnBridge.column(StY(ColumnBridge.expression(wkb)))
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def l2_sq(a: Column, b: Column): Column =
+    ColumnBridge.column(L2Sq(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def quantized_cos(a: Column, b: Column): Column =
     ColumnBridge.column(QuantizedCos(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def md5_slices(s: Column): Column =
@@ -268,6 +308,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("st_y", es => StY(es.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("quantized_cos", es => QuantizedCos(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("l2_sq", es => L2Sq(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("md5_slices", es => Md5Slices(es.head), "built-in")
     reg.createOrReplaceTempFunction("char_sum", es => CharSum(es.head), "built-in")
   }

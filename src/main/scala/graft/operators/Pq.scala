@@ -49,15 +49,16 @@ object Pq {
   private val NumQueries = 32
   private val TopK = 5
 
-  /** Deterministic L2² between two equal-length float vectors: a
-    * left-to-right fold, bit-identical to DuckDB's list_sum over
-    * list_transform in index order. */
+  /** Deterministic L2² between two equal-length float vectors: the
+    * exact left-to-right double fold, as the codegen'd [[graft
+    * .functions.L2Sq]] expression — bit-identical to the
+    * `aggregate(zip_with(...))` tree it replaced (same FP sequence;
+    * the native loop exists because Lloyd assignment at K = 256
+    * evaluates it ~corpus × K times per round, and higher-order-
+    * function dispatch was the hot path's cost) and to DuckDB's
+    * list_reduce twin. */
   private def d2(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.l2_sq(a, b)
 
   /** (m, cent_id, cv) sub-vector seeds: the first k vec_ids' slices,
     * all M subspaces in one frame. */

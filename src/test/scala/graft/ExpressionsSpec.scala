@@ -71,6 +71,24 @@ class ExpressionsSpec extends SparkSpec {
     assert(got.sameElements(want), s"got=${got.mkString(",")} want=${want.mkString(",")}")
   }
 
+  test("l2_sq equals the aggregate/zip_with fold it replaces, bit-for-bit") {
+    import spark.implicits._
+    val e = Tables(spark, sf0001).embeddings.limit(64)
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("a_id") < col("b_id"))
+    val fold = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = pairs.select(
+      GraftFunctions.l2_sq(col("a"), col("b")).as("fast"), fold.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    // EXACT equality, not tolerance: same left-to-right FP sequence
+    assert(diff == 0L)
+  }
+
   test("md5_slices equals the substring-of-md5 expression tree, null-safe") {
     import spark.implicits._
     val df = Seq(Some("alpha beta gamma"), Some(""), Some("δ unicode ß"), None)
