@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.Det._
+
+/** Model-based quality/metadata classification — the learned-filter
+  * stage of a pretraining data pipeline (the reference's ETL stops at
+  * rule filters; modern corpus curation adds a trained classifier pass:
+  * FineWeb-Edu, DCLM, and the original GPT-3/CCNet pipelines all gate
+  * documents on a lightweight linear/NB model score).
+  *
+  * Everything here is multinomial Naive Bayes with Laplace smoothing —
+  * deliberately: NB training IS aggregation (per-class token counts +
+  * priors), so both training and inference stay declarative DataFrame
+  * plans that Catalyst optimizes, shuffle only on (label, token), and
+  * hash-check against a DuckDB twin end to end. No driver-side math, no
+  * UDFs, no iterative optimizer — the 100 TB shape is two map-side
+  * combinable count aggregations over the train split, a broadcast of
+  * the tiny class frame, and one shuffle join of apply-side tokens
+  * against the vocabulary-sized conditional table.
+  *
+  * Determinism (the [[graft.Det]] rules): every per-token ln() term is
+  * DECIMAL(25,6)-cast before the distributed sum (order-independent,
+  * absorbs sub-1e-6 libm ulp differences between java.lang.Math.log and
+  * DuckDB's std::log — the n28/n51 pattern), priors are decimal-rounded
+  * the same way, and argmax ranking orders by (score DESC, label) so
+  * ties break identically in both engines.
+  *
+  * Two catalog entries:
+  *  - n67: supervised train/apply — learn lang from the even-doc_id
+  *    half, predict on the odd half (the learned companion to n23's
+  *    heuristic lang-id).
+  *  - n68: weak supervision — the n47 Gopher rule gate labels the even
+  *    half, NB distills the rules into a token model, and the model
+  *    scores EVERY document with a log-odds (the classifier-bootstrap
+  *    pattern: cheap rules label a slice, the learned model generalizes
+  *    corpus-wide and returns a continuous score the rules can't give).
+  */
+object Classifier {
+
+  private val LabelCol = "label"
+
+  /** Per-(doc, label) NB log-scores for `apply` under a model trained
+    * on `train`: score = ln p(label) + Σ_tok tf·ln p(tok|label), Laplace
+    * smoothing (c+1)/(n_tok_label + V). `train` needs (label, text),
+    * `apply` needs (doc_id, text). Returns (doc_id, label, score) — one
+    * row per apply-doc per TRAINED class (a class absent from the train
+    * split cannot be predicted, structurally, in both engines).
+    *
+    * Scale: tokT/cnt/cls are map-side combinable counts over the train
+    * split; the class frame and the 1-row vocab/doc totals broadcast
+    * (allowlisted tiny-side BNLJ, the n28 corpus-total pattern); the
+    * only O(corpus) shuffle is apply-tokens ⋈ conditionals on
+    * (label, tok) — vocabulary-keyed, the same key distribution as
+    * n28's unigram join. */
+  def nbScores(train: DataFrame, apply: DataFrame): DataFrame = {
+    val tokT = train.select(col(LabelCol), explode(split(col("text"), " ")).as("tok"))
+    val cls = tokT.groupBy(LabelCol).agg(count(lit(1)).as("n_tok"))
+    val vocab = tokT.agg(countDistinct(col("tok")).as("v"))
+    val pri = train.groupBy(LabelCol).agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("nd_tot"))))
+      .select(col(LabelCol),
+        log(col("nd").cast("double") / col("nd_tot"))
+          .cast("decimal(25,6)").cast("double").as("lp"))
+    val cnt = tokT.groupBy(LabelCol, "tok").agg(count(lit(1)).as("c"))
+    val tokS = apply
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val pairs = tokS
+      .crossJoin(broadcast(cls))
+      .join(cnt, Seq(LabelCol, "tok"), "left")
+      .withColumn("cc", coalesce(col("c"), lit(0L)))
+    val ll = pairs.crossJoin(broadcast(vocab))
+      .groupBy("doc_id", LabelCol)
+      .agg(dsum(col("tf") *
+        log((col("cc").cast("double") + 1d) / (col("n_tok") + col("v"))))
+        .as("tok_ll"))
+    ll.join(broadcast(pri), Seq(LabelCol))
+      .select(col("doc_id"), col(LabelCol), (col("tok_ll") + col("lp")).as("score"))
+  }
+
+  /** The DuckDB twin of [[nbScores]] as a WITH-chain fragment ending in
+    * `scored(doc_id, label, score)`. `labelExpr`/`trainWhere`/
+    * `applyWhere` parameterize the label and the split exactly like the
+    * Scala side. */
+  private def nbChainSql(labelExpr: String, trainWhere: String,
+      applyWhere: String): String =
+    s"""lab AS (SELECT doc_id, $labelExpr AS label, text
+       |        FROM documents WHERE $trainWhere),
+       |app AS (SELECT doc_id, text FROM documents WHERE $applyWhere),
+       |tokt AS (SELECT label, unnest(string_split(text, ' ')) AS tok FROM lab),
+       |cls AS (SELECT label, CAST(count(*) AS BIGINT) AS n_tok
+       |        FROM tokt GROUP BY label),
+       |vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tokt),
+       |pri AS (SELECT label,
+       |               CAST(CAST(ln(CAST(count(*) AS DOUBLE) /
+       |                    (SELECT count(*) FROM lab)) AS DECIMAL(25,6))
+       |                    AS DOUBLE) AS lp
+       |        FROM lab GROUP BY label),
+       |cnt AS (SELECT label, tok, CAST(count(*) AS BIGINT) AS c
+       |        FROM tokt GROUP BY label, tok),
+       |toks AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |               FROM app)
+       |         GROUP BY doc_id, tok),
+       |pairs AS (SELECT s.doc_id, s.tf, k.label, k.n_tok,
+       |                 COALESCE(n.c, 0) AS cc
+       |          FROM toks s CROSS JOIN cls k
+       |          LEFT JOIN cnt n ON n.label = k.label AND n.tok = s.tok),
+       |ll AS (SELECT p.doc_id, p.label,
+       |              ${dsumSql("p.tf * ln((CAST(p.cc AS DOUBLE) + 1) / (p.n_tok + v.v))")} AS tok_ll
+       |       FROM pairs p CROSS JOIN vocab v
+       |       GROUP BY p.doc_id, p.label),
+       |scored AS (SELECT doc_id, ll.label, tok_ll + lp AS score
+       |           FROM ll JOIN pri ON pri.label = ll.label)""".stripMargin
+
+  /** n67: supervised NB language classifier — train on even doc_ids
+    * (label = lang), predict the odd half. The learned companion to the
+    * n23 heuristic lang-id: same task, model induced from the corpus's
+    * own held-in half instead of hand-picked marker tokens. Output is
+    * one row per test doc: true label, argmax prediction, winning
+    * log-score. NOTE: the harness corpus draws every lang's text from
+    * one shared 31-token vocabulary (lang is metadata-random), so
+    * accuracy ≈ chance HERE is the correct answer; ClassifierSpec
+    * proves the learner itself on planted-signal data (disjoint marker
+    * vocabularies → perfect held-out accuracy). */
+  val nbLang: Q = Q(
+    "n67_nb_lang",
+    s"""WITH ${nbChainSql("lang", "doc_id % 2 = 0", "doc_id % 2 = 1")},
+       |ranked AS (SELECT doc_id, label, score,
+       |                  row_number() OVER (PARTITION BY doc_id
+       |                                     ORDER BY score DESC, label) AS rn
+       |           FROM scored)
+       |SELECT r.doc_id, d.lang AS true_lang, r.label AS pred_lang, r.score
+       |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+       |WHERE r.rn = 1
+       |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val train = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("lang").as(LabelCol), col("text"))
+    val test = docs.filter(col("doc_id") % 2 === 1)
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col(LabelCol))
+    nbScores(train, test)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(test.select(col("doc_id"), col("lang").as("true_lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("true_lang"),
+        col(LabelCol).as("pred_lang"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** The n47 Gopher conjunction as a DuckDB predicate over a
+    * `string_split(text, ' ')` list `w` — kept textually in sync with
+    * TextAnalysis.gopher's twin (PropsSpec pins the Scala side;
+    * ClassifierSpec pins this fragment against n47's passes column). */
+  private def gopherPassSql(w: String): String =
+    s"((len($w) BETWEEN 50 AND 100000)" +
+      s" AND (CAST(list_sum(list_transform($w, x -> length(x))) AS DOUBLE)" +
+      s" / len($w) BETWEEN 3.0 AND 10.0)" +
+      s" AND len(list_filter($w, x -> x = 'the' OR x = 'a' OR x = 'of'" +
+      s" OR x = 'and' OR x = 'in')) >= 2" +
+      s" AND CAST(len(list_distinct($w)) AS DOUBLE) / len($w) >= 0.3" +
+      s" AND CAST(len(list_filter($w, x -> regexp_matches(x, '[A-Za-z]')))" +
+      s" AS DOUBLE) / len($w) >= 0.8)"
+
+  /** n68: weak-supervision quality classifier — the classifier-
+    * bootstrap chain every modern curation pipeline runs. The n47 rule
+    * gate labels the even half pass/fail (no human labels anywhere),
+    * NB distills those rules into a token model, and the model scores
+    * EVERY document with a pass-vs-fail log-odds. The payoff over the
+    * rules themselves: a continuous score (rankable, thresholdable at
+    * any retention budget) and generalization — a doc failing one rule
+    * by a hair but reading like a pass can recover, which is exactly
+    * what FineWeb-style pipelines want from the learned stage. Output:
+    * (doc_id, weak_pass = the rule gate's own verdict, nb_logodds,
+    * nb_pass) for the full corpus, so the entry doubles as the
+    * rules-vs-model agreement audit. */
+  val nbWeakQuality: Q = Q(
+    "n68_weak_quality",
+    s"""WITH ${nbChainSql(
+        s"CASE WHEN ${gopherPassSql("string_split(text, ' ')")} THEN 'pass' ELSE 'fail' END",
+        "doc_id % 2 = 0", "TRUE")},
+       |wide AS (SELECT doc_id,
+       |                max(CASE WHEN label = 'pass' THEN score END) AS s_pass,
+       |                max(CASE WHEN label = 'fail' THEN score END) AS s_fail
+       |         FROM scored GROUP BY doc_id)
+       |SELECT w.doc_id,
+       |       ${gopherPassSql("string_split(d.text, ' ')")} AS weak_pass,
+       |       w.s_pass - w.s_fail AS nb_logodds,
+       |       w.s_pass > w.s_fail AS nb_pass
+       |FROM wide w JOIN documents d ON d.doc_id = w.doc_id
+       |ORDER BY w.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val train = docs.filter(col("doc_id") % 2 === 0)
+      .select(when(TextAnalysis.gopherPass(col("text")), "pass")
+        .otherwise("fail").as(LabelCol), col("text"))
+    nbScores(train, docs)
+      .groupBy("doc_id")
+      .agg(max(when(col(LabelCol) === "pass", col("score"))).as("s_pass"),
+        max(when(col(LabelCol) === "fail", col("score"))).as("s_fail"))
+      .join(docs.select(col("doc_id"),
+        TextAnalysis.gopherPass(col("text")).as("weak_pass")), Seq("doc_id"))
+      .select(col("doc_id"), col("weak_pass"),
+        (col("s_pass") - col("s_fail")).as("nb_logodds"),
+        (col("s_pass") > col("s_fail")).as("nb_pass"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(nbLang, nbWeakQuality)
+}
