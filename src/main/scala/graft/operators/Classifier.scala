@@ -166,6 +166,15 @@ object Classifier {
       s" AND CAST(len(list_filter($w, x -> regexp_matches(x, '[A-Za-z]')))" +
       s" AS DOUBLE) / len($w) >= 0.8)"
 
+  /** The n47 gate as a pass/fail label expression — the weak-label
+    * source shared by n68 and st09 (SQL twin: [[weakLabelSql]]). */
+  def weakLabeledTrain(docs: DataFrame): DataFrame =
+    docs.select(when(TextAnalysis.gopherPass(col("text")), "pass")
+      .otherwise("fail").as(LabelCol), col("text"))
+
+  private[graft] def weakLabelSql: String =
+    s"CASE WHEN ${gopherPassSql("string_split(text, ' ')")} THEN 'pass' ELSE 'fail' END"
+
   /** n68: weak-supervision quality classifier — the classifier-
     * bootstrap chain every modern curation pipeline runs. The n47 rule
     * gate labels the even half pass/fail (no human labels anywhere),
@@ -180,9 +189,7 @@ object Classifier {
     * rules-vs-model agreement audit. */
   val nbWeakQuality: Q = Q(
     "n68_weak_quality",
-    s"""WITH ${nbChainSql(
-        s"CASE WHEN ${gopherPassSql("string_split(text, ' ')")} THEN 'pass' ELSE 'fail' END",
-        "doc_id % 2 = 0", "TRUE")},
+    s"""WITH ${nbChainSql(weakLabelSql, "doc_id % 2 = 0", "TRUE")},
        |wide AS (SELECT doc_id,
        |                max(CASE WHEN label = 'pass' THEN score END) AS s_pass,
        |                max(CASE WHEN label = 'fail' THEN score END) AS s_fail
@@ -194,9 +201,7 @@ object Classifier {
        |FROM wide w JOIN documents d ON d.doc_id = w.doc_id
        |ORDER BY w.doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir).documents
-    val train = docs.filter(col("doc_id") % 2 === 0)
-      .select(when(TextAnalysis.gopherPass(col("text")), "pass")
-        .otherwise("fail").as(LabelCol), col("text"))
+    val train = weakLabeledTrain(docs.filter(col("doc_id") % 2 === 0))
     nbScores(train, docs)
       .groupBy("doc_id")
       .agg(max(when(col(LabelCol) === "pass", col("score"))).as("s_pass"),
@@ -208,6 +213,105 @@ object Classifier {
         (col("s_pass") > col("s_fail")).as("nb_pass"))
       .orderBy("doc_id")
   }
+
+  // ---------------------------------------------------------------------
+  // Binary log-odds model — the SERVING form of n68's classifier.
+  // ---------------------------------------------------------------------
+
+  /** The binary NB model collapsed to its serving form: one log-odds
+    * number per vocabulary token (lo = ln p(tok|pass) − ln p(tok|fail))
+    * plus a 1-row constants frame (prior log-odds, OOV log-odds). This
+    * is what a deployment ships: scoring a document is then prior_lo +
+    * Σ_occurrence lo — a left join against the vocabulary-sized token
+    * table and one sum, no per-class fan-out at inference time. Both
+    * frames are pure aggregations of the train split (no collect), so
+    * the model "artifact" is itself a DataFrame that can be persisted
+    * like any index. `train` needs (label ∈ {pass,fail}, text). */
+  def binaryLogOddsModel(train: DataFrame): (DataFrame, DataFrame) = {
+    val tokT = train.select(col(LabelCol), explode(split(col("text"), " ")).as("tok"))
+    val totals = tokT.agg(
+      sum(when(col(LabelCol) === "pass", 1L).otherwise(0L)).as("n_pass"),
+      sum(when(col(LabelCol) === "fail", 1L).otherwise(0L)).as("n_fail"),
+      countDistinct(col("tok")).as("v"))
+    val cnt = tokT.groupBy("tok").agg(
+      sum(when(col(LabelCol) === "pass", 1L).otherwise(0L)).as("c_pass"),
+      sum(when(col(LabelCol) === "fail", 1L).otherwise(0L)).as("c_fail"))
+    val tokLo = cnt.crossJoin(broadcast(totals)).select(col("tok"),
+      (log((col("c_pass").cast("double") + 1d) / (col("n_pass") + col("v"))) -
+        log((col("c_fail").cast("double") + 1d) / (col("n_fail") + col("v"))))
+        .as("lo"))
+    val docTot = train.agg(
+      sum(when(col(LabelCol) === "pass", 1L).otherwise(0L)).as("d_pass"),
+      sum(when(col(LabelCol) === "fail", 1L).otherwise(0L)).as("d_fail"))
+    val consts = totals.crossJoin(docTot).select(
+      (log(col("d_pass").cast("double") / (col("d_pass") + col("d_fail"))) -
+        log(col("d_fail").cast("double") / (col("d_pass") + col("d_fail"))))
+        .cast("decimal(25,6)").cast("double").as("prior_lo"),
+      (log(lit(1d) / (col("n_pass") + col("v"))) -
+        log(lit(1d) / (col("n_fail") + col("v")))).as("oov_lo"))
+    (tokLo, consts)
+  }
+
+  /** Score `docs` under a frozen [[binaryLogOddsModel]]: per-document
+    * log-odds = prior_lo + Σ per-OCCURRENCE term (each occurrence's lo
+    * — or oov_lo for unseen tokens — DECIMAL-cast into the sum, so the
+    * streaming and batch lanes and the DuckDB twin all add the exact
+    * same rounded terms in any order). `extraGroup` carries the
+    * event-time column through the aggregation for the watermarked
+    * streaming lane; batch callers pass none. The consts frame attaches
+    * via a 1-row broadcast EQUI-join (a literal key, not a cross join)
+    * so the same code drives a streaming plan, where stream-static
+    * cross joins are unsupported. */
+  def logOddsScores(tokLo: DataFrame, consts: DataFrame, docs: DataFrame,
+      extraGroup: Seq[String] = Nil): DataFrame = {
+    val occ = docs.select(
+      col("doc_id") +: extraGroup.map(col) :+
+        explode(split(col("text"), " ")).as("tok"): _*)
+    val groups = (extraGroup :+ "doc_id").map(col) :+ col("prior_lo")
+    occ
+      .join(broadcast(tokLo), Seq("tok"), "left")
+      .withColumn("__one", lit(1))
+      .join(broadcast(consts.withColumn("__one", lit(1))), Seq("__one"))
+      .groupBy(groups: _*)
+      .agg(dsum(coalesce(col("lo"), col("oov_lo"))).as("tok_lo"))
+      .select(col("doc_id") +: extraGroup.map(col) :+
+        (col("prior_lo") + col("tok_lo")).as("logodds"): _*)
+  }
+
+  /** The [[nbChainSql]]-style DuckDB twin of [[binaryLogOddsModel]] +
+    * [[logOddsScores]] as a WITH-fragment ending in
+    * `sc(doc_id, logodds)` over every document. */
+  private[graft] def logOddsChainSql(labelExpr: String,
+      trainWhere: String): String =
+    s"""lab AS (SELECT doc_id, $labelExpr AS label, text
+       |        FROM documents WHERE $trainWhere),
+       |tokt AS (SELECT label, unnest(string_split(text, ' ')) AS tok FROM lab),
+       |tots AS (SELECT CAST(sum(CASE WHEN label = 'pass' THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |                CAST(sum(CASE WHEN label = 'fail' THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+       |                CAST(count(DISTINCT tok) AS BIGINT) AS v
+       |         FROM tokt),
+       |cnt AS (SELECT tok,
+       |               CAST(sum(CASE WHEN label = 'pass' THEN 1 ELSE 0 END) AS BIGINT) AS c_pass,
+       |               CAST(sum(CASE WHEN label = 'fail' THEN 1 ELSE 0 END) AS BIGINT) AS c_fail
+       |        FROM tokt GROUP BY tok),
+       |toklo AS (SELECT tok,
+       |                 ln((CAST(c_pass AS DOUBLE) + 1) / (n_pass + v)) -
+       |                 ln((CAST(c_fail AS DOUBLE) + 1) / (n_fail + v)) AS lo
+       |          FROM cnt CROSS JOIN tots),
+       |dts AS (SELECT CAST(sum(CASE WHEN label = 'pass' THEN 1 ELSE 0 END) AS BIGINT) AS d_pass,
+       |               CAST(sum(CASE WHEN label = 'fail' THEN 1 ELSE 0 END) AS BIGINT) AS d_fail
+       |        FROM lab),
+       |consts AS (SELECT CAST(CAST(ln(CAST(d_pass AS DOUBLE) / (d_pass + d_fail)) -
+       |                            ln(CAST(d_fail AS DOUBLE) / (d_pass + d_fail))
+       |                       AS DECIMAL(25,6)) AS DOUBLE) AS prior_lo,
+       |                  ln(1.0 / (n_pass + v)) - ln(1.0 / (n_fail + v)) AS oov_lo
+       |           FROM tots CROSS JOIN dts),
+       |occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |terms AS (SELECT o.doc_id, COALESCE(t.lo, c.oov_lo) AS t, c.prior_lo
+       |          FROM occ o LEFT JOIN toklo t ON t.tok = o.tok
+       |          CROSS JOIN consts c),
+       |sc AS (SELECT doc_id, prior_lo + ${dsumSql("t")} AS logodds
+       |       FROM terms GROUP BY doc_id, prior_lo)""".stripMargin
 
   val all: Seq[Q] = Seq(nbLang, nbWeakQuality)
 }

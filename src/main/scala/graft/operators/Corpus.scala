@@ -401,6 +401,48 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Sqrt-scaled per-source cap — head-domain suppression, the
+    * CommonCrawl-pipeline guard against a handful of mega-domains
+    * dominating the training mix: each source keeps at most
+    * ⌈√n_source⌉ documents, so representation grows SUBLINEARLY in
+    * domain size (a 10⁶-doc domain keeps 10³, a 100-doc domain keeps
+    * 10 — the long tail survives, the head is suppressed). Priority
+    * inside a source is deterministic and quality-shaped: longest
+    * documents first (n_chars DESC, doc_id tiebreak). sqrt/ceil are
+    * IEEE-correctly-rounded in both engines, so the cap boundary is
+    * bit-identical. Scale shape: one count-over-source and one
+    * rank-over-source window — parallelism is the source count; a
+    * pathological single mega-source serializes its own partition's
+    * sort, at which point the n10h heap-aggregation path is the
+    * documented fallback (PERF.md). */
+  val sourceCap: Q = Q(
+    "n69_source_cap",
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY n_chars DESC, doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY source) AS n_source
+      |  FROM documents)
+      |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk,
+      |       CAST(n_source AS BIGINT) AS n_source,
+      |       CAST(ceil(sqrt(CAST(n_source AS DOUBLE))) AS BIGINT) AS cap
+      |FROM ranked
+      |WHERE rk <= ceil(sqrt(CAST(n_source AS DOUBLE)))
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("n_source", count(lit(1)).over(wAll))
+      .withColumn("cap", ceil(sqrt(col("n_source").cast("double"))))
+      .filter(col("rk") <= col("cap"))
+      .select(col("doc_id"), col("source"), col("rk"),
+        col("n_source").cast("long").as("n_source"), col("cap"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic resampling to a TARGET DOMAIN MIXTURE — the
     * training-mix assembler: given integer mixture parts per key
     * (e.g. en:3, de:1, …), keep the largest corpus whose composition
@@ -463,5 +505,5 @@ object Corpus {
   }
 
   val all: Seq[Q] = Seq(dupClusters, contamination, stratifiedSample,
-    seqPack, clusterReps, incrementalClusters, mixture)
+    seqPack, clusterReps, incrementalClusters, mixture, sourceCap)
 }

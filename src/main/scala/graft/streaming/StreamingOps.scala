@@ -88,6 +88,30 @@ object StreamingOps {
       docs.filter(graft.operators.TextAnalysis.gopherPass(col("text"))),
       watermark)
 
+  /** Streaming LEARNED-quality gate: score each arriving document
+    * under a FROZEN binary NB model (the n68 classifier collapsed to
+    * its serving form by [[graft.operators.Classifier
+    * .binaryLogOddsModel]]) and keep docs whose pass/fail log-odds is
+    * positive. st07's learned companion — rules gate on arrival there,
+    * distilled model here; a deployment runs both, rules first (free),
+    * model second (one broadcast join + one bounded agg).
+    *
+    * Scale/semantics: the model frames are STATIC and broadcast (the
+    * production fastText shape — vocabulary-bounded by construction);
+    * per-doc scoring aggregates exploded token terms grouped by
+    * (event time, doc_id) under the watermark, so streaming state is
+    * bounded by the watermark horizon and emission is append-mode
+    * final — a doc's score never restates. st09 is the DuckDB-oracled
+    * batch twin; StreamingSpec proves stream == twin. */
+  def classifierGatedIngest(docs: DataFrame, train: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val (tokLo, consts) = graft.operators.Classifier.binaryLogOddsModel(train)
+    graft.operators.Classifier.logOddsScores(tokLo, consts,
+        docs.withWatermark("ts", watermark), extraGroup = Seq("ts"))
+      .filter(col("logodds") > 0)
+      .select("doc_id", "logodds")
+  }
+
   /** Handle for the streaming near-dup slice: the running survivor
     * query plus an on-demand batch view of near-dup pairs over
     * everything survived so far. */

@@ -318,6 +318,32 @@ object WindowedAggs {
       .orderBy("wstart_ms", "segment")
   }
 
+  /** Batch twin of [[StreamingOps.classifierGatedIngest]] — st07's
+    * learned companion: where st07 gates arrivals on the n47 RULES,
+    * st09 gates them on the distilled MODEL (n68's classifier in its
+    * serving form — a per-token log-odds table + two constants). The
+    * twin restates the whole chain — weak labels on the even half,
+    * model collapse, per-occurrence scoring with OOV fallback, the
+    * log-odds > 0 gate — so DuckDB hash-checks model training AND the
+    * gate decision; StreamingSpec proves the MemoryStream run emits
+    * exactly this (doc_id, logodds) set. */
+  val classifierGateTwin: Q = Q(
+    "st09_stream_classifier_gate",
+    s"""WITH ${graft.operators.Classifier.logOddsChainSql(
+          graft.operators.Classifier.weakLabelSql, "doc_id % 2 = 0")}
+       |SELECT doc_id, logodds FROM sc WHERE logodds > 0
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val train = graft.operators.Classifier.weakLabeledTrain(
+      docs.filter(col("doc_id") % 2 === 0))
+    val (tokLo, consts) = graft.operators.Classifier.binaryLogOddsModel(train)
+    graft.operators.Classifier.logOddsScores(tokLo, consts, docs)
+      .filter(col("logodds") > 0)
+      .select("doc_id", "logodds")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
-    streamNearDup, indexedIngestTwin, qualityGateTwin, streamEnrichTwin)
+    streamNearDup, indexedIngestTwin, qualityGateTwin, streamEnrichTwin,
+    classifierGateTwin)
 }

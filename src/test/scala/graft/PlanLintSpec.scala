@@ -29,6 +29,7 @@ class PlanLintSpec extends SparkSpec {
     "n50_tfidf_topterms",   // 1-row corpus-count broadcast (n28's pattern)
     "n67_nb_lang",          // class-frame (5-row) + 1-row vocab/total broadcasts
     "n68_weak_quality",     // 2-class frame + 1-row vocab/total broadcasts
+    "st09_stream_classifier_gate", // 1-row model-constant broadcasts (n68's model)
     "x05_date_spine",       // 31-row generated spine
     "a04_small_qty",        // correlated scalar per-part (broadcast agg)
     "a14_market_share",     // tiny nation-share cross

@@ -541,4 +541,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Set(1L, 5L))
     assert(twin == streamed)
   }
+
+  test("streaming classifier gate equals its batch twin (st09)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // model trained on the sf0.001 even half (exactly st09's model);
+    // the stream carries a mix of harness docs — scored under the
+    // FROZEN model, emitted iff log-odds > 0
+    val docs = Tables(spark, sf0001).documents
+    val train = graft.operators.Classifier.weakLabeledTrain(
+      docs.filter(col("doc_id") % 2 === 0))
+    val streamRows = docs.filter(col("doc_id") < 40)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), ts("2024-01-01 10:00:00"), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.classifierGatedIngest(stream, train, "1 hour")
+      .writeStream.format("memory").queryName("cgate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(streamRows)
+      // advance the watermark past the batch so append mode emits
+      input.addData(Seq((-1L, ts("2024-01-02 00:00:00"), "tick")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cgate")
+      .filter(col("doc_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // batch twin: the st09 catalog build restricted to the same docs
+    val (tokLo, consts) = graft.operators.Classifier.binaryLogOddsModel(train)
+    val twin = graft.operators.Classifier
+      .logOddsScores(tokLo, consts, docs.filter(col("doc_id") < 40))
+      .filter(col("logodds") > 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamed.nonEmpty, "gate should pass at least one doc")
+    assert(streamed == twin)
+  }
 }
