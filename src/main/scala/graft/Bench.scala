@@ -45,6 +45,15 @@ import java.nio.file.{Files, Paths}
   * section (reference total over the shared queries + which queries
   * stayed over-ratio) so a contended total is attributable per query
   * without re-measurement.
+  * Round-6 hardening (VERDICT_r05 #1/#5 + ADVICE): the retime trigger is
+  * per-query — entries whose quiet reference exceeds ~1 s retime at 1.5x
+  * (their absolute inflation distorts the total; st06 sat at 2.5x = ~11 s
+  * of contention under the old uniform 3.0x), cheap entries keep 3.0x.
+  * The ratchet MERGES into the stored sf section instead of replacing it
+  * (a transiently-failed query keeps its committed reference), upward
+  * accepts require per-query evidence (quiet canary, or fresh retime
+  * samples with tight spread), and every changed value records
+  * provenance under "_prov" (run id + load + drift at write time).
   * Cache semantics are explicit: the dedup/cluster session memoizers
   * deliberately persist across queries AND reps (that is the library's
   * production shape — n03 builds the shingle index once, n04/n05 reuse
@@ -61,10 +70,22 @@ object Bench {
     val cold = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json")
     val refRatio = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF_RATIO", "3.0").toDouble
+    // Round-6 (VERDICT_r05 #1): a 3.0x trigger let st06 sit at 2.5x its
+    // quiet reference (~11 s of pure host contention, 20% of the record)
+    // without a retime. Entries whose quiet cost exceeds ~1 s now retime
+    // at 1.5x — their absolute inflation is what distorts the total —
+    // while cheap entries keep 3.0x (retiming them costs more than the
+    // noise they can contribute).
+    val refRatioHeavy = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF_RATIO_HEAVY", "1.5").toDouble
+    val heavyRefSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF_HEAVY_SEC", "1.0").toDouble
+    def ratioFor(refSec: Double): Double = if (refSec > heavyRefSec) refRatioHeavy else refRatio
     val sfBase = new java.io.File(sfDir).getName
-    // BENCH_REF.json: {"<sf dir name>": {"<query>": quiet-min-seconds}}.
+    // BENCH_REF.json: {"<sf dir name>": {"<query>": quiet-min-seconds},
+    // "_prov": {"<sf>": {"<query>": {"run":…,"load":…,"drift":…}}}}.
+    // Top-level keys starting with "_" are metadata, not sf sections.
     // Jackson ships with Spark; parse failures degrade to "no refs"
     // (the gate just doesn't fire), never to a crashed bench.
+    var provRaw: Map[String, Map[String, String]] = Map.empty
     val allRefs: Map[String, Map[String, Double]] =
       try {
         val p = Paths.get(refPath)
@@ -74,11 +95,23 @@ object Bench {
           val root = om.readTree(Files.readString(p))
           val out = scala.collection.mutable.Map[String, Map[String, Double]]()
           root.fields().forEachRemaining { sfe =>
-            val qs = scala.collection.mutable.Map[String, Double]()
-            sfe.getValue.fields().forEachRemaining { qe =>
-              qs(qe.getKey) = qe.getValue.asDouble()
+            if (sfe.getKey == "_prov") {
+              val pv = scala.collection.mutable.Map[String, Map[String, String]]()
+              sfe.getValue.fields().forEachRemaining { pe =>
+                val qs = scala.collection.mutable.Map[String, String]()
+                pe.getValue.fields().forEachRemaining { qe =>
+                  qs(qe.getKey) = qe.getValue.toString
+                }
+                pv(pe.getKey) = qs.toMap
+              }
+              provRaw = pv.toMap
+            } else if (!sfe.getKey.startsWith("_")) {
+              val qs = scala.collection.mutable.Map[String, Double]()
+              sfe.getValue.fields().forEachRemaining { qe =>
+                qs(qe.getKey) = qe.getValue.asDouble()
+              }
+              out(sfe.getKey) = qs.toMap
             }
-            out(sfe.getKey) = qs.toMap
           }
           out.toMap
         }
@@ -118,6 +151,7 @@ object Bench {
       if (cold) {
         operators.Dedup.clearShingleCache(spark)
         operators.Corpus.clearClusterCache(spark)
+        streaming.WindowedAggs.clearIngestCache(spark)
       }
       val t0 = System.nanoTime()
       val ok =
@@ -195,9 +229,9 @@ object Bench {
     // 2 more samples (its min can only drop; if the host quieted since
     // the first pass, the true cost is recovered).
     var refRetimed: Seq[String] = Nil
+    def overRef(name: String, best: Double): Boolean =
+      refs.get(name).exists(r => r > 0 && best > ratioFor(r) * r)
     if (refs.nonEmpty) {
-      def overRef(name: String, best: Double): Boolean =
-        refs.get(name).exists(r => r > 0 && best > refRatio * r)
       val over = results
         .filter { case (name, best, _, ok) => ok && overRef(name, best) }
         .map(_._1).toSet
@@ -225,7 +259,7 @@ object Bench {
     // are real plan-cost changes; on a contended one, the attributable
     // inflation the driver's reader should discount
     val stillOver = results.filter { case (name, best, _, ok) =>
-      ok && refs.get(name).exists(r => r > 0 && best > refRatio * r)
+      ok && overRef(name, best)
     }.map(_._1)
 
     // Quietness for the RATCHET: the canary is a ~0.05-0.1 s spin and
@@ -243,26 +277,57 @@ object Bench {
       stored > 0 && measured <= 1.2 * stored
     }
 
-    // Ratchet the reference file on QUIET runs only: better min -> new
-    // reference; still-over-ratio min -> accept the new plan cost
-    // (measured quiet = trustworthy); queries without a reference get
-    // seeded. Contended runs never touch the file.
+    // Ratchet the reference file on QUIET runs only. Round-6 semantics
+    // (VERDICT_r05 #5 + ADVICE r05):
+    //  - MERGE into the existing sf section (refs ++ updated): a query
+    //    that transiently failed or wasn't measured this run keeps its
+    //    committed reference (round-5 rebuilt the section from this
+    //    run's successes only, silently erasing refs for failed ones).
+    //  - Downward updates (b < r) and seeds (no stored ref) need only
+    //    run-level quietness — a lower min is evidence by construction.
+    //  - UPWARD accepts (b > ratioFor(r)*r, a claimed plan-cost change)
+    //    additionally need per-query evidence: the canary itself quiet,
+    //    or fresh over-ref retime samples with tight spread. Aggregate
+    //    quiet-by-evidence alone would let one canary-wobble-inflated
+    //    small query slip under the total band and overwrite its
+    //    reference permanently.
+    //  - Every changed value records provenance under "_prov" (run id,
+    //    1-min load, canary drift at write time) so a lowered or raised
+    //    reference is always traceable to the sample that produced it.
     if (!contended || quietByEvidence) {
-      val measured = results.filter(_._4).map { case (n, b, _, _) => n -> b }.toMap
-      val updated = measured.map { case (n, b) =>
+      val canaryQuiet = drift >= 0 && drift <= driftMax
+      val sampleByName = results.map { case (n, _, ss, _) => n -> ss }.toMap
+      val measured = results.filter(_._4).map { case (n, b, _, _) => n -> b }
+      val updated = measured.flatMap { case (n, b) =>
         refs.get(n) match {
-          case Some(r) if b >= r && b <= refRatio * r => n -> r
-          case _ => n -> b
+          case Some(r) if b >= r && b <= ratioFor(r) * r => None // within band: keep r
+          case Some(r) if b > ratioFor(r) * r =>
+            val live = sampleByName.getOrElse(n, Nil).filter(_ > 0)
+            val tightFresh = refRetimed.contains(n) && live.size >= 2 && live.max / live.min <= 1.15
+            if (canaryQuiet || tightFresh) Some(n -> b) else None
+          case _ => Some(n -> b) // ratchet down, or seed a new query
         }
-      }
-      if (updated != refs) {
-        val all2 = allRefs + (sfBase -> updated)
-        val body = all2.toSeq.sortBy(_._1).map { case (sf, qs) =>
+      }.toMap
+      if (updated.nonEmpty) {
+        def j(d: Double): String =
+          String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+        val runId = java.time.Instant.now().toString
+        val provEntry =
+          s"""{"run":"$runId","load":${j(loadNow())},"drift":${j(drift)}}"""
+        val mergedRefs = refs ++ updated
+        val mergedProv = provRaw + (sfBase ->
+          (provRaw.getOrElse(sfBase, Map.empty) ++ updated.keys.map(_ -> provEntry)))
+        val all2 = allRefs + (sfBase -> mergedRefs)
+        val sections = all2.toSeq.sortBy(_._1).map { case (sf, qs) =>
           "\"" + sf + "\":" + qs.toSeq.sortBy(_._1)
-            .map { case (q, v) =>
-              "\"" + q + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-            }.mkString("{", ",", "}")
-        }.mkString("{\n", ",\n", "\n}")
+            .map { case (q, v) => "\"" + q + "\":" + j(v) }
+            .mkString("{", ",", "}")
+        } :+ ("\"_prov\":" + mergedProv.toSeq.sortBy(_._1).map { case (sf, qs) =>
+          "\"" + sf + "\":" + qs.toSeq.sortBy(_._1)
+            .map { case (q, v) => "\"" + q + "\":" + v }
+            .mkString("{", ",", "}")
+        }.mkString("{", ",", "}"))
+        val body = sections.mkString("{\n", ",\n", "\n}")
         try Files.writeString(Paths.get(refPath), body + "\n")
         catch { case e: Throwable =>
           System.err.println(s"[bench] could not write $refPath: ${e.getMessage}")
@@ -291,7 +356,7 @@ object Bench {
       .filter { case (n, _, _, ok) => ok && refs.contains(n) }
       .map { case (n, _, _, _) => refs(n) }.sum
     val refJson =
-      s"""{"path":"$refPath","n_refs":${refs.size},"ref_total":${fmt(refTotal)},"ratio_max":${fmt(refRatio)},"quiet_by_evidence":$quietByEvidence,"retimed":${refRetimed.map("\"" + _ + "\"").mkString("[", ",", "]")},"still_over":${stillOver.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s"""{"path":"$refPath","n_refs":${refs.size},"ref_total":${fmt(refTotal)},"ratio_max":${fmt(refRatio)},"ratio_heavy":${fmt(refRatioHeavy)},"heavy_ref_sec":${fmt(heavyRefSec)},"quiet_by_evidence":$quietByEvidence,"retimed":${refRetimed.map("\"" + _ + "\"").mkString("[", ",", "]")},"still_over":${stillOver.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val hostJson =
       s"""{"cpus":${Runtime.getRuntime.availableProcessors},"load":[${fmt(loadStart)},${fmt(loadMid)},${fmt(loadNow())}]}"""
     val line =

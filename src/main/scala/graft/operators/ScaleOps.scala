@@ -112,10 +112,16 @@ object ScaleOps {
   def assertZDomain(df: DataFrame, x: String, y: String): Unit = {
     val row = df.agg(max(col(x)).as("mx"), max(col(y)).as("my")).head()
     val lim = 1L << ZBits
-    val (mx, my) = (row.getAs[Number](0).longValue, row.getAs[Number](1).longValue)
-    require(mx < lim && my < lim,
-      s"z-order keys exceed $ZBits-bit domain: max($x)=$mx, max($y)=$my, " +
-        s"limit=$lim — quantize the keys or widen ZBits")
+    // max() over an empty (or all-null) frame is null: no keys exist to
+    // exceed the domain, so the layout is trivially safe — pass, don't NPE
+    (Option(row.getAs[Number](0)), Option(row.getAs[Number](1))) match {
+      case (Some(mxN), Some(myN)) =>
+        val (mx, my) = (mxN.longValue, myN.longValue)
+        require(mx < lim && my < lim,
+          s"z-order keys exceed $ZBits-bit domain: max($x)=$mx, max($y)=$my, " +
+            s"limit=$lim — quantize the keys or widen ZBits")
+      case _ => ()
+    }
   }
 
   /** Morton (Z-order) interleave of two non-negative keys, x on even

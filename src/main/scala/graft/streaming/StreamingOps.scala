@@ -258,6 +258,13 @@ object StreamingOps {
           .as(Encoders.product[(Long, String, Timestamp)])
 
     val rawProbes = src.flatMap { case (id, text, ts) =>
+      // contract: with retention enabled every doc must carry an event
+      // time — a null ts would leave lastTs at 0, the timeout falls back
+      // to watermark+1, and the bucket is evicted almost immediately (a
+      // silent data-dependent drop). Fail the query loudly instead.
+      require(!withRet || ts != null,
+        s"streamingNearDupPairs: doc_id=$id has null ts but retention is set — " +
+          "event-time retention requires a non-null ts on every document")
       val sh = graft.operators.Dedup.rowShingles(text)
       if (sh.isEmpty) Iterator.empty
       else {

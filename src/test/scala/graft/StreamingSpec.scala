@@ -417,8 +417,13 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val streamed = spark.read.parquet(s"$dir/accepted")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val twin = Catalog.queries("st06_indexed_ingest")(spark, sf0001)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the twin is split across two catalog entries (round 6): the
+    // stream's accepted store must equal st06a ∪ st06b
+    val twin =
+      Catalog.queries("st06a_ingest_batch1")(spark, sf0001)
+        .select("doc_id").collect().map(_.getLong(0)).toSet ++
+      Catalog.queries("st06b_ingest_batch2")(spark, sf0001)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(streamed == twin,
       s"stream-only ${(streamed -- twin).size}, twin-only ${(twin -- streamed).size}")
     assert(streamed.nonEmpty)
