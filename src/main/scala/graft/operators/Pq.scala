@@ -539,5 +539,251 @@ object Pq {
       .orderBy("q_id", "rn")
   }
 
-  val all: Seq[Q] = Seq(pqAdc, ivfPqAdc, ivfPqIndexQ)
+  // ---------------------------------------------------------------------
+  // n62r: RESIDUAL-encoded IVF-PQ — true IVFADC (Jégou et al. 2011 §IV,
+  // VERDICT r05 #2). n62 PQ-encodes raw vectors; IVFADC encodes the
+  // residual x − c(x) of each vector against its coarse centroid. The
+  // residuals of a cell are centered near the origin with far less
+  // spread than the raw corpus, so the SAME 4-byte code budget spends
+  // its K codes on a tighter distribution — that contraction is what
+  // makes coarse-cell + short-code search accurate at scale. The query
+  // side pays for it with PER-CELL distance tables: the query's
+  // residual differs in every probed cell (q − c_cell), so dtab is
+  // keyed (q_id, cell, m, cent_id) — |Q|·nProbe·M·K rows, still a
+  // broadcast (65k rows at production parameters).
+  // ---------------------------------------------------------------------
+
+  /** x − c element-wise, computed in DOUBLE and rounded once to float.
+    * Both engines double-round identically (IEEE round-to-nearest);
+    * a float-precision subtraction could double-round differently in
+    * one engine on far-apart exponents. */
+  private def residualExpr(vec: String, cent: String): Column =
+    expr(s"zip_with($vec, $cent, (a, b) -> " +
+      "CAST(CAST(a AS DOUBLE) - CAST(b AS DOUBLE) AS FLOAT))")
+
+  /** TRAINED coarse quantizer: full-dim Lloyd over the corpus, seeded
+    * by the first `nCells` vec_ids. Residual encoding NEEDS this —
+    * with raw data-point anchors the residual x − c has MORE variance
+    * than x on clusterless data (measured +25 % quantization MSE on
+    * the harness embeddings: the "nearest" of 8 random anchors in
+    * 64-dim is barely closer than a random one, so subtracting it ADDS
+    * noise). With cell-mean centroids the residual variance is the
+    * within-cell variance = total − between-cell, ≤ raw by
+    * construction — the contraction IVFADC's accuracy comes from.
+    * Same determinism rules as [[codebooks]]: (round6(L2²), cell)
+    * assignment ties, decimal-exact means, empty cells keep their
+    * previous centroid. */
+  def coarseCentroids(vecs: DataFrame, nCells: Int = IvfCells,
+      iters: Int = Iters): DataFrame = {
+    var cents = vecs.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val refreshed = vecs.join(assignCoarse(vecs, cents), Seq("vec_id"))
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("col").cast("double").cast("decimal(25,6)")).cast("double") /
+          count(lit(1))).as("mu"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+        .select(col("cell"),
+          transform(col("pm"), s => s.getField("mu")).cast("array<float>").as("cv"))
+      cents = cents.select(col("cell"), col("cv").as("prev"))
+        .join(refreshed, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("cv"), col("prev")).as("cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** The twin's full-dim coarse Lloyd chain: cc0 seeds → casg/ccv/cc
+    * per round → final centroids as `cc`. Mirrors [[coarseCentroids]]
+    * exactly (same tiebreaks, same decimal means, same empty-cell
+    * coalesce). */
+  private def coarseChainSql: String = {
+    def round(r: Int): String =
+      s"""casg$r AS (SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${round6Sql(d2Sql("e.embedding", "c.cv", FullDim))}, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cc${r - 1} c) WHERE rn = 1),
+         |cmm$r AS (SELECT a.cell, d.i,
+         |                CAST(sum(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+         |                  / count(*) AS mu
+         |         FROM casg$r a JOIN embeddings e ON e.vec_id = a.vec_id
+         |         CROSS JOIN (SELECT unnest(generate_series(1, $FullDim)) AS i) d
+         |         GROUP BY 1, 2),
+         |ccv$r AS (SELECT cell, list(CAST(mu AS REAL) ORDER BY i) AS cv
+         |         FROM cmm$r GROUP BY cell),
+         |cc$r AS (SELECT p.cell, coalesce(n.cv, p.cv) AS cv
+         |        FROM cc${r - 1} p LEFT JOIN ccv$r n ON n.cell = p.cell)""".stripMargin
+    s"""cc0 AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+       |        WHERE vec_id IN (SELECT vec_id FROM embeddings
+       |                         ORDER BY vec_id LIMIT $IvfCells)),
+       |${(1 to Iters).map(round).mkString(",\n")},
+       |cc AS (SELECT cell, cv FROM cc$Iters)""".stripMargin
+  }
+
+  /** Residual corpus: (vec_id, embedding = x − anchor(cell(x))). The
+    * output column keeps the name `embedding` so the shared trainer/
+    * encoder ([[codebooks]]/[[encode]]) run on it unchanged. */
+  private def residualVecs(vecs: DataFrame, anchors: DataFrame,
+      asg: DataFrame): DataFrame =
+    vecs.join(asg, Seq("vec_id"))
+      .join(broadcast(anchors), Seq("cell"))
+      .select(col("vec_id"), residualExpr("embedding", "cv").as("embedding"))
+
+  /** IVFADC top-k: coarse cells prune as in n62, but codes quantize
+    * RESIDUALS and each (query, probed cell) gets its own residual
+    * distance table. Same scale shape as n62 — the scan side is still
+    * the 4-byte code table, partition-pruned by cell; the only new
+    * cost is the nProbe× wider (still broadcast) query table. */
+  def ivfPqResidualTopK(vecs: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = IvfCells, nProbe: Int = IvfProbe,
+      kCodes: Int = KProd): DataFrame = {
+    val anchors = coarseCentroids(vecs, nCells)
+    val asg = assignCoarse(vecs, anchors)
+    val res = residualVecs(vecs, anchors, asg)
+    val books = codebooks(res, Iters, kCodes)
+    val codes = encode(res, books)
+    val probes = probeCoarse(queries, anchors, nProbe)
+    // per-(query, probed cell) residual → per-cell distance tables
+    val qres = probes
+      .join(queries.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+      .join(broadcast(anchors), Seq("cell"))
+      .select(col("q_id"), col("cell"), residualExpr("embedding", "cv").as("qr"))
+    val qsub = qres.select(col("q_id"), col("cell"), explode(expr(
+      s"transform(sequence(0, ${M - 1}), " +
+        s"m -> named_struct('m', m, 'sv', slice(qr, m * $SubDim + 1, $SubDim)))"))
+      .as("s"))
+      .select(col("q_id"), col("cell"), col("s.m").as("m"), col("s.sv").as("qs"))
+    val dtab = qsub.join(books, Seq("m"))
+      .select(col("q_id"), col("cell"), col("m"), col("cent_id"),
+        d2(col("qs"), col("cv")).as("d"))
+    val cand = probes.join(asg, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("cell"), col("vec_id"))
+    val withCodes = cand.join(codes, Seq("vec_id"))
+    val perM = withCodes
+      .join(broadcast(dtab
+          .withColumnRenamed("q_id", "__dq").withColumnRenamed("cell", "__dcell")
+          .withColumnRenamed("m", "__dm").withColumnRenamed("cent_id", "__dc")),
+        withCodes("q_id") === col("__dq") && withCodes("cell") === col("__dcell") &&
+          withCodes("m") === col("__dm") && withCodes("code") === col("__dc"))
+      .select(col("q_id"), col("vec_id"), withCodes("m").as("m"), col("d"))
+      .groupBy("q_id", "vec_id")
+      .agg(max(when(col("m") === 0, col("d"))).as("d0"),
+        (1 until M).map(m => max(when(col("m") === m, col("d"))).as(s"d$m")): _*)
+    val adc = round6((0 until M).map(m => col(s"d$m")).reduce(_ + _))
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("nb_id"))
+    perM
+      .select(col("q_id"), col("vec_id").as("nb_id"), adc.as("adc"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** DuckDB residual x − c as a list comprehension — the same
+    * double-subtract-then-float-round as [[residualExpr]]. */
+  private def residualSql(vec: String, cent: String): String =
+    s"list_transform(generate_series(1, $FullDim), " +
+      s"i -> CAST(CAST($vec[i] AS DOUBLE) - CAST($cent[i] AS DOUBLE) AS REAL))"
+
+  private val ivfPqResidualSql: String = {
+    val md = s"(SELECT unnest(generate_series(0, ${M - 1})) AS m) md"
+    s"""WITH $coarseChainSql,
+       |asgc AS (SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${round6Sql(d2Sql("e.embedding", "c.cv", FullDim))}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cc c) WHERE rn = 1),
+       |remb AS (SELECT e.vec_id, ${residualSql("e.embedding", "c.cv")} AS embedding
+       |         FROM embeddings e
+       |         JOIN asgc a ON a.vec_id = e.vec_id
+       |         JOIN cc c ON c.cell = a.cell),
+       |sub AS (SELECT vec_id, md.m,
+       |               list_slice(embedding, md.m * $SubDim + 1,
+       |                          (md.m + 1) * $SubDim) AS sv
+       |        FROM remb CROSS JOIN $md),
+       |tsub AS (SELECT * FROM sub),
+       |c0 AS (SELECT m, vec_id AS cent_id, sv AS cv FROM sub
+       |       WHERE vec_id IN (SELECT vec_id FROM remb ORDER BY vec_id LIMIT $KProd)),
+       |${(1 to Iters).map(roundSql).mkString(",\n")},
+       |codes AS (SELECT vec_id, m, cell AS code FROM (
+       |    SELECT s.vec_id, s.m, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY ${round6Sql(d2Sql("s.sv", "c.cv"))}, c.cent_id) AS rn
+       |    FROM sub s JOIN c$Iters c ON c.m = s.m) WHERE rn = 1),
+       |probes AS (SELECT q_id, cell FROM (
+       |    SELECT e.vec_id AS q_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${round6Sql(d2Sql("e.embedding", "c.cv", FullDim))}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cc c
+       |    WHERE e.vec_id < $NumQueries) WHERE rn <= $IvfProbe),
+       |qres AS (SELECT p.q_id, p.cell, ${residualSql("e.embedding", "c.cv")} AS qr
+       |         FROM probes p
+       |         JOIN embeddings e ON e.vec_id = p.q_id
+       |         JOIN cc c ON c.cell = p.cell),
+       |qsub AS (SELECT q_id, cell, md.m,
+       |                list_slice(qr, md.m * $SubDim + 1,
+       |                           (md.m + 1) * $SubDim) AS qs
+       |         FROM qres CROSS JOIN $md),
+       |dtab AS (SELECT q.q_id, q.cell, q.m, c.cent_id, ${d2Sql("q.qs", "c.cv")} AS d
+       |         FROM qsub q JOIN c$Iters c ON c.m = q.m),
+       |cand AS (SELECT p.q_id, p.cell, a.vec_id FROM probes p
+       |         JOIN asgc a ON a.cell = p.cell
+       |         WHERE a.vec_id <> p.q_id),
+       |adc AS (SELECT cn.q_id, cd.vec_id, $adcSumSql AS adc
+       |        FROM cand cn
+       |        JOIN codes cd ON cd.vec_id = cn.vec_id
+       |        JOIN dtab dt ON dt.m = cd.m AND dt.cent_id = cd.code
+       |                    AND dt.q_id = cn.q_id AND dt.cell = cn.cell
+       |        GROUP BY 1, 2),
+       |ranked AS (SELECT q_id, vec_id AS nb_id, adc,
+       |                  row_number() OVER (PARTITION BY q_id
+       |                                     ORDER BY adc, vec_id) AS rn
+       |           FROM adc)
+       |SELECT q_id, nb_id, adc, CAST(rn AS BIGINT) AS rn
+       |FROM ranked WHERE rn <= $TopK
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** Catalog entry: true IVFADC — coarse anchors, residual corpus,
+    * 256-code Lloyd chain ON RESIDUALS, residual encoding, per-(query,
+    * cell) residual distance tables, cell-restricted ADC — hash-checked
+    * end to end against a twin that regenerates the entire residual
+    * chain. PqSpec proves the property the hash can't state: at equal
+    * bytes, residual codes carry strictly less quantization error than
+    * n62's raw codes, and in-cell recall does not regress. */
+  val ivfPqResidual: Q = Q("n62r_ivf_pq_residual", ivfPqResidualSql) { (s, dir) =>
+    val e = Tables(s, dir).embeddings
+    ivfPqResidualTopK(e, e.filter(col("vec_id") < NumQueries), TopK)
+      .orderBy("q_id", "rn")
+  }
+
+  /** Mean L2² quantization error of `codes` against `books`, where
+    * `truth` holds the vectors the codes claim to represent (raw
+    * corpus for n62, residual corpus for n62r) — the PqSpec comparison
+    * surface for raw-vs-residual at equal bytes. */
+  def quantizationMse(truth: DataFrame, codes: DataFrame,
+      books: DataFrame): Double =
+    codes.join(books.withColumnRenamed("cent_id", "code"), Seq("m", "code"))
+      .join(subVectors(truth), Seq("vec_id", "m"))
+      .agg(avg(d2(col("sv"), col("cv"))))
+      .head().getDouble(0)
+
+  /** The raw/residual training surfaces, exposed for PqSpec's equal-
+    * bytes comparison: (corpus the codes represent, its codebooks). */
+  def rawPqParts(vecs: DataFrame): (DataFrame, DataFrame) = {
+    val books = codebooks(vecs, Iters, KProd)
+    (vecs, books)
+  }
+
+  def residualPqParts(vecs: DataFrame): (DataFrame, DataFrame) = {
+    val anchors = coarseCentroids(vecs)
+    val res = residualVecs(vecs, anchors, assignCoarse(vecs, anchors))
+    val books = codebooks(res, Iters, KProd)
+    (res, books)
+  }
+
+  val all: Seq[Q] = Seq(pqAdc, ivfPqAdc, ivfPqResidual, ivfPqIndexQ)
 }
