@@ -24,14 +24,22 @@ final class Tables(val spark: SparkSession, val dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright; read it as raw nanos (legacy conf) and convert to a µs
-    * TimestampType — DuckDB agrees at µs (FIXTURES.md §A). */
+  /** events.ts arrives as either parquet TIMESTAMP(NANOS) — which Spark's
+    * reader rejects outright, so it is read as raw nanos (legacy conf) and
+    * converted to µs — or, in later harness drops, native TIMESTAMP(MICROS)
+    * that needs only the NTZ cast. Adapt on the RESOLVED schema, not an
+    * assumed one: both shapes normalize to timestamp_ntz at µs, where
+    * DuckDB agrees (FIXTURES.md §A). */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events")
-      .withColumn("ts",
+    val raw = table("events")
+    val tsIsLong = raw.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (tsIsLong)
+      raw.withColumn("ts",
         timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    else
+      raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
