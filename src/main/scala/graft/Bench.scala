@@ -367,6 +367,15 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // Round-7 (VERDICT_r06 #9): /tmp is not durable and the driver's log
+    // tail has truncated the line twice (BENCH_r01/BENCH_r06 "parsed":
+    // null). Persist the full record in-repo so every round snapshot is
+    // self-contained. Skipped only if the repo root isn't writable.
+    val repoOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPO_OUT", "BENCH_LAST.json")
+    try Files.writeString(Paths.get(repoOut), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $repoOut: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -32,6 +32,13 @@ final class Tables(val spark: SparkSession, val dir: String) {
     * DuckDB agrees (FIXTURES.md §A). */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ADVICE r06: the timestamp_ntz cast below reads the LTZ-resolved ts
+    // through the SESSION time zone — a caller that never set it (a new
+    // entry point, a bare spark-shell) would silently shift wall-clock
+    // times if the harness ships TIMESTAMP(MICROS, adjustedToUTC=true).
+    // Pin it here, next to the conf the same read path already requires,
+    // so normalization never depends on caller session config.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table("events")
     val tsIsLong = raw.schema("ts").dataType ==
       org.apache.spark.sql.types.LongType

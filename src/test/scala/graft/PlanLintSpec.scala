@@ -25,6 +25,7 @@ class PlanLintSpec extends SparkSpec {
     "n48_semdedup",         // same 16-centroid broadcast, SemDeDup assignment
     "n66_incremental_semdedup", // same 16-centroid broadcast, incremental screen
     "n62_ivf_pq",           // 8-anchor broadcast coarse assignment/probe
+    "n62r_ivf_pq_residual", // same 8-anchor broadcast, residual-encoded path
     "n64_pq_index",         // same 8-anchor broadcast, persisted-index path
     "n50_tfidf_topterms",   // 1-row corpus-count broadcast (n28's pattern)
     "n67_nb_lang",          // class-frame (5-row) + 1-row vocab/total broadcasts
