@@ -1,60 +1,142 @@
 package graft
 
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, Netpbm}
 import graft.operators.Multimodal.MediaRow
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types._
 
-/** Multimodal binary-column plumbing (stubbed codec). */
+/** Multimodal binary-column plumbing: the REAL PPM codec path
+  * (round 7 — VERDICT_r06 #4) plus the remaining documented video
+  * stub. */
 class MultimodalSpec extends SparkSpec {
 
-  test("decode stub is deterministic and schema is typed") {
-    // library path keeps the typed Array[Float] features column
-    val typed = Multimodal.decodedMedia(spark, sf0001).toDF()
-    assert(typed.schema("features").dataType == ArrayType(FloatType, containsNull = false))
-    // catalog projection flattens features to a lexsortable string
+  // ---- codec unit behavior (no Spark) ----
+
+  private val probe = Netpbm.Image(3, 2, 255,
+    Array[Byte](0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
+
+  test("ppm roundtrip: decode(encode(img)) recovers dims and raster for every header style") {
+    (0L to 6L).foreach { style =>
+      val enc = Netpbm.encodeP6(probe, style)
+      val dec = Netpbm.decodeP6(enc)
+      assert(dec.isRight, s"style $style: $dec")
+      val img = dec.toOption.get
+      assert(img.width == 3 && img.height == 2 && img.maxval == 255)
+      assert(img.raster.sameElements(probe.raster), s"style $style raster")
+    }
+  }
+
+  test("recompression: byte-different encodings of the same image decode identically") {
+    val a = Netpbm.encodeP6(probe, style = 0)
+    val b = Netpbm.encodeP6(probe, style = 1)
+    assert(!a.sameElements(b), "styles must change the file bytes")
+    val da = Netpbm.decodeP6(a).toOption.get
+    val db = Netpbm.decodeP6(b).toOption.get
+    assert(da.raster.sameElements(db.raster))
+    assert(Netpbm.whtPhash(Netpbm.luma8x8(da)) == Netpbm.whtPhash(Netpbm.luma8x8(db)))
+  }
+
+  test("parser handles comments and mixed whitespace; rejects malformed input") {
+    val hand = ("P6 # trailing comment\n# full comment line\n  3\t2 # dims done\n255\n")
+      .getBytes("US-ASCII") ++ probe.raster
+    val dec = Netpbm.decodeP6(hand)
+    assert(dec.isRight, s"hand-built header must parse: $dec")
+    assert(dec.toOption.get.raster.sameElements(probe.raster))
+
+    assert(Netpbm.decodeP6("P5 3 2 255 ".getBytes ++ probe.raster).isLeft, "bad magic")
+    assert(Netpbm.decodeP6("P6 3 2 255\n".getBytes ++ probe.raster.take(10)).isLeft, "truncated raster")
+    assert(Netpbm.decodeP6("P6 3 2\n".getBytes).isLeft, "missing maxval")
+    assert(Netpbm.decodeP6("P6 3 2 70000\n".getBytes ++ probe.raster).isLeft, "2-byte maxval unsupported")
+    assert(Netpbm.decodeP6("P6 0 2 255\n".getBytes).isLeft, "zero width")
+  }
+
+  test("phash robustness: single-pixel perturbation stays within small hamming distance") {
+    val img = Multimodal.renderRaster("the quick brown fox jumps over the lazy dog, twice over")
+    val base = Netpbm.whtPhash(Netpbm.luma8x8(img))
+    val perturbed = img.raster.clone()
+    perturbed(7) = (perturbed(7) ^ 0x1f).toByte
+    val ph2 = Netpbm.whtPhash(Netpbm.luma8x8(Netpbm.Image(img.width, img.height, 255, perturbed)))
+    val hamming = java.lang.Long.bitCount(base ^ ph2)
+    assert(hamming <= 3, s"one perturbed pixel flipped $hamming of 16 bits")
+    // while a structurally different image lands far away
+    val other = Multimodal.renderRaster("AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA")
+    val ph3 = Netpbm.whtPhash(Netpbm.luma8x8(other))
+    assert(java.lang.Long.bitCount(base ^ ph3) > 3)
+  }
+
+  // ---- Spark-side real decode path ----
+
+  test("real decode is deterministic, typed, and covers the corpus") {
     val df = Catalog.queries("n31_media_decode")(spark, sf0001)
-    assert(df.schema("features").dataType == StringType)
-    assert(!df.schema.fieldNames.contains("media")) // payload not in output
     val a = df.collect()
     val b = Catalog.queries("n31_media_decode")(spark, sf0001).collect()
     assert(a.sameElements(b))
     assert(a.length == 500)
     a.foreach { r =>
-      assert(r.getAs[String]("features").split(";").length == 8)
-      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 640)
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      assert(w >= 8 && w <= 31 && h >= 8 && h <= 25)
+      assert(r.getAs[Long]("n_bytes") == w.toLong * h * 3)
+      val means = Seq("mean_r", "mean_g", "mean_b").map(r.getAs[Long])
+      assert(means.forall(m => m >= 0 && m <= 255))
     }
   }
 
-  test("stub codec: checksum distinguishes different payloads") {
-    val x = Multimodal.decodeStub(MediaRow(1, "hello world".getBytes, "image/fake"))
-    val y = Multimodal.decodeStub(MediaRow(1, "hello worlе".getBytes, "image/fake"))
-    assert(x.checksum != y.checksum)
-    assert(x.n_bytes == 11)
-    val x2 = Multimodal.decodeStub(MediaRow(1, "hello world".getBytes, "image/fake"))
-    assert(x.checksum == x2.checksum && x.features.sameElements(x2.features))
+  test("decoded dims agree with the n30 metadata formula (w = n%24+8, h = 7n%18+8)") {
+    val meta = Catalog.queries("n30_media_meta")(spark, sf0001)
+      .select("doc_id", "n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val decoded = Catalog.queries("n31_media_decode")(spark, sf0001)
+      .select("doc_id", "width", "height").collect()
+    decoded.foreach { r =>
+      val n = meta(r.getLong(0))
+      assert(r.getAs[Int]("width") == (n % 24 + 8).toInt)
+      assert(r.getAs[Int]("height") == ((n * 7) % 18 + 8).toInt)
+    }
   }
 
-  test("resize stub: fixed target box, content-dependent checksum") {
+  test("real resize: fixed 16x16 box, content-dependent checksum, matches direct resample") {
     val out = Catalog.queries("n32_media_resize")(spark, sf0001).collect()
     assert(out.length == 500)
-    assert(out.forall(r => r.getAs[Int]("width") == 224 && r.getAs[Int]("height") == 224))
+    assert(out.forall(r => r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 16))
     assert(out.map(_.getAs[Long]("checksum")).distinct.length > 400)
+    // spot-check one row against a direct in-memory resample
+    val docs = Tables(spark, sf0001).documents
+      .select("doc_id", "text").filter(col("doc_id") === out.head.getAs[Long]("doc_id"))
+      .collect()
+    val img = Multimodal.renderRaster(docs.head.getString(1))
+    val expect = Netpbm.checksum(Netpbm.resizeNearest(img, 16, 16).raster)
+    assert(out.head.getAs[Long]("checksum") == expect)
   }
 
-  test("frame sampling: only video rows emit frames, bounded per doc") {
+  test("frame sampling (stub video path): only video rows emit frames, bounded per doc") {
     val frames = Catalog.queries("n33_media_frames")(spark, sf0001).collect()
     assert(frames.nonEmpty)
-    // mime mix assigns video to doc_id % 3 == 1
     assert(frames.forall(_.getAs[Long]("doc_id") % 3 == 1))
     val perDoc = frames.groupBy(_.getAs[Long]("doc_id")).values.map(_.length)
     assert(perDoc.forall(n => n >= 1 && n <= 4))
     assert(frames.forall(_.getAs[Int]("frame_idx") < 4))
   }
 
-  test("phash dedup: byte-identical payloads collide; groups are sorted and deduped") {
+  test("stub codec (n33 only) stays deterministic") {
+    val x = Multimodal.decodeStub(MediaRow(1, "hello world".getBytes, "video/fake"))
+    val y = Multimodal.decodeStub(MediaRow(1, "hello world".getBytes, "video/fake"))
+    assert(x.checksum == y.checksum && x.features.sameElements(y.features))
+  }
+
+  // ---- recompression-invariant perceptual dedup (n61) ----
+
+  test("n61 groups every planted re-encoded copy with its original") {
     val groups = Catalog.queries("n61_media_phash_dedup")(spark, sf0001).collect()
-    assert(groups.nonEmpty) // near-collisions exist even without exact dups
+    assert(groups.nonEmpty)
+    val memberSets = groups.map(_.getAs[String]("members").split(";").map(_.toLong).toSet)
+    // every 20th doc has a byte-different, pixel-identical copy at id+1e6;
+    // the real decode must reunite each pair
+    val planted = Tables(spark, sf0001).documents
+      .filter(col("doc_id") % 20 === 0).select("doc_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(memberSets.exists(s => s.contains(id) && s.contains(id + 1000000L)),
+        s"copy pair ($id, ${id + 1000000L}) not grouped")
+    }
     groups.foreach { g =>
       val members = g.getAs[String]("members").split(";").map(_.toLong)
       assert(members.length == g.getAs[Long]("n_members"))
@@ -63,41 +145,16 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("phash plan is array-free: no split/transform char-array materialization") {
-    // VERDICT r04 wrong #3: the old formulation projected an O(len)
-    // boxed char array per document. The rewrite must keep the mean in
-    // one codegen'd char_sum call and the samples as substring+ascii —
-    // if split()/transform() reappear in the optimized plan, the per-row
-    // allocation is back.
-    val plan = Multimodal.phashes(Tables(spark, sf0001).documents)
-      .queryExecution.optimizedPlan.toString
-    assert(!plan.contains("split("), s"char-array split in plan:\n$plan")
-    assert(!plan.toLowerCase.contains("transform("), s"array transform in plan:\n$plan")
-    assert(plan.contains("char_sum"), s"expected codegen'd char_sum in plan:\n$plan")
-  }
-
-  test("phash dedup: planted identical payloads form one group; distinct structure separates") {
+  test("phash groups: byte-identical payloads collide; structurally distinct separate") {
     import spark.implicits._
-    // payload bytes differ wildly in structure: 1/2 are byte-identical,
-    // 3 shares their length but alternates high/low bytes, 4 is all-low
     val docs = Seq(
       (1L, "abcdefghijklmnopqrstuvwxyz011235"),
       (2L, "abcdefghijklmnopqrstuvwxyz011235"),
       (3L, "aZaZaZaZaZaZaZaZaZaZaZaZaZaZaZaZ"),
       (4L, "short text here!")).toDF("doc_id", "text")
-    val groups = Multimodal.phashGroups(docs).collect()
+    val groups = Multimodal.phashGroups(Multimodal.ppmRows(docs)).collect()
       .map(g => g.getAs[String]("members")).toSet
     assert(groups.contains("1;2"), s"identical payloads must group, got $groups")
     assert(!groups.exists(m => m.contains("3") || m.contains("4")))
-  }
-
-  test("media metadata agrees between oracle query and typed decode") {
-    val meta = Catalog.queries("n30_media_meta")(spark, sf0001)
-      .select("doc_id", "n_bytes").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val decoded = Catalog.queries("n31_media_decode")(spark, sf0001)
-      .select("doc_id", "n_bytes").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(meta == decoded)
   }
 }
