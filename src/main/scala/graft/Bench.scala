@@ -151,6 +151,7 @@ object Bench {
       if (cold) {
         operators.Dedup.clearShingleCache(spark)
         operators.Corpus.clearClusterCache(spark)
+        operators.Pq.clearPqCache(spark)
         streaming.WindowedAggs.clearIngestCache(spark)
       }
       val t0 = System.nanoTime()

@@ -70,6 +70,7 @@ object Lab {
             if (coldCaches) {
               operators.Dedup.clearShingleCache(spark)
               operators.Corpus.clearClusterCache(spark)
+              operators.Pq.clearPqCache(spark)
             }
             time(s"$name $tag")(fn(spark, sfDir).count())
           }

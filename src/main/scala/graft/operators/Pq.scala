@@ -60,6 +60,67 @@ object Pq {
   private def d2(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.l2_sq(a, b)
 
+  // ---------------------------------------------------------------------
+  // Session memoizer for shared PQ training artifacts (round 7 —
+  // VERDICT_r06 #2's "memoize the shared coarse-centroid frame", and the
+  // enabler for the n70 recall-calibration entries, which reuse the
+  // exact codebooks/codes n62/n62r train). Same design rules as
+  // Dedup's shingle memoizer: per-session (WeakHashMap keyed by
+  // SparkSession; cached frames pin the session, so stopped sessions
+  // are dropped explicitly), keyed on CANONICAL Tables frames only
+  // (identity-stable across catalog queries; anything else builds
+  // fresh), dead-flag + retry so a racing clear can never strand a
+  // cached frame in a drained cache. This mirrors production shape —
+  // an IVF-PQ deployment trains once and serves many queries (n64's
+  // persisted index is the at-rest form; this is the in-session form).
+  // Bench/scale-slope cold modes clear it like the other memoizers.
+  // ---------------------------------------------------------------------
+
+  private final class PqCache {
+    val memo = new java.util.HashMap[(DataFrame, String), DataFrame]()
+    var dead = false
+  }
+  private val pqCaches =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, PqCache]()
+
+  private def memoized(vecs: DataFrame, tag: String)(build: => DataFrame): DataFrame = {
+    if (!graft.Tables.isCanonical(vecs)) return build
+    while (true) {
+      val cache = pqCaches.synchronized {
+        val it = pqCaches.entrySet().iterator()
+        while (it.hasNext) {
+          if (it.next().getKey.sparkContext.isStopped) it.remove()
+        }
+        var c = pqCaches.get(vecs.sparkSession)
+        if (c == null) { c = new PqCache; pqCaches.put(vecs.sparkSession, c) }
+        c
+      }
+      cache.synchronized {
+        if (!cache.dead) {
+          val key = (vecs, tag)
+          var v = cache.memo.get(key)
+          if (v == null) { v = build.cache(); cache.memo.put(key, v) }
+          return v
+        }
+        // cache cleared between fetch and lock — retry with a fresh one
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Unpersist and forget every PQ frame cached for `spark` — wired
+    * into Bench's and Lab's cold modes next to the dedup/cluster
+    * memoizer clears. */
+  def clearPqCache(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cache = pqCaches.synchronized(pqCaches.remove(spark))
+    if (cache != null) cache.synchronized {
+      cache.dead = true
+      cache.memo.values.forEach(df =>
+        try df.unpersist() catch { case _: Throwable => () })
+      cache.memo.clear()
+    }
+  }
+
   /** (m, cent_id, cv) sub-vector seeds: the first k vec_ids' slices,
     * all M subspaces in one frame. */
   private def seedCentroids(vecs: DataFrame, k: Int): DataFrame =
@@ -131,6 +192,39 @@ object Pq {
   def encode(vecs: DataFrame, books: DataFrame): DataFrame =
     assign(subVectors(vecs), books)
       .select(col("vec_id"), col("m"), col("cell").as("code"))
+
+  // Shared (memoized) training artifacts — one trained model per
+  // (canonical corpus, parameters) per session, reused across the
+  // catalog's PQ family exactly as a deployment reuses one index.
+  private def sharedBooks(vecs: DataFrame, k: Int): DataFrame =
+    memoized(vecs, s"books:$k")(codebooks(vecs, Iters, k))
+  /** `books` must be [[sharedBooks]](vecs, k) — passed in so the
+    * non-canonical (unmemoized) path encodes against the caller's
+    * already-built codebooks instead of training a second time. */
+  private def sharedCodes(vecs: DataFrame, k: Int, books: DataFrame): DataFrame =
+    memoized(vecs, s"codes:$k")(encode(vecs, books))
+  private def sharedRawAsg(vecs: DataFrame, nCells: Int): DataFrame =
+    memoized(vecs, s"rawasg:$nCells")(assignCoarse(vecs,
+      vecs.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cell"), col("embedding").as("cv"))))
+  private def sharedCoarse(vecs: DataFrame, nCells: Int): DataFrame =
+    memoized(vecs, s"coarse:$nCells")(coarseCentroids(vecs, nCells))
+  // The residual helpers take their upstream frames as parameters (the
+  // [[sharedCodes]] contract): on the canonical path each layer
+  // memoizes under its own key; on the unmemoized path the caller's
+  // already-built frames are reused instead of re-trained.
+  private def sharedCoarseAsg(vecs: DataFrame, nCells: Int,
+      anchors: DataFrame): DataFrame =
+    memoized(vecs, s"coarseasg:$nCells")(assignCoarse(vecs, anchors))
+  private def sharedResVecs(vecs: DataFrame, nCells: Int,
+      anchors: DataFrame, asg: DataFrame): DataFrame =
+    memoized(vecs, s"resvecs:$nCells")(residualVecs(vecs, anchors, asg))
+  private def sharedResBooks(vecs: DataFrame, nCells: Int, k: Int,
+      res: DataFrame): DataFrame =
+    memoized(vecs, s"resbooks:$nCells:$k")(codebooks(res, Iters, k))
+  private def sharedResCodes(vecs: DataFrame, nCells: Int, k: Int,
+      res: DataFrame, books: DataFrame): DataFrame =
+    memoized(vecs, s"rescodes:$nCells:$k")(encode(res, books))
 
   /** Asymmetric-distance top-k: exact per-subspace distance tables for
     * each query (|Q|·M·K rows, broadcast), then a lookup join against
@@ -245,8 +339,9 @@ object Pq {
     * exact L2 answer (the property a hash oracle can't state). */
   val pqAdc: Q = Q("n56_pq_adc", pqSql) { (s, dir) =>
     val e = Tables(s, dir).embeddings
-    val books = codebooks(e)
-    adcTopK(encode(e, books), books, e.filter(col("vec_id") < NumQueries), TopK)
+    val books = sharedBooks(e, K)
+    adcTopK(sharedCodes(e, K, books), books,
+      e.filter(col("vec_id") < NumQueries), TopK)
       .orderBy("q_id", "rn")
   }
 
@@ -272,19 +367,27 @@ object Pq {
       .groupBy("vec_id")
       .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
 
-  /** Probe selection: each query's `nProbe` nearest cells by the same
-    * rounded-L2 order. */
-  private def probeCoarse(queries: DataFrame, cents: DataFrame,
-      nProbe: Int): DataFrame = {
+  /** Probe selection with the rank kept: each query's cells ordered by
+    * (round6(L2²), cell), restricted to rn ≤ maxProbe. Keeping rn lets
+    * the n70 calibration sweep derive every nProbe level from ONE
+    * ranked frame. */
+  private def probeCoarseRanked(queries: DataFrame, cents: DataFrame,
+      maxProbe: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))
     queries.select(col("vec_id").as("q_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .select(col("q_id"), col("cell"),
         round6(d2(col("embedding"), col("cv"))).as("dist"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nProbe)
-      .select("q_id", "cell")
+      .filter(col("rn") <= maxProbe)
+      .select("q_id", "cell", "rn")
   }
+
+  /** Probe selection: each query's `nProbe` nearest cells by the same
+    * rounded-L2 order. */
+  private def probeCoarse(queries: DataFrame, cents: DataFrame,
+      nProbe: Int): DataFrame =
+    probeCoarseRanked(queries, cents, nProbe).select("q_id", "cell")
 
   /** IVF-PQ top-k: coarse cells prune the corpus, PQ/ADC ranks inside
     * the probed cells. This is the composition a 100 TB deployment
@@ -304,13 +407,13 @@ object Pq {
       kCodes: Int = KProd): DataFrame = {
     val cents = vecs.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("cv"))
-    val asg = assignCoarse(vecs, cents)
+    val asg = sharedRawAsg(vecs, nCells)
     val cand = probeCoarse(queries, cents, nProbe)
       .join(asg, Seq("cell"))
       .select(col("q_id"), col("vec_id"))
       .filter(col("q_id") =!= col("vec_id"))
-    val books = codebooks(vecs, Iters, kCodes)
-    val codes = encode(vecs, books)
+    val books = sharedBooks(vecs, kCodes)
+    val codes = sharedCodes(vecs, kCodes, books)
     // candidate-restricted ADC: codes flow through the (q_id, vec_id)
     // candidate set FIRST, so only probed cells' codes reach the
     // distance-table lookup (the partition-pruning read, as a join)
@@ -641,13 +744,25 @@ object Pq {
   def ivfPqResidualTopK(vecs: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = IvfCells, nProbe: Int = IvfProbe,
       kCodes: Int = KProd): DataFrame = {
-    val anchors = coarseCentroids(vecs, nCells)
-    val asg = assignCoarse(vecs, anchors)
-    val res = residualVecs(vecs, anchors, asg)
-    val books = codebooks(res, Iters, kCodes)
-    val codes = encode(res, books)
+    val anchors = sharedCoarse(vecs, nCells)
+    val asg = sharedCoarseAsg(vecs, nCells, anchors)
+    val res = sharedResVecs(vecs, nCells, anchors, asg)
+    val books = sharedResBooks(vecs, nCells, kCodes, res)
+    val codes = sharedResCodes(vecs, nCells, kCodes, res, books)
     val probes = probeCoarse(queries, anchors, nProbe)
-    // per-(query, probed cell) residual → per-cell distance tables
+    val cand = probes.join(asg, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("cell"), col("vec_id"))
+    residualRestrictedAdc(cand, codes,
+      residualDtab(queries, anchors, books, probes), k)
+  }
+
+  /** Per-(query, probed cell) residual distance tables: the query's
+    * residual differs in every probed cell (q − c_cell), so the table
+    * is keyed (q_id, cell, m, cent_id) — |Q|·nProbe·M·K rows, still a
+    * broadcast. `probes` bounds which (q, cell) residuals exist. */
+  private def residualDtab(queries: DataFrame, anchors: DataFrame,
+      books: DataFrame, probes: DataFrame): DataFrame = {
     val qres = probes
       .join(queries.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
       .join(broadcast(anchors), Seq("cell"))
@@ -657,12 +772,16 @@ object Pq {
         s"m -> named_struct('m', m, 'sv', slice(qr, m * $SubDim + 1, $SubDim)))"))
       .as("s"))
       .select(col("q_id"), col("cell"), col("s.m").as("m"), col("s.sv").as("qs"))
-    val dtab = qsub.join(books, Seq("m"))
+    qsub.join(books, Seq("m"))
       .select(col("q_id"), col("cell"), col("m"), col("cent_id"),
         d2(col("qs"), col("cv")).as("d"))
-    val cand = probes.join(asg, Seq("cell"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("cell"), col("vec_id"))
+  }
+
+  /** The residual ADC tail: candidate (q_id, cell, vec_id) rows pick up
+    * their codes, look up the (q, cell)-keyed residual distance table,
+    * and rank by the fixed-order M-term sum. */
+  private def residualRestrictedAdc(cand: DataFrame, codes: DataFrame,
+      dtab: DataFrame, k: Int): DataFrame = {
     val withCodes = cand.join(codes, Seq("vec_id"))
     val perM = withCodes
       .join(broadcast(dtab
@@ -760,6 +879,242 @@ object Pq {
       .orderBy("q_id", "rn")
   }
 
+  // ---------------------------------------------------------------------
+  // n70/n70r: multi-probe recall calibration (VERDICT_r05 #4 / r06 #5)
+  // — the n55 estimate-vs-exact calibration pattern on vectors. For
+  // nProbe ∈ {1, 2, 4, 8} the sweep measures, against the EXACT L2
+  // top-k ground truth: the candidate volume (the cost axis), the
+  // cell-recall ceiling (exact neighbors whose home cell is probed —
+  // the best ANY in-cell ranker could do at that probe level), and the
+  // realized ADC recall. The gap between hits_cell and hits_adc
+  // attributes loss to quantization; the gap between hits_cell and
+  // n_exact attributes it to probe selection. n70 measures n62's raw
+  // codes, n70r measures n62r's residual codes — at equal bytes, the
+  // residual-vs-raw recall difference is now a measured table, not
+  // just PqSpec's MSE assertion. All outputs are integer counts, so
+  // the whole calibration hash-checks against the DuckDB replay.
+  // ---------------------------------------------------------------------
+
+  private val ProbeSweep = Seq(1, 2, 4, 8)
+
+  /** Exact L2 top-k ground truth: the documented all-pairs baseline
+    * over the broadcast query set (n10/n12's intentional tiny-build-
+    * side shape — |Q| = 32 rows broadcast, corpus streamed). */
+  private def exactTopK(vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("nb_id"))
+    vecs.select(col("vec_id").as("nb_id"), col("embedding"))
+      .crossJoin(broadcast(queries
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))))
+      .filter(col("q_id") =!= col("nb_id"))
+      .select(col("q_id"), col("nb_id"),
+        round6(d2(col("embedding"), col("qe"))).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "nb_id")
+  }
+
+  /** One sweep row: 1-row count aggregates crossed into
+    * (n_probe, n_exact, n_cand, hits_cell, hits_adc) — the a27/n60
+    * tiny-scalar pattern. `exc` is exact ∪ home-cell; `probes` the
+    * (q_id, cell) set at this level; `adcTop` the realized top-k. */
+  private def recallRow(p: Int, exact: DataFrame, exc: DataFrame,
+      probes: DataFrame, cand: DataFrame, adcTop: DataFrame): DataFrame = {
+    val nExact = exact.groupBy().agg(count(lit(1)).as("n_exact"))
+    val nCand = cand.groupBy().agg(count(lit(1)).as("n_cand"))
+    val hitsCell = exc
+      .join(probes.withColumnRenamed("cell", "nb_cell"),
+        Seq("q_id", "nb_cell"), "left_semi")
+      .groupBy().agg(count(lit(1)).as("hits_cell"))
+    val hitsAdc = adcTop.join(exact, Seq("q_id", "nb_id"), "left_semi")
+      .groupBy().agg(count(lit(1)).as("hits_adc"))
+    nExact.crossJoin(nCand).crossJoin(hitsCell).crossJoin(hitsAdc)
+      .select(lit(p.toLong).as("n_probe"), col("n_exact"), col("n_cand"),
+        col("hits_cell"), col("hits_adc"))
+  }
+
+  private val pqRecallSql: String = {
+    def candP(p: Int) =
+      s"""cand$p AS (SELECT p.q_id, a.vec_id FROM probes8 p
+         |           JOIN asg a ON a.cell = p.cell
+         |           WHERE p.rn <= $p AND a.vec_id <> p.q_id)""".stripMargin
+    def topP(p: Int) =
+      s"""adcx$p AS (SELECT cn.q_id, cd.vec_id, $adcSumSql AS adc
+         |          FROM cand$p cn
+         |          JOIN codes cd ON cd.vec_id = cn.vec_id
+         |          JOIN dtab dt ON dt.m = cd.m AND dt.cent_id = cd.code
+         |                      AND dt.q_id = cn.q_id
+         |          GROUP BY 1, 2),
+         |top$p AS (SELECT q_id, vec_id AS nb_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY adc, vec_id) AS rn FROM adcx$p) WHERE rn <= $TopK)""".stripMargin
+    def rowP(p: Int) =
+      s"""SELECT CAST($p AS BIGINT) AS n_probe,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM cand$p) AS n_cand,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM exc e
+         |        JOIN probes8 pp ON pp.q_id = e.q_id AND pp.cell = e.nb_cell
+         |        WHERE pp.rn <= $p) AS hits_cell,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM top$p t
+         |        JOIN exact x ON x.q_id = t.q_id AND x.nb_id = t.nb_id) AS hits_adc""".stripMargin
+    s"""WITH ${lloydChainSql(KProd)},
+       |cc AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+       |       WHERE vec_id < $IvfCells),
+       |asg AS (SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${round6Sql(d2Sql("e.embedding", "c.cv", FullDim))}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cc c) WHERE rn = 1),
+       |probes8 AS (SELECT q_id, cell, rn FROM (
+       |    SELECT e.vec_id AS q_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${round6Sql(d2Sql("e.embedding", "c.cv", FullDim))}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cc c
+       |    WHERE e.vec_id < $NumQueries) WHERE rn <= $IvfCells),
+       |exact AS (SELECT q_id, nb_id FROM (
+       |    SELECT q.vec_id AS q_id, n.vec_id AS nb_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${round6Sql(d2Sql("q.embedding", "n.embedding", FullDim))}, n.vec_id) AS rn
+       |    FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $NumQueries) WHERE rn <= $TopK),
+       |exc AS (SELECT x.q_id, x.nb_id, a.cell AS nb_cell
+       |        FROM exact x JOIN asg a ON a.vec_id = x.nb_id),
+       |${ProbeSweep.map(candP).mkString(",\n")},
+       |${ProbeSweep.map(topP).mkString(",\n")}
+       |${ProbeSweep.map(rowP).mkString("\nUNION ALL\n")}
+       |ORDER BY n_probe""".stripMargin
+  }
+
+  /** Catalog entry: the raw-code (n62-model) recall sweep. */
+  val pqRecall: Q = Q("n70_pq_recall", pqRecallSql) { (s, dir) =>
+    val e = Tables(s, dir).embeddings
+    val q = e.filter(col("vec_id") < NumQueries)
+    val cents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    val asg = sharedRawAsg(e, IvfCells)
+    val books = sharedBooks(e, KProd)
+    val codes = sharedCodes(e, KProd, books)
+    val probes8 = probeCoarseRanked(q, cents, IvfCells).localCheckpoint()
+    val exact = exactTopK(e, q, TopK).localCheckpoint()
+    val exc = exact.join(
+      asg.withColumnRenamed("vec_id", "nb_id").withColumnRenamed("cell", "nb_cell"),
+      Seq("nb_id"))
+    ProbeSweep.map { p =>
+      val probes = probes8.filter(col("rn") <= p).select("q_id", "cell")
+      val cand = probes.join(asg, Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select("q_id", "vec_id")
+      val candCodes = cand.join(codes, Seq("vec_id"))
+        .select(col("q_id"), col("vec_id"), col("m"), col("code"))
+      val adcTop = restrictedAdc(candCodes, books, q, TopK).select("q_id", "nb_id")
+      recallRow(p, exact, exc, probes, cand, adcTop)
+    }.reduce(_.unionAll(_)).orderBy("n_probe")
+  }
+
+  private val pqRecallResidualSql: String = {
+    val md = s"(SELECT unnest(generate_series(0, ${M - 1})) AS m) md"
+    def candP(p: Int) =
+      s"""cand$p AS (SELECT p.q_id, p.cell, a.vec_id FROM probes8 p
+         |           JOIN asgc a ON a.cell = p.cell
+         |           WHERE p.rn <= $p AND a.vec_id <> p.q_id)""".stripMargin
+    def topP(p: Int) =
+      s"""adcx$p AS (SELECT cn.q_id, cd.vec_id, $adcSumSql AS adc
+         |          FROM cand$p cn
+         |          JOIN codes cd ON cd.vec_id = cn.vec_id
+         |          JOIN dtab dt ON dt.m = cd.m AND dt.cent_id = cd.code
+         |                      AND dt.q_id = cn.q_id AND dt.cell = cn.cell
+         |          GROUP BY 1, 2),
+         |top$p AS (SELECT q_id, vec_id AS nb_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY adc, vec_id) AS rn FROM adcx$p) WHERE rn <= $TopK)""".stripMargin
+    def rowP(p: Int) =
+      s"""SELECT CAST($p AS BIGINT) AS n_probe,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM cand$p) AS n_cand,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM exc e
+         |        JOIN probes8 pp ON pp.q_id = e.q_id AND pp.cell = e.nb_cell
+         |        WHERE pp.rn <= $p) AS hits_cell,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM top$p t
+         |        JOIN exact x ON x.q_id = t.q_id AND x.nb_id = t.nb_id) AS hits_adc""".stripMargin
+    s"""WITH $coarseChainSql,
+       |asgc AS (SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${round6Sql(d2Sql("e.embedding", "c.cv", FullDim))}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cc c) WHERE rn = 1),
+       |remb AS (SELECT e.vec_id, ${residualSql("e.embedding", "c.cv")} AS embedding
+       |         FROM embeddings e
+       |         JOIN asgc a ON a.vec_id = e.vec_id
+       |         JOIN cc c ON c.cell = a.cell),
+       |sub AS (SELECT vec_id, md.m,
+       |               list_slice(embedding, md.m * $SubDim + 1,
+       |                          (md.m + 1) * $SubDim) AS sv
+       |        FROM remb CROSS JOIN $md),
+       |tsub AS (SELECT * FROM sub),
+       |c0 AS (SELECT m, vec_id AS cent_id, sv AS cv FROM sub
+       |       WHERE vec_id IN (SELECT vec_id FROM remb ORDER BY vec_id LIMIT $KProd)),
+       |${(1 to Iters).map(roundSql).mkString(",\n")},
+       |codes AS (SELECT vec_id, m, cell AS code FROM (
+       |    SELECT s.vec_id, s.m, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY ${round6Sql(d2Sql("s.sv", "c.cv"))}, c.cent_id) AS rn
+       |    FROM sub s JOIN c$Iters c ON c.m = s.m) WHERE rn = 1),
+       |probes8 AS (SELECT q_id, cell, rn FROM (
+       |    SELECT e.vec_id AS q_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${round6Sql(d2Sql("e.embedding", "c.cv", FullDim))}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cc c
+       |    WHERE e.vec_id < $NumQueries) WHERE rn <= $IvfCells),
+       |qres AS (SELECT p.q_id, p.cell, ${residualSql("e.embedding", "c.cv")} AS qr
+       |         FROM probes8 p
+       |         JOIN embeddings e ON e.vec_id = p.q_id
+       |         JOIN cc c ON c.cell = p.cell),
+       |qsub AS (SELECT q_id, cell, md.m,
+       |                list_slice(qr, md.m * $SubDim + 1,
+       |                           (md.m + 1) * $SubDim) AS qs
+       |         FROM qres CROSS JOIN $md),
+       |dtab AS (SELECT q.q_id, q.cell, q.m, c.cent_id, ${d2Sql("q.qs", "c.cv")} AS d
+       |         FROM qsub q JOIN c$Iters c ON c.m = q.m),
+       |exact AS (SELECT q_id, nb_id FROM (
+       |    SELECT q.vec_id AS q_id, n.vec_id AS nb_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${round6Sql(d2Sql("q.embedding", "n.embedding", FullDim))}, n.vec_id) AS rn
+       |    FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $NumQueries) WHERE rn <= $TopK),
+       |exc AS (SELECT x.q_id, x.nb_id, a.cell AS nb_cell
+       |        FROM exact x JOIN asgc a ON a.vec_id = x.nb_id),
+       |${ProbeSweep.map(candP).mkString(",\n")},
+       |${ProbeSweep.map(topP).mkString(",\n")}
+       |${ProbeSweep.map(rowP).mkString("\nUNION ALL\n")}
+       |ORDER BY n_probe""".stripMargin
+  }
+
+  /** Catalog entry: the residual-code (n62r-model) recall sweep — the
+    * raw-vs-residual comparison at equal bytes, as data. */
+  val pqRecallResidual: Q = Q("n70r_pq_recall_residual", pqRecallResidualSql) { (s, dir) =>
+    val e = Tables(s, dir).embeddings
+    val q = e.filter(col("vec_id") < NumQueries)
+    val anchors = sharedCoarse(e, IvfCells)
+    val asg = sharedCoarseAsg(e, IvfCells, anchors)
+    val res = sharedResVecs(e, IvfCells, anchors, asg)
+    val books = sharedResBooks(e, IvfCells, KProd, res)
+    val codes = sharedResCodes(e, IvfCells, KProd, res, books)
+    val probes8 = probeCoarseRanked(q, anchors, IvfCells).localCheckpoint()
+    val dtab8 = residualDtab(q, anchors, books, probes8.select("q_id", "cell"))
+    val exact = exactTopK(e, q, TopK).localCheckpoint()
+    val exc = exact.join(
+      asg.withColumnRenamed("vec_id", "nb_id").withColumnRenamed("cell", "nb_cell"),
+      Seq("nb_id"))
+    ProbeSweep.map { p =>
+      val probes = probes8.filter(col("rn") <= p).select("q_id", "cell")
+      val cand = probes.join(asg, Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select("q_id", "cell", "vec_id")
+      val adcTop = residualRestrictedAdc(cand, codes, dtab8, TopK)
+        .select("q_id", "nb_id")
+      recallRow(p, exact, exc, probes, cand, adcTop)
+    }.reduce(_.unionAll(_)).orderBy("n_probe")
+  }
+
   /** Mean L2² quantization error of `codes` against `books`, where
     * `truth` holds the vectors the codes claim to represent (raw
     * corpus for n62, residual corpus for n62r) — the PqSpec comparison
@@ -785,5 +1140,6 @@ object Pq {
     (res, books)
   }
 
-  val all: Seq[Q] = Seq(pqAdc, ivfPqAdc, ivfPqResidual, ivfPqIndexQ)
+  val all: Seq[Q] = Seq(pqAdc, ivfPqAdc, ivfPqResidual, ivfPqIndexQ,
+    pqRecall, pqRecallResidual)
 }

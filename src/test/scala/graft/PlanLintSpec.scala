@@ -27,6 +27,9 @@ class PlanLintSpec extends SparkSpec {
     "n62_ivf_pq",           // 8-anchor broadcast coarse assignment/probe
     "n62r_ivf_pq_residual", // same 8-anchor broadcast, residual-encoded path
     "n64_pq_index",         // same 8-anchor broadcast, persisted-index path
+    "n70_pq_recall",        // 8-anchor probe broadcast + 32-query exact
+                            //   baseline + 1-row sweep-count scalars
+    "n70r_pq_recall_residual", // same shapes, residual model
     "n50_tfidf_topterms",   // 1-row corpus-count broadcast (n28's pattern)
     "n67_nb_lang",          // class-frame (5-row) + 1-row vocab/total broadcasts
     "n68_weak_quality",     // 2-class frame + 1-row vocab/total broadcasts
