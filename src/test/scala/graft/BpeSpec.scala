@@ -87,4 +87,25 @@ class BpeSpec extends SparkSpec {
     val merges = Bpe.train(docs, nMerges = 5)
     assert(merges == Seq(("a", "b")))
   }
+
+  test("local trainer == distributed cadenced trainer on the real corpus (12 rounds)") {
+    // the driver-local loop (capped-vocab production shape) and the
+    // checkpoint-cadence distributed fold must produce the identical
+    // merge SEQUENCE — argmax, tiebreak, rewrite, counts, all rounds;
+    // 12 rounds crosses a checkpoint boundary (cadence 8)
+    val docs = Tables(spark, sf0001).documents
+    val local = Bpe.trainWithStats(docs, 12)
+    val dist = Bpe.trainWithStatsDistributed(docs, 12)
+    assert(local == dist)
+  }
+
+  test("50-merge budget: full sequence is deterministic and pairs never exhaust early") {
+    val docs = Tables(spark, sf0001).documents
+    val merges = Bpe.trainWithStats(docs, Bpe.TrainRoundsFull)
+    assert(merges.length == Bpe.TrainRoundsFull, "pairs exhausted before the budget")
+    assert(merges.map { case (a, b, _) => a + b }.distinct.length == merges.length,
+      "every merge must create a distinct token")
+    val again = Bpe.trainWithStats(docs, Bpe.TrainRoundsFull)
+    assert(merges == again)
+  }
 }
