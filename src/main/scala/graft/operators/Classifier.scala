@@ -187,31 +187,109 @@ object Classifier {
     * (doc_id, weak_pass = the rule gate's own verdict, nb_logodds,
     * nb_pass) for the full corpus, so the entry doubles as the
     * rules-vs-model agreement audit. */
-  val nbWeakQuality: Q = Q(
-    "n68_weak_quality",
-    s"""WITH ${nbChainSql(weakLabelSql, "doc_id % 2 = 0", "TRUE")},
-       |wide AS (SELECT doc_id,
-       |                max(CASE WHEN label = 'pass' THEN score END) AS s_pass,
-       |                max(CASE WHEN label = 'fail' THEN score END) AS s_fail
-       |         FROM scored GROUP BY doc_id)
-       |SELECT w.doc_id,
-       |       ${gopherPassSql("string_split(d.text, ' ')")} AS weak_pass,
-       |       w.s_pass - w.s_fail AS nb_logodds,
-       |       w.s_pass > w.s_fail AS nb_pass
-       |FROM wide w JOIN documents d ON d.doc_id = w.doc_id
-       |ORDER BY w.doc_id""".stripMargin) { (s, dir) =>
-    val docs = Tables(s, dir).documents
-    val train = weakLabeledTrain(docs.filter(col("doc_id") % 2 === 0))
-    nbScores(train, docs)
+  /** The n68 scored frame: (doc_id, weak_pass, s_pass, s_fail) over
+    * the full corpus under the weak-supervision model — shared by the
+    * n68 audit and the n71 retention sweep. */
+  private def weakQualityWide(docs: DataFrame): DataFrame =
+    nbScores(weakLabeledTrain(docs.filter(col("doc_id") % 2 === 0)), docs)
       .groupBy("doc_id")
       .agg(max(when(col(LabelCol) === "pass", col("score"))).as("s_pass"),
         max(when(col(LabelCol) === "fail", col("score"))).as("s_fail"))
       .join(docs.select(col("doc_id"),
         TextAnalysis.gopherPass(col("text")).as("weak_pass")), Seq("doc_id"))
+
+  /** The shared SQL twin fragment ending in `sc2(doc_id, weak_pass,
+    * nb_logodds)`. */
+  private def weakQualityChainSql: String =
+    s"""${nbChainSql(weakLabelSql, "doc_id % 2 = 0", "TRUE")},
+       |wide AS (SELECT doc_id,
+       |                max(CASE WHEN label = 'pass' THEN score END) AS s_pass,
+       |                max(CASE WHEN label = 'fail' THEN score END) AS s_fail
+       |         FROM scored GROUP BY doc_id),
+       |sc2 AS (SELECT w.doc_id,
+       |               ${gopherPassSql("string_split(d.text, ' ')")} AS weak_pass,
+       |               w.s_pass AS s_pass, w.s_fail AS s_fail
+       |        FROM wide w JOIN documents d ON d.doc_id = w.doc_id)""".stripMargin
+
+  val nbWeakQuality: Q = Q(
+    "n68_weak_quality",
+    s"""WITH $weakQualityChainSql
+       |SELECT doc_id, weak_pass,
+       |       s_pass - s_fail AS nb_logodds,
+       |       s_pass > s_fail AS nb_pass
+       |FROM sc2
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    weakQualityWide(Tables(s, dir).documents)
       .select(col("doc_id"), col("weak_pass"),
         (col("s_pass") - col("s_fail")).as("nb_logodds"),
         (col("s_pass") > col("s_fail")).as("nb_pass"))
       .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // n71: retention-budget quality ranking (VERDICT_r05 #8 / r06 #8) —
+  // the operational question a continuous score exists to answer: "I
+  // can afford to keep B% of the corpus; where does the cut land, and
+  // how much does the model-ranked cut agree with the rule gate?" For
+  // budgets {10, 25, 50, 75}% the sweep ranks every document by
+  // nb_logodds (doc_id tiebreak), keeps the top ⌈B·N/100⌉, and reports
+  // the cut threshold plus the rules-vs-model agreement decomposition
+  // (kept∧rule-pass, dropped∧rule-fail). The catalog entry uses the
+  // exact global rank for oracle determinism; at 100 TB the threshold
+  // comes from a distributed quantile sketch (approx_percentile) and
+  // the kept-set from a stateless filter — the ranking never needs a
+  // single-task sort in production, only the audit does.
+  // ---------------------------------------------------------------------
+
+  /** Retention budgets swept, in percent of the corpus. */
+  val Budgets = Seq(10L, 25L, 50L, 75L)
+
+  private val retentionSweepSql: String = {
+    def rowB(b: Long) =
+      s"""SELECT *, kept_rule_pass + dropped_rule_fail AS n_agree FROM (
+         |  SELECT CAST($b AS BIGINT) AS budget_pct,
+         |         CAST(max(n_total) AS BIGINT) AS n_total,
+         |         CAST(sum(CASE WHEN rn <= (n_total * $b + 99) // 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |         min(CASE WHEN rn <= (n_total * $b + 99) // 100 THEN nb_logodds END) AS threshold,
+         |         CAST(sum(CASE WHEN rn <= (n_total * $b + 99) // 100 AND weak_pass THEN 1 ELSE 0 END) AS BIGINT) AS kept_rule_pass,
+         |         CAST(sum(CASE WHEN rn > (n_total * $b + 99) // 100 AND NOT weak_pass THEN 1 ELSE 0 END) AS BIGINT) AS dropped_rule_fail
+         |  FROM ranked)""".stripMargin
+    s"""WITH $weakQualityChainSql,
+       |ranked AS (SELECT doc_id, weak_pass, s_pass - s_fail AS nb_logodds,
+       |                  row_number() OVER (ORDER BY s_pass - s_fail DESC, doc_id) AS rn,
+       |                  count(*) OVER () AS n_total
+       |           FROM sc2)
+       |${Budgets.map(rowB).mkString("\nUNION ALL\n")}
+       |ORDER BY budget_pct""".stripMargin
+  }
+
+  /** Catalog entry: the retention sweep — all-integer agreement counts
+    * plus the cut threshold (a stored double both engines derive from
+    * the identical DECIMAL-summed scores), hash-checked per budget. */
+  val retentionSweep: Q = Q("n71_retention_sweep", retentionSweepSql) { (s, dir) =>
+    val w = Window.orderBy(col("nb_logodds").desc, col("doc_id"))
+    val ranked = weakQualityWide(Tables(s, dir).documents)
+      .select(col("doc_id"), col("weak_pass"),
+        (col("s_pass") - col("s_fail")).as("nb_logodds"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .localCheckpoint() // the NB chain runs once, not once per budget
+    val n = ranked.groupBy().agg(count(lit(1)).as("n_total"))
+    Budgets.map { b =>
+      ranked.crossJoin(broadcast(n))
+        .withColumn("kept", col("rn") <= expr(s"(n_total * $b + 99) DIV 100"))
+        .groupBy()
+        .agg(
+          max(col("n_total")).as("n_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("kept"), col("nb_logodds"))).as("threshold"),
+          sum(when(col("kept") && col("weak_pass"), 1L).otherwise(0L))
+            .as("kept_rule_pass"),
+          sum(when(!col("kept") && !col("weak_pass"), 1L).otherwise(0L))
+            .as("dropped_rule_fail"))
+        .select(lit(b).as("budget_pct"), col("n_total"), col("n_kept"),
+          col("threshold"), col("kept_rule_pass"), col("dropped_rule_fail"),
+          (col("kept_rule_pass") + col("dropped_rule_fail")).as("n_agree"))
+    }.reduce(_.unionAll(_)).orderBy("budget_pct")
   }
 
   // ---------------------------------------------------------------------
@@ -313,5 +391,5 @@ object Classifier {
        |sc AS (SELECT doc_id, prior_lo + ${dsumSql("t")} AS logodds
        |       FROM terms GROUP BY doc_id, prior_lo)""".stripMargin
 
-  val all: Seq[Q] = Seq(nbLang, nbWeakQuality)
+  val all: Seq[Q] = Seq(nbLang, nbWeakQuality, retentionSweep)
 }

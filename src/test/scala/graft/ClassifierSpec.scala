@@ -84,4 +84,33 @@ class ClassifierSpec extends SparkSpec {
     assert(out.count() ==
       Tables(spark, sf0001).documents.count())
   }
+
+  test("n71 retention sweep: exact budget sizes, monotone thresholds, consistent counts") {
+    val rows = Classifier.retentionSweep.build(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("budget_pct")).toSeq == Classifier.Budgets)
+    val n = rows.head.getAs[Long]("n_total")
+    rows.foreach { r =>
+      val b = r.getAs[Long]("budget_pct")
+      // the kept set is EXACTLY the ceiling of the budget
+      assert(r.getAs[Long]("n_kept") == (n * b + 99) / 100)
+      // agreement decomposition is internally consistent
+      assert(r.getAs[Long]("n_agree") ==
+        r.getAs[Long]("kept_rule_pass") + r.getAs[Long]("dropped_rule_fail"))
+      assert(r.getAs[Long]("kept_rule_pass") <= r.getAs[Long]("n_kept"))
+      assert(r.getAs[Long]("dropped_rule_fail") <= n - r.getAs[Long]("n_kept"))
+    }
+    // a larger budget can only lower the cut threshold and keep more
+    val byBudget = rows.sortBy(_.getAs[Long]("budget_pct"))
+    byBudget.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_kept") <= b.getAs[Long]("n_kept"))
+      assert(a.getAs[Double]("threshold") >= b.getAs[Double]("threshold"))
+    }
+    // the cut threshold IS the weakest kept score: the doc ranked at
+    // the budget boundary scores exactly `threshold`
+    val scored = Classifier.nbWeakQuality.build(spark, sf0001)
+      .select("nb_logodds").collect().map(_.getDouble(0)).sorted(Ordering[Double].reverse)
+    byBudget.foreach { r =>
+      assert(r.getAs[Double]("threshold") == scored(r.getAs[Long]("n_kept").toInt - 1))
+    }
+  }
 }
