@@ -136,6 +136,50 @@ class PipelineSpec extends SparkSpec {
     assert(found)
   }
 
+  test("snapshot isolation: a mid-crash reader sees exactly the pre-batch state") {
+    val dir = tmp("gtfs_snapshot")
+    val path = s"$dir/feed.pb"
+    Files.write(Paths.get(path), GtfsRt.encodeFeed(vehicles(10, withCoords = true)))
+    val feeds = Seq(FeedConfig("f", path))
+    val t0 = Timestamp.valueOf("2024-06-01 12:00:30")
+    GtfsPipeline.runBatch(spark, feeds, new FileFeedSource,
+      s"$dir/data", s"$dir/ledger", t0)
+    val preBatch = GtfsPipeline.committedData(spark, s"$dir/data", s"$dir/ledger")
+      .collect().map(_.getAs[String]("batch_id")).toSet
+
+    // crash window: batch 2's DATA is on disk, its ledger row is not
+    // (run it against a throwaway ledger — data-then-ledger order means
+    // this is exactly the state after a crash before the commit row)
+    val t1 = Timestamp.valueOf("2024-06-01 12:30:30")
+    GtfsPipeline.runBatch(spark, feeds, new FileFeedSource,
+      s"$dir/data", s"$dir/ledger_elsewhere", t1)
+
+    // a raw reader sees the torn state; the snapshot reader does not
+    assert(spark.read.parquet(s"$dir/data")
+      .select("batch_id").distinct().count() == 2)
+    val snap = GtfsPipeline.committedData(spark, s"$dir/data", s"$dir/ledger")
+    assert(snap.select("batch_id").distinct().collect()
+      .map(_.getString(0)).toSet == preBatch,
+      "mid-crash snapshot must equal the pre-batch state")
+    assert(snap.count() == 10)
+
+    // once the commit row lands, the batch becomes visible
+    spark.read.parquet(s"$dir/ledger_elsewhere")
+      .write.mode("append").parquet(s"$dir/ledger")
+    assert(GtfsPipeline.committedData(spark, s"$dir/data", s"$dir/ledger")
+      .select("batch_id").distinct().count() == 2)
+
+    // an absent/empty ledger yields the EMPTY snapshot, never raw rows
+    assert(GtfsPipeline.committedData(spark, s"$dir/data", s"$dir/no_ledger")
+      .isEmpty)
+    // and the snapshot read plans as a broadcast semi-join (map-side
+    // filter on the scan), not a shuffle
+    val plan = GtfsPipeline.committedData(spark, s"$dir/data", s"$dir/ledger")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"snapshot read must broadcast the committed-id set:\n$plan")
+  }
+
   test("all-null-geometry batch: null bbox, pipeline still healthy") {
     val dir = tmp("gtfs_nullgeo")
     val path = s"$dir/feed.pb"
