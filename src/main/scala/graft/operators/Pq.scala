@@ -637,8 +637,22 @@ object Pq {
     val e = Tables(s, dir).embeddings
     val prior = e.filter(col("vec_id") % 2 === 0)
     val fresh = e.filter(col("vec_id") % 2 === 1)
+    // the [[buildPqIndex]]/[[appendPqIndex]] composition with the
+    // trained artifacts memoized under the canonical corpus frame
+    // (logical keys — prior/fresh are derived, not canonical). Kept
+    // textually in step with those methods; the oracle pins the answer
+    // and PqSpec pins the unmemoized public API against the same
+    // search, so drift between the two flips a hash, not just a spec.
+    val anchors = memoized(e, "n64:anchors")(
+      prior.orderBy("vec_id").limit(IvfCells)
+        .select(col("vec_id").as("cell"), col("embedding").as("cv")))
+    val books = memoized(e, "n64:books")(codebooks(prior, Iters, KProd))
+    val codes = memoized(e, "n64:codes")(
+      encode(prior, books).join(assignCoarse(prior, anchors), Seq("vec_id"))
+        .unionByName(
+          encode(fresh, books).join(assignCoarse(fresh, anchors), Seq("vec_id"))))
     searchPqIndex(e.filter(col("vec_id") < NumQueries),
-      appendPqIndex(buildPqIndex(prior), fresh))
+      PqIndex(anchors, books, codes))
       .orderBy("q_id", "rn")
   }
 

@@ -47,9 +47,26 @@ class PlanLintSpec extends SparkSpec {
     "n60_curation_audit"    // four 1-row stage-count scalars crossed into one row
   )
 
+  /** A query's executed plan PLUS every cached subtree it scans: the
+    * session memoizers (Dedup shingles, Corpus clusters, Pq artifacts)
+    * hide shared frames behind InMemoryTableScan nodes whose toString
+    * omits the cached child — without recursing into
+    * `relation.cachedPlan` the lint would silently stop covering
+    * exactly the plans that run most often. */
+  private def fullPlanString(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def cachedPlans(p: SparkPlan): Seq[String] = {
+      val cached = p.collect { case s: InMemoryTableScanExec => s.relation.cachedPlan }
+      cached.flatMap(cp => cp.toString +: cachedPlans(cp))
+    }
+    val top = df.queryExecution.executedPlan
+    (top.toString +: cachedPlans(top)).mkString("\n")
+  }
+
   private lazy val plans: Map[String, String] =
     Catalog.all.map { q =>
-      q.name -> q.build(spark, sf0001).queryExecution.executedPlan.toString
+      q.name -> fullPlanString(q.build(spark, sf0001))
     }.toMap
 
   test("no CartesianProduct anywhere in the catalog") {

@@ -126,6 +126,12 @@ class PqSpec extends SparkSpec {
     Pq.appendToPqIndex(fresh, dir, "b1")
     val fromDisk = Pq.readPqIndex(spark, dir)
     assert(key(Pq.searchPqIndex(queries, fromDisk)) == expected)
+    // and the catalog entry (whose trained artifacts are memoized under
+    // logical keys) answers identically to the unmemoized composition
+    val catalog = Catalog.queries("n64_pq_index")(spark, sf0001)
+      .select("q_id", "nb_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(catalog == expected, "catalog n64 drifted from the public API composition")
     // the codes really are cell-partitioned at rest (pruning layout)
     val base = new java.io.File(s"$dir/codes/b_base")
     assert(base.listFiles().exists(_.getName.startsWith("cell=")),
