@@ -52,4 +52,50 @@ object PropsSpec extends Properties("graft") {
         graft.operators.Multimodal.MediaRow(1, bytes, "x"))
       a.checksum == b.checksum && a.features.sameElements(b.features)
     }
+
+  import graft.operators.Netpbm
+
+  private val genImage: Gen[Netpbm.Image] = for {
+    w <- Gen.choose(1, 40)
+    h <- Gen.choose(1, 30)
+    raster <- Gen.containerOfN[Array, Byte](w * h * 3, Arbitrary.arbitrary[Byte])
+  } yield Netpbm.Image(w, h, 255, raster)
+
+  property("ppm codec roundtrip for arbitrary images and header styles") =
+    forAll(genImage, Gen.choose(0L, 20L)) { (img, style) =>
+      Netpbm.decodeP6(Netpbm.encodeP6(img, style)) match {
+        case Right(back) =>
+          back.width == img.width && back.height == img.height &&
+            back.maxval == img.maxval && back.raster.sameElements(img.raster)
+        case Left(_) => false
+      }
+    }
+
+  property("ppm parser never throws on arbitrary bytes (errors are values)") =
+    forAll(Arbitrary.arbitrary[Array[Byte]]) { bytes =>
+      // totality: malformed input must yield Left, not an exception
+      Netpbm.decodeP6(bytes) match {
+        case Left(_) => true
+        case Right(img) =>
+          img.width > 0 && img.height > 0 &&
+            img.raster.length == img.width * img.height * 3
+      }
+    }
+
+  property("ppm parser never throws on corrupted valid files") =
+    forAll(genImage, Gen.choose(0, 1000), Arbitrary.arbitrary[Byte]) {
+      (img, pos, b) =>
+        val enc = Netpbm.encodeP6(img, 0L)
+        val corrupted = enc.clone()
+        corrupted(pos % enc.length) = b
+        Netpbm.decodeP6(corrupted).isLeft ||
+          Netpbm.decodeP6(corrupted).isRight // any VALUE is fine; no throw
+    }
+
+  property("phash is recompression-invariant for any image") =
+    forAll(genImage, Gen.choose(0L, 6L), Gen.choose(7L, 13L)) { (img, s1, s2) =>
+      def ph(bytes: Array[Byte]): Long =
+        Netpbm.whtPhash(Netpbm.luma8x8(Netpbm.decodeP6(bytes).toOption.get))
+      ph(Netpbm.encodeP6(img, s1)) == ph(Netpbm.encodeP6(img, s2))
+    }
 }
