@@ -288,6 +288,7 @@ object GraftFunctions {
     ColumnBridge.column(Md5Slices(ColumnBridge.expression(s)))
   def char_sum(s: Column): Column =
     ColumnBridge.column(CharSum(ColumnBridge.expression(s)))
+  def ppm_phash(media: Column): Column = MediaFunctions.ppm_phash(media)
 
   /** Spark's own runtime-filter membership test, exposed for explicit
     * Bloom prefilters: `bloom` must be a CONSTANT binary column (a
@@ -311,5 +312,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("l2_sq", es => L2Sq(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("md5_slices", es => Md5Slices(es.head), "built-in")
     reg.createOrReplaceTempFunction("char_sum", es => CharSum(es.head), "built-in")
+    reg.createOrReplaceTempFunction("ppm_phash", es => PpmPhash(es.head), "built-in")
   }
 }

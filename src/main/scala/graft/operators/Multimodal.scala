@@ -274,16 +274,18 @@ object Multimodal {
   /** (doc_id, phash) over real decoded pixels: 8×8 integer-luma
     * thumbnail → 16-bit Walsh–Hadamard perceptual hash
     * ([[Netpbm.whtPhash]] — the integer-exact DCT stand-in; rationale
-    * in Netpbm's scaladoc). Decode and hash are map-side; only the
-    * (doc_id, 8-byte hash) pair ever shuffles — at 100 TB the corpus'
-    * media bytes never cross the network, exactly the aHash/pHash
-    * dedup shape for images. */
+    * in Netpbm's scaladoc). The hash runs as the codegen'd
+    * [[graft.functions.PpmPhash]] column expression, so decode +
+    * transform stay INSIDE whole-stage codegen and only the (doc_id,
+    * 8-byte hash) pair ever shuffles — at 100 TB the corpus' media
+    * bytes never leave the scan stage, exactly the aHash/pHash dedup
+    * shape for images. Undecodable payloads hash to NULL and drop out
+    * of the grouping (malformed media is data, not a stage failure). */
   def phashes(media: Dataset[MediaRow]): DataFrame =
-    media.mapPartitions(_.map { m =>
-      val img = decodeOrThrow(m)
-      (m.doc_id, Netpbm.whtPhash(Netpbm.luma8x8(img)))
-    })(Encoders.product[(Long, Long)])
-      .toDF("doc_id", "phash")
+    media.toDF()
+      .select(col("doc_id"),
+        graft.functions.MediaFunctions.ppm_phash(col("media")).as("phash"))
+      .filter(col("phash").isNotNull)
 
   /** Duplicate groups by perceptual hash: (phash, n_members, members
     * as a sorted CSV). */

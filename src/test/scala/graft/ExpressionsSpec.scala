@@ -109,4 +109,33 @@ class ExpressionsSpec extends SparkSpec {
     got.zip(want).take(3).foreach { case (g, w) => assert(g == w) }
     assert(got(3) == null) // null in, null out
   }
+
+  test("ppm_phash equals the typed decode path; NULL on malformed; SQL-registered") {
+    import spark.implicits._
+    import graft.operators.{Multimodal, Netpbm}
+    val imgs = Seq("the quick brown fox jumps over it",
+      "pack my box with five dozen jugs!!")
+      .map(Multimodal.renderRaster)
+    val rows = imgs.zipWithIndex.map { case (img, i) =>
+      (i.toLong, Netpbm.encodeP6(img, style = i.toLong))
+    } :+ ((99L, "not a ppm at all".getBytes.toSeq.toArray))
+    val df = rows.toDF("doc_id", "media")
+    val got = df.select(col("doc_id"),
+      GraftFunctions.ppm_phash(col("media")).as("ph"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    imgs.zipWithIndex.foreach { case (img, i) =>
+      assert(got(i.toLong).contains(Netpbm.whtPhash(Netpbm.luma8x8(img))))
+    }
+    assert(got(99L).isEmpty, "malformed media must hash to NULL, not throw")
+    // SQL registration path
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("media_probe")
+    val viaSql = spark.sql(
+      "SELECT count(ppm_phash(media)) FROM media_probe").head().getLong(0)
+    assert(viaSql == 2L) // NULL for the malformed row is not counted
+    // and the expression stays inside whole-stage codegen
+    val plan = df.select(GraftFunctions.ppm_phash(col("media")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
 }
