@@ -238,5 +238,72 @@ object Graft {
     def semanticSurvivors(k: Int = 16, iters: Int = 2,
         threshold: Double = 0.4): DataFrame =
       graft.operators.SemDedup.survivors(df, k, iters, threshold)
+
+    /** Train the persistable IVF-PQ index over this embedding corpus
+      * (coarse anchors + per-subspace codebooks + cell-partitioned
+      * 4-byte codes). Pair with [[searchPqIndex]] /
+      * `Pq.writePqIndex`/`appendToPqIndex` for the train-once,
+      * encode-per-batch serving flow. */
+    def buildPqIndex(nCells: Int = graft.operators.Pq.IvfCells,
+        kCodes: Int = graft.operators.Pq.KProd): graft.operators.Pq.PqIndex =
+      graft.operators.Pq.buildPqIndex(df, nCells, kCodes)
+
+    /** ADC search of THIS frame (as queries) against a PQ index:
+      * (q_id, nb_id, adc, rn ≤ k) over the probed cells' codes only —
+      * no float vector is touched after training. */
+    def searchPqIndex(index: graft.operators.Pq.PqIndex, nProbe: Int = 2,
+        k: Int = 5): DataFrame =
+      graft.operators.Pq.searchPqIndex(df, index, nProbe, k)
+  }
+
+  /** Media ops over a (doc_id, media: binary) frame — encoded images
+    * as opaque payloads, the multimodal-column contract. */
+  implicit final class MediaDatasetOps(private val df: DataFrame) extends AnyVal {
+
+    /** (doc_id, phash): the 16-bit WHT perceptual hash of each PPM
+      * payload via the codegen'd `ppm_phash` expression — decode never
+      * leaves the scan stage; undecodable payloads drop (NULL hash). */
+    def perceptualHashes(): DataFrame =
+      df.select(col("doc_id"),
+        graft.functions.GraftFunctions.ppm_phash(col("media")).as("phash"))
+        .filter(col("phash").isNotNull)
+
+    /** Recompression-invariant duplicate groups: (phash, n_members,
+      * members CSV sorted) — byte-different encodings of the same
+      * pixels collide; only the 8-byte hash ever shuffles. */
+    def perceptualDuplicateGroups(): DataFrame =
+      perceptualHashes()
+        .groupBy("phash")
+        .agg(min(col("doc_id")).as("representative"),
+          count(lit(1)).as("n_members"),
+          array_join(array_sort(collect_list(col("doc_id"))).cast("array<string>"), ";")
+            .as("members"))
+        .filter(col("n_members") >= 2)
+  }
+
+  /** Tokenizer + learned-quality ops over (doc_id, text) frames that
+    * complement [[DocumentOps]] (separate class only to keep the
+    * 22-method implicit small enough to navigate). */
+  implicit final class CurationModelOps(private val df: DataFrame) extends AnyVal {
+
+    /** Train an ordered BPE merge list: one distributed word-count
+      * pass, then the capped local loop (production trainer shape). */
+    def trainBpe(nMerges: Int = 50): Seq[(String, String)] =
+      graft.operators.Bpe.train(df, nMerges)
+
+    /** Per-document token counts under a trained merge list. */
+    def bpeTokenCounts(merges: Seq[(String, String)]): DataFrame =
+      graft.operators.Bpe.tokenCounts(df, merges)
+
+    /** Serving-form weak-supervision quality model trained on THIS
+      * frame's rule-gate labels: (token log-odds table, 1-row consts)
+      * — both DataFrames, persistable like any index. */
+    def weakQualityModel(): (DataFrame, DataFrame) =
+      graft.operators.Classifier.binaryLogOddsModel(
+        graft.operators.Classifier.weakLabeledTrain(df))
+
+    /** Score this frame under a serving-form model: (doc_id, logodds). */
+    def qualityLogOdds(model: (DataFrame, DataFrame)): DataFrame =
+      graft.operators.Classifier.logOddsScores(model._1, model._2, df)
   }
 }

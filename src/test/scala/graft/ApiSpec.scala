@@ -32,6 +32,45 @@ class ApiSpec extends SparkSpec {
     assert(api == cat)
   }
 
+  test("media ops: perceptual dedup groups recompressed copies via the facade") {
+    import spark.implicits._
+    val img = graft.operators.Multimodal.renderRaster(
+      "the quick brown fox jumps over the lazy dog")
+    val media = Seq(
+      (1L, graft.operators.Netpbm.encodeP6(img, style = 0)),
+      (2L, graft.operators.Netpbm.encodeP6(img, style = 1)), // re-encoded copy
+      (3L, "junk, not an image".getBytes)) // undecodable: drops, no failure
+      .toDF("doc_id", "media")
+    val groups = media.perceptualDuplicateGroups().collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[String]("members") == "1;2")
+    assert(groups.head.getAs[Long]("representative") == 1L)
+    assert(media.perceptualHashes().count() == 2)
+  }
+
+  test("curation model ops: trainBpe/tokenCounts and quality log-odds compose") {
+    val docs = Tables(spark, sf0001).documents
+    val merges = docs.trainBpe(nMerges = 5)
+    assert(merges.length == 5)
+    val counts = docs.bpeTokenCounts(merges)
+    assert(counts.count() == docs.count())
+    val model = docs.filter(col("doc_id") % 2 === 0).weakQualityModel()
+    val scored = docs.qualityLogOdds(model)
+    assert(scored.count() == docs.count())
+    assert(scored.schema.fieldNames.toSet == Set("doc_id", "logodds"))
+  }
+
+  test("pq index ops: facade search equals the operator API") {
+    val e = Tables(spark, sf0001).embeddings
+    val q = e.filter(col("vec_id") < 8)
+    val idx = e.buildPqIndex()
+    val api = q.searchPqIndex(idx).select("q_id", "nb_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val op = graft.operators.Pq.searchPqIndex(q, idx).select("q_id", "nb_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(api == op && api.nonEmpty)
+  }
+
   test("GraftExtensions: custom functions resolve in a fresh session via SQL") {
     val active = SparkSession.getActiveSession
     try {
