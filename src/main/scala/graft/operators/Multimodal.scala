@@ -312,12 +312,11 @@ object Multimodal {
     * group them — a byte digest (n01's md5) provably cannot. The
     * oracle computes the same hash from the generative raster and
     * groups in SQL. */
-  val mediaPhashDedup: Q = Q(
-    "n61_media_phash_dedup",
-    s"""WITH corpus AS (SELECT doc_id, text FROM documents
-       |               UNION ALL
-       |               SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0),
-       |${rasterSql("corpus")},
+  /** The generative-raster → 8×8 luma → WHT phash chain as a
+    * WITH-fragment ending in `ph(doc_id, phash)` — shared by the n61
+    * grouping and the st10 streaming-gate twin. */
+  private def phashChainSql(src: String): String =
+    s"""${rasterSql(src)},
        |g AS (SELECT doc_id,
        |        list_transform(generate_series(0, 63), j ->
        |          (299 * raster[(((j//8) * h // 8) * w + ((j%8) * w) // 8) * 3 + 1]
@@ -330,7 +329,14 @@ object Multimodal {
        |                   CASE WHEN (bit_count((k//8) & (j//8)) + bit_count((k%8) & (j%8))) % 2 = 0
        |                        THEN gray[j+1] ELSE -gray[j+1] END)) > 0
        |                 THEN 1 << (k-1) ELSE 0 END)) AS BIGINT) AS phash
-       |       FROM g)
+       |       FROM g)""".stripMargin
+
+  val mediaPhashDedup: Q = Q(
+    "n61_media_phash_dedup",
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+       |               UNION ALL
+       |               SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0),
+       |${phashChainSql("corpus")}
        |SELECT phash,
        |       CAST(count(*) AS BIGINT) AS n_members,
        |       array_to_string(list_sort(list(doc_id)), ';') AS members
@@ -342,6 +348,27 @@ object Multimodal {
       .orderBy("phash")
   }
 
+  /** Batch twin of [[graft.streaming.StreamingOps.mediaDedupIngest]]
+    * (the st07 twin pattern): per-payload perceptual hash via the
+    * codegen'd expression, keep-first (min doc_id) per hash — the
+    * exact curation the stream runs on arrival, restated so DuckDB
+    * can hash-check it. StreamingSpec proves the MemoryStream run
+    * emits exactly this (doc_id, phash) set when media arrive in id
+    * order. */
+  val mediaDedupIngestTwin: Q = Q(
+    "st10_stream_media_dedup",
+    s"""WITH ${phashChainSql("documents")}
+       |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, phash
+       |FROM ph
+       |GROUP BY phash
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    phashes(ppmRows(Tables(s, dir).documents))
+      .groupBy("phash")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "phash")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(mediaMeta, mediaDecode, mediaResize, mediaFrameSample,
-    mediaPhashDedup)
+    mediaPhashDedup, mediaDedupIngestTwin)
 }

@@ -112,6 +112,30 @@ object StreamingOps {
       .select("doc_id", "logodds")
   }
 
+  /** Streaming MEDIA dedup gate (round 7 — the multimodal ingest
+    * counterpart of [[qualityGatedIngest]]): each arriving (ts,
+    * doc_id, media) row is perceptually hashed IN THE SCAN STAGE by
+    * the codegen'd `ppm_phash` expression (decode + 8×8 luma + WHT
+    * threshold — raster bytes never enter streaming state), rows
+    * whose payload does not decode drop immediately (broken media is
+    * a quality gate, not a stage failure), and keep-first dedup runs
+    * on the 16-bit hash within the watermark. Byte-different
+    * re-encodings of the same image collide by construction, so
+    * re-crawled/recompressed images dedup on arrival — what a byte
+    * digest can never give an ingest pipeline. State per key is the
+    * 8-byte hash, bounded by the watermark horizon.
+    * st10_stream_media_dedup is the DuckDB-oracled batch twin;
+    * StreamingSpec proves stream == twin. */
+  def mediaDedupIngest(media: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    media
+      .select(col("ts"), col("doc_id"),
+        graft.functions.GraftFunctions.ppm_phash(col("media")).as("phash"))
+      .filter(col("phash").isNotNull)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("phash")
+      .select("doc_id", "phash")
+
   /** Handle for the streaming near-dup slice: the running survivor
     * query plus an on-demand batch view of near-dup pairs over
     * everything survived so far. */

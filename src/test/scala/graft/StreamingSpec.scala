@@ -582,4 +582,56 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "gate should pass at least one doc")
     assert(streamed == twin)
   }
+
+  test("streaming media dedup gate: recompressed copies and broken payloads drop (st10)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val imgA = graft.operators.Multimodal.renderRaster(
+      "the quick brown fox jumps over the lazy dog once")
+    val imgB = graft.operators.Multimodal.renderRaster(
+      "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA")
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), graft.operators.Netpbm.encodeP6(imgA, 0)),
+      (2L, ts("2024-01-01 10:00:01"), graft.operators.Netpbm.encodeP6(imgA, 1)), // re-encoded copy of 1
+      (3L, ts("2024-01-01 10:00:02"), graft.operators.Netpbm.encodeP6(imgB, 2)),
+      (4L, ts("2024-01-01 10:00:03"), "definitely not a ppm".getBytes)) // broken media
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val media = input.toDF().toDF("doc_id", "ts", "media")
+    val q = StreamingOps.mediaDedupIngest(media, "1 hour")
+      .writeStream.format("memory").queryName("mgate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("mgate").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == Set(1L, 3L),
+      s"copy must dedup against the original, broken media must drop: $streamed")
+  }
+
+  test("streaming media dedup equals its batch twin over the corpus (st10)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // the full sf0.001 corpus as encoded PPM payloads, arriving in
+    // doc_id order (keep-first == min doc_id, the twin's semantics)
+    val mediaRows = graft.operators.Multimodal
+      .ppmRows(Tables(spark, sf0001).documents)
+      .collect().sortBy(_.doc_id)
+      .map(m => (m.doc_id, ts("2024-01-01 10:00:00"), m.media)).toSeq
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val media = input.toDF().toDF("doc_id", "ts", "media")
+    val q = StreamingOps.mediaDedupIngest(media, "1 hour")
+      .writeStream.format("memory").queryName("mgate2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(mediaRows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("mgate2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twin = Catalog.queries("st10_stream_media_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty && streamed == twin)
+  }
 }
