@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, Md5Slices, PpmPhash, QuantizedCos, StPoint, StX, StY}
+import graft.functions.{CosineSim, Md5Slices, PpmPhash, PpmValid, QuantizedCos, StPoint, StX, StY}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * expressions first-class SQL functions in any session built with
@@ -41,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("ppm_phash"),
       info("ppm_phash", "ppm_phash(media) - 16-bit WHT perceptual hash of a binary PPM; NULL if undecodable"),
       (es: Seq[Expression]) => PpmPhash(es.head)))
+    ext.injectFunction((FunctionIdentifier("ppm_valid"),
+      info("ppm_valid", "ppm_valid(media) - O(header) check that the bytes parse as a decodable P6"),
+      (es: Seq[Expression]) => PpmValid(es.head)))
     // native as-of join planning in any session built with this
     // extension (AsOfJoin.asof also self-registers for ad-hoc use)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -264,9 +264,9 @@ object Graft {
       * payload via the codegen'd `ppm_phash` expression — decode never
       * leaves the scan stage; undecodable payloads drop (NULL hash). */
     def perceptualHashes(): DataFrame =
-      df.select(col("doc_id"),
-        graft.functions.GraftFunctions.ppm_phash(col("media")).as("phash"))
-        .filter(col("phash").isNotNull)
+      df.filter(graft.functions.GraftFunctions.ppm_valid(col("media")))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.ppm_phash(col("media")).as("phash"))
 
     /** Recompression-invariant duplicate groups: (phash, n_members,
       * members CSV sorted) — byte-different encodings of the same

@@ -289,6 +289,7 @@ object GraftFunctions {
   def char_sum(s: Column): Column =
     ColumnBridge.column(CharSum(ColumnBridge.expression(s)))
   def ppm_phash(media: Column): Column = MediaFunctions.ppm_phash(media)
+  def ppm_valid(media: Column): Column = MediaFunctions.ppm_valid(media)
 
   /** Spark's own runtime-filter membership test, exposed for explicit
     * Bloom prefilters: `bloom` must be a CONSTANT binary column (a
@@ -313,5 +314,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("md5_slices", es => Md5Slices(es.head), "built-in")
     reg.createOrReplaceTempFunction("char_sum", es => CharSum(es.head), "built-in")
     reg.createOrReplaceTempFunction("ppm_phash", es => PpmPhash(es.head), "built-in")
+    reg.createOrReplaceTempFunction("ppm_valid", es => PpmValid(es.head), "built-in")
   }
 }

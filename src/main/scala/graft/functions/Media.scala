@@ -18,6 +18,10 @@ object MediaOps {
     graft.operators.Netpbm.decodeP6(bytes).fold(
       _ => -1L,
       img => graft.operators.Netpbm.whtPhash(graft.operators.Netpbm.luma8x8(img)))
+
+  /** O(header) decodability check — see [[graft.operators.Netpbm.headerValid]]. */
+  def ppmValid(bytes: Array[Byte]): Boolean =
+    graft.operators.Netpbm.headerValid(bytes)
 }
 
 /** ppm_phash(media) → the 16-bit Walsh–Hadamard perceptual hash of a
@@ -47,7 +51,28 @@ case class PpmPhash(child: Expression)
   override protected def withNewChildInternal(c: Expression): PpmPhash = copy(c)
 }
 
+/** ppm_valid(media) → true iff the bytes parse as a decodable P6 —
+  * an O(header) predicate (no raster copy, no hash). Plans filter on
+  * THIS and project `ppm_phash` on the survivors: filtering on
+  * `ppm_phash(media) IS NOT NULL` instead would get pushed through
+  * the projection by Catalyst and run the full decode+hash TWICE per
+  * row (observed in the st10 plan audit — the filter condition held
+  * its own `ppm_phash(media)` copy). */
+case class PpmValid(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "ppm_valid"
+  override protected def nullSafeEval(bytes: Any): Any =
+    MediaOps.ppmValid(bytes.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MediaOps.ppmValid($c)")
+  override protected def withNewChildInternal(c: Expression): PpmValid = copy(c)
+}
+
 object MediaFunctions {
   def ppm_phash(media: Column): Column =
     ColumnBridge.column(PpmPhash(ColumnBridge.expression(media)))
+  def ppm_valid(media: Column): Column =
+    ColumnBridge.column(PpmValid(ColumnBridge.expression(media)))
 }

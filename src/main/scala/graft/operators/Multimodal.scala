@@ -283,9 +283,12 @@ object Multimodal {
     * of the grouping (malformed media is data, not a stage failure). */
   def phashes(media: Dataset[MediaRow]): DataFrame =
     media.toDF()
+      // ppm_valid first (O(header) predicate), hash on the survivors:
+      // a `phash IS NOT NULL` filter would be pushed through the
+      // projection and run the full decode+hash twice per row
+      .filter(graft.functions.MediaFunctions.ppm_valid(col("media")))
       .select(col("doc_id"),
         graft.functions.MediaFunctions.ppm_phash(col("media")).as("phash"))
-      .filter(col("phash").isNotNull)
 
   /** Duplicate groups by perceptual hash: (phash, n_members, members
     * as a sorted CSV). */

@@ -56,13 +56,17 @@ object Netpbm {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 0x0b
 
-  /** Parse a binary PPM. A real parser: validates the magic, skips
-    * comment lines (`#` to end-of-line) and runs of whitespace between
-    * header tokens, reads the three header integers, requires exactly
-    * one whitespace byte after maxval (raster bytes may themselves look
-    * like whitespace), and bounds-checks the raster. Malformed input is
-    * an error value, never a truncated image. */
-  def decodeP6(bytes: Array[Byte]): Either[String, Image] = {
+  /** Header parse result: dimensions, maxval, and the raster's byte
+    * offset — everything [[decodeP6]] needs except the raster copy,
+    * and everything [[headerValid]] needs at O(header) cost. */
+  final case class Header(width: Int, height: Int, maxval: Int, rasterAt: Int)
+
+  /** Parse and validate a P6 header (magic, comments, whitespace,
+    * the three integers, the single raster separator, raster bounds)
+    * WITHOUT touching the raster bytes. Success here guarantees
+    * [[decodeP6]] succeeds — the two stay in lockstep because decode
+    * is defined in terms of this. */
+  def headerInfo(bytes: Array[Byte]): Either[String, Header] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6')
       return Left("bad magic: not a P6 ppm")
     var i = 2
@@ -95,15 +99,34 @@ object Netpbm {
            else if (mv <= 0 || mv > 255) Left(s"unsupported maxval $mv (1-byte samples only)")
            else if (i >= bytes.length || !isWs(bytes(i))) Left("missing raster separator after maxval")
            else Right(())
-      img <- {
-        i += 1 // the single post-maxval whitespace byte
+      _ <- {
         val need = w.toLong * h * 3
-        if (bytes.length - i < need) Left(s"truncated raster: need $need, have ${bytes.length - i}")
-        else Right(Image(w, h, mv,
-          java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)))
+        if (bytes.length - (i + 1) < need)
+          Left(s"truncated raster: need $need, have ${bytes.length - i - 1}")
+        else Right(())
       }
-    } yield img
+    } yield Header(w, h, mv, i + 1)
   }
+
+  /** O(header) validity check — the cheap scan-stage predicate that
+    * lets a plan filter undecodable payloads WITHOUT running the full
+    * decode+hash twice (Catalyst pushes a `hash IS NOT NULL` filter
+    * through the projection, duplicating the expensive expression;
+    * filtering on this instead keeps the decode single-evaluation). */
+  def headerValid(bytes: Array[Byte]): Boolean = headerInfo(bytes).isRight
+
+  /** Parse a binary PPM. A real parser: validates the magic, skips
+    * comment lines (`#` to end-of-line) and runs of whitespace between
+    * header tokens, reads the three header integers, requires exactly
+    * one whitespace byte after maxval (raster bytes may themselves look
+    * like whitespace), and bounds-checks the raster. Malformed input is
+    * an error value, never a truncated image. */
+  def decodeP6(bytes: Array[Byte]): Either[String, Image] =
+    headerInfo(bytes).map { h =>
+      Image(h.width, h.height, h.maxval,
+        java.util.Arrays.copyOfRange(bytes, h.rasterAt,
+          h.rasterAt + h.width * h.height * 3))
+    }
 
   /** Nearest-neighbor resample — integer index math `(x·w) div tw`,
     * exact in both engines. */

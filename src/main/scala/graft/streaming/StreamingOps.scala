@@ -129,9 +129,13 @@ object StreamingOps {
   def mediaDedupIngest(media: DataFrame,
       watermark: String = "10 minutes"): DataFrame =
     media
+      // O(header) validity predicate BEFORE the hash projection, so
+      // the decode+hash runs exactly once per surviving row (a
+      // hash-IS-NOT-NULL filter gets pushed through the projection
+      // and duplicates the expensive expression)
+      .filter(graft.functions.GraftFunctions.ppm_valid(col("media")))
       .select(col("ts"), col("doc_id"),
         graft.functions.GraftFunctions.ppm_phash(col("media")).as("phash"))
-      .filter(col("phash").isNotNull)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("phash")
       .select("doc_id", "phash")

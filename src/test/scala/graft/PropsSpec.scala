@@ -92,6 +92,14 @@ object PropsSpec extends Properties("graft") {
           Netpbm.decodeP6(corrupted).isRight // any VALUE is fine; no throw
     }
 
+  property("header validity predicate is in lockstep with the decoder") =
+    forAll(Arbitrary.arbitrary[Array[Byte]]) { bytes =>
+      // ppm_valid's contract: true iff the full decode succeeds — the
+      // plan filters on the cheap predicate, so the two must never
+      // disagree about what "decodable" means
+      Netpbm.headerValid(bytes) == Netpbm.decodeP6(bytes).isRight
+    }
+
   property("phash is recompression-invariant for any image") =
     forAll(genImage, Gen.choose(0L, 6L), Gen.choose(7L, 13L)) { (img, s1, s2) =>
       def ph(bytes: Array[Byte]): Long =
