@@ -101,6 +101,12 @@ object Graft {
 
     /** Sequence packing: append (n_tokens, bin) — fixed-token-budget
       * bins per shard in doc_id order (training-batch assembly). */
+    /** Overlapping fixed-token chunking (the sequence-prep step before
+      * [[packSequences]]): (doc_id, chunk_idx, start_tok, n_tok, fp) —
+      * map-side explode, fingerprints ready for chunk-level dedup. */
+    def chunkWindows(window: Int = 16, stride: Int = 8): DataFrame =
+      graft.operators.Corpus.chunkWindows(df, window, stride)
+
     def packSequences(budget: Long = 2048,
         shardCol: String = "source"): DataFrame =
       graft.operators.Corpus.packSequences(df, budget, shardCol)

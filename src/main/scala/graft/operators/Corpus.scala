@@ -257,6 +257,57 @@ object Corpus {
     }
   }
 
+  /** Overlapping-window document chunking (round 7) — the sequence-
+    * prep step UPSTREAM of n18's packing: long documents split into
+    * fixed-token windows with a stride (the pretraining/RAG chunker),
+    * each chunk carrying its position and a content fingerprint so
+    * downstream dedup/packing key on chunks exactly as they key on
+    * documents. Map-side only: one `transform` builds the per-doc
+    * chunk structs in the scan stage and one explode emits them —
+    * zero shuffles; at 100 TB the op is embarrassingly parallel and
+    * output size is input × W/S (the overlap factor, W=16 S=8 ⇒ 2×).
+    * Chunk starts are 0, S, 2S, … while start < n, so tail chunks may
+    * be short but coverage is total and deterministic. */
+  def chunkWindows(docs: DataFrame, window: Int, stride: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") >= 1)
+      .select(col("doc_id"), col("__n"), explode(expr(
+        s"""transform(sequence(0, CAST((__n - 1) div $stride AS INT)),
+           |  i -> named_struct(
+           |    'chunk_idx', CAST(i AS BIGINT),
+           |    'start_tok', CAST(i * $stride AS BIGINT),
+           |    'n_tok', CAST(least($window, __n - i * $stride) AS BIGINT),
+           |    'fp', md5(array_join(
+           |      slice(__toks, i * $stride + 1,
+           |            CAST(least($window, __n - i * $stride) AS INT)), ' '))))""".stripMargin))
+        .as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.start_tok").as("start_tok"), col("c.n_tok").as("n_tok"),
+        col("c.fp").as("fp"))
+
+  val chunkQ: Q = {
+    val (w, s) = (16, 8)
+    Q(
+      "n72_chunk_windows",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |           FROM documents),
+         |c AS (SELECT doc_id, n, unnest(generate_series(0, CAST((n - 1) // $s AS INTEGER))) AS i
+         |      FROM t WHERE n >= 1)
+         |SELECT c.doc_id,
+         |       CAST(c.i AS BIGINT) AS chunk_idx,
+         |       CAST(c.i * $s AS BIGINT) AS start_tok,
+         |       CAST(least($w, c.n - c.i * $s) AS BIGINT) AS n_tok,
+         |       md5(array_to_string(t.l[c.i * $s + 1 : c.i * $s + least($w, c.n - c.i * $s)], ' ')) AS fp
+         |FROM c JOIN t ON t.doc_id = c.doc_id
+         |ORDER BY c.doc_id, chunk_idx""".stripMargin) { (ss, dir) =>
+      chunkWindows(Tables(ss, dir).documents, w, s)
+        .orderBy("doc_id", "chunk_idx")
+    }
+  }
+
   /** INCREMENTAL cluster maintenance (round 4, completing the
     * VERDICT r03 #1 theme for n07): fold a batch of NEW near-dup pairs
     * into an existing (node, lbl) cluster store WITHOUT re-running
@@ -505,5 +556,5 @@ object Corpus {
   }
 
   val all: Seq[Q] = Seq(dupClusters, contamination, stratifiedSample,
-    seqPack, clusterReps, incrementalClusters, mixture, sourceCap)
+    seqPack, chunkQ, clusterReps, incrementalClusters, mixture, sourceCap)
 }

@@ -7,10 +7,10 @@ class CatalogSpec extends SparkSpec {
 
   test("catalog has unique names and every oracle key is a query") {
     assert(Catalog.all.map(_.name).distinct.size == Catalog.all.size)
-    // regression floor: the round-7 catalog holds 176 entries; a
+    // regression floor: the round-7 catalog holds 177 entries; a
     // refactor that silently drops a family must fail here, not in
     // the driver's correctness gate
-    assert(Catalog.all.size >= 176, s"catalog shrank to ${Catalog.all.size}")
+    assert(Catalog.all.size >= 177, s"catalog shrank to ${Catalog.all.size}")
     assert(Catalog.oracles.keySet.subsetOf(Catalog.queries.keySet))
   }
 

@@ -264,4 +264,37 @@ class CorpusSpec extends SparkSpec {
     assert(out((2L, 1L)) == ("banana", 1L, r6(common)))
     assert(out((2L, 2L)) == ("cherry", 1L, r6(common)))
   }
+
+  test("chunkWindows: total coverage, stride positions, window bound, exact fingerprints") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 tokens: chunks at 0,8,16
+      (2L, "a b c"),                                  // shorter than one window
+      (3L, (1 to 16).map(i => s"u$i").mkString(" "))) // exactly one full window + tail at 8
+      .toDF("doc_id", "text")
+    val out = graft.operators.Corpus.chunkWindows(docs, window = 16, stride = 8)
+      .collect().groupBy(_.getLong(0))
+    val c1 = out(1L).sortBy(_.getAs[Long]("chunk_idx"))
+    assert(c1.map(_.getAs[Long]("start_tok")).toSeq == Seq(0L, 8L, 16L))
+    assert(c1.map(_.getAs[Long]("n_tok")).toSeq == Seq(16L, 12L, 4L))
+    assert(out(2L).map(r => (r.getAs[Long]("start_tok"), r.getAs[Long]("n_tok"))).toSeq
+      == Seq((0L, 3L)))
+    // every token position is covered by at least one chunk
+    c1.foreach(r => assert(r.getAs[Long]("n_tok") <= 16))
+    val covered = c1.flatMap(r =>
+      r.getAs[Long]("start_tok") until (r.getAs[Long]("start_tok") + r.getAs[Long]("n_tok"))).toSet
+    assert(covered == (0L until 20L).toSet)
+    // fingerprint is md5 of the space-joined token slice
+    val fp0 = c1.head.getAs[String]("fp")
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest((1 to 16).map(i => s"t$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(fp0 == expect)
+    // identical windows in different docs share a fingerprint (what
+    // chunk-level dedup keys on)
+    val dup = Seq((10L, "x y z w"), (11L, "x y z w")).toDF("doc_id", "text")
+    val fps = graft.operators.Corpus.chunkWindows(dup, 16, 8)
+      .select("fp").collect().map(_.getString(0))
+    assert(fps.distinct.length == 1)
+  }
 }
