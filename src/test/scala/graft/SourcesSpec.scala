@@ -44,6 +44,28 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == full.count())
   }
 
+  test("events normalization is independent of caller session time zone (ADVICE r06)") {
+    // A fresh dir forces a fresh Tables cache key, so .events rebuilds its
+    // plan under the poisoned session TZ — the shape a bare spark-shell
+    // entry point would hit.
+    val dir = tmp("tzdir")
+    Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val utcRows = Tables(spark, sf0001).events
+      .select("event_id", "ts").orderBy("event_id").limit(5)
+      .collect().map(r => (r.getLong(0), r.get(1).toString)).toSeq
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val rows = Tables(spark, dir).events
+        .select("event_id", "ts").orderBy("event_id").limit(5)
+        .collect().map(r => (r.getLong(0), r.get(1).toString)).toSeq
+      assert(rows == utcRows) // wall-clock times did not shift
+      // Tables pinned the session back to UTC as a side effect
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val dir = tmp("part")
     val e = Tables(spark, sf0001).events
