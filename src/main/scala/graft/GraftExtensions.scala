@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, Md5Slices, PpmPhash, PpmValid, QuantizedCos, StPoint, StX, StY}
+import graft.functions.{CosineSim, DotFloat, Md5Slices, NormFloat, PpmPhash, PpmValid, QuantizedCos, StPoint, StX, StY}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * expressions first-class SQL functions in any session built with
@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("quantized_cos"),
       info("quantized_cos", "quantized_cos(a, b) - cosine over int8 code vectors"),
       (es: Seq[Expression]) => QuantizedCos(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("dot_float"),
+      info("dot_float", "dot_float(a, b) - dot product of float vectors in double"),
+      (es: Seq[Expression]) => DotFloat(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("norm_float"),
+      info("norm_float", "norm_float(a) - L2 norm of a float vector"),
+      (es: Seq[Expression]) => NormFloat(es.head)))
     ext.injectFunction((FunctionIdentifier("md5_slices"),
       info("md5_slices", "md5_slices(s) - 16 8-hex-char MinHash components"),
       (es: Seq[Expression]) => Md5Slices(es.head)))

@@ -48,6 +48,40 @@ object VectorOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Dot product of two float vectors accumulated in double — the
+    * norm-factored hot loop for exact all-pairs cosine. Per-pair work
+    * drops from 3 multiply-adds per element (dot + both norms, what
+    * [[cosineFloat]] does) to 1 when the per-side norms are
+    * precomputed ONCE per vector with [[normFloat]]:
+    * `dot/(norm(a)*norm(b))` runs the exact same FP operation
+    * sequence as cosineFloat, so the factorization is bit-identical
+    * (SimilaritySpec proves it on the harness corpus). */
+  def dotFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  /** sqrt of the left-to-right double sum of squares — cosineFloat's
+    * per-side norm, factored out so an n²/2-pair self-join computes it
+    * n times instead of n². */
+  def normFloat(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
   /** Squared L2 distance between two float vectors, as the EXACT
     * left-to-right fold `acc + (x-y)²` in doubles — bit-identical to
     * the `aggregate(zip_with(...))` expression tree it replaces in the
@@ -234,6 +268,37 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** dot_float(a, b) over array<float> — the norm-factored cosine's
+  * per-pair term (see VectorOps.dotFloat). */
+case class DotFloat(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_float"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorOps.dotFloat($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotFloat =
+    copy(left = newLeft, right = newRight)
+}
+
+/** norm_float(a) → the vector's L2 norm (see VectorOps.normFloat). */
+case class NormFloat(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "norm_float"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.normFloat(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.normFloat($a)")
+  override protected def withNewChildInternal(c: Expression): NormFloat = copy(c)
+}
+
 /** l2_sq(a, b) → squared L2 distance between two array<float>
   * vectors, the exact left-to-right double fold (see
   * VectorOps.l2SqFloat). */
@@ -282,6 +347,10 @@ object GraftFunctions {
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def l2_sq(a: Column, b: Column): Column =
     ColumnBridge.column(L2Sq(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def dot_float(a: Column, b: Column): Column =
+    ColumnBridge.column(DotFloat(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def norm_float(a: Column): Column =
+    ColumnBridge.column(NormFloat(ColumnBridge.expression(a)))
   def quantized_cos(a: Column, b: Column): Column =
     ColumnBridge.column(QuantizedCos(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def md5_slices(s: Column): Column =

@@ -147,14 +147,20 @@ object Similarity {
     * entries (identical output, proven in SimilaritySpec/ApiSpec). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       excludeSelf: Boolean = true, useHeap: Boolean = true): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    // native codegen'd cosine expression: one tight loop per pair,
-    // bit-identical to the zip_with/aggregate fold (SimilaritySpec)
-    val scored = corpus.crossJoin(broadcast(q))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+      graft.functions.GraftFunctions.norm_float(col("embedding")).as("nrm_q"))
+    // norm-factored codegen'd cosine: per-side norms computed once (the
+    // corpus norm inside the pre-join projection, the query norm in the
+    // broadcast side), so the |corpus|×|queries| loop is dot-only —
+    // bit-identical to the fused cosine_sim fold (SimilaritySpec)
+    val scored = corpus
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.GraftFunctions.norm_float(col("embedding")).as("nrm_c"))
+      .crossJoin(broadcast(q))
       .filter(if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true))
       .select(col("q_id"), col("vec_id").as("nb_id"),
-        round6(graft.functions.GraftFunctions.cosine_sim(col("qv"), col("embedding")))
-          .as("cos"))
+        round6(graft.functions.GraftFunctions.dot_float(col("qv"), col("embedding")) /
+          (col("nrm_q") * col("nrm_c"))).as("cos"))
     topKPerQuery(scored, k, useHeap)
   }
 
@@ -279,10 +285,23 @@ object Similarity {
   def nearDuplicateVectors(vecs: DataFrame, threshold: Double,
       exact: Boolean = true, nTables: Int = 8, nBits: Int = 8,
       dim: Int = -1, probeBits: Int = 0): DataFrame = {
-    val a = vecs.select(col("vec_id").as("v1"), col("embedding").as("e1"))
-    val b = vecs.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    // norms factored out of the per-pair loop: the n²/2 (or candidate)
+    // projection below does ONE multiply-add per element instead of
+    // three, and dot/(nrm1*nrm2) is bit-identical to cosine_sim's
+    // fused dot/(√Σa²·√Σb²) — same FP op sequence (SimilaritySpec).
+    val a = vecs.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+      graft.functions.GraftFunctions.norm_float(col("embedding")).as("nrm1"))
+    val b = vecs.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+      graft.functions.GraftFunctions.norm_float(col("embedding")).as("nrm2"))
     val pairs =
-      if (exact) a.join(broadcast(b), col("v1") < col("v2"))
+      // The O(n²) pair loop's parallelism equals the STREAM side's
+      // partition count — a small corpus read from one parquet file
+      // would run the whole quadratic compute single-threaded. Spread
+      // the stream side across the cluster first (a shuffle of n rows,
+      // amortized over n²/2 pair evaluations).
+      if (exact)
+        a.repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+          .join(broadcast(b), col("v1") < col("v2"))
       else {
         // dim must match the data: a too-short weight literal null-pads
         // zip_with, null-poisons every projection, and collapses all
@@ -309,8 +328,8 @@ object Similarity {
       }
     pairs
       .select(col("v1"), col("v2"),
-        round6(graft.functions.GraftFunctions.cosine_sim(col("e1"), col("e2")))
-          .as("cos"))
+        round6(graft.functions.GraftFunctions.dot_float(col("e1"), col("e2")) /
+          (col("nrm1") * col("nrm2"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -197,6 +197,23 @@ class SimilaritySpec extends SparkSpec {
     assert(diffs < 1e-12, s"native vs fold diff $diffs")
   }
 
+  test("norm-factored dot_float/norm_float is bit-identical to fused cosine_sim") {
+    val e = Tables(spark, sf0001).embeddings.limit(80)
+    val a = e.select(col("vec_id"), col("embedding"),
+      GraftFunctions.norm_float(col("embedding")).as("nrm1"))
+    val pairs = a.crossJoin(
+      a.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        GraftFunctions.norm_float(col("embedding")).as("nrm2")))
+      .filter(col("vec_id") < col("v2"))
+    val maxDiff = pairs
+      .select((GraftFunctions.dot_float(col("embedding"), col("e2")) /
+        (col("nrm1") * col("nrm2")) -
+        GraftFunctions.cosine_sim(col("embedding"), col("e2"))).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    // same FP op sequence, so EXACT equality, not epsilon
+    assert(maxDiff == 0.0, s"factored vs fused cosine diff $maxDiff")
+  }
+
   test("heap top-k path is identical to the window path (cosine + IVF)") {
     import graft.operators.Similarity
     val e = Tables(spark, sf0001).embeddings
