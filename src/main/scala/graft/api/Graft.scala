@@ -311,5 +311,26 @@ object Graft {
     /** Score this frame under a serving-form model: (doc_id, logodds). */
     def qualityLogOdds(model: (DataFrame, DataFrame)): DataFrame =
       graft.operators.Classifier.logOddsScores(model._1, model._2, df)
+
+    /** DSIR: resample k docs from this frame toward `target`'s
+      * hashed-ngram distribution (deterministic Gumbel-top-k). */
+    def dsirSelect(target: DataFrame, k: Int,
+        seed: String = graft.operators.Selection.GumbelSeed): DataFrame =
+      graft.operators.Selection.dsir(df, target, k, seed = seed)
+
+    /** CCNet head/middle/tail buckets under a smoothed bigram LM
+      * trained on `target` (per-language terciles). */
+    def perplexityBuckets(target: DataFrame): DataFrame =
+      graft.operators.Selection.ccnetPerplexityBuckets(df, target)
+
+    /** Deterministic epoch shuffle: (doc_id, shard, pos) for a seeded
+      * reproducible global permutation. */
+    def epochShuffle(nShards: Int, seed: String): DataFrame =
+      graft.operators.Selection.epochShuffle(df, nShards, seed)
+
+    /** Soft dedup: per-doc sampling weight 1/|duplicate group| and
+      * weight-adjusted effective token count. */
+    def softDedupWeights(): DataFrame =
+      graft.operators.Selection.softDedupWeights(df)
   }
 }

@@ -44,6 +44,9 @@ class PlanLintSpec extends SparkSpec {
     "a28_top_supplier",     // 1-row broadcast max-revenue scalar
     "n46_mixture_resample", // 1-row mixture-scale scalar × 5-key part list
     "n52_skew_audit",       // 1-row total-rows broadcast over the key histogram
+    "n73_dsir_select",      // 1-row feature-total broadcast (tn×rn) into the
+                            //   1024-row tau table (n28's corpus-total pattern)
+    "n74_ccnet_buckets",    // 1-row vocab-size broadcast into the LM scoring join
     "n60_curation_audit"    // four 1-row stage-count scalars crossed into one row
   )
 
