@@ -285,6 +285,13 @@ object Graft {
           array_join(array_sort(collect_list(col("doc_id"))).cast("array<string>"), ";")
             .as("members"))
         .filter(col("n_members") >= 2)
+
+    /** Typed audio decode + features over a Dataset[MediaRow] of WAV
+      * payloads: (doc_id, sample_rate, n_samples, duration_ms, peak,
+      * clip_n, sum_sq, rms) through the real RIFF parser. */
+    def audioFeatures()(implicit enc: org.apache.spark.sql.Encoder[
+        graft.operators.Multimodal.MediaRow]): DataFrame =
+      graft.operators.Multimodal.decodedAudio(df.as[graft.operators.Multimodal.MediaRow])
   }
 
   /** Tokenizer + learned-quality ops over (doc_id, text) frames that

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.Det.round6Sql
 
 /** Multimodal-column handling (north star): media as opaque binary
   * columns with typed metadata, decoded partition-wise.
@@ -372,6 +373,147 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // Real WAV audio family: render → encode → decode → analyze (n77/n78)
+  // ---------------------------------------------------------------------
+
+  /** Exact-integer audio features recovered through the real WAV
+    * parse; rms is added as a round6 column on top. */
+  final case class AudioFeatures(
+      doc_id: Long, sample_rate: Int, n_samples: Long, duration_ms: Long,
+      peak: Long, clip_n: Long, sum_sq: Long)
+
+  /** Amplitude above which a sample counts as clipped (n77/n78). */
+  val ClipThreshold = 20000
+
+  /** Deterministic waveform for a document: m = n%96+32 mono samples
+    * at 8 kHz, sample i = (byte(i mod n) − 64)·400 + (i·31 mod 197) —
+    * bounded to int16 on this ASCII corpus. The GENERATIVE formula is
+    * what the DuckDB oracles recompute; the Spark side only ever sees
+    * it through encoded RIFF/WAVE bytes and a real chunk-walking
+    * parse ([[Waveform.decodeWav]]). */
+  def renderWaveform(text: String): Waveform.Clip = {
+    val bs = text.getBytes("US-ASCII")
+    val n = bs.length
+    val m = n % 96 + 32
+    val samples = new Array[Short](m)
+    var i = 0
+    while (i < m) {
+      samples(i) = ((bs(i % n) - 64) * 400 + (i * 31) % 197).toShort
+      i += 1
+    }
+    Waveform.Clip(8000, 1, samples)
+  }
+
+  /** Encoded-WAV media rows: every document of ≥ 16 bytes becomes a
+    * real RIFF/WAVE file whose CONTAINER layout varies with doc_id
+    * (optional LIST/INFO and fact chunks, chunk order) — byte-level
+    * variety over sample-identical content, the audio analog of
+    * [[ppmRows]]' header styles. */
+  def wavRows(docs: DataFrame): Dataset[MediaRow] =
+    docs.select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 16)
+      .as(Encoders.product[(Long, String)])
+      .map { case (id, text) =>
+        MediaRow(id, Waveform.encodeWav(renderWaveform(text), style = id),
+          "audio/wav")
+      }(Encoders.product[MediaRow])
+
+  private def audioFeats(doc_id: Long, c: Waveform.Clip): AudioFeatures = {
+    var peak = 0L; var clip = 0L; var ss = 0L
+    var i = 0
+    while (i < c.samples.length) {
+      val v = math.abs(c.samples(i).toLong)
+      if (v > peak) peak = v
+      if (v >= ClipThreshold) clip += 1
+      ss += v * v
+      i += 1
+    }
+    AudioFeatures(doc_id, c.sampleRate, c.samples.length.toLong,
+      c.samples.length.toLong * 1000 / c.sampleRate, peak, clip, ss)
+  }
+
+  /** Typed partition-wise audio decode + feature pass: parse the WAV
+    * container, fold peak/clipping/energy in one loop, then one
+    * round6 rms column. Map-side only — audio bytes never shuffle. */
+  def decodedAudio(media: Dataset[MediaRow]): DataFrame =
+    media.mapPartitions(_.map { m =>
+      val clip = Waveform.decodeWav(m.media).fold(
+        err => throw new IllegalArgumentException(s"doc ${m.doc_id}: $err"),
+        identity)
+      audioFeats(m.doc_id, clip)
+    })(Encoders.product[AudioFeatures])
+      .toDF()
+      .withColumn("rms",
+        graft.Det.round6(sqrt(col("sum_sq").cast("double") / col("n_samples"))))
+
+  /** The waveform formula as SQL ground truth (list of sample values
+    * per doc) — never derived from the WAV bytes; the Spark side must
+    * RECOVER these through the codec. */
+  private def waveSql(src: String): String =
+    s"""d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |      FROM $src WHERE length(text) >= 16),
+       |samp AS (SELECT doc_id, n,
+       |           list_transform(generate_series(0, CAST(n % 96 + 32 - 1 AS INTEGER)),
+       |             i -> (unicode(substr(text, CAST(i % n AS INTEGER) + 1, 1)) - 64) * 400
+       |                  + (i * 31) % 197) AS ss
+       |         FROM d)""".stripMargin
+
+  private def audioFeatureSql(ssExpr: String, rate: Int): String =
+    s"""CAST(len($ssExpr) AS BIGINT) AS n_samples,
+       |       CAST(len($ssExpr) * 1000 // $rate AS BIGINT) AS duration_ms,
+       |       CAST(list_max(list_transform($ssExpr, x -> abs(x))) AS BIGINT) AS peak,
+       |       CAST(len(list_filter($ssExpr, x -> abs(x) >= $ClipThreshold)) AS BIGINT) AS clip_n,
+       |       CAST(list_sum(list_transform($ssExpr, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS sum_sq""".stripMargin
+
+  /** Real audio decode: Spark walks the RIFF chunks and parses PCM16;
+    * the oracle recomputes duration/peak/clipping/energy from the
+    * generative formula. Hash equality == lossless container
+    * roundtrip through a real parser. */
+  val audioDecode: Q = Q(
+    "n77_audio_features",
+    s"""WITH ${waveSql("documents")},
+       |f AS (SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+       |      ${audioFeatureSql("ss", 8000)}
+       |      FROM samp)
+       |SELECT doc_id, sample_rate, n_samples, duration_ms, peak, clip_n, sum_sq,
+       |       ${round6Sql("sqrt(CAST(sum_sq AS DOUBLE) / n_samples)")} AS rms
+       |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    decodedAudio(wavRows(Tables(s, dir).documents)).orderBy("doc_id")
+  }
+
+  /** Real audio resample: decode, decimate by 4 on actual samples
+    * (8 kHz → 2 kHz), re-derive the features. Oracle replays the same
+    * integer index math over the generative waveform. */
+  val audioResample: Q = {
+    val factor = 4
+    Q(
+      "n78_audio_resample",
+      s"""WITH ${waveSql("documents")},
+         |dz AS (SELECT doc_id,
+         |         list_transform(generate_series(0, CAST((len(ss) - 1) // $factor AS INTEGER)),
+         |           j -> ss[j * $factor + 1]) AS ds
+         |       FROM samp),
+         |f AS (SELECT doc_id, CAST(${8000 / factor} AS INTEGER) AS sample_rate,
+         |      ${audioFeatureSql("ds", 8000 / factor)}
+         |      FROM dz)
+         |SELECT doc_id, sample_rate, n_samples, duration_ms, peak, clip_n, sum_sq,
+         |       ${round6Sql("sqrt(CAST(sum_sq AS DOUBLE) / n_samples)")} AS rms
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      wavRows(Tables(s, dir).documents)
+        .mapPartitions(_.map { m =>
+          val clip = Waveform.decodeWav(m.media).fold(
+            err => throw new IllegalArgumentException(s"doc ${m.doc_id}: $err"),
+            identity)
+          audioFeats(m.doc_id, Waveform.downsample(clip, factor))
+        })(Encoders.product[AudioFeatures])
+        .toDF()
+        .withColumn("rms",
+          graft.Det.round6(sqrt(col("sum_sq").cast("double") / col("n_samples"))))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(mediaMeta, mediaDecode, mediaResize, mediaFrameSample,
-    mediaPhashDedup, mediaDedupIngestTwin)
+    mediaPhashDedup, mediaDedupIngestTwin, audioDecode, audioResample)
 }
