@@ -656,7 +656,68 @@ object TextAnalysis {
     gopherRules(Tables(s, dir).documents).orderBy("doc_id")
   }
 
+  /** Zipf-law fit over the token rank–frequency curve — the corpus
+    * health audit that catches boilerplate floods and synthetic-text
+    * collapse (a natural corpus fits ln(freq) ≈ a + s·ln(rank) with
+    * s ≈ −1; a flat slope or near-zero r² says the distribution is
+    * broken before any downstream filter sees it).
+    *
+    * OLS in closed form over (x=ln rank, y=ln freq): slope =
+    * (nΣxy−ΣxΣy)/(nΣx²−(Σx)²); r² adds the y-moment. All five moments
+    * are DECIMAL-exact distributed sums, so the one-row answer is
+    * hash-checked. Ranking ties break on the token for a total order.
+    * Scale: the window ranks the VOCABULARY (types, not tokens) —
+    * at web scale that is millions of rows against a trillion-token
+    * corpus, and the same df-cap that bounds hot shingles would cap
+    * the ranked set if vocabulary itself ever exploded. */
+  val zipfFit: Q = Q(
+    "n79_zipf_fit",
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+       |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM cnt),
+       |xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y, c FROM rk),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+       |             CAST(sum(c) AS BIGINT) AS n_tokens,
+       |             ${dsumSql("x")} AS sx, ${dsumSql("y")} AS sy,
+       |             ${dsumSql("x * y")} AS sxy,
+       |             ${dsumSql("x * x")} AS sxx, ${dsumSql("y * y")} AS syy
+       |      FROM xy)
+       |SELECT n_types, n_tokens,
+       |       ${round6Sql("(n_types * sxy - sx * sy) / (n_types * sxx - sx * sx)")} AS slope,
+       |       ${round6Sql("(sy - ((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx)) * sx) / n_types")} AS intercept,
+       |       ${round6Sql("((n_types * sxy - sx * sy) * (n_types * sxy - sx * sy)) / ((n_types * sxx - sx * sx) * (n_types * syy - sy * sy))")} AS r2
+       |FROM m""".stripMargin) { (s, dir) =>
+    zipfFitStats(Tables(s, dir).documents)
+  }
+
+  /** Library form of n79 over any (doc_id, text) frame. */
+  def zipfFitStats(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val rk = cnt.withColumn("r",
+      row_number().over(Window.orderBy(col("c").desc, col("tok"))).cast("long"))
+    val xy = rk.select(col("c"),
+      log(col("r").cast("double")).as("x"), log(col("c").cast("double")).as("y"))
+    val m = xy.agg(
+      count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("y")).as("syy"))
+    val slope = (col("n_types") * col("sxy") - col("sx") * col("sy")) /
+      (col("n_types") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("n_types"), col("n_tokens"),
+      round6(slope).as("slope"),
+      round6((col("sy") - slope * col("sx")) / col("n_types")).as("intercept"),
+      round6((col("n_types") * col("sxy") - col("sx") * col("sy")) *
+        (col("n_types") * col("sxy") - col("sx") * col("sy")) /
+        ((col("n_types") * col("sxx") - col("sx") * col("sx")) *
+          (col("n_types") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
+
   val all: Seq[Q] = Seq(langStats, qualityScore, tokenStats, langId,
     fingerprint, rollingFingerprint, unigramLogProb, bigramLogProb,
-    tfidfTop, redact, repetition, heavyHitters, cmsHeavyHitters, gopher)
+    tfidfTop, redact, repetition, heavyHitters, cmsHeavyHitters, gopher,
+    zipfFit)
 }
