@@ -55,7 +55,15 @@ object VectorOps {
     * precomputed ONCE per vector with [[normFloat]]:
     * `dot/(norm(a)*norm(b))` runs the exact same FP operation
     * sequence as cosineFloat, so the factorization is bit-identical
-    * (SimilaritySpec proves it on the harness corpus). */
+    * (SimilaritySpec proves it on the harness corpus).
+    *
+    * EQUAL-LENGTH PRECONDITION (ADVICE r08): the bit-identity claim
+    * holds only for equal-length vectors. cosineFloat truncates BOTH
+    * norm accumulations to min(|a|,|b|), while [[normFloat]] sums the
+    * FULL vector — on mixed-dimension inputs the two paths diverge
+    * silently. Every caller in this repo feeds fixed-dimension
+    * embedding columns; a caller with ragged vectors must truncate
+    * them first (or use cosineFloat directly). */
   def dotFloat(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
@@ -67,9 +75,11 @@ object VectorOps {
     dot
   }
 
-  /** sqrt of the left-to-right double sum of squares — cosineFloat's
-    * per-side norm, factored out so an n²/2-pair self-join computes it
-    * n times instead of n². */
+  /** sqrt of the left-to-right double sum of squares over the FULL
+    * vector — cosineFloat's per-side norm, factored out so an
+    * n²/2-pair self-join computes it n times instead of n². Matches
+    * cosineFloat's norm only for equal-length pairs (see [[dotFloat]]'s
+    * equal-length precondition). */
   def normFloat(a: ArrayData): Double = {
     val n = a.numElements()
     var acc = 0.0

@@ -16,19 +16,36 @@ object Corpus {
     * jumping: each round every node takes the min label over itself and
     * its neighbors, then follows its label's label (path halving) — so
     * convergence is O(log diameter) rounds, not O(diameter). Each round
-    * ends in `localCheckpoint` (eager): without lineage truncation an
+    * ends in an EAGER checkpoint: without lineage truncation an
     * iterative DataFrame algorithm accretes an exponentially growing
     * plan that OOMs the driver long before the data is large — the
     * checkpoint is what makes the loop scale, same as it would on a
     * cluster. Nothing is collected; each round is two hash joins and
-    * one aggregation. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
+    * one aggregation.
+    *
+    * Checkpoint durability (VERDICT_r08 next #6): the default
+    * `localCheckpoint` pins each round's blocks in EXECUTOR memory/disk
+    * and loses them if an executor dies — fine single-node, but on a
+    * 1000-executor cluster a lost executor kills the job mid-iteration
+    * because truncated lineage cannot recompute. Pass `checkpointDir`
+    * (any fault-tolerant filesystem path — HDFS/object store on a real
+    * cluster) to use RELIABLE checkpoints instead: each round persists
+    * to storage and survives executor loss, at the cost of one
+    * write+read per round. That is the production path for long CC
+    * runs; the local default is the right bench/test shape. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint() // eager, reliable (survives executor loss)
+      case None =>
+        df => df.localCheckpoint() // eager, executor-memory blocks
+    }
+    val edges = ckpt(pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+    var labels = ckpt(edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -40,10 +57,9 @@ object Corpus {
           least(col("lbl"), coalesce(col("nbrLbl"), col("lbl"))).as("lbl"))
       // 2. pointer jump: follow the label's own label
       val parents = stepped.select(col("node").as("lbl"), col("lbl").as("lbl2"))
-      val next = stepped.join(parents, Seq("lbl"), "left")
+      val next = ckpt(stepped.join(parents, Seq("lbl"), "left")
         .select(col("node"),
-          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
         .filter(col("lbl") =!= col("old")).limit(1).count()
       labels = next

@@ -21,8 +21,13 @@ import graft.Det.round6Sql
   * pixel formula directly, so a hash match proves the encode→decode
   * roundtrip is lossless and the parser reads exactly the raster.
   *
-  * Only the video frame-sampler (n33) keeps the round-4 STUB decode —
-  * there is still no container/video codec to port — and says so.
+  * Round 9 (VERDICT_r08 next #3): the video path (n33/n80) graduated
+  * too — a real YUV4MPEG2 container codec ([[Y4m]]): frames render
+  * deterministically, are muxed into a genuine Y4M stream with
+  * per-doc container-layout variety, and every downstream query
+  * demuxes those bytes with a real parser (magic, tagged stream
+  * parameters in any order, FRAME markers, exact plane reads). No
+  * media stub remains.
   *
   * Reference tie: SURVEY §2.10's typed bytes→rows decode surface
   * (gtfs_rt_assets.py:26-49 parses protobuf bytes into typed rows; the
@@ -33,6 +38,18 @@ object Multimodal {
   /** A media row: payload bytes + typed metadata. */
   final case class MediaRow(doc_id: Long, media: Array[Byte], mime: String)
 
+  /** ASCII guard for the generative media families (ADVICE r08): the
+    * render formulas address text BYTES (US-ASCII) while the DuckDB
+    * oracles address CODEPOINTS — identical only when every codepoint
+    * is ≤ 0x7F, where the two coincide and one char is one UTF-8 byte.
+    * `octet_length = char_length` is exactly that predicate in both
+    * engines, so non-ASCII documents drop out of the media corpora
+    * symmetrically instead of silently diverging (and a large
+    * codepoint can no longer overflow the oracle's int16 waveform
+    * math). Cheap, codegen'd, scan-stage. */
+  private def asciiOnly = octet_length(col("text")) === length(col("text"))
+  private val asciiOnlySql = "octet_length(CAST(text AS BLOB)) = length(text)"
+
   /** Real-decode result: parsed dimensions + raster-derived integer
     * features (checksum + per-channel means — exact in both engines). */
   final case class DecodedImage(
@@ -42,13 +59,15 @@ object Multimodal {
   /** Real-resize result: target dims + checksum of the resampled raster. */
   final case class ResizedImage(doc_id: Long, width: Int, height: Int, checksum: Long)
 
-  /** STUB decode result (n33's video path only). */
-  final case class DecodedMedia(
-      doc_id: Long, n_bytes: Long, width: Int, height: Int,
-      checksum: Long, features: Array[Float])
-
-  /** STUB frame sample: per-frame content hashes for "video" payloads. */
+  /** Real-demux frame sample: per-frame content hash for a sampled
+    * frame of a decoded video payload. */
   final case class FrameSample(doc_id: Long, frame_idx: Int, frame_hash: Long)
+
+  /** Real-demux result: parsed dimensions + whole-clip integer
+    * features (exact in both engines). */
+  final case class DecodedVideo(
+      doc_id: Long, n_frames: Int, width: Int, height: Int,
+      n_bytes: Long, checksum: Long)
 
   // ---------------------------------------------------------------------
   // Real PPM image family: render → encode → decode → analyze
@@ -76,7 +95,7 @@ object Multimodal {
     * pixel-identical content. */
   def ppmRows(docs: DataFrame): Dataset[MediaRow] =
     docs.select(col("doc_id"), col("text"))
-      .filter(length(col("text")) >= 16)
+      .filter(length(col("text")) >= 16 && asciiOnly)
       .as(Encoders.product[(Long, String)])
       .map { case (id, text) =>
         MediaRow(id, Netpbm.encodeP6(renderRaster(text), style = id),
@@ -116,7 +135,7 @@ object Multimodal {
   private val M64 = "18446744073709551616::HUGEINT" // 2^64
   private def rasterSql(src: String): String =
     s"""d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
-       |      FROM $src WHERE length(text) >= 16),
+       |      FROM $src WHERE length(text) >= 16 AND $asciiOnlySql),
        |dims AS (SELECT doc_id, text, n, n % 24 + 8 AS w, (n*7) % 18 + 8 AS h FROM d),
        |r AS (SELECT doc_id, w, h,
        |        list_transform(generate_series(0, CAST(w*h*3 - 1 AS INTEGER)),
@@ -197,75 +216,129 @@ object Multimodal {
       .toDF()
   }
 
-  /** Partition-wise frame sampling (STUB demuxer — the one remaining
-    * stub: no video container codec exists here): every "video" row
-    * explodes into ≤ 4 sampled frame hashes (flatMap — rows out ≠ rows
-    * in, the generator shape of a real frame sampler). Oracle: video
-    * mime ⇔ doc_id % 3 == 1; frame_hash = crc XOR (idx << 17). */
-  private val stubCrcSql =
-    s"""u AS (SELECT doc_id,
-       |             CASE WHEN length(text) = 0 THEN 0::HUGEINT
-       |                  ELSE list_reduce(
-       |                    list_transform(generate_series(1, length(text)),
-       |                                   i -> unicode(substr(text, i, 1))::HUGEINT),
-       |                    (a, b) -> (a * 31 + b) % $M64) END AS u,
-       |             CAST(length(text) AS BIGINT) AS n
-       |      FROM documents),
-       |crc AS (SELECT doc_id, n, u,
-       |               ${signedSql("u")} AS checksum
-       |        FROM u)""".stripMargin
+  // ---------------------------------------------------------------------
+  // Real Y4M video family: render → encode → demux → frame-sample
+  // (n33, n80) — the last stub retired (VERDICT_r08 next #3).
+  // ---------------------------------------------------------------------
 
+  /** Deterministic clip for a document: nf = n%7+2 frames of
+    * w = n%12+4 by h = (5n)%10+4 C444 planes; frame f byte i =
+    * (text byte((i + 13f) mod n) + 31f + 7i) mod 256. The GENERATIVE
+    * formula is what the DuckDB oracles recompute; the Spark side only
+    * ever sees it through encoded YUV4MPEG2 bytes and a real demux
+    * ([[Y4m.decodeY4m]]). */
+  def renderVideo(text: String): Y4m.Video = {
+    val bs = text.getBytes("US-ASCII")
+    val n = bs.length
+    val nf = n % 7 + 2
+    val w = n % 12 + 4
+    val h = (n * 5) % 10 + 4
+    val frames = Vector.tabulate(nf) { f =>
+      val fb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < fb.length) {
+        fb(i) = ((bs((i + 13 * f) % n) + 31 * f + 7 * i) % 256).toByte
+        i += 1
+      }
+      fb
+    }
+    Y4m.Video(w, h, frames)
+  }
+
+  /** Encoded-Y4M media rows: every document of ≥ 16 bytes becomes a
+    * real YUV4MPEG2 stream whose CONTAINER layout varies with doc_id
+    * (optional Ip/A/X tags, tag order, per-frame parameters) —
+    * byte-level variety over frame-identical content, the video analog
+    * of [[ppmRows]]' header styles. */
+  def y4mRows(docs: DataFrame): Dataset[MediaRow] =
+    docs.select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 16 && asciiOnly)
+      .as(Encoders.product[(Long, String)])
+      .map { case (id, text) =>
+        MediaRow(id, Y4m.encodeY4m(renderVideo(text), style = id),
+          "video/x-yuv4mpeg")
+      }(Encoders.product[MediaRow])
+
+  private def decodeY4mOrThrow(m: MediaRow): Y4m.Video =
+    Y4m.decodeY4m(m.media).fold(
+      err => throw new IllegalArgumentException(s"doc ${m.doc_id}: $err"),
+      identity)
+
+  /** The generative frame list for frame `f` as a DuckDB expression
+    * (over dims(doc_id, text, n, nf, w, h)). */
+  private def frameBytesSql(f: String): String =
+    s"""list_transform(generate_series(0, CAST(w*h*3 - 1 AS INTEGER)),
+       |  i -> (unicode(substr(text, CAST((i + 13*$f) % n AS INTEGER) + 1, 1))
+       |        + 31*$f + 7*i) % 256)""".stripMargin
+
+  private def videoDimsSql(src: String): String =
+    s"""d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |      FROM $src WHERE length(text) >= 16 AND $asciiOnlySql),
+       |dims AS (SELECT doc_id, text, n, n % 7 + 2 AS nf,
+       |                n % 12 + 4 AS w, (n*5) % 10 + 4 AS h
+       |         FROM d)""".stripMargin
+
+  /** Real frame sampling: Spark demuxes the Y4M container and hashes
+    * up-to-4 evenly-spaced frames (stride sample j·nf div 4,
+    * deduplicated — [[Y4m.sampleIndices]]); the oracle recomputes the
+    * sampled indices and each frame's Horner fold from the generative
+    * formula. flatMap — rows out ≠ rows in, the generator shape of a
+    * real frame sampler; video bytes never shuffle (decode + hash in
+    * the scan stage, only (doc_id, idx, hash) rows move). */
   val mediaFrameSample: Q = Q(
     "n33_media_frames",
-    s"""WITH $stubCrcSql,
-       |frames AS (SELECT doc_id, checksum,
-       |                  unnest(generate_series(0, CAST(n % 4 AS INTEGER))) AS frame_idx
-       |           FROM crc WHERE doc_id % 3 = 1)
-       |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-       |       xor(checksum, CAST(frame_idx AS BIGINT) * 131072) AS frame_hash
-       |FROM frames
-       |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
-    mediaRows(s, dir)
-      .mapPartitions(_.flatMap(frameSampleStub(_, 4)))(
-        Encoders.product[FrameSample])
+    s"""WITH ${videoDimsSql("documents")},
+       |idxs AS (SELECT doc_id, text, n, nf, w, h,
+       |                unnest(list_distinct(list_transform([0,1,2,3],
+       |                  j -> CAST(j * nf // 4 AS BIGINT)))) AS f
+       |         FROM dims),
+       |fr AS (SELECT doc_id, f, ${frameBytesSql("f")} AS fb FROM idxs),
+       |c AS (SELECT doc_id, f, ${crcFoldSql("fb")} AS u FROM fr)
+       |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+       |       ${signedSql("u")} AS frame_hash
+       |FROM c ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    y4mRows(Tables(s, dir).documents)
+      .mapPartitions(_.flatMap { m =>
+        val v = decodeY4mOrThrow(m)
+        Y4m.sampleIndices(v.frames.length, 4).map(f =>
+          FrameSample(m.doc_id, f, Netpbm.checksum(v.frames(f))))
+      })(Encoders.product[FrameSample])
       .orderBy("doc_id", "frame_idx")
       .toDF()
   }
 
-  /** Typed media rows with a deterministic mime mix — the STUB payload
-    * path (documents bytes stand in for encoded video); n33 only. */
-  private def mediaRows(s: SparkSession, dir: String): Dataset[MediaRow] =
-    Tables(s, dir).documents.select(col("doc_id"), col("text"))
-      .as(Encoders.product[(Long, String)])
-      .map { r =>
-        val mime = (r._1 % 3) match {
-          case 0 => "image/fake"
-          case 1 => "video/fake"
-          case _ => "audio/fake"
+  /** Real video decode: Spark walks the whole container; the oracle
+    * recomputes frame count, dimensions, byte volume and the
+    * whole-clip checksum (Horner fold carried ACROSS frames in
+    * order — one lost, reordered or duplicated frame flips it) from
+    * the generative formula. Hash equality == lossless container
+    * roundtrip through a real demuxer. */
+  val videoDecode: Q = Q(
+    "n80_video_decode",
+    s"""WITH ${videoDimsSql("documents")},
+       |fl AS (SELECT doc_id, nf, w, h,
+       |              flatten(list_transform(generate_series(0, CAST(nf - 1 AS INTEGER)),
+       |                f -> ${frameBytesSql("f")})) AS allb
+       |       FROM dims),
+       |c AS (SELECT doc_id, nf, w, h, ${crcFoldSql("allb")} AS u FROM fl)
+       |SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
+       |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |       CAST(nf * w * h * 3 AS BIGINT) AS n_bytes,
+       |       ${signedSql("u")} AS checksum
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    y4mRows(Tables(s, dir).documents)
+      .mapPartitions(_.map { m =>
+        val v = decodeY4mOrThrow(m)
+        var c = 0L
+        v.frames.foreach { f =>
+          var i = 0
+          while (i < f.length) { c = c * 31 + (f(i) & 0xff); i += 1 }
         }
-        MediaRow(r._1, r._2.getBytes("UTF-8"), mime)
-      }(Encoders.product[MediaRow])
-
-  def frameSampleStub(m: MediaRow, maxFrames: Int): Seq[FrameSample] =
-    if (m.mime != "video/fake") Seq.empty
-    else {
-      val d = decodeStub(m)
-      val n = math.min(maxFrames, (d.n_bytes % maxFrames + 1).toInt)
-      (0 until n).map(i => FrameSample(m.doc_id, i, d.checksum ^ (i.toLong << 17)))
-    }
-
-  /** The STUB codec (n33's video path): deterministic pseudo-features
-    * from the bytes. */
-  def decodeStub(m: MediaRow): DecodedMedia = {
-    val n = m.media.length.toLong
-    var crc = 0L
-    var i = 0
-    while (i < m.media.length) { crc = crc * 31 + (m.media(i) & 0xff); i += 1 }
-    val feats = Array.tabulate(8) { k =>
-      ((crc >>> (k * 8)) & 0xff).toFloat / 255f
-    }
-    DecodedMedia(m.doc_id, n, (n % 640 + 1).toInt, ((n * 7) % 480 + 1).toInt,
-      crc, feats)
+        DecodedVideo(m.doc_id, v.frames.length, v.width, v.height,
+          v.frames.length.toLong * v.width * v.height * 3, c)
+      })(Encoders.product[DecodedVideo])
+      .orderBy("doc_id")
+      .toDF()
   }
 
   // ---------------------------------------------------------------------
@@ -388,7 +461,8 @@ object Multimodal {
 
   /** Deterministic waveform for a document: m = n%96+32 mono samples
     * at 8 kHz, sample i = (byte(i mod n) − 64)·400 + (i·31 mod 197) —
-    * bounded to int16 on this ASCII corpus. The GENERATIVE formula is
+    * bounded to int16 because [[wavRows]]' ASCII guard admits only
+    * byte values ≤ 0x7F. The GENERATIVE formula is
     * what the DuckDB oracles recompute; the Spark side only ever sees
     * it through encoded RIFF/WAVE bytes and a real chunk-walking
     * parse ([[Waveform.decodeWav]]). */
@@ -412,7 +486,7 @@ object Multimodal {
     * [[ppmRows]]' header styles. */
   def wavRows(docs: DataFrame): Dataset[MediaRow] =
     docs.select(col("doc_id"), col("text"))
-      .filter(length(col("text")) >= 16)
+      .filter(length(col("text")) >= 16 && asciiOnly)
       .as(Encoders.product[(Long, String)])
       .map { case (id, text) =>
         MediaRow(id, Waveform.encodeWav(renderWaveform(text), style = id),
@@ -452,7 +526,7 @@ object Multimodal {
     * RECOVER these through the codec. */
   private def waveSql(src: String): String =
     s"""d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
-       |      FROM $src WHERE length(text) >= 16),
+       |      FROM $src WHERE length(text) >= 16 AND $asciiOnlySql),
        |samp AS (SELECT doc_id, n,
        |           list_transform(generate_series(0, CAST(n % 96 + 32 - 1 AS INTEGER)),
        |             i -> (unicode(substr(text, CAST(i % n AS INTEGER) + 1, 1)) - 64) * 400
@@ -515,5 +589,6 @@ object Multimodal {
   }
 
   val all: Seq[Q] = Seq(mediaMeta, mediaDecode, mediaResize, mediaFrameSample,
-    mediaPhashDedup, mediaDedupIngestTwin, audioDecode, audioResample)
+    mediaPhashDedup, mediaDedupIngestTwin, audioDecode, audioResample,
+    videoDecode)
 }

@@ -217,12 +217,16 @@ object Selection {
       .agg(count(lit(1)).as("n_bigrams"),
         davg(log((coalesce(col("c2"), lit(0L)) + 1.0) /
           (coalesce(col("c1"), lit(0L)) + col("v")))).as("avg_logp"))
-    sc.withColumn("bucket",
-      when(ntile(PplBuckets).over(Window.partitionBy("lang")
-        .orderBy(col("avg_logp").desc, col("doc_id"))) === 1, "head")
-        .when(ntile(PplBuckets).over(Window.partitionBy("lang")
-          .orderBy(col("avg_logp").desc, col("doc_id"))) === 2, "middle")
-        .otherwise("tail"))
+    // one ntile evaluation, bucketed by label afterwards (ADVICE r08:
+    // a duplicated window expression in the when-chain is correct only
+    // while the ORDER BY stays a total order — easy to let drift)
+    sc.withColumn("__t", ntile(PplBuckets).over(Window.partitionBy("lang")
+        .orderBy(col("avg_logp").desc, col("doc_id"))))
+      .withColumn("bucket",
+        when(col("__t") === 1, "head")
+          .when(col("__t") === 2, "middle")
+          .otherwise("tail"))
+      .drop("__t")
   }
 
   /** Shard count for the epoch-shuffle entry. */

@@ -96,6 +96,7 @@ object Waveform {
       if (at + size > bytes.length) return Left(s"chunk $id overruns file: $size bytes at $at")
       id match {
         case "fmt " =>
+          if (fmt.isDefined) return Left("duplicate fmt chunk")
           if (size < 16) return Left(s"fmt chunk too small: $size")
           val bb = ByteBuffer.wrap(bytes, at, 16).order(ByteOrder.LITTLE_ENDIAN)
           val audioFormat = bb.getShort()
@@ -110,6 +111,7 @@ object Waveform {
           if (sampleRate <= 0) return Left(s"bad sample rate $sampleRate")
           fmt = Some((sampleRate, channels))
         case "data" =>
+          if (clip.isDefined) return Left("duplicate data chunk")
           fmt match {
             case None => return Left("data chunk before fmt")
             case Some((rate, ch)) =>
@@ -128,14 +130,14 @@ object Waveform {
     clip.toRight("no data chunk")
   }
 
-  /** O(header+chunk-walk) validity check without materializing
-    * samples — success guarantees [[decodeWav]] succeeds (defined in
-    * terms of it on a prefix-cheap path: decode then discard would be
-    * O(data); this walks the same chunks but only validates). */
+  /** Validity check, DEFINED as `decodeWav(bytes).isRight` — O(data),
+    * since the decode materializes the sample array (ADVICE r08: an
+    * earlier docstring promised a walk-only O(header) check the body
+    * never delivered). One definition keeps valid == decodable from
+    * ever drifting; if a genuinely cheap predicate is needed at scale,
+    * add a separate walk-only validator rather than weakening this
+    * contract. */
   def wavValid(bytes: Array[Byte]): Boolean =
-    // the chunk walk IS the validation; data copy is the only O(n)
-    // part and ByteBuffer-wrapping is cheap enough at catalog sizes —
-    // keep one definition so valid == decodable can never drift
     decodeWav(bytes).isRight
 
   /** Decimate by `factor`: every factor-th sample, sampleRate scaled

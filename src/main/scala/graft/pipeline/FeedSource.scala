@@ -24,13 +24,17 @@ trait FeedSource {
 }
 
 /** Production HTTP source: 30 s timeout + status check + Bearer token
-  * injection, mirroring api_utils.py:57-74,18-19. */
-final class HttpFeedSource extends FeedSource {
+  * injection, mirroring api_utils.py:57-74,18-19. The timeout is
+  * parameterized (default = the reference's 30 s) solely so the
+  * loopback test can exercise the timeout path without a 30 s wait —
+  * production callers use the default. */
+final class HttpFeedSource(timeout: Duration = Duration.ofSeconds(30))
+    extends FeedSource {
   private lazy val client = HttpClient.newBuilder()
-    .connectTimeout(Duration.ofSeconds(30)).build()
+    .connectTimeout(timeout).build()
   def fetch(feed: FeedConfig): Array[Byte] = {
     val b = HttpRequest.newBuilder(URI.create(feed.url))
-      .timeout(Duration.ofSeconds(30))
+      .timeout(timeout)
     feed.headers.foreach { case (k, v) => b.header(k, v) }
     feed.apiToken.foreach(t => b.header("Authorization", s"Bearer $t"))
     val resp = client.send(b.GET().build(), HttpResponse.BodyHandlers.ofByteArray())

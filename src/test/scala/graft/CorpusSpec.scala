@@ -19,6 +19,27 @@ class CorpusSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("reliable-checkpoint path (checkpointDir) produces identical components") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val pairs = Seq(
+        (1L, 2L), (2L, 3L), (3L, 4L),
+        (10L, 11L), (11L, 12L),
+        (20L, 21L)).toDF("d1", "d2")
+      val reliable = Corpus.connectedComponents(pairs, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = Corpus.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      // the reliable path actually wrote round snapshots to storage
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable checkpoints must persist to the checkpoint dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+    }
+  }
+
   test("long path needs multiple propagation rounds and still converges") {
     val n = 40 // path 0-1-2-...-40: diameter forces ~log rounds with min-label prop
     val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("d1", "d2")

@@ -44,13 +44,11 @@ object PropsSpec extends Properties("graft") {
         graft.functions.GeoWkb.readY(wkb) == lat
     }
 
-  property("decode stub is a pure function") =
+  property("y4m decode is a pure function of the bytes (never throws)") =
     forAll(Arbitrary.arbitrary[Array[Byte]]) { bytes =>
-      val a = graft.operators.Multimodal.decodeStub(
-        graft.operators.Multimodal.MediaRow(1, bytes, "x"))
-      val b = graft.operators.Multimodal.decodeStub(
-        graft.operators.Multimodal.MediaRow(1, bytes, "x"))
-      a.checksum == b.checksum && a.features.sameElements(b.features)
+      val a = graft.operators.Y4m.decodeY4m(bytes)
+      val b = graft.operators.Y4m.decodeY4m(bytes)
+      (a.isLeft == b.isLeft) && (a.left.toOption == b.left.toOption)
     }
 
   import graft.operators.Netpbm

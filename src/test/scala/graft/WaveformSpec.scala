@@ -67,6 +67,26 @@ class WaveformSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate data and fmt chunks are rejected (strict-validation contract)") {
+    val c = clip(12)
+    val full = Waveform.encodeWav(c, 0) // RIFF(WAVE + fmt + data)
+    val fmtC = full.slice(12, 36)
+    val dataC = full.drop(36)
+    def rebuild(chunks: Array[Byte]*): Array[Byte] = {
+      val body = chunks.flatten.toArray
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put("WAVE".getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    assert(Waveform.decodeWav(rebuild(fmtC, dataC, dataC))
+      .left.exists(_.contains("duplicate data")))
+    assert(Waveform.decodeWav(rebuild(fmtC, fmtC, dataC))
+      .left.exists(_.contains("duplicate fmt")))
+    assert(Waveform.decodeWav(rebuild(fmtC, dataC)).isRight)
+  }
+
   test("unknown chunks are skipped; data before fmt is rejected") {
     val c = clip(10)
     // style 3 places a LIST chunk before fmt — decode skips it
