@@ -79,6 +79,20 @@ object Bench {
     val refRatioHeavy = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF_RATIO_HEAVY", "1.5").toDouble
     val heavyRefSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF_HEAVY_SEC", "1.0").toDouble
     def ratioFor(refSec: Double): Double = if (refSec > heavyRefSec) refRatioHeavy else refRatio
+    // Round-9 (VERDICT_r08 #1): the bench host migrated between rounds 7
+    // and 9 — identical code (commit 52d4edc, run isolated in a scratch
+    // worktree) reads 96.8 s on the new host vs its recorded 72.1 s
+    // quiet total, with the single-thread canary cost unchanged (per-core
+    // speed is the same; parallel throughput is not). The ratchet's
+    // upward path is per-query and evidence-gated by design, so a
+    // whole-host shift leaves most references permanently stale (cheap
+    // queries sit inside their 3.0x band and never update, and
+    // quiet-by-evidence can never pass again). SPARK_GRAFT_BENCH_REBASE=1
+    // re-seeds every measured reference from this run's minima — accepted
+    // only under a QUIET canary, and every rewritten value records
+    // "rebase":true provenance so the shift stays attributable. Default
+    // off; the driver's per-round run never rebases.
+    val rebase = sys.env.get("SPARK_GRAFT_BENCH_REBASE").contains("1")
     val sfBase = new java.io.File(sfDir).getName
     // BENCH_REF.json: {"<sf dir name>": {"<query>": quiet-min-seconds},
     // "_prov": {"<sf>": {"<query>": {"run":…,"load":…,"drift":…}}}}.
@@ -301,6 +315,9 @@ object Bench {
       val measured = results.filter(_._4).map { case (n, b, _, _) => n -> b }
       val updated = measured.flatMap { case (n, b) =>
         refs.get(n) match {
+          // Explicit host-migration rebase: quiet-canary minima replace
+          // the stored value in either direction (see `rebase` above).
+          case Some(r) if rebase && canaryQuiet => if (b != r) Some(n -> b) else None
           case Some(r) if b >= r && b <= ratioFor(r) * r => None // within band: keep r
           case Some(r) if b > ratioFor(r) * r =>
             val live = sampleByName.getOrElse(n, Nil).filter(_ > 0)
@@ -313,8 +330,9 @@ object Bench {
         def j(d: Double): String =
           String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
         val runId = java.time.Instant.now().toString
+        val rebaseTag = if (rebase && canaryQuiet) ""","rebase":true""" else ""
         val provEntry =
-          s"""{"run":"$runId","load":${j(loadNow())},"drift":${j(drift)}}"""
+          s"""{"run":"$runId","load":${j(loadNow())},"drift":${j(drift)}$rebaseTag}"""
         val mergedRefs = refs ++ updated
         val mergedProv = provRaw + (sfBase ->
           (provRaw.getOrElse(sfBase, Map.empty) ++ updated.keys.map(_ -> provEntry)))
