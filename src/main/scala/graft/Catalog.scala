@@ -92,6 +92,7 @@ object Catalog {
     operators.Bpe.all,
     operators.ScaleOps.all,
     operators.SpanDedup.all,
+    operators.LineDedup.all,
     operators.Multimodal.all,
     streaming.WindowedAggs.all,
     pipeline.PipelineQueries.all,

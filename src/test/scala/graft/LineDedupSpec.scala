@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.LineDedup
+
+/** Line-level boilerplate removal (n81): delimiter lining on real
+  * multi-line text, chunk lining round-trip, df-floor semantics
+  * (every occurrence goes, including the first), order preservation
+  * and the all-boilerplate empty-husk case. */
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val banner = "accept all cookies to continue"
+  private val nav = "home products about contact"
+
+  private def docsDF(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("delimiter lining numbers lines in arrival order, keeps empties") {
+    val docs = docsDF(1L -> s"alpha\n\nbeta")
+    val lines = LineDedup.linesByDelim(docs).orderBy("line_no")
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(lines.toSeq == Seq((1L, "alpha"), (2L, ""), (3L, "beta")))
+  }
+
+  test("boilerplate lines (df >= minDocs) are stripped from EVERY doc, first occurrence included") {
+    val docs = docsDF(
+      1L -> s"$banner\nunique one",
+      2L -> s"$banner\nunique two\n$nav",
+      3L -> s"unique three\n$nav")
+    val out = LineDedup.dropBoilerplate(
+        LineDedup.linesByDelim(docs), minDocs = 2L, sep = "\n")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 1L, "unique one")))
+    assert(out(2L) == ((3L, 2L, "unique two")))
+    assert(out(3L) == ((2L, 1L, "unique three")))
+  }
+
+  test("a within-doc repeat alone is NOT boilerplate (df counts distinct docs)") {
+    val docs = docsDF(
+      1L -> s"$banner\n$banner\nunique one",
+      2L -> "unique two")
+    val out = LineDedup.dropBoilerplate(
+        LineDedup.linesByDelim(docs), minDocs = 2L, sep = "\n")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((0L, s"$banner\n$banner\nunique one")),
+      "one doc repeating a line twice stays intact")
+  }
+
+  test("an all-boilerplate doc survives as an empty husk") {
+    val docs = docsDF(
+      1L -> s"$banner\n$nav",
+      2L -> s"$banner\nunique two\n$nav")
+    val out = LineDedup.dropBoilerplate(
+        LineDedup.linesByDelim(docs), minDocs = 2L, sep = "\n")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 2L, "")))
+    assert(out(2L) == ((3L, 2L, "unique two")))
+  }
+
+  test("surviving lines keep their original order") {
+    val docs = docsDF(
+      1L -> s"z last words\n$banner\na first words\nm middle words",
+      2L -> banner)
+    val out = LineDedup.dropBoilerplate(
+        LineDedup.linesByDelim(docs), minDocs = 2L, sep = "\n")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "z last words\na first words\nm middle words")
+  }
+
+  test("chunk lining round-trips: nothing boilerplate => clean_text == text") {
+    val docs = docsDF(
+      1L -> (1 to 19).map(i => s"a$i").mkString(" "), // partial tail chunk
+      2L -> (1 to 8).map(i => s"b$i").mkString(" "),  // exactly one chunk
+      3L -> "c1 c2 c3")                               // shorter than one chunk
+    val out = LineDedup.dropBoilerplate(
+        LineDedup.linesByChunk(docs, k = 8), minDocs = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    val in = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    in.foreach { case (id, text) =>
+      assert(out(id) == ((0L, text)), s"doc $id must rebuild byte-identically")
+    }
+  }
+
+  test("chunk-repeated content across docs is caught by the chunk liner") {
+    val shared = (1 to 8).map(i => s"s$i") // one full shared chunk, aligned
+    val docs = docsDF(
+      1L -> (shared ++ (1 to 8).map(i => s"a$i")).mkString(" "),
+      2L -> (shared ++ (1 to 8).map(i => s"b$i")).mkString(" "))
+    val boiler = LineDedup.boilerplateLines(
+      LineDedup.linesByChunk(docs, k = 8), minDocs = 2L).collect()
+    assert(boiler.length == 1)
+    assert((boiler.head.getLong(1), boiler.head.getLong(2)) == ((2L, 2L)))
+    val out = LineDedup.dropBoilerplate(
+        LineDedup.linesByChunk(docs, k = 8), minDocs = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == (1 to 8).map(i => s"a$i").mkString(" "))
+    assert(out(2L) == (1 to 8).map(i => s"b$i").mkString(" "))
+  }
+}
