@@ -138,18 +138,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // localCheckpoint blocks (the iterative-loop lineage rule:
-      // Corpus/Bpe/Pq/WindowedAggs all checkpoint per execution) are
-      // freed by the ContextCleaner only after a JVM GC collects the
-      // RDD handle, and Spark's periodic GC defaults to 30 min — longer
-      // than a full bench run. Without this, storage memory fills over
-      // 185 queries x 3 reps and LATE samples (exactly the over-ref
-      // retimes) run under block-eviction pressure: st06b measured
-      // 7.6 s mid-run but 11.2 s when retimed at the end (round-9 rebase
-      // run). A 60 s periodic GC keeps the session's steady-state
-      // storage footprint flat so sample N and sample 1 see the same
-      // heap.
-      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: session/codegen spin-up + page-cache the inputs so
@@ -205,6 +193,19 @@ object Bench {
     var loadMid = -1.0
     var results = names.zipWithIndex.map { case ((name, fn), i) =>
       if (i == half) { canaryMid = canary(); loadMid = loadNow() }
+      // Heap drain BETWEEN queries, never inside a timed window.
+      // localCheckpoint blocks (the iterative-loop lineage rule:
+      // Corpus/Bpe/Pq/WindowedAggs checkpoint per execution) free only
+      // when the ContextCleaner sees a dead RDD handle after a JVM GC;
+      // Spark's periodic GC defaults to 30 min — longer than a bench
+      // run — so late samples (exactly the over-ref retimes) measured
+      // block-eviction pressure (st06b: 7.6 s mid-run, 11.2 s retimed
+      // at the end of the round-9 rebase run). A TIMER-based GC is the
+      // wrong cure: its stop-the-world pauses land inside timed samples
+      // at random (measured +7% total). Deterministic cadence, outside
+      // the clock: every 8th query. Operator caches are strong
+      // references and survive; only abandoned per-rep lineage dies.
+      if (i % 8 == 0 && i > 0) System.gc()
       val samples = (1 to reps).map(_ => timeOnce(name, fn))
       val ok = samples.forall(_._2)
       val best = if (ok) samples.map(_._1).min else -1.0

@@ -111,6 +111,24 @@ object Graft {
         shardCol: String = "source"): DataFrame =
       graft.operators.Corpus.packSequences(df, budget, shardCol)
 
+    /** Concat-and-chunk materialization: EXACT `blockLen`-token
+      * training examples crossing doc boundaries (EOS-separated, per
+      * shard in doc_id order) — (shard, example_idx, n_tokens, n_docs,
+      * block_fp). The final mile after [[packSequences]]. */
+    def tokenBlocks(blockLen: Long = 2048, eos: String = "<eos>",
+        shardCol: String = "source"): DataFrame =
+      graft.operators.Corpus.tokenBlocks(df, blockLen, eos, shardCol)
+
+    /** Line/paragraph boilerplate removal (CCNet-family): strip every
+      * unit appearing in ≥ `minDocs` distinct docs; returns (doc_id,
+      * n_lines, n_dropped, clean_text). `delim` splits units ('\n'
+      * lines, "\n\n" paragraphs). */
+    def dropBoilerplateLines(minDocs: Long = 2L,
+        delim: String = "\n"): DataFrame =
+      graft.operators.LineDedup.dropBoilerplate(
+        graft.operators.LineDedup.linesByDelim(df, delim), minDocs,
+        sep = delim)
+
     /** 60-bit SimHash fingerprints. Returns (doc_id, simhash). */
     def simhash(): DataFrame = Dedup.simhashFingerprints(df)
 

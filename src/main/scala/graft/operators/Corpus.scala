@@ -324,6 +324,89 @@ object Corpus {
     }
   }
 
+  /** Concat-and-chunk example materialization (round 9) — the final
+    * mile DOWNSTREAM of n18's binning: per shard, concatenate each
+    * document's tokens plus an EOS sentinel in deterministic doc_id
+    * order, then cut the stream into EXACT `blockLen`-token training
+    * examples that CROSS document boundaries — the GPT-style packing a
+    * trainer actually consumes (n18's bins keep documents whole and may
+    * under-fill; these blocks are exact-length by construction, only
+    * each shard's final block runs short).
+    *
+    * Spark-first shape, NO per-token explode and NO global sort:
+    *
+    *  1. one window prefix-sum per shard assigns each doc its global
+    *     token offset (the n18 shuffle, reused semantics);
+    *  2. a doc spanning examples lo..hi emits one SLICE row per
+    *     spanned example via a map-side `transform`+explode — row
+    *     count ≈ docs + total_tokens/blockLen, never per-token;
+    *  3. one groupBy (shard, example) reassembles each block from its
+    *     slices (array_sort by global start — contributions are
+    *     contiguous, so the order key is unique) and fingerprints the
+    *     exact token text.
+    *
+    * Scale: parallelism = shard count × examples; both wide stages key
+    * on the shard, so a 100 TB corpus materializes per input shard with
+    * two shuffles total, and the md5 block fingerprint makes the
+    * examples content-addressable for resume/dedup downstream. */
+  def tokenBlocks(docs: DataFrame, blockLen: Long, eos: String = "<eos>",
+      shardCol: String = "source"): DataFrame = {
+    require(blockLen > 0, s"block length must be positive, got $blockLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(shardCol), col("doc_id"),
+        concat(split(col("text"), " ", -1), array(lit(eos))).as("__tk"))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+      .withColumn("__prior", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .select(col(shardCol), col("doc_id"), explode(expr(
+        s"""transform(sequence(__prior div $blockLen, (__prior + __n - 1) div $blockLen),
+           |  e -> named_struct(
+           |    'example_idx', e,
+           |    'gstart', greatest(e * $blockLen, __prior),
+           |    'piece', array_join(slice(__tk,
+           |      CAST(greatest(e * $blockLen - __prior, 0) + 1 AS INT),
+           |      CAST(least((e + 1) * $blockLen, __prior + __n)
+           |           - greatest(e * $blockLen, __prior) AS INT)), ' '),
+           |    'n_tok', least((e + 1) * $blockLen, __prior + __n)
+           |             - greatest(e * $blockLen, __prior)))""".stripMargin)).as("s"))
+      .groupBy(col(shardCol), col("s.example_idx").as("example_idx"))
+      .agg(
+        sum(col("s.n_tok")).cast("long").as("n_tokens"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("s.gstart"), col("s.piece")))),
+            x => x.getField("piece")),
+          " ").cast("binary")).as("block_fp"))
+  }
+
+  val tokenBlocksQ: Q = {
+    val L = 512
+    Q(
+      "n82_token_blocks",
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+         |c AS (SELECT doc_id, source, tk, CAST(len(tk) + 1 AS BIGINT) AS n,
+         |             coalesce(sum(len(tk) + 1) OVER (PARTITION BY source ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |      FROM t),
+         |tok AS (SELECT source, doc_id, prior + p - 1 AS gpos,
+         |               CASE WHEN p <= len(tk) THEN tk[p] ELSE '<eos>' END AS tokn
+         |        FROM c, unnest(generate_series(1, CAST(n AS INT))) AS u(p))
+         |SELECT source,
+         |       CAST(gpos // $L AS BIGINT) AS example_idx,
+         |       CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       md5(string_agg(tokn, ' ' ORDER BY gpos)) AS block_fp
+         |FROM tok
+         |GROUP BY source, gpos // $L
+         |ORDER BY source, example_idx""".stripMargin) { (ss, dir) =>
+      tokenBlocks(Tables(ss, dir).documents, L)
+        .orderBy("source", "example_idx")
+    }
+  }
+
   /** INCREMENTAL cluster maintenance (round 4, completing the
     * VERDICT r03 #1 theme for n07): fold a batch of NEW near-dup pairs
     * into an existing (node, lbl) cluster store WITHOUT re-running
@@ -572,5 +655,6 @@ object Corpus {
   }
 
   val all: Seq[Q] = Seq(dupClusters, contamination, stratifiedSample,
-    seqPack, chunkQ, clusterReps, incrementalClusters, mixture, sourceCap)
+    seqPack, chunkQ, tokenBlocksQ, clusterReps, incrementalClusters,
+    mixture, sourceCap)
 }

@@ -318,4 +318,70 @@ class CorpusSpec extends SparkSpec {
       .select("fp").collect().map(_.getString(0))
     assert(fps.distinct.length == 1)
   }
+
+  // ------------------------------------------------------------------
+  // tokenBlocks (n82): concat-and-chunk exact-length materialization
+  // ------------------------------------------------------------------
+
+  private def blockRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("source", "example_idx").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+
+  test("tokenBlocks: exact-length blocks crossing doc boundaries, eos-separated") {
+    // one shard: docs of 3, 2, 4 tokens (+eos each) = 12-token stream
+    val docs = Seq(
+      (1L, "a1 a2 a3", "web"),
+      (2L, "b1 b2", "web"),
+      (3L, "c1 c2 c3 c4", "web")).toDF("doc_id", "text", "source")
+    val out = blockRows(Corpus.tokenBlocks(docs, blockLen = 5L))
+    // stream: a1 a2 a3 <eos> b1 | b2 <eos> c1 c2 c3 | c4 <eos>
+    val stream = "a1 a2 a3 <eos> b1 b2 <eos> c1 c2 c3 c4 <eos>".split(" ")
+    def fp(toks: Array[String]) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(toks.mkString(" ").getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    assert(out.length == 3)
+    assert(out(0) == (("web", 0L, 5L, 2L, fp(stream.slice(0, 5)))))
+    assert(out(1) == (("web", 1L, 5L, 2L, fp(stream.slice(5, 10)))))
+    assert(out(2) == (("web", 2L, 2L, 1L, fp(stream.slice(10, 12)))), "final block runs short")
+  }
+
+  test("tokenBlocks: shards pack independently and totals reconcile") {
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7", "web"),
+      (2L, "b1 b2 b3", "web"),
+      (10L, "x1 x2", "books"),
+      (11L, "y1", "books")).toDF("doc_id", "text", "source")
+    val out = blockRows(Corpus.tokenBlocks(docs, blockLen = 4L))
+    val bySrc = out.groupBy(_._1)
+    // every shard's example_idx starts at 0 and is dense
+    bySrc.foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // per shard, sum(n_tokens) == sum(doc tokens + 1)
+    assert(bySrc("web").map(_._3).sum == 7 + 1 + 3 + 1)
+    assert(bySrc("books").map(_._3).sum == 2 + 1 + 1 + 1)
+    // all but the last block of each shard are exactly blockLen
+    bySrc.foreach { case (_, rows) =>
+      rows.sortBy(_._2).dropRight(1).foreach(r => assert(r._3 == 4L))
+    }
+  }
+
+  test("tokenBlocks: a doc longer than blockLen spans several exact blocks") {
+    val docs = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" "), "web"))
+      .toDF("doc_id", "text", "source")
+    val out = blockRows(Corpus.tokenBlocks(docs, blockLen = 4L))
+    assert(out.map(_._3).toSeq == Seq(4L, 4L, 4L)) // 11 tokens + eos = 12
+    assert(out.forall(_._4 == 1L))
+  }
+
+  test("tokenBlocks: deterministic across runs") {
+    val docs = Seq(
+      (2L, "b1 b2 b3 b4 b5", "web"),
+      (1L, "a1 a2", "web")).toDF("doc_id", "text", "source")
+    val a = blockRows(Corpus.tokenBlocks(docs, blockLen = 3L))
+    val b = blockRows(Corpus.tokenBlocks(docs.orderBy(col("doc_id").desc), blockLen = 3L))
+    assert(a.toSeq == b.toSeq, "input order must not change the packing")
+  }
 }
