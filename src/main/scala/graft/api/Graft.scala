@@ -357,5 +357,19 @@ object Graft {
       * weight-adjusted effective token count. */
     def softDedupWeights(): DataFrame =
       graft.operators.Selection.softDedupWeights(df)
+
+    /** BM25 top-k retrieval against a bounded (q_id, term) query set
+      * — decontamination lookup / corpus audit. Returns (q_id, rank,
+      * doc_id, score). */
+    def bm25TopK(queries: DataFrame, k: Int = 10,
+        k1: Double = 1.2, b: Double = 0.75): DataFrame =
+      graft.operators.TextAnalysis.bm25TopK(df, queries, k, k1, b)
+
+    /** Temperature-scaled source mixing (mT5 recipe): deterministic
+      * draw of ~`total` docs with per-source shares ∝ (token share)^α.
+      * Returns (source, doc_id, rk, target_n). */
+    def temperatureMix(total: Long, alpha: Double = 0.3,
+        seed: String = "mix-epoch0"): DataFrame =
+      graft.operators.Selection.temperatureMix(df, total, alpha, seed)
   }
 }

@@ -302,5 +302,77 @@ object Selection {
         round6(col("n_tok").cast("double") / col("dup_count")).as("eff_tokens"))
   }
 
-  val all: Seq[Q] = Seq(dsirSelect, ccnetBuckets, epochShard, softDedup)
+  /** Temperature-scaled source mixing (the mT5/mC4 recipe, Xue et al.
+    * 2021 §3.1): sampling shares q_s ∝ p_s^α with p_s the source's
+    * TOKEN share and α < 1 — low-resource sources are boosted, head
+    * sources suppressed, smoothly between proportional (α=1) and
+    * uniform (α=0). The selection itself is the repo's deterministic
+    * md5-rank draw (n27's idiom), so the whole mix — not just the
+    * rates — is hash-checked.
+    *
+    * Determinism: p_s is an exact integer ratio; pow(p, α) is the one
+    * transcendental, round6'd immediately (cross-engine libm pow
+    * differences are ulps, far below the 5e-7 guard); the normalizer
+    * Z DECIMAL-sums the rounded shares; per-source targets are
+    * floor((T·q)/Z) over identical inputs. Scale shape: one
+    * map-side-combinable token-count agg, two 1-row/`|sources|`-row
+    * broadcast frames, one per-source rank window (parallelism =
+    * source count — the n69 mega-source note applies). */
+  def temperatureMix(docs: DataFrame, total: Long, alpha: Double,
+      seed: String): DataFrame = {
+    val bySrc = docs
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("__ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("__n_docs"), sum(col("__ntok")).as("__n_toks"))
+    val tot = bySrc.agg(sum(col("__n_toks")).as("__tot"))
+    val q = bySrc.crossJoin(broadcast(tot))
+      .select(col("source"),
+        round6(pow(col("__n_toks").cast("double") / col("__tot"), alpha)).as("__q"))
+    val z = q.agg(dsum(col("__q")).as("__z"))
+    val tgt = q.crossJoin(broadcast(z))
+      .select(col("source"),
+        floor((lit(total.toDouble) * col("__q")) / col("__z"))
+          .cast("long").as("target_n"))
+    val w = Window.partitionBy("source")
+      .orderBy(md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))
+        .cast("binary")), col("doc_id"))
+    docs.select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(tgt), Seq("source"))
+      .filter(col("rk") <= col("target_n"))
+      .select(col("source"), col("doc_id"), col("rk"), col("target_n"))
+  }
+
+  /** n84 constants — part of the entry's contract. */
+  val MixTotal = 200L
+  val MixAlpha = 0.3
+  val MixSeed = "mix-epoch0"
+
+  val temperatureMixQ: Q = Q(
+    "n84_temperature_mix",
+    s"""WITH t AS (SELECT source, doc_id,
+       |                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+       |          FROM documents),
+       |s AS (SELECT source, count(*) AS n_docs, sum(ntok) AS n_toks FROM t GROUP BY source),
+       |tot AS (SELECT sum(n_toks) AS tot FROM s),
+       |q AS (SELECT source, ${round6Sql(s"pow(CAST(n_toks AS DOUBLE) / tot, $MixAlpha)")} AS q
+       |      FROM s CROSS JOIN tot),
+       |z AS (SELECT ${dsumSql("q")} AS z FROM q),
+       |tgt AS (SELECT source, CAST(floor(($MixTotal.0 * q) / z) AS BIGINT) AS target_n
+       |        FROM q CROSS JOIN z),
+       |rk AS (SELECT source, doc_id,
+       |              CAST(row_number() OVER (PARTITION BY source
+       |                ORDER BY md5('$MixSeed:' || doc_id), doc_id) AS BIGINT) AS rk
+       |       FROM t)
+       |SELECT rk.source, rk.doc_id, rk.rk, tgt.target_n
+       |FROM rk JOIN tgt USING (source)
+       |WHERE rk.rk <= tgt.target_n
+       |ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+    temperatureMix(Tables(s, dir).documents, MixTotal, MixAlpha, MixSeed)
+      .orderBy("source", "doc_id")
+  }
+
+  val all: Seq[Q] = Seq(dsirSelect, ccnetBuckets, epochShard, softDedup,
+    temperatureMixQ)
 }

@@ -370,6 +370,102 @@ object TextAnalysis {
       .filter(col("rn") <= k)
   }
 
+  /** BM25 corpus search (Robertson–Spärck Jones; the Okapi k1/b
+    * formulation) — the retrieval op a curation pipeline runs for
+    * benchmark decontamination lookup, data attribution and targeted
+    * corpus audits: score every document against a bounded query set
+    * and keep the top-k per query.
+    *
+    * Determinism: each (query, doc, term) contribution — idf ·
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) — is per-row IEEE math with
+    * identical parenthesization in both engines, round6'd, then
+    * DECIMAL-summed per (query, doc) (order-independent), so the
+    * (score desc, doc_id) rank is total and cross-engine identical.
+    * avgdl = exact integer token sum / doc count.
+    *
+    * Scale shape: tokens filtered to the QUERY vocabulary before any
+    * aggregation (broadcast semi-filter — the query set is bounded by
+    * construction), so tf/df/score frames are all query-vocab-sized,
+    * not corpus-vocab-sized; corpus stats are a broadcast 1-row agg
+    * (TinyAggBroadcast); the rank window partitions by query. At
+    * 100 TB the only corpus-proportional work is the scan + map-side
+    * token filter. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queries.select("term").distinct()
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val contrib = tf
+      .join(tf.groupBy("term").agg(count_distinct(col("doc_id")).as("df")), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .join(queries, Seq("term"))
+      .select(col("q_id"), col("doc_id"),
+        graft.Det.round6(
+          log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+          .as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    contrib.groupBy("q_id", "doc_id")
+      .agg(graft.Det.dsum(col("c")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Catalog query set for n83 — bounded and literal, the
+    * decontamination-lookup shape (a benchmark suite's probe strings
+    * tokenized into term bags). */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "table", 1L -> "scan",
+    2L -> "window", 2L -> "agg",
+    3L -> "vector", 3L -> "stream", 3L -> "join")
+
+  val bm25: Q = {
+    val k = 10
+    val qVals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    Q(
+      "n83_bm25_search",
+      s"""WITH q(q_id, term) AS (VALUES $qVals),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok WHERE term IN (SELECT term FROM q)
+         |       GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |       FROM documents),
+         |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |sc AS (SELECT q.q_id, t.doc_id,
+         |              ${round6Sql(
+                 "ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * " +
+                 "(t.tf * (1.2 + 1.0)) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))")} AS c
+         |       FROM tf t JOIN dfreq USING (term) JOIN dl USING (doc_id)
+         |       CROSS JOIN st JOIN q ON q.term = t.term),
+         |agg AS (SELECT q_id, doc_id, ${dsumSql("c")} AS score
+         |        FROM sc GROUP BY q_id, doc_id),
+         |rk AS (SELECT q_id, doc_id, score,
+         |              row_number() OVER (PARTITION BY q_id
+         |                                 ORDER BY score DESC, doc_id) AS rank
+         |       FROM agg)
+         |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rank AS BIGINT) AS rank,
+         |       doc_id, score
+         |FROM rk WHERE rank <= $k
+         |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val queries = Bm25Queries.toDF("q_id", "term")
+      bm25TopK(Tables(s, dir).documents, queries, k)
+        .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+        .orderBy("q_id", "rank")
+    }
+  }
+
   /** Payload redaction — the PII-scrub shape every training pipeline
     * runs before ingest: mask sensitive spans (here: numeric literals
     * in the event props — the corpus stand-in for phone/account
@@ -718,6 +814,6 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(langStats, qualityScore, tokenStats, langId,
     fingerprint, rollingFingerprint, unigramLogProb, bigramLogProb,
-    tfidfTop, redact, repetition, heavyHitters, cmsHeavyHitters, gopher,
-    zipfFit)
+    tfidfTop, bm25, redact, repetition, heavyHitters, cmsHeavyHitters,
+    gopher, zipfFit)
 }

@@ -43,6 +43,8 @@ class PlanLintSpec extends SparkSpec {
     "a27_important_stock",  // two 1-row broadcast scalars (total, n)
     "a28_top_supplier",     // 1-row broadcast max-revenue scalar
     "n46_mixture_resample", // 1-row mixture-scale scalar × 5-key part list
+    "n83_bm25_search",      // 1-row (N, avgdl) corpus-stats broadcast (n50's pattern)
+    "n84_temperature_mix",  // 1-row token-total + 1-row normalizer broadcasts
     "n52_skew_audit",       // 1-row total-rows broadcast over the key histogram
     "n73_dsir_select",      // 1-row feature-total broadcast (tn×rn) into the
                             //   1024-row tau table (n28's corpus-total pattern)

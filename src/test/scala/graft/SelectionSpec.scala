@@ -99,4 +99,37 @@ class SelectionSpec extends SparkSpec {
     val distinctFp = planted.select(Det.normFingerprint(col("text"))).distinct().count()
     assert(math.abs(total - distinctFp) < 1e-3, s"mass $total vs groups $distinctFp")
   }
+
+  test("temperature mix: alpha<1 boosts the low-resource source, alpha=1 is proportional (n84)") {
+    import spark.implicits._
+    // head source: 30 docs x 10 tokens; tail source: 3 docs x 10 tokens
+    val docs = ((1 to 30).map(i => (i.toLong, ("w " * 10).trim, "head")) ++
+      (101 to 103).map(i => (i.toLong, ("w " * 10).trim, "tail")))
+      .toDF("doc_id", "text", "source")
+    def shares(alpha: Double): Map[String, Long] =
+      Selection.temperatureMix(docs, total = 20L, alpha = alpha, seed = "s0")
+        .groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prop = shares(1.0)
+    val temp = shares(0.3)
+    // proportional: tail gets floor(20 * 3/33) = 1
+    assert(prop("tail") == 1L && prop("head") == 18L)
+    // alpha=0.3 boosts tail above its proportional share
+    assert(temp("tail") > prop("tail"))
+    assert(temp("head") < prop("head"))
+    // targets never exceed a source's population
+    assert(temp.values.forall(_ <= 30L))
+  }
+
+  test("temperature mix: deterministic per seed, reshuffled by a new seed (n84)") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, ("w " * 5).trim, s"s${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    def ids(seed: String) =
+      Selection.temperatureMix(docs, total = 12L, alpha = 0.5, seed = seed)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids("epoch0"); val b = ids("epoch0"); val c = ids("epoch1")
+    assert(a == b, "same seed must reproduce the identical draw")
+    assert(a != c, "a new seed must draw a different sample")
+  }
 }

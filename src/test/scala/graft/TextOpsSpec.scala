@@ -54,4 +54,29 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("k") > 1).count()
     assert(inconsistent == 0)
   }
+
+  test("bm25: tf raises, idf separates rare from common, length normalizes (n83)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      // 'rare' appears in doc 1 only; 'common' in all four
+      (1L, "rare common filler fillerb"),
+      (2L, "common common filler fillerb"),          // tf(common)=2
+      (3L, "common filler fillerb fillerc"),          // tf(common)=1, same length
+      (4L, "common filler fillerb fillerc fillerd fillere fillerf fillerg")) // tf=1, longer
+      .toDF("doc_id", "text")
+    val queries = Seq((1L, "rare"), (2L, "common")).toDF("q_id", "term")
+    val got = TextAnalysis.bm25TopK(docs, queries, k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("rank"), r.getAs[Double]("score"))).toMap
+    // query 1 matches only doc 1
+    assert(got.keys.filter(_._1 == 1L).map(_._2).toSet == Set(1L))
+    // query 2: tf=2 beats tf=1 at equal length; longer doc ranks below
+    // the equal-tf shorter doc (length normalization)
+    assert(got((2L, 2L))._1 == 1L)
+    assert(got((2L, 4L))._2 < got((2L, 3L))._2)
+    // the rare term outscores the common term for its one holder
+    assert(got((1L, 1L))._2 > got((2L, 2L))._2)
+  }
 }
