@@ -358,6 +358,11 @@ object Graft {
     def softDedupWeights(): DataFrame =
       graft.operators.Selection.softDedupWeights(df)
 
+    /** One-row corpus data-card statistics: (n_docs, n_tokens,
+      * vocab_size, dup_rate, mean_doc_tokens, lang_entropy,
+      * source_entropy). */
+    def corpusCard(): DataFrame = graft.operators.Corpus.corpusCard(df)
+
     /** BM25 top-k retrieval against a bounded (q_id, term) query set
       * — decontamination lookup / corpus audit. Returns (q_id, rank,
       * doc_id, score). */

@@ -382,6 +382,88 @@ object Corpus {
           " ").cast("binary")).as("block_fp"))
   }
 
+  /** Corpus card (round 9) — the one-row dataset summary a pipeline
+    * publishes with every corpus release (the "data card" statistics
+    * block): volume (docs, tokens, vocabulary), redundancy (normalized
+    * duplicate rate) and composition balance (language / source
+    * Shannon entropies). Everything is a composition of aggregates the
+    * engine already trusts: exact integer counts, one
+    * distinct-fingerprint count, one distinct-token count, and two
+    * |keys|-row entropy folds whose p·ln p terms are round6'd then
+    * DECIMAL-summed (order-independent, cross-engine identical).
+    *
+    * Scale shape: three corpus-proportional aggregations (doc stats,
+    * vocab distinct, fingerprint distinct inside the doc-stat agg) —
+    * all map-side combinable — plus two key-count-sized groupBys; the
+    * final assembly crosses 1-row frames (allowlisted tiny-side
+    * broadcasts, the n60 audit pattern). */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("__ntok"),
+      graft.Det.normFingerprint(col("text")).as("__fp"),
+      col("lang"), col("source"))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__ntok")).as("n_tokens"),
+      count_distinct(col("__fp")).as("__n_distinct"))
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("__tok"))
+      .agg(count_distinct(col("__tok")).as("vocab_size"))
+    def entropy(keyCol: String): DataFrame = {
+      val cnt = base.groupBy(keyCol).agg(count(lit(1)).as("__c"))
+      val tot = cnt.agg(sum(col("__c")).as("__t"))
+      cnt.crossJoin(broadcast(tot))
+        .select(graft.Det.round6(
+          (col("__c").cast("double") / col("__t")) *
+            log(col("__c").cast("double") / col("__t"))).as("__term"))
+        .agg(graft.Det.dsum(col("__term")).as("__s"))
+        .select((-col("__s")).as(s"${keyCol}_entropy"))
+    }
+    stats.crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(entropy("lang")))
+      .crossJoin(broadcast(entropy("source")))
+      .select(
+        col("n_docs"), col("n_tokens"), col("vocab_size"),
+        graft.Det.round6(lit(1.0) -
+          col("__n_distinct").cast("double") / col("n_docs")).as("dup_rate"),
+        graft.Det.round6(
+          col("n_tokens").cast("double") / col("n_docs")).as("mean_doc_tokens"),
+        col("lang_entropy"), col("source_entropy"))
+  }
+
+  val corpusCardQ: Q = Q(
+    "n85_corpus_card",
+    s"""WITH base AS (SELECT doc_id,
+       |                    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+       |                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       |                    lang, source
+       |             FROM documents),
+       |st AS (SELECT count(*) AS n_docs, sum(ntok) AS n_tokens,
+       |              count(DISTINCT fp) AS n_distinct
+       |       FROM base),
+       |vb AS (SELECT count(DISTINCT tok) AS vocab_size
+       |       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |lc AS (SELECT lang, count(*) AS c FROM base GROUP BY lang),
+       |lt AS (SELECT sum(c) AS t FROM lc),
+       |le AS (SELECT -${dsumSql(round6Sql(
+             "(CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)"))} AS lang_entropy
+       |       FROM lc CROSS JOIN lt),
+       |sc AS (SELECT source, count(*) AS c FROM base GROUP BY source),
+       |stt AS (SELECT sum(c) AS t FROM sc),
+       |se AS (SELECT -${dsumSql(round6Sql(
+             "(CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)"))} AS source_entropy
+       |       FROM sc CROSS JOIN stt)
+       |SELECT CAST(st.n_docs AS BIGINT) AS n_docs,
+       |       CAST(st.n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(vb.vocab_size AS BIGINT) AS vocab_size,
+       |       ${round6Sql("1.0 - CAST(st.n_distinct AS DOUBLE) / st.n_docs")} AS dup_rate,
+       |       ${round6Sql("CAST(st.n_tokens AS DOUBLE) / st.n_docs")} AS mean_doc_tokens,
+       |       le.lang_entropy, se.source_entropy
+       |FROM st CROSS JOIN vb CROSS JOIN le CROSS JOIN se""".stripMargin) { (s, dir) =>
+    corpusCard(Tables(s, dir).documents)
+  }
+
   val tokenBlocksQ: Q = {
     val L = 512
     Q(
@@ -655,6 +737,6 @@ object Corpus {
   }
 
   val all: Seq[Q] = Seq(dupClusters, contamination, stratifiedSample,
-    seqPack, chunkQ, tokenBlocksQ, clusterReps, incrementalClusters,
-    mixture, sourceCap)
+    seqPack, chunkQ, tokenBlocksQ, corpusCardQ, clusterReps,
+    incrementalClusters, mixture, sourceCap)
 }

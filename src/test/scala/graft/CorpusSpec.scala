@@ -376,6 +376,24 @@ class CorpusSpec extends SparkSpec {
     assert(out.forall(_._4 == 1L))
   }
 
+  test("corpusCard: volume, dup rate and composition entropies on a hand corpus (n85)") {
+    val docs = Seq(
+      (1L, "a b c", "en", "web"),
+      (2L, "a b c", "en", "web"),       // exact duplicate of 1
+      (3L, "d e", "en", "web"),
+      (4L, "f g h i", "de", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Corpus.corpusCard(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 3 + 3 + 2 + 4)
+    assert(r.getAs[Long]("vocab_size") == 9L) // a..i
+    assert(math.abs(r.getAs[Double]("dup_rate") - 0.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mean_doc_tokens") - 3.0) < 1e-9)
+    val h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(r.getAs[Double]("lang_entropy") - h) < 1e-5)
+    assert(math.abs(r.getAs[Double]("source_entropy") - h) < 1e-5)
+  }
+
   test("tokenBlocks: deterministic across runs") {
     val docs = Seq(
       (2L, "b1 b2 b3 b4 b5", "web"),
