@@ -305,7 +305,60 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** Pairwise Pearson correlation matrix over the fact table's numeric
+    * columns — the column-profiling step a feature-audit runs before
+    * training. ONE corpus pass computes every sufficient statistic
+    * (n, Σx, Σx², Σxy for all pairs) in a single map-side-combinable
+    * aggregation; the 6 pair rows then expand map-side from the 1-row
+    * frame (no second scan, no per-pair jobs). DECIMAL sums make every
+    * statistic order-independent; sqrt is correctly-rounded IEEE in
+    * both engines; round6 before output. */
+  val correlation: Q = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    def corrSql(x: String, y: String) = round6Sql(
+      s"(n * ${sumName(x, y)} - ${sumName(x)} * ${sumName(y)}) / " +
+        s"sqrt((n * ${sumName(x, x)} - ${sumName(x)} * ${sumName(x)}) * " +
+        s"(n * ${sumName(y, y)} - ${sumName(y)} * ${sumName(y)}))")
+    Q(
+      "x13_correlation",
+      s"""WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |${cols.map(c => s"           ${dsumSql(c)} AS ${sumName(c)},").mkString("\n")}
+         |${(for { i <- cols.indices; j <- cols.indices if i <= j }
+               yield s"           ${dsumSql(s"${cols(i)} * ${cols(j)}")} AS ${sumName(cols(i), cols(j))}")
+               .mkString(",\n")}
+         |           FROM lineitem)
+         |${pairs.map { case (x, y) =>
+             s"SELECT '$x' AS col_x, '$y' AS col_y, ${corrSql(x, y)} AS corr FROM s"
+           }.mkString("\nUNION ALL\n")}
+         |ORDER BY col_x, col_y""".stripMargin) { (s, dir) =>
+      val n = count(lit(1)).cast("double")
+      val aggs =
+        cols.map(c => dsum(col(c)).as(sumName(c))) ++
+          (for { i <- cols.indices; j <- cols.indices if i <= j }
+            yield dsum(col(cols(i)) * col(cols(j)))
+              .as(sumName(cols(i), cols(j))))
+      val stats = Tables(s, dir).lineitem
+        .agg(n.as("n"), aggs: _*)
+      def corr(x: String, y: String) = round6(
+        (col("n") * col(sumName(x, y)) - col(sumName(x)) * col(sumName(y))) /
+          sqrt((col("n") * col(sumName(x, x)) - col(sumName(x)) * col(sumName(x))) *
+            (col("n") * col(sumName(y, y)) - col(sumName(y)) * col(sumName(y)))))
+      stats.select(explode(array(pairs.map { case (x, y) =>
+        struct(lit(x).as("col_x"), lit(y).as("col_y"), corr(x, y).as("corr"))
+      }: _*)).as("p"))
+        .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
+          col("p.corr").as("corr"))
+        .orderBy("col_x", "col_y")
+    }
+  }
+
+  /** Stable generated column name for Σx / Σxy sufficient stats. */
+  private def sumName(xs: String*): String = "s_" + xs.map(_.stripPrefix("l_")).mkString("_")
+
   val all: Seq[Q] = Seq(explodeOuter, multisetOps, latestPerGroup, nthValue,
     dateSpine, nullSafeOps, mapFuncs, posExplode, histogram, momentsExact,
-    funnel, quantiles)
+    funnel, quantiles, correlation)
 }

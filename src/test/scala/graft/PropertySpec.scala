@@ -227,4 +227,60 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("tokenBlocks conserves tokens and equals the sequential chunking model") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.choose(1, 9).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val srcG = Gen.oneOf("s0", "s1", "s2")
+    (1 to 5).foreach { seed =>
+      val rows = sample(Gen.listOfN(25, Gen.zip(doc, srcG)), seed)
+        .zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+      val L = 7L
+      val got = Corpus.tokenBlocks(rows.toDF("doc_id", "text", "source"), L)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+
+      // sequential model: concat per source in doc_id order, chunk by L
+      rows.groupBy(_._3).foreach { case (src, ds) =>
+        val stream = ds.sortBy(_._1).flatMap(d => d._2.split(" ") :+ "<eos>")
+        val blocks = stream.grouped(L.toInt).toSeq
+        val mine = got.filter(_._1._1 == src)
+        assert(mine.size == blocks.size, s"seed $seed src $src block count")
+        blocks.zipWithIndex.foreach { case (b, i) =>
+          val (nTok, _, fp) = mine((src, i.toLong))
+          assert(nTok == b.size, s"seed $seed src $src block $i size")
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(b.mkString(" ").getBytes("UTF-8"))
+          assert(fp == d.map("%02x".format(_)).mkString,
+            s"seed $seed src $src block $i content")
+        }
+      }
+    }
+  }
+
+  test("dropBoilerplate equals the frequency-count model on random multi-line docs") {
+    val line = Gen.oneOf("banner text", "nav bar", "u1 one", "u2 two",
+      "u3 three", "u4 four", "u5 five")
+    val doc = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, line).map(_.mkString("\n")))
+    (1 to 5).foreach { seed =>
+      val rows = sample(Gen.listOfN(15, doc), seed)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val minDocs = 3L
+      val got = graft.operators.LineDedup.dropBoilerplate(
+          graft.operators.LineDedup.linesByDelim(rows.toDF("doc_id", "text")),
+          minDocs, sep = "\n")
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+
+      val df = rows.flatMap { case (id, t) => t.split("\n", -1).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+      val boiler = df.filter(_._2 >= minDocs).keySet
+      rows.foreach { case (id, t) =>
+        val lines = t.split("\n", -1)
+        val wantDropped = lines.count(boiler)
+        val wantClean = lines.filterNot(boiler).mkString("\n")
+        assert(got(id) == ((wantDropped.toLong, wantClean)), s"seed $seed doc $id")
+      }
+    }
+  }
 }
