@@ -88,6 +88,55 @@ object StreamingOps {
       docs.filter(graft.operators.TextAnalysis.gopherPass(col("text"))),
       watermark)
 
+  /** Hard cap on the decontamination gate's broadcast hash set — the
+    * VocabCap honesty rule applied to benchmarks: a held-out eval set
+    * is SMALL by construction (thousands of docs ⇒ ~10⁵–10⁶ window
+    * hashes, a few MB broadcast); a "benchmark" above this cap is a
+    * corpus, and screening against it belongs to the index-probe path
+    * (n39's incremental decontaminate), not a scan-stage set. */
+  val MaxBenchHashes: Int = 5000000
+
+  /** Streaming DECONTAMINATION gate (st11's stream side): drop every
+    * arriving document sharing at least one Rabin–Karp window
+    * fingerprint with the held-out benchmark set, then watermarked
+    * normalized dedup — the arrival-time version of the n26 screen, so
+    * eval contamination never even lands in the accepted store.
+    *
+    * Scale/semantics: the benchmark's window-hash set (bounded by
+    * [[MaxBenchHashes]], see there) is collected once and broadcast;
+    * the gate itself is a stateless mapPartitions predicate computing
+    * each doc's rolling hashes IN THE SCAN STAGE against the broadcast
+    * set — contaminated docs never allocate dedup state (the st07
+    * junk-never-allocates rule), and the only streaming state is the
+    * surviving docs' watermarked fingerprint dedup. Uses the ONE
+    * shared Rabin–Karp implementation ([[graft.operators.TextAnalysis
+    * .rollingHashes]]), so gate, batch twin and oracle can never
+    * drift. StreamingSpec proves stream == st11 twin. */
+  def decontaminatedIngest(docs: DataFrame, benchHashes: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val spark = docs.sparkSession
+    val hs = benchHashes.limit(MaxBenchHashes + 1)
+      .collect().map(_.getLong(0))
+    require(hs.length <= MaxBenchHashes,
+      s"benchmark hash set exceeds MaxBenchHashes=$MaxBenchHashes — " +
+        "use IncrementalDedup.dedupAgainstIndex (n39 path) for corpus-sized screens")
+    val bench = spark.sparkContext.broadcast(hs.toSet)
+    val w = graft.operators.TextAnalysis.RollingWindow
+    val gated = docs
+      .select(col("ts"), col("doc_id"), col("text"))
+      .as(Encoders.product[(java.sql.Timestamp, Long, String)])
+      .mapPartitions { it =>
+        val b = bench.value
+        it.filter { case (_, _, text) =>
+          !graft.operators.TextAnalysis
+            .rollingHashes(text.split(" ", -1), w).exists(b.contains)
+        }
+      }(Encoders.product[(java.sql.Timestamp, Long, String)])
+      .toDF("ts", "doc_id", "text")
+    dedupNormalizedWithWatermark(gated, watermark)
+  }
+
   /** Streaming LEARNED-quality gate: score each arriving document
     * under a FROZEN binary NB model (the n68 classifier collapsed to
     * its serving form by [[graft.operators.Classifier

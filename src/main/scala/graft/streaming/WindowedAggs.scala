@@ -383,7 +383,56 @@ object WindowedAggs {
       .orderBy("doc_id")
   }
 
+  /** Batch twin of [[StreamingOps.decontaminatedIngest]] (st11): the
+    * n26 contamination screen applied as an ARRIVAL GATE — train-side
+    * docs (doc_id % 10 <> 0) sharing any 8-token Rabin–Karp window
+    * fingerprint with the held-out set (doc_id % 10 == 0) are dropped,
+    * survivors keep-first dedup on the normalized fingerprint. The
+    * twin uses the distributed join formulation (hash-joinable in
+    * DuckDB); the stream gates through a broadcast hash SET in the
+    * scan stage — StreamingSpec proves both produce the identical
+    * accepted doc_id set, which is exactly the claim that the
+    * broadcast-set shortcut implements the join's semantics. */
+  val decontaminateTwin: Q = {
+    import graft.operators.TextAnalysis.{RollingWindow => W, P, B}
+    Q(
+      "st11_stream_decontaminate",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |pos AS (SELECT doc_id, tk,
+         |               unnest(generate_series(1, greatest(len(tk) - ${W - 1}, 0))) AS p
+         |        FROM toks),
+         |wh AS (SELECT doc_id,
+         |              list_reduce(list_transform(tk[p:p+${W - 1}],
+         |                t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % $P),
+         |                (a, b) -> (a * $B + b) % $P) AS h
+         |       FROM pos),
+         |bench AS (SELECT DISTINCT h FROM wh WHERE doc_id % 10 = 0),
+         |contam AS (SELECT DISTINCT doc_id FROM wh
+         |           WHERE doc_id % 10 <> 0 AND h IN (SELECT h FROM bench)),
+         |clean AS (SELECT doc_id, text FROM documents
+         |          WHERE doc_id % 10 <> 0
+         |            AND doc_id NOT IN (SELECT doc_id FROM contam))
+         |SELECT min(doc_id) AS doc_id
+         |FROM clean
+         |GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.api.Graft._
+      val docs = Tables(s, dir).documents
+      val wh = graft.operators.TextAnalysis.windowHashes(docs)
+        .select(col("doc_id"), col("win_hash").as("h"))
+      val bench = wh.filter(col("doc_id") % 10 === 0).select("h").distinct()
+      val contam = wh.filter(col("doc_id") % 10 =!= 0)
+        .join(bench, Seq("h")).select("doc_id").distinct()
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .join(contam, Seq("doc_id"), "left_anti")
+        .distinctDocuments(normalize = true)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
     streamNearDup, indexedIngestBatch1, indexedIngestBatch2,
-    qualityGateTwin, streamEnrichTwin, classifierGateTwin)
+    qualityGateTwin, streamEnrichTwin, classifierGateTwin,
+    decontaminateTwin)
 }

@@ -634,4 +634,48 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed.nonEmpty && streamed == twin)
   }
+
+  test("streaming decontamination gate equals its batch twin (st11)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables(spark, sf0001).documents
+    // benchmark = held-out tenth's window hashes (exactly the twin's
+    // bench CTE); stream carries the train side in doc_id order so
+    // keep-first == the twin's min(doc_id)
+    val bench = graft.operators.TextAnalysis.windowHashes(
+        docs.filter(col("doc_id") % 10 === 0))
+      .select(col("win_hash")).distinct()
+    val streamRows = docs.filter(col("doc_id") % 10 =!= 0)
+      .select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), ts("2024-01-01 10:00:00"), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+      .select(col("ts"), col("doc_id"), col("text"))
+    val q = StreamingOps.decontaminatedIngest(stream, bench, "1 hour")
+      .writeStream.format("memory").queryName("dgate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(streamRows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dgate").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val twin = Catalog.queries("st11_stream_decontaminate")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty, "gate should accept at least one doc")
+    assert(streamed == twin,
+      s"missing=${(twin -- streamed).take(5)} spurious=${(streamed -- twin).take(5)}")
+  }
+
+  test("decontamination gate refuses a corpus-sized benchmark set (st11 cap)") {
+    import spark.implicits._
+    val big = spark.range(0L, StreamingOps.MaxBenchHashes + 1L)
+      .select(col("id").as("win_hash"))
+    val docs = Seq((ts("2024-01-01 10:00:00"), 1L, "a b c"))
+      .toDF("ts", "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.decontaminatedIngest(docs, big)
+    }
+    assert(e.getMessage.contains("MaxBenchHashes"))
+  }
 }
