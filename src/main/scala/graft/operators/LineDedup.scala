@@ -96,6 +96,61 @@ object LineDedup {
   }
 
   // ---------------------------------------------------------------
+  // incremental lifecycle (the IncrementalDedup cadence for lines)
+  // ---------------------------------------------------------------
+
+  /** Corpus line-df index over a lined frame: (line_hash, n_docs) for
+    * EVERY unit (no threshold — the floor is applied at screen time,
+    * so one persisted index serves any minDocs). Persistable like the
+    * dedup index components; at rest it is written bucketed by
+    * line_hash so screens co-locate. */
+  def buildLineIndex(lines: DataFrame): DataFrame =
+    lines
+      .groupBy(lineHash(col("line")).as("line_hash"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+
+  /** Fold a NEW batch into an existing line index WITHOUT re-reading
+    * the prior corpus: doc_ids are unique across snapshots (pipeline
+    * contract, same as [[IncrementalDedup.appendToIndex]]), so
+    * distinct-doc counts ADD per hash. One batch-sized aggregation +
+    * one hash-keyed merge. */
+  def appendLineIndex(index: DataFrame, newLines: DataFrame): DataFrame =
+    index
+      .join(buildLineIndex(newLines)
+        .withColumnRenamed("n_docs", "__new"), Seq("line_hash"), "full_outer")
+      .select(col("line_hash"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("__new"), lit(0L)))
+          .as("n_docs"))
+
+  /** Strip boilerplate from a NEW batch against the ACCUMULATED
+    * corpus: a unit is boilerplate when its prior-index df plus its
+    * within-batch df reaches `minDocs` — identical to running
+    * [[dropBoilerplate]] over prior ∪ batch and keeping the batch's
+    * rows (LineDedupSpec proves the equivalence), except the prior
+    * corpus text is never re-read: only the hash-keyed index rows
+    * matching the batch's lines move. */
+  def screenAgainstLineIndex(newLines: DataFrame, index: DataFrame,
+      minDocs: Long, sep: String = " "): DataFrame = {
+    val combined = buildLineIndex(newLines)
+      .withColumnRenamed("n_docs", "__batch")
+      .join(index.withColumnRenamed("n_docs", "__prior"), Seq("line_hash"), "left")
+      .filter(coalesce(col("__prior"), lit(0L)) + col("__batch") >= minDocs)
+      .select(col("line_hash"), lit(1).as("__b"))
+    newLines
+      .join(combined, lineHash(col("line")) === col("line_hash"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("__b").isNotNull, 1L).otherwise(0L)).cast("long").as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__b").isNull, struct(col("line_no"), col("line"))))),
+            x => x.getField("line")),
+          sep).as("clean_text"))
+  }
+
+  // ---------------------------------------------------------------
   // catalog entry
   // ---------------------------------------------------------------
 
@@ -135,5 +190,44 @@ object LineDedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(lineBoilerplate)
+  /** n86: the incremental screen over the harness split — prior corpus
+    * = doc_id % 4 <> 0 (its index built once), new batch = % 4 == 0
+    * screened against prior df + batch df at the n81 floor. */
+  val incrementalBoilerplate: Q = Q(
+    "n86_incremental_boilerplate",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |lines AS (SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+       |                 list_aggregate(tk[(i - 1) * $ChunkTokens + 1 : i * $ChunkTokens],
+       |                                'string_agg', ' ') AS line
+       |          FROM toks,
+       |               unnest(generate_series(1, CAST(ceil(len(tk) / $ChunkTokens.0) AS INT))) AS t(i)),
+       |prior AS (SELECT md5(line) AS line_hash, count(DISTINCT doc_id) AS pd
+       |          FROM lines WHERE doc_id % 4 <> 0 GROUP BY md5(line)),
+       |batch AS (SELECT * FROM lines WHERE doc_id % 4 = 0),
+       |bdf AS (SELECT md5(line) AS line_hash, count(DISTINCT doc_id) AS bd
+       |        FROM batch GROUP BY md5(line)),
+       |boiler AS (SELECT b.line_hash
+       |           FROM bdf b LEFT JOIN prior p ON p.line_hash = b.line_hash
+       |           WHERE coalesce(p.pd, 0) + b.bd >= $MinDocs),
+       |marked AS (SELECT doc_id, line_no, line,
+       |                  md5(line) IN (SELECT line_hash FROM boiler) AS b
+       |           FROM batch)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_lines,
+       |       CAST(count(*) FILTER (WHERE b) AS BIGINT) AS n_dropped,
+       |       coalesce(string_agg(line, ' ' ORDER BY line_no) FILTER (WHERE NOT b),
+       |                '') AS clean_text
+       |FROM marked
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val index = buildLineIndex(
+      linesByChunk(docs.filter(col("doc_id") % 4 =!= 0), ChunkTokens))
+    screenAgainstLineIndex(
+      linesByChunk(docs.filter(col("doc_id") % 4 === 0), ChunkTokens),
+      index, MinDocs)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(lineBoilerplate, incrementalBoilerplate)
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.LineDedup
+import org.apache.spark.sql.functions.col
 
 /** Line-level boilerplate removal (n81): delimiter lining on real
   * multi-line text, chunk lining round-trip, df-floor semantics
@@ -79,6 +80,42 @@ class LineDedupSpec extends SparkSpec {
     in.foreach { case (id, text) =>
       assert(out(id) == ((0L, text)), s"doc $id must rebuild byte-identically")
     }
+  }
+
+  test("incremental screen: index screen == full dropBoilerplate restricted to the batch") {
+    val prior = docsDF(
+      1L -> s"$banner\nold one",
+      2L -> s"$banner\nold two\n$nav",
+      3L -> s"old three\n$nav")
+    val batch = docsDF(
+      10L -> s"$banner\nnew one",       // banner boiler from PRIOR df alone
+      11L -> s"fresh line\nnew two",
+      12L -> s"fresh line\nnew three")  // 'fresh line' boiler from batch df alone
+    val lines = (d: org.apache.spark.sql.DataFrame) => LineDedup.linesByDelim(d)
+    val got = LineDedup.screenAgainstLineIndex(
+        lines(batch), LineDedup.buildLineIndex(lines(prior)), minDocs = 2L, sep = "\n")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got(10L) == ((1L, "new one")))
+    assert(got(11L) == ((1L, "new two")))
+    assert(got(12L) == ((1L, "new three")))
+    // equivalence: full corpus dropBoilerplate restricted to batch rows
+    val full = LineDedup.dropBoilerplate(
+        lines(prior.unionByName(batch)), minDocs = 2L, sep = "\n")
+      .filter(col("doc_id") >= 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got == full, "screen must equal the full recompute on the batch")
+  }
+
+  test("appendLineIndex == rebuilding the index over the union") {
+    val a = docsDF(1L -> s"$banner\nu1", 2L -> s"$banner\nu2")
+    val b = docsDF(10L -> s"$banner\n$nav", 11L -> s"$nav\nu3")
+    val lines = (d: org.apache.spark.sql.DataFrame) => LineDedup.linesByDelim(d)
+    val appended = LineDedup.appendLineIndex(
+        LineDedup.buildLineIndex(lines(a)), lines(b))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rebuilt = LineDedup.buildLineIndex(lines(a.unionByName(b)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(appended == rebuilt)
   }
 
   test("chunk-repeated content across docs is caught by the chunk liner") {
