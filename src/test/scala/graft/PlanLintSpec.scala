@@ -102,9 +102,10 @@ class PlanLintSpec extends SparkSpec {
   test("every lineitem scan prunes columns (never reads the full schema)") {
     // all 11 lineitem columns in one ReadSchema means pruning failed;
     // l_tax is the canary — the only queries selecting it are the
-    // Q1-shaped pricing summary's sum_charge (a25), which legitimately
-    // reads it
-    val canaryUsers = Set("a25_pricing_summary")
+    // Q1-shaped pricing summary's sum_charge (a25) and the numeric
+    // correlation matrix (x13, which correlates all four numerics),
+    // both of which legitimately read it
+    val canaryUsers = Set("a25_pricing_summary", "x13_correlation")
     val offenders = plans.collect {
       case (name, p)
         if !canaryUsers(name) &&
@@ -117,6 +118,11 @@ class PlanLintSpec extends SparkSpec {
     plans.get("a25_pricing_summary").foreach { p =>
       assert(!p.linesIterator.exists(l => l.contains("ReadSchema") &&
         l.contains("l_orderkey")), "a25 reads columns it never uses")
+    }
+    // x13 reads exactly its 4 numeric columns — keys must be pruned
+    plans.get("x13_correlation").foreach { p =>
+      assert(!p.linesIterator.exists(l => l.contains("ReadSchema") &&
+        l.contains("l_orderkey")), "x13 reads columns it never uses")
     }
     // sanity: the canary logic itself sees pruned scans (non-vacuous)
     assert(plans.values.exists(_.contains("l_shipdate")),
