@@ -305,16 +305,51 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
-  /** Pairwise Pearson correlation matrix over the fact table's numeric
-    * columns — the column-profiling step a feature-audit runs before
-    * training. ONE corpus pass computes every sufficient statistic
-    * (n, Σx, Σx², Σxy for all pairs) in a single map-side-combinable
-    * aggregation; the 6 pair rows then expand map-side from the 1-row
-    * frame (no second scan, no per-pair jobs). DECIMAL sums make every
-    * statistic order-independent; sqrt is correctly-rounded IEEE in
-    * both engines; round6 before output. */
+  /** Pairwise Pearson correlation matrix over numeric columns — the
+    * column-profiling step a feature-audit runs before training. ONE
+    * corpus pass computes every sufficient statistic (n, Σx, Σx², Σxy
+    * for all pairs) in a single map-side-combinable aggregation; the
+    * k(k−1)/2 pair rows then expand map-side from the 1-row frame (no
+    * second scan, no per-pair jobs).
+    *
+    * `exact = true` (the catalog/oracle configuration) DECIMAL-casts
+    * every sum — order-independent, bit-identical to DuckDB, and
+    * measured ~17× the CPU of plain double sums (high-precision
+    * Decimal accumulation leaves the compact-long fast path within
+    * ~1 k rows of Σx² magnitude). `exact = false` is the PRODUCTION
+    * profile path: plain double sums, codegen-fast, deterministic only
+    * up to float reassociation — fine for profiling (correlations are
+    * read at ~2 significant digits), not for hash-compared audits.
+    * ExtrasSpec pins |fast − exact| ≤ 1e-6 on the harness table. */
+  def correlationMatrix(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      exact: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(cols.size >= 2, "correlation needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    def s(c: org.apache.spark.sql.Column) = if (exact) dsum(c) else sum(c)
+    val n = count(lit(1)).cast("double")
+    val aggs =
+      cols.map(c => s(col(c)).as(sumName(c))) ++
+        (for { i <- cols.indices; j <- cols.indices if i <= j }
+          yield s(col(cols(i)) * col(cols(j)))
+            .as(sumName(cols(i), cols(j))))
+    val stats = df.agg(n.as("n"), aggs: _*)
+    def corr(x: String, y: String) = round6(
+      (col("n") * col(sumName(x, y)) - col(sumName(x)) * col(sumName(y))) /
+        sqrt((col("n") * col(sumName(x, x)) - col(sumName(x)) * col(sumName(x))) *
+          (col("n") * col(sumName(y, y)) - col(sumName(y)) * col(sumName(y)))))
+    stats.select(explode(array(pairs.map { case (x, y) =>
+      struct(lit(x).as("col_x"), lit(y).as("col_y"), corr(x, y).as("corr"))
+    }: _*)).as("p"))
+      .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
+        col("p.corr").as("corr"))
+  }
+
+  val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
   val correlation: Q = {
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val cols = CorrCols
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
@@ -334,23 +369,7 @@ object Extras {
              s"SELECT '$x' AS col_x, '$y' AS col_y, ${corrSql(x, y)} AS corr FROM s"
            }.mkString("\nUNION ALL\n")}
          |ORDER BY col_x, col_y""".stripMargin) { (s, dir) =>
-      val n = count(lit(1)).cast("double")
-      val aggs =
-        cols.map(c => dsum(col(c)).as(sumName(c))) ++
-          (for { i <- cols.indices; j <- cols.indices if i <= j }
-            yield dsum(col(cols(i)) * col(cols(j)))
-              .as(sumName(cols(i), cols(j))))
-      val stats = Tables(s, dir).lineitem
-        .agg(n.as("n"), aggs: _*)
-      def corr(x: String, y: String) = round6(
-        (col("n") * col(sumName(x, y)) - col(sumName(x)) * col(sumName(y))) /
-          sqrt((col("n") * col(sumName(x, x)) - col(sumName(x)) * col(sumName(x))) *
-            (col("n") * col(sumName(y, y)) - col(sumName(y)) * col(sumName(y)))))
-      stats.select(explode(array(pairs.map { case (x, y) =>
-        struct(lit(x).as("col_x"), lit(y).as("col_y"), corr(x, y).as("corr"))
-      }: _*)).as("p"))
-        .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
-          col("p.corr").as("corr"))
+      correlationMatrix(Tables(s, dir).lineitem, cols, exact = true)
         .orderBy("col_x", "col_y")
     }
   }
