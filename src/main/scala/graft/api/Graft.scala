@@ -358,6 +358,13 @@ object Graft {
     def softDedupWeights(): DataFrame =
       graft.operators.Selection.softDedupWeights(df)
 
+    /** Mean-pool member vectors per group (chunk embeddings → doc
+      * embedding): (group, n_vecs, pooled: Array[Double]) with a
+      * deterministic orderCol-sequenced fold. */
+    def meanPoolEmbeddings(groupCol: String, orderCol: String = "vec_id",
+        vecCol: String = "embedding"): DataFrame =
+      graft.operators.Similarity.meanPoolEmbeddings(df, groupCol, orderCol, vecCol)
+
     /** One-row corpus data-card statistics: (n_docs, n_tokens,
       * vocab_size, dup_rate, mean_doc_tokens, lang_entropy,
       * source_entropy). */

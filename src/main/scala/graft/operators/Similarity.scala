@@ -712,6 +712,77 @@ object Similarity {
     }
   }
 
+  /** Mean-pool member vectors into one vector per group — the
+    * chunk-embeddings→document-embedding aggregation every embedding
+    * pipeline runs between the n72 chunker and doc-level ANN/dedup
+    * (and the long-context recipe: embed windows, pool, index once).
+    *
+    * Determinism without DECIMAL: components fold SEQUENTIALLY in
+    * `orderCol` order inside one collect_list aggregate — a left fold
+    * over a sorted array is the same IEEE addition sequence in Spark's
+    * `aggregate` and DuckDB's list_sum over an ORDER BY'd array_agg,
+    * so the pooled values are bit-identical with no precision
+    * sacrifice (the per-component DECIMAL alternative would truncate
+    * float mantissas). round6 applies only to the reported scalars.
+    *
+    * Scale: one groupBy; per-group state is the member list (chunks
+    * per document — bounded by document length, the n81 rebuild
+    * argument). The fold and all derived stats are map-side
+    * expressions after the aggregate. */
+  def meanPoolEmbeddings(vectors: DataFrame, groupCol: String,
+      orderCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vectors
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_vecs"),
+        array_sort(collect_list(struct(col(orderCol), col(vecCol).as("v"))))
+          .as("__vs"))
+      .withColumn("pooled", expr(
+        s"""transform(
+           |  aggregate(__vs,
+           |    array_repeat(0.0D, size(__vs[0].v)),
+           |    (acc, x) -> zip_with(acc, x.v, (a, b) -> a + CAST(b AS DOUBLE))),
+           |  s -> s / n_vecs)""".stripMargin))
+      .drop("__vs")
+
+  /** Chunks-per-group for the n87 harness entry (vec_id div 4 — the
+    * stand-in for a 4-chunk document). */
+  val PoolGroup = 4
+
+  val embeddingPool: Q = Q(
+    "n87_embedding_pool",
+    s"""WITH g AS (SELECT vec_id // $PoolGroup AS group_id, vec_id, embedding
+       |          FROM embeddings),
+       |a AS (SELECT group_id, count(*) AS n_vecs,
+       |             array_agg(embedding ORDER BY vec_id) AS embs
+       |      FROM g GROUP BY group_id),
+       |p AS (SELECT group_id, n_vecs,
+       |             list_transform(generate_series(1, len(embs[1])),
+       |               i -> list_sum(list_transform(embs, e -> CAST(e[i] AS DOUBLE)))
+       |                    / n_vecs) AS m
+       |      FROM a)
+       |SELECT CAST(group_id AS BIGINT) AS group_id,
+       |       CAST(n_vecs AS BIGINT) AS n_vecs,
+       |       ${round6Sql("sqrt(list_sum(list_transform(m, x -> x * x)))")} AS pooled_norm,
+       |       ${round6Sql("list_sum(m)")} AS pooled_sum,
+       |       ${round6Sql("list_aggregate(m, 'min')")} AS pooled_min,
+       |       ${round6Sql("list_aggregate(m, 'max')")} AS pooled_max
+       |FROM p
+       |ORDER BY group_id""".stripMargin) { (s, dir) =>
+    meanPoolEmbeddings(
+      Tables(s, dir).embeddings
+        .select(expr(s"vec_id div $PoolGroup").as("group_id"),
+          col("vec_id"), col("embedding")),
+      "group_id")
+      .select(col("group_id"), col("n_vecs").cast("long").as("n_vecs"),
+        round6(sqrt(expr("aggregate(pooled, 0.0D, (a, x) -> a + x * x)")))
+          .as("pooled_norm"),
+        round6(expr("aggregate(pooled, 0.0D, (a, x) -> a + x)")).as("pooled_sum"),
+        round6(array_min(col("pooled"))).as("pooled_min"),
+        round6(array_max(col("pooled"))).as("pooled_max"))
+      .orderBy("group_id")
+  }
+
   val all: Seq[Q] = Seq(cosineTopK, cosineTopKHeap, annLsh,
-    embeddingNearDup, annIvf, annIvfKmeans, vectorQuantize, quantizedTopK)
+    embeddingNearDup, annIvf, annIvfKmeans, vectorQuantize, quantizedTopK,
+    embeddingPool)
 }

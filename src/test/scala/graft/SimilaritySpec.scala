@@ -237,4 +237,24 @@ class SimilaritySpec extends SparkSpec {
       useHeap = false))
     assert(hi == wi, s"ivf heap!=window: ${(hi diff wi).take(3)} / ${(wi diff hi).take(3)}")
   }
+
+  test("meanPoolEmbeddings: exact mean, input-order invariant (n87)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rows = Seq(
+      (10L, 0L, Array(1.0f, 2.0f, 3.0f)),
+      (11L, 0L, Array(3.0f, 6.0f, 5.0f)),
+      (20L, 1L, Array(-1.0f, 0.0f, 1.0f)))
+    def pool(order: Seq[(Long, Long, Array[Float])]) =
+      Similarity.meanPoolEmbeddings(
+          order.toDF("vec_id", "group_id", "embedding"), "group_id")
+        .collect()
+        .map(r => r.getAs[Long]("group_id") ->
+          (r.getAs[Long]("n_vecs"), r.getAs[Seq[Double]]("pooled"))).toMap
+    val a = pool(rows)
+    assert(a(0L) == ((2L, Seq(2.0, 4.0, 4.0))))
+    assert(a(1L) == ((1L, Seq(-1.0, 0.0, 1.0))))
+    // shuffled input folds in the same vec_id order => identical bits
+    assert(pool(rows.reverse) == a)
+  }
 }
