@@ -782,7 +782,84 @@ object Similarity {
       .orderBy("group_id")
   }
 
+  /** Dimension-truncation recall sweep (the Matryoshka serving audit,
+    * Kusupati et al. 2022 shape): re-rank the n10 query set using only
+    * the FIRST d dimensions and measure top-k overlap against the
+    * full-dimension ranking — the measurement that picks how many
+    * dims a serving index actually stores. Mirrors n70's probe-count
+    * recall sweep on the other cost axis (dims instead of cells).
+    *
+    * Scale: each level is one n10-shaped broadcast-query pass over
+    * d-sliced vectors (slice happens in the scan stage — a d-dim
+    * level reads d/64 of the vector bytes once at rest is truncated);
+    * the overlap join is per-(query, k) — bounded by |Q|·k rows. */
+  def truncationRecall(vectors: DataFrame, queries: DataFrame,
+      dims: Seq[Int], k: Int): DataFrame = {
+    def sliced(df: DataFrame, d: Int) =
+      df.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+    val full = cosineTopK(vectors, queries, k, useHeap = true)
+      .select(col("q_id"), col("nb_id"))
+    val qIds = queries.select(col("vec_id").as("q_id")).distinct()
+    dims.map { d =>
+      val top = cosineTopK(sliced(vectors, d), sliced(queries, d), k, useHeap = true)
+        .select(col("q_id"), col("nb_id"))
+      val hits = top.join(full, Seq("q_id", "nb_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      qIds.join(hits, Seq("q_id"), "left")
+        .select(lit(d.toLong).as("dims"), col("q_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Truncation levels for the n88 harness entry (full width last —
+    * its recall 1.0 row is the sweep's self-check). */
+  val TruncDims = Seq(8, 16, 64)
+
+  val truncationRecallQ: Q = {
+    def rankedSql(d: Int, name: String) =
+      s"""e$name AS (SELECT vec_id, embedding[1:$d] AS emb FROM embeddings),
+         |n$name AS (SELECT vec_id, emb,
+         |                  sqrt(list_sum(list_transform(emb, x -> CAST(x AS DOUBLE) * x))) AS nrm
+         |           FROM e$name),
+         |q$name AS (SELECT * FROM n$name WHERE vec_id < $NumQueries),
+         |p$name AS (SELECT q.vec_id AS q_id, e.vec_id AS nb_id,
+         |                  ${round6Sql(
+                "list_sum(list_transform(generate_series(1, len(q.emb)), " +
+                "i -> CAST(q.emb[i] AS DOUBLE) * e.emb[i])) / (q.nrm * e.nrm)")} AS cos
+         |           FROM q$name q CROSS JOIN n$name e
+         |           WHERE q.vec_id <> e.vec_id),
+         |r$name AS (SELECT q_id, nb_id,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                                     ORDER BY cos DESC, nb_id) AS rn
+         |           FROM p$name)""".stripMargin
+    val levels = TruncDims.map(d => d -> s"d$d")
+    Q(
+      "n88_truncation_recall",
+      s"""WITH ${(rankedSql(64, "full") +: levels.map { case (d, nm) => rankedSql(d, nm) })
+             .mkString(",\n")},
+         |full_top AS (SELECT q_id, nb_id FROM rfull WHERE rn <= $TopK),
+         |${levels.map { case (d, nm) =>
+             s"""h$nm AS (SELECT t.q_id, count(*) AS n_hit
+                |         FROM (SELECT q_id, nb_id FROM r$nm WHERE rn <= $TopK) t
+                |         JOIN full_top f ON f.q_id = t.q_id AND f.nb_id = t.nb_id
+                |         GROUP BY t.q_id)""".stripMargin
+           }.mkString(",\n")}
+         |${levels.map { case (d, nm) =>
+             s"""SELECT CAST($d AS BIGINT) AS dims, q.q_id,
+                |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+                |       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $TopK AS recall
+                |FROM (SELECT DISTINCT q_id FROM full_top) q
+                |LEFT JOIN h$nm h ON h.q_id = q.q_id""".stripMargin
+           }.mkString("\nUNION ALL\n")}
+         |ORDER BY dims, q_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      truncationRecall(e, e.filter(col("vec_id") < NumQueries), TruncDims, TopK)
+        .orderBy("dims", "q_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(cosineTopK, cosineTopKHeap, annLsh,
     embeddingNearDup, annIvf, annIvfKmeans, vectorQuantize, quantizedTopK,
-    embeddingPool)
+    embeddingPool, truncationRecallQ)
 }

@@ -257,4 +257,23 @@ class SimilaritySpec extends SparkSpec {
     // shuffled input folds in the same vec_id order => identical bits
     assert(pool(rows.reverse) == a)
   }
+
+  test("truncationRecall: full width is exactly 1.0, planted prefix structure scores high (n88)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 40 vectors whose FIRST 4 dims carry all the signal (scaled 100x)
+    // and remaining 4 dims are small noise — the Matryoshka property
+    val rows = (0 until 40).map { i =>
+      val sig = Array.tabulate(4)(j => ((i * 7 + j * 3) % 11 - 5) * 100.0f)
+      val noise = Array.tabulate(4)(j => ((i * 13 + j * 5) % 7 - 3) * 0.01f)
+      (i.toLong, sig ++ noise)
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") < 8)
+    val rec = Similarity.truncationRecall(vecs, qs, Seq(4, 8), k = 5)
+      .groupBy("dims").agg(avg("recall").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rec(8L) == 1.0, "full width must reproduce its own ranking")
+    assert(rec(4L) > 0.8, s"signal-bearing prefix should rank nearly identically, got ${rec(4L)}")
+  }
 }
