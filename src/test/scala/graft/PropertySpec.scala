@@ -259,6 +259,74 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bm25TopK equals the textbook formula on random corpora") {
+    val word = Gen.oneOf("red", "green", "blue", "cyan", "teal", "pink")
+    val doc = Gen.choose(2, 10).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    (1 to 5).foreach { seed =>
+      val texts = sample(Gen.listOfN(20, doc), seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val queries = Seq((1L, "red"), (2L, "green"), (2L, "blue"))
+        .toDF("q_id", "term")
+      val got = graft.operators.TextAnalysis.bm25TopK(docs, queries, k = 50)
+        .collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id")) ->
+          r.getAs[Double]("score")).toMap
+
+      // textbook model in plain Scala (k1 = 1.2, b = 0.75)
+      val toks = texts.map(_.split(" ").toSeq)
+      val n = texts.size.toDouble
+      val avgdl = toks.map(_.size).sum / n
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      def score(q: Seq[String], d: Int): Double = r6(q.map { t =>
+        val tf = toks(d).count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val df = toks.count(_.contains(t)).toDouble
+          r6(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+            (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * toks(d).size / avgdl)))
+        }
+      }.sum)
+      val want = (for {
+        (qid, terms) <- Seq(1L -> Seq("red"), 2L -> Seq("green", "blue"))
+        d <- texts.indices
+        s = score(terms, d) if terms.exists(toks(d).contains)
+      } yield (qid, d.toLong) -> s).toMap
+      assert(got.keySet == want.keySet, s"seed $seed keys")
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - want(k)) < 1e-9, s"seed $seed $k: $v vs ${want(k)}")
+      }
+    }
+  }
+
+  test("temperatureMix targets equal the closed-form model on random corpora") {
+    val srcG = Gen.oneOf("s0", "s1", "s2", "s3")
+    val doc = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.const("w")).map(_.mkString(" ")))
+    (1 to 5).foreach { seed =>
+      val rows = sample(Gen.listOfN(30, Gen.zip(doc, srcG)), seed)
+        .zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+      val total = 12L; val alpha = 0.5
+      val got = graft.operators.Selection
+        .temperatureMix(rows.toDF("doc_id", "text", "source"), total, alpha, "p0")
+        .groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val bySrc = rows.groupBy(_._3)
+      val toks = bySrc.view.mapValues(_.map(_._2.split(" ").length.toLong).sum).toMap
+      val t = toks.values.sum.toDouble
+      val q = toks.view.mapValues(v => r6(math.pow(v / t, alpha))).toMap
+      val z = q.values.map(BigDecimal(_)).sum.toDouble
+      bySrc.foreach { case (src, ds) =>
+        val target = math.min(
+          math.floor((total.toDouble * q(src)) / z).toLong, ds.size.toLong)
+        assert(got.getOrElse(src, 0L) == target,
+          s"seed $seed $src: ${got.getOrElse(src, 0L)} vs $target")
+      }
+    }
+  }
+
   test("dropBoilerplate equals the frequency-count model on random multi-line docs") {
     val line = Gen.oneOf("banner text", "nav bar", "u1 one", "u2 two",
       "u3 three", "u4 four", "u5 five")
