@@ -551,6 +551,64 @@ object StreamingOps {
 
   final case class SessionAcc(startMs: Long, endMs: Long, n: Int, total: Double)
 
+  final case class PackTok(tok: String, doc: Long)
+  final case class PackState(toks: Seq[PackTok], nextIdx: Long)
+  final case class PackedBlock(source: String, example_idx: Long,
+      n_tokens: Long, n_docs: Long, block_fp: String)
+
+  /** STREAMING sequence packing (st12's stream side): the n82
+    * concat-and-chunk materialization as arrival-time state — each
+    * shard accumulates its token stream (docs + EOS sentinels, within
+    * a micro-batch in doc_id order) and EMITS every example the moment
+    * it reaches exactly `blockLen` tokens; the partial tail stays in
+    * state for the next batch (a production packer flushes it at epoch
+    * end). Blocks cross document AND micro-batch boundaries.
+    *
+    * Scale/semantics: per-shard state is at most blockLen − 1 buffered
+    * (token, doc_id) pairs — bounded by construction, no watermark
+    * needed (NoTimeout; nothing is ever dropped, only carried).
+    * Emission is append-final: an example's content is fixed the
+    * instant it fills, so re-deliveries cannot restate it. The batch
+    * twin is n82 restricted to FULL blocks (`st12_stream_pack`);
+    * StreamingSpec proves stream == twin both single-batch and with
+    * the corpus split across two batches. */
+  def streamingPack(docs: DataFrame, blockLen: Int,
+      eos: String = "<eos>"): Dataset[PackedBlock] = {
+    require(blockLen > 0, s"block length must be positive, got $blockLen")
+    implicit val inEnc = Encoders.product[(String, Long, String)]
+    implicit val outEnc = Encoders.product[PackedBlock]
+    implicit val stateEnc = Encoders.product[PackState]
+    implicit val keyEnc = Encoders.STRING
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs.select(col("source"), col("doc_id"), col("text")).as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PackState, PackedBlock](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Long, String)],
+            state: GroupState[PackState]) =>
+          val sorted = rows.toSeq.sortBy(_._2)
+          val st = state.getOption.getOrElse(PackState(Vector.empty, 0L))
+          var buf = st.toks.toVector
+          var idx = st.nextIdx
+          val out = Seq.newBuilder[PackedBlock]
+          sorted.foreach { case (_, id, text) =>
+            buf = buf ++ (text.split(" ", -1).toVector :+ eos).map(PackTok(_, id))
+            while (buf.size >= blockLen) {
+              val (blk, rest) = buf.splitAt(blockLen)
+              out += PackedBlock(src, idx, blockLen.toLong,
+                blk.map(_.doc).distinct.size.toLong,
+                md5hex(blk.map(_.tok).mkString(" ")))
+              idx += 1
+              buf = rest
+            }
+          }
+          state.update(PackState(buf, idx))
+          out.result().iterator
+      }
+  }
+
   /** Watermarked stream–stream interval join: each left event pairs
     * with right events for the same user within `[0, windowMinutes]`
     * AFTER it (attribution-style). Both sides carry watermarks so

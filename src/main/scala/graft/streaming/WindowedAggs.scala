@@ -456,8 +456,42 @@ object WindowedAggs {
     }
   }
 
+  /** Batch twin of [[StreamingOps.streamingPack]] (st12): n82's
+    * concat-and-chunk materialization restricted to FULL blocks — the
+    * stream emits an example the moment it fills, and each shard's
+    * partial tail stays in state, so the emitted set is exactly the
+    * n_tokens == blockLen subset of the batch packing. StreamingSpec
+    * proves stream == twin single-batch and across a two-batch split
+    * (blocks crossing the micro-batch boundary included). */
+  val streamPackTwin: Q = {
+    val L = 512
+    Q(
+      "st12_stream_pack",
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+         |c AS (SELECT doc_id, source, tk, CAST(len(tk) + 1 AS BIGINT) AS n,
+         |             coalesce(sum(len(tk) + 1) OVER (PARTITION BY source ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |      FROM t),
+         |tok AS (SELECT source, doc_id, prior + p - 1 AS gpos,
+         |               CASE WHEN p <= len(tk) THEN tk[p] ELSE '<eos>' END AS tokn
+         |        FROM c, unnest(generate_series(1, CAST(n AS INT))) AS u(p))
+         |SELECT source,
+         |       CAST(gpos // $L AS BIGINT) AS example_idx,
+         |       CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       md5(string_agg(tokn, ' ' ORDER BY gpos)) AS block_fp
+         |FROM tok
+         |GROUP BY source, gpos // $L
+         |HAVING count(*) = $L
+         |ORDER BY source, example_idx""".stripMargin) { (s, dir) =>
+      graft.operators.Corpus.tokenBlocks(Tables(s, dir).documents, L)
+        .filter(col("n_tokens") === L)
+        .orderBy("source", "example_idx")
+    }
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
     streamNearDup, indexedIngestBatch1, indexedIngestBatch2,
     qualityGateTwin, streamEnrichTwin, classifierGateTwin,
-    decontaminateTwin)
+    decontaminateTwin, streamPackTwin)
 }

@@ -667,6 +667,40 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(twin -- streamed).take(5)} spurious=${(streamed -- twin).take(5)}")
   }
 
+  test("streaming pack equals its batch twin, single batch and across a split (st12)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables(spark, sf0001).documents
+      .select("source", "doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val twin = Catalog.queries("st12_stream_pack")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    def run(batches: Seq[Seq[(String, Long, String)]]): Set[(String, Long, Long, Long, String)] = {
+      val input = MemoryStream[(String, Long, String)]
+      val stream = input.toDF().toDF("source", "doc_id", "text")
+      val name = s"pack${batches.size}"
+      val q = StreamingOps.streamingPack(stream, blockLen = 512)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+    }
+    val single = run(Seq(docs))
+    assert(single.nonEmpty && single == twin,
+      s"single-batch: missing=${(twin -- single).take(3)} spurious=${(single -- twin).take(3)}")
+    // split by doc_id so cross-batch order matches the twin's doc_id order;
+    // blocks STRADDLING the boundary must still assemble identically
+    val (b1, b2) = docs.partition(_._2 < docs(docs.size / 2)._2)
+    val split = run(Seq(b1, b2))
+    assert(split == twin, "blocks crossing the micro-batch boundary must match")
+  }
+
   test("decontamination gate refuses a corpus-sized benchmark set (st11 cap)") {
     import spark.implicits._
     val big = spark.range(0L, StreamingOps.MaxBenchHashes + 1L)
