@@ -93,6 +93,8 @@ object Bench {
     // "rebase":true provenance so the shift stays attributable. Default
     // off; the driver's per-round run never rebases.
     val rebase = sys.env.get("SPARK_GRAFT_BENCH_REBASE").contains("1")
+    // Between-rep GC threshold (round 10, see the rep loop below).
+    val repGcSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_GC_SEC", "0.5").toDouble
     val sfBase = new java.io.File(sfDir).getName
     // BENCH_REF.json: {"<sf dir name>": {"<query>": quiet-min-seconds},
     // "_prov": {"<sf>": {"<query>": {"run":…,"load":…,"drift":…}}}}.
@@ -206,7 +208,22 @@ object Bench {
       // the clock: every 8th query. Operator caches are strong
       // references and survive; only abandoned per-rep lineage dies.
       if (i % 8 == 0 && i > 0) System.gc()
-      val samples = (1 to reps).map(_ => timeOnce(name, fn))
+      // Round-10 (VERDICT_r09 #1): n68's closing-run samples climbed
+      // monotonically (1.0 → 2.0 → 3.0 s) while the same query in
+      // isolation converges DOWNWARD to ~0.6 s — the climb is garbage
+      // from the query's own earlier reps (token-explode allocation)
+      // shrinking heap headroom so collector time lands inside the
+      // later reps' timed windows. Deterministic cure, same principle
+      // as the every-8th-query drain: GC BETWEEN reps, outside the
+      // clock, but only after a rep heavy enough to matter (> repGcSec)
+      // — cheap queries (the majority) never pay the pause.
+      var lastSec = 0.0
+      val samples = (1 to reps).map { _ =>
+        if (lastSec > repGcSec) System.gc()
+        val s = timeOnce(name, fn)
+        lastSec = if (s._2) s._1 else 0.0
+        s
+      }
       val ok = samples.forall(_._2)
       val best = if (ok) samples.map(_._1).min else -1.0
       (name, best, samples.map(_._1), ok)
@@ -331,11 +348,17 @@ object Bench {
       val canaryQuiet = drift >= 0 && drift <= driftMax
       val sampleByName = results.map { case (n, _, ss, _) => n -> ss }.toMap
       val measured = results.filter(_._4).map { case (n, b, _, _) => n -> b }
+      // Names whose stored ref was REPLACED by the rebase branch — only
+      // these carry "rebase":true provenance (ADVICE r09: a shared tag
+      // also stamped ordinary seeds and ratchet-downs written during a
+      // rebase run, muddying the attribution the flag exists for).
+      val rebasedKeys = scala.collection.mutable.Set[String]()
       val updated = measured.flatMap { case (n, b) =>
         refs.get(n) match {
           // Explicit host-migration rebase: quiet-canary minima replace
           // the stored value in either direction (see `rebase` above).
-          case Some(r) if rebase && canaryQuiet => if (b != r) Some(n -> b) else None
+          case Some(r) if rebase && canaryQuiet =>
+            if (b != r) { rebasedKeys += n; Some(n -> b) } else None
           case Some(r) if b >= r && b <= ratioFor(r) * r => None // within band: keep r
           case Some(r) if b > ratioFor(r) * r =>
             val live = sampleByName.getOrElse(n, Nil).filter(_ > 0)
@@ -348,12 +371,14 @@ object Bench {
         def j(d: Double): String =
           String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
         val runId = java.time.Instant.now().toString
-        val rebaseTag = if (rebase && canaryQuiet) ""","rebase":true""" else ""
-        val provEntry =
-          s"""{"run":"$runId","load":${j(loadNow())},"drift":${j(drift)}$rebaseTag}"""
+        val loadW = j(loadNow())
+        def provEntry(n: String): String = {
+          val rebaseTag = if (rebasedKeys(n)) ""","rebase":true""" else ""
+          s"""{"run":"$runId","load":$loadW,"drift":${j(drift)}$rebaseTag}"""
+        }
         val mergedRefs = refs ++ updated
         val mergedProv = provRaw + (sfBase ->
-          (provRaw.getOrElse(sfBase, Map.empty) ++ updated.keys.map(_ -> provEntry)))
+          (provRaw.getOrElse(sfBase, Map.empty) ++ updated.keys.map(n => n -> provEntry(n))))
         val all2 = allRefs + (sfBase -> mergedRefs)
         val sections = all2.toSeq.sortBy(_._1).map { case (sf, qs) =>
           "\"" + sf + "\":" + qs.toSeq.sortBy(_._1)
