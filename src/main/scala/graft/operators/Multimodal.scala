@@ -48,7 +48,7 @@ object Multimodal {
     * codepoint can no longer overflow the oracle's int16 waveform
     * math). Cheap, codegen'd, scan-stage. */
   private def asciiOnly = octet_length(col("text")) === length(col("text"))
-  private val asciiOnlySql = "octet_length(CAST(text AS BLOB)) = length(text)"
+  private val asciiOnlySql = "octet_length(encode(text)) = length(text)"
 
   /** Real-decode result: parsed dimensions + raster-derived integer
     * features (checksum + per-channel means — exact in both engines). */
@@ -153,10 +153,10 @@ object Multimodal {
   val mediaMeta: Q = Q(
     "n30_media_meta",
     """SELECT doc_id,
-      |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |       md5(text) AS digest,
-      |       CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS BIGINT) AS width,
-      |       CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 + 1 AS BIGINT) AS height
+      |       CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+      |       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val bytes = octet_length(col("text")).cast("long")

