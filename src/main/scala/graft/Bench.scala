@@ -169,6 +169,7 @@ object Bench {
         operators.Corpus.clearClusterCache(spark)
         operators.Pq.clearPqCache(spark)
         streaming.WindowedAggs.clearIngestCache(spark)
+        operators.IncrementalDedup.clearBucketedCache(spark)
       }
       val t0 = System.nanoTime()
       val ok =

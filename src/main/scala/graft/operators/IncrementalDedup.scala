@@ -268,20 +268,26 @@ object IncrementalDedup {
     * tables. Append batches keep landing in the manifest layout; a
     * re-publish folds them in (the usual index-serving trade). */
   def publishBucketed(spark: SparkSession, path: String, prefix: String,
-      numBuckets: Int = 32): Unit = {
-    val idx = readIndex(spark, path)
+      numBuckets: Int = 32, location: Option[String] = None): Unit =
+    publishBucketedIndex(readIndex(spark, path), prefix, numBuckets, location)
+
+  /** Same publish from an in-memory index (no manifest round-trip). */
+  def publishBucketedIndex(idx: DedupIndex, prefix: String,
+      numBuckets: Int = 32, location: Option[String] = None): Unit = {
     graft.plans.Scale.writeBucketed(idx.bands, s"${prefix}_bands",
-      Seq("band", "sig"), numBuckets)
+      Seq("band", "sig"), numBuckets, location)
     graft.plans.Scale.writeBucketed(idx.shingles, s"${prefix}_shingles",
-      Seq("doc_id"), numBuckets)
+      Seq("doc_id"), numBuckets, location)
     graft.plans.Scale.writeBucketed(idx.sizes, s"${prefix}_sizes",
-      Seq("doc_id"), numBuckets)
+      Seq("doc_id"), numBuckets, location)
     graft.plans.Scale.writeBucketed(idx.fingerprints, s"${prefix}_fingerprints",
-      Seq("fp"), numBuckets)
+      Seq("fp"), numBuckets, location)
     graft.plans.Scale.writeBucketed(idx.winHashes, s"${prefix}_winhash",
-      Seq("h"), numBuckets)
-    idx.hotShingles.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .format("parquet").saveAsTable(s"${prefix}_hot")
+      Seq("h"), numBuckets, location)
+    val w = idx.hotShingles.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet")
+    location.fold(w)(l => w.option("path", s"$l/${prefix}_hot"))
+      .saveAsTable(s"${prefix}_hot")
   }
 
   /** Reopen a bucketed publish as an index (every probe works
@@ -633,6 +639,66 @@ object IncrementalDedup {
       .orderBy("d_new", "d_prior")
   }
 
+  /** Bucketed publish of the prior-parity index, memoized per
+    * (session, sf dir) — the production cadence publishes once per
+    * compaction and probes per batch, so reps time the PROBE; the
+    * first sample carries the publish (the n07/n19 heavy-entry honesty
+    * rule). Data lands under a temp directory (external tables), never
+    * the session warehouse. */
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  def clearBucketedCache(spark: SparkSession): Unit = {
+    val it = bucketedCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+  }
+
+  private def bucketedPriorPrefix(s: SparkSession, dir: String): String =
+    bucketedCache.computeIfAbsent((s, dir), { _: (SparkSession, String) =>
+      val prefix = s"graft_bidx_${(dir.hashCode & Int.MaxValue).toHexString}"
+      val loc = java.nio.file.Files.createTempDirectory("graft_bucketed_idx").toString
+      val (prior, _) = splitDocs(s, dir)
+      publishBucketedIndex(buildIndex(prior), prefix, numBuckets = 32,
+        location = Some(loc))
+      prefix
+    })
+
+  /** n89: the full incremental screen probing the BUCKETED at-rest
+    * index layout end-to-end (VERDICT_r09 #3) — identical semantics
+    * (and oracle) to n38, but every index component is read back from
+    * its bucketed+sorted published table, so the index side of each
+    * probe join arrives pre-clustered on the join key and needs no
+    * exchange (ScaleSpec asserts the plan; this entry makes the
+    * driver's DuckDB hash attest the ANSWER through that layout). At
+    * 100 TB this is the difference between re-shuffling a billion-row
+    * index per daily batch and scanning it in place. */
+  val bucketedProbe: Q = Q(
+    "n89_bucketed_probe",
+    s"""WITH $shinglesSql,
+       |common AS (SELECT a.doc_id AS d_new, b.doc_id AS d_prior, count(*) AS c
+       |           FROM sh a JOIN sh b ON a.sh = b.sh
+       |           WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+       |           GROUP BY 1, 2),
+       |near AS (SELECT DISTINCT co.d_new
+       |         FROM common co
+       |         JOIN sizes s1 ON s1.doc_id = co.d_new
+       |         JOIN sizes s2 ON s2.doc_id = co.d_prior
+       |         WHERE CAST(co.c AS DOUBLE) / (s1.n + s2.n - co.c) >= 0.6),
+       |exact AS (SELECT DISTINCT doc_id FROM documents
+       |          WHERE doc_id % 2 = 1 AND md5(text) IN
+       |            (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0))
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 2 = 1
+       |  AND doc_id NOT IN (SELECT d_new FROM near)
+       |  AND doc_id NOT IN (SELECT doc_id FROM exact)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val (_, fresh) = splitDocs(s, dir)
+    dedupAgainstIndex(fresh, readBucketed(s, bucketedPriorPrefix(s, dir)),
+      threshold = 0.6)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(incrementalNearDup, incrementalDedup,
-    incrementalDecontaminate, bloomScreen, snapshotChurn, compactionProbe)
+    incrementalDecontaminate, bloomScreen, snapshotChurn, compactionProbe,
+    bucketedProbe)
 }

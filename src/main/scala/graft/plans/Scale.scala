@@ -39,12 +39,16 @@ object Scale {
 
   /** Multi-key variant: bucket+sort by the full composite join key
     * (e.g. the LSH band probe's (band, sig)) so the bucketing hash
-    * matches the join's clustering exactly on every Spark version. */
+    * matches the join's clustering exactly on every Spark version.
+    * `location` makes the table EXTERNAL at `location/table` (the
+    * catalog-entry path: data lands under an explicit directory, not
+    * the session's default warehouse). */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-      numBuckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+      numBuckets: Int, location: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    location.fold(w)(l => w.option("path", s"$l/$table")).saveAsTable(table)
+  }
 }

@@ -174,4 +174,41 @@ class ScaleSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("n89 catalog entry: no shuffle exchange directly above any bucketed index scan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, HashedRelationBroadcastMode}
+    // broadcast disabled so every probe join is forced to ask for a
+    // hash-clustered distribution — the bucketed side must satisfy it
+    // from its at-rest layout, never via an exchange
+    // AQE off: AdaptiveSparkPlanExec is a leaf to collect(), so the
+    // static plan is the one a tree-walk can see — the bucketing
+    // property under test is planning-time anyway
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = Catalog.queries("n89_bucketed_probe")(spark, sf0001)
+      val top = df.queryExecution.executedPlan
+      def bucketedScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table.startsWith("graft_bidx_"))
+        case _ => false
+      }
+      // offending pattern: a shuffle whose subtree reaches a bucketed
+      // index scan WITHOUT crossing a join (i.e. the exchange is
+      // re-clustering the raw index, not a derived/joined stream)
+      def reachesScanJoinFree(p: SparkPlan): Boolean =
+        bucketedScan(p) || (!p.isInstanceOf[BaseJoinExec] &&
+          p.children.exists(reachesScanJoinFree))
+      val offenders = top.collect {
+        case e: ShuffleExchangeLike if e.children.exists(reachesScanJoinFree) => e
+      }
+      assert(offenders.isEmpty,
+        s"index-side exchange over a bucketed scan:\n${offenders.mkString("\n")}")
+      // sanity: the plan actually contains the bucketed scans
+      assert(top.collect { case p if bucketedScan(p) => p }.size >= 3,
+        s"expected bucketed index scans in:\n$top")
+    }
+  }
 }
