@@ -82,6 +82,54 @@ class PqSpec extends SparkSpec {
     assert(got.size == exact.size)
   }
 
+  test("production K=256: full Lloyd chain + codegen'd ADC at 8-bit codes, recall ≥ the K=16 config") {
+    // VERDICT_r09 #4: K is pinned to 16 in the catalog for oracle
+    // tractability; this runs the SAME training/encode/ADC chain (and
+    // the L2Sq codegen hot path, evaluated corpus × K times per Lloyd
+    // round) at the K the scaladoc calls production, on the sf0.001
+    // corpus (500 vectors — 256 seeds are genuinely distinct).
+    val queries = e.filter(col("vec_id") < 32)
+    val d2 = aggregate(
+      zip_with(col("qe"), col("embedding"),
+        (x, y) => { val d = x.cast("double") - y.cast("double"); d * d }),
+      lit(0.0), (a, x) => a + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d"), col("nb_id"))
+    val exact = e.crossJoin(broadcast(
+      queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("nb_id"), d2.as("d"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("q_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def recallAt(k: Int): Double = {
+      val books = Pq.codebooks(e, k = k)
+      assert(books.count() == Pq.M.toLong * k, s"codebook shape at K=$k")
+      val got = Pq.adcTopK(Pq.encode(e, books), books, queries, 5)
+        .select("q_id", "nb_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.size == exact.size)
+      (got & exact).size.toDouble / exact.size
+    }
+    val t0 = System.nanoTime()
+    val r256 = recallAt(256)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val r16 = recallAt(Pq.K)
+    // 16× the codes per subspace must not LOSE ranking signal. The
+    // absolute bar stays modest: the harness vectors are RANDOM (PQ's
+    // worst case — 16-dim subspaces of iid noise stay coarse even at
+    // 256 codes; measured r256 ≈ 0.31, chance ≈ 0.01), so ≥ 0.25 is
+    // ~25× chance and safely under the deterministic measured value.
+    assert(r256 >= r16, s"K=256 recall $r256 below K=16 recall $r16")
+    assert(r256 >= 0.25, s"K=256 recall too low: $r256")
+    // budget: the 2-round Lloyd chain + encode + ADC at K=256 on 500
+    // vectors is seconds of work; minutes would mean the hot path fell
+    // out of codegen
+    assert(wallSec < 120, s"K=256 chain took ${wallSec}s")
+  }
+
   test("IVF-PQ prunes the corpus: candidates per query ≈ nProbe/nCells of it") {
     val queries = e.filter(col("vec_id") < 32)
     val n = e.count()
