@@ -324,23 +324,23 @@ object Extras {
   def correlationMatrix(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
       exact: Boolean = true): org.apache.spark.sql.DataFrame = {
     require(cols.size >= 2, "correlation needs at least two columns")
-    val pairs = for {
+    val idxPairs = for {
       i <- cols.indices; j <- cols.indices if i < j
-    } yield (cols(i), cols(j))
+    } yield (i, j)
     def s(c: org.apache.spark.sql.Column) = if (exact) dsum(c) else sum(c)
     val n = count(lit(1)).cast("double")
     val aggs =
-      cols.map(c => s(col(c)).as(sumName(c))) ++
+      cols.indices.map(i => s(col(cols(i))).as(sumName(i))) ++
         (for { i <- cols.indices; j <- cols.indices if i <= j }
-          yield s(col(cols(i)) * col(cols(j)))
-            .as(sumName(cols(i), cols(j))))
+          yield s(col(cols(i)) * col(cols(j))).as(sumName(i, j)))
     val stats = df.agg(n.as("n"), aggs: _*)
-    def corr(x: String, y: String) = round6(
-      (col("n") * col(sumName(x, y)) - col(sumName(x)) * col(sumName(y))) /
-        sqrt((col("n") * col(sumName(x, x)) - col(sumName(x)) * col(sumName(x))) *
-          (col("n") * col(sumName(y, y)) - col(sumName(y)) * col(sumName(y)))))
-    stats.select(explode(array(pairs.map { case (x, y) =>
-      struct(lit(x).as("col_x"), lit(y).as("col_y"), corr(x, y).as("corr"))
+    def corr(i: Int, j: Int) = round6(
+      (col("n") * col(sumName(i, j)) - col(sumName(i)) * col(sumName(j))) /
+        sqrt((col("n") * col(sumName(i, i)) - col(sumName(i)) * col(sumName(i))) *
+          (col("n") * col(sumName(j, j)) - col(sumName(j)) * col(sumName(j)))))
+    stats.select(explode(array(idxPairs.map { case (i, j) =>
+      struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+        corr(i, j).as("corr"))
     }: _*)).as("p"))
       .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
         col("p.corr").as("corr"))
@@ -350,23 +350,23 @@ object Extras {
 
   val correlation: Q = {
     val cols = CorrCols
-    val pairs = for {
+    val idxPairs = for {
       i <- cols.indices; j <- cols.indices if i < j
-    } yield (cols(i), cols(j))
-    def corrSql(x: String, y: String) = round6Sql(
-      s"(n * ${sumName(x, y)} - ${sumName(x)} * ${sumName(y)}) / " +
-        s"sqrt((n * ${sumName(x, x)} - ${sumName(x)} * ${sumName(x)}) * " +
-        s"(n * ${sumName(y, y)} - ${sumName(y)} * ${sumName(y)}))")
+    } yield (i, j)
+    def corrSql(i: Int, j: Int) = round6Sql(
+      s"(n * ${sumName(i, j)} - ${sumName(i)} * ${sumName(j)}) / " +
+        s"sqrt((n * ${sumName(i, i)} - ${sumName(i)} * ${sumName(i)}) * " +
+        s"(n * ${sumName(j, j)} - ${sumName(j)} * ${sumName(j)}))")
     Q(
       "x13_correlation",
       s"""WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-         |${cols.map(c => s"           ${dsumSql(c)} AS ${sumName(c)},").mkString("\n")}
+         |${cols.indices.map(i => s"           ${dsumSql(cols(i))} AS ${sumName(i)},").mkString("\n")}
          |${(for { i <- cols.indices; j <- cols.indices if i <= j }
-               yield s"           ${dsumSql(s"${cols(i)} * ${cols(j)}")} AS ${sumName(cols(i), cols(j))}")
+               yield s"           ${dsumSql(s"${cols(i)} * ${cols(j)}")} AS ${sumName(i, j)}")
                .mkString(",\n")}
          |           FROM lineitem)
-         |${pairs.map { case (x, y) =>
-             s"SELECT '$x' AS col_x, '$y' AS col_y, ${corrSql(x, y)} AS corr FROM s"
+         |${idxPairs.map { case (i, j) =>
+             s"SELECT '${cols(i)}' AS col_x, '${cols(j)}' AS col_y, ${corrSql(i, j)} AS corr FROM s"
            }.mkString("\nUNION ALL\n")}
          |ORDER BY col_x, col_y""".stripMargin) { (s, dir) =>
       correlationMatrix(Tables(s, dir).lineitem, cols, exact = true)
@@ -374,8 +374,11 @@ object Extras {
     }
   }
 
-  /** Stable generated column name for Σx / Σxy sufficient stats. */
-  private def sumName(xs: String*): String = "s_" + xs.map(_.stripPrefix("l_")).mkString("_")
+  /** Stable generated column name for Σx / Σxy sufficient stats —
+    * keyed by COLUMN INDEX (ADVICE r09: the old stripPrefix("l_")
+    * scheme silently collided for caller columns like "l_tax" vs
+    * "tax", corrupting the generic-API answer). */
+  private def sumName(is: Int*): String = "s_" + is.mkString("_")
 
   val all: Seq[Q] = Seq(explodeOuter, multisetOps, latestPerGroup, nthValue,
     dateSpine, nullSafeOps, mapFuncs, posExplode, histogram, momentsExact,

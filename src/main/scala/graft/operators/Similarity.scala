@@ -728,21 +728,35 @@ object Similarity {
     * Scale: one groupBy; per-group state is the member list (chunks
     * per document — bounded by document length, the n81 rebuild
     * argument). The fold and all derived stats are map-side
-    * expressions after the aggregate. */
+    * expressions after the aggregate.
+    *
+    * Precondition (ADVICE r09): every member of a group must have the
+    * SAME dimension — zip_with against the first member's length would
+    * otherwise null-pad and silently null-poison the pooled vector.
+    * Enforced loudly: the min/max member dimension is aggregated
+    * alongside the list (two cheap scalars) and a ragged group raises
+    * inside the pooling expression itself (not a prunable side
+    * column), so bad input fails the job instead of corrupting it. */
   def meanPoolEmbeddings(vectors: DataFrame, groupCol: String,
       orderCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     vectors
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_vecs"),
+        min(size(col(vecCol))).as("__dmin"),
+        max(size(col(vecCol))).as("__dmax"),
         array_sort(collect_list(struct(col(orderCol), col(vecCol).as("v"))))
           .as("__vs"))
       .withColumn("pooled", expr(
         s"""transform(
-           |  aggregate(__vs,
+           |  aggregate(
+           |    CASE WHEN __dmin = __dmax THEN __vs
+           |         ELSE raise_error(format_string(
+           |           'meanPoolEmbeddings: ragged member dimensions %d vs %d in a group',
+           |           __dmin, __dmax)) END,
            |    array_repeat(0.0D, size(__vs[0].v)),
            |    (acc, x) -> zip_with(acc, x.v, (a, b) -> a + CAST(b AS DOUBLE))),
            |  s -> s / n_vecs)""".stripMargin))
-      .drop("__vs")
+      .drop("__vs", "__dmin", "__dmax")
 
   /** Chunks-per-group for the n87 harness entry (vec_id div 4 — the
     * stand-in for a 4-chunk document). */

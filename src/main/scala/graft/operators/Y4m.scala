@@ -100,7 +100,15 @@ object Y4m {
     if (height <= 0) return Left("missing H (height) stream parameter")
     if (colorspace != "C444")
       return Left(s"unsupported colorspace $colorspace (C444 only)")
-    val frameBytes = width * height * 3
+    // Long math (ADVICE r09): W46341 H46341 overflows width*height*3 to
+    // a NEGATIVE Int — the truncated-frame guard below would pass and
+    // copyOfRange would THROW, breaking the error-as-value contract. A
+    // frame larger than the payload can never decode, so bound it by
+    // the input length before narrowing.
+    val frameBytesL = width.toLong * height * 3
+    if (frameBytesL > bytes.length)
+      return Left(s"frame size $frameBytesL exceeds input length ${bytes.length}")
+    val frameBytes = frameBytesL.toInt
     val frameMagic = "FRAME".getBytes("US-ASCII")
     val frames = Vector.newBuilder[Array[Byte]]
     i = nl + 1
@@ -120,7 +128,7 @@ object Y4m {
       while (fnl < bytes.length && bytes(fnl) != '\n') fnl += 1
       if (fnl >= bytes.length) return Left(s"unterminated FRAME header at $i")
       val at = fnl + 1
-      if (at + frameBytes > bytes.length)
+      if (at.toLong + frameBytes > bytes.length) // Long: no wrap on GB-scale payloads
         return Left(s"truncated frame: need $frameBytes bytes at $at, have ${bytes.length - at}")
       frames += java.util.Arrays.copyOfRange(bytes, at, at + frameBytes)
       i = at + frameBytes

@@ -103,15 +103,24 @@ object StreamingOps {
     * eval contamination never even lands in the accepted store.
     *
     * Scale/semantics: the benchmark's window-hash set (bounded by
-    * [[MaxBenchHashes]], see there) is collected once and broadcast;
-    * the gate itself is a stateless mapPartitions predicate computing
+    * [[MaxBenchHashes]], see there) is collected once as a SORTED
+    * primitive long array and broadcast — 8 bytes per hash, ≤ 40 MB at
+    * the cap and under 1 MB for a typical eval set (ADVICE r09: the
+    * previous boxed Set[Long] was ~40 bytes/entry, ~200 MB of driver
+    * heap and broadcast payload at the cap). Membership is a binary
+    * search — O(log n) per window against cache-friendly memory. The
+    * gate itself is a stateless mapPartitions predicate computing
     * each doc's rolling hashes IN THE SCAN STAGE against the broadcast
-    * set — contaminated docs never allocate dedup state (the st07
+    * array — contaminated docs never allocate dedup state (the st07
     * junk-never-allocates rule), and the only streaming state is the
-    * surviving docs' watermarked fingerprint dedup. Uses the ONE
-    * shared Rabin–Karp implementation ([[graft.operators.TextAnalysis
-    * .rollingHashes]]), so gate, batch twin and oracle can never
-    * drift. StreamingSpec proves stream == st11 twin. */
+    * surviving docs' watermarked fingerprint dedup. Lifetime: the
+    * broadcast lives as long as the returned plan can restart (a
+    * long-lived service cycling many gates should stop the query and
+    * build a fresh gate; blocks are freed by the ContextCleaner once
+    * the plan is unreachable). Uses the ONE shared Rabin–Karp
+    * implementation ([[graft.operators.TextAnalysis.rollingHashes]]),
+    * so gate, batch twin and oracle can never drift. StreamingSpec
+    * proves stream == st11 twin. */
   def decontaminatedIngest(docs: DataFrame, benchHashes: DataFrame,
       watermark: String = "10 minutes"): DataFrame = {
     import org.apache.spark.sql.Encoders
@@ -121,7 +130,8 @@ object StreamingOps {
     require(hs.length <= MaxBenchHashes,
       s"benchmark hash set exceeds MaxBenchHashes=$MaxBenchHashes — " +
         "use IncrementalDedup.dedupAgainstIndex (n39 path) for corpus-sized screens")
-    val bench = spark.sparkContext.broadcast(hs.toSet)
+    java.util.Arrays.sort(hs)
+    val bench = spark.sparkContext.broadcast(hs)
     val w = graft.operators.TextAnalysis.RollingWindow
     val gated = docs
       .select(col("ts"), col("doc_id"), col("text"))
@@ -130,7 +140,8 @@ object StreamingOps {
         val b = bench.value
         it.filter { case (_, _, text) =>
           !graft.operators.TextAnalysis
-            .rollingHashes(text.split(" ", -1), w).exists(b.contains)
+            .rollingHashes(text.split(" ", -1), w)
+            .exists(h => java.util.Arrays.binarySearch(b, h) >= 0)
         }
       }(Encoders.product[(java.sql.Timestamp, Long, String)])
       .toDF("ts", "doc_id", "text")

@@ -30,4 +30,20 @@ class ExtrasSpec extends SparkSpec {
     assert(math.abs(got(("a", "b")) - 1.0) < 1e-9, "perfect positive")
     assert(math.abs(got(("a", "c")) + 1.0) < 1e-9, "perfect negative")
   }
+
+  test("correlationMatrix: prefix-colliding column names stay distinct (ADVICE r09)") {
+    import spark.implicits._
+    // "l_tax" and "tax" collided under the old stripPrefix("l_") alias
+    // scheme; "a_b" vs "a"/"b" is the composite-name collision. Both
+    // must produce correct per-pair answers.
+    val df = (1 to 100).map(i =>
+      (i.toDouble, 201.0 - 2 * i, i * 3.0, (i % 7).toDouble))
+      .toDF("l_tax", "tax", "a_b", "a")
+    val got = Extras.correlationMatrix(df, Seq("l_tax", "tax", "a_b", "a"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 6)
+    assert(math.abs(got(("l_tax", "tax")) + 1.0) < 1e-9, "perfect negative")
+    assert(math.abs(got(("l_tax", "a_b")) - 1.0) < 1e-9, "perfect positive")
+    assert(math.abs(got(("l_tax", "a"))) < 0.3, "near-independent mod series")
+  }
 }

@@ -258,6 +258,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pool(rows.reverse) == a)
   }
 
+  test("meanPoolEmbeddings fails loudly on ragged member dimensions (ADVICE r09)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val ragged = Seq(
+      (10L, 0L, Array(1.0f, 2.0f, 3.0f)),
+      (11L, 0L, Array(3.0f, 6.0f))) // shorter member, same group
+      .toDF("vec_id", "group_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.meanPoolEmbeddings(ragged, "group_id").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t.getMessage).toSeq ++ Option(t.getCause).toSeq.flatMap(messages)
+    assert(messages(e).exists(_.contains("ragged member dimensions")), e.toString)
+  }
+
   test("truncationRecall: full width is exactly 1.0, planted prefix structure scores high (n88)") {
     import spark.implicits._
     import graft.operators.Similarity

@@ -80,6 +80,13 @@ class Y4mSpec extends AnyFunSuite {
     (0 until 500).foreach { _ =>
       Y4m.decodeY4m(Array.fill(rnd.nextInt(200))(rnd.nextInt().toByte))
     }
+    // ADVICE r09: W46341*H46341*3 overflows Int to a NEGATIVE frame
+    // size — must be a Left (oversized frame), never a thrown
+    // copyOfRange error, for any dims whose product wraps
+    assert(dec("YUV4MPEG2 W46341 H46341 C444\n", frame)
+      .left.exists(_.contains("exceeds")))
+    assert(dec("YUV4MPEG2 W2000000 H2000000 C444\n", frame)
+      .left.exists(_.contains("exceeds")))
   }
 
   test("stream tags parse in any order; frame parameters are skipped") {
