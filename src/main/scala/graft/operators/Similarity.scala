@@ -873,7 +873,120 @@ object Similarity {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // n90: hybrid retrieval fusion (Reciprocal Rank Fusion — Cormack,
+  // Clarke & Buettcher 2009). The curation use: near-dup/contamination
+  // hunting and targeted selection both run a LEXICAL ranking (shingle
+  // Jaccard) and a SEMANTIC one (embedding cosine) — RRF is the
+  // standard rank-level fusion that needs no score calibration between
+  // the two systems (scores live on incomparable scales; ranks don't).
+  // ---------------------------------------------------------------------
+
+  /** Per-system depth fused, and the fused list depth. */
+  val HybridDepth = 20
+  val HybridOut = 10
+  /** The standard RRF dampening constant (k = 60 in the paper). */
+  val RrfK = 60
+
+  /** RRF-fuse two (q_id, cand, r) rankings: score = Σ 1/(RrfK + r)
+    * over the systems that ranked the candidate (absent system = no
+    * contribution — the paper's convention). The two-term sum is a
+    * fixed-order double addition, deterministic in both engines;
+    * ranking ties break by candidate id. */
+  def rrfFuse(lexRank: DataFrame, semRank: DataFrame, out: Int): DataFrame = {
+    val fused = lexRank.select(col("q_id"), col("cand"), col("r").as("__rl"))
+      .join(semRank.select(col("q_id"), col("cand"), col("r").as("__rs")),
+        Seq("q_id", "cand"), "full_outer")
+      .select(col("q_id"), col("cand"),
+        round6(
+          coalesce(lit(1.0) / (lit(RrfK) + col("__rl")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("__rs")), lit(0.0))).as("rrf"))
+    val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("cand"))
+    fused.withColumn("rrf_rank", row_number().over(w).cast("long"))
+      .filter(col("rrf_rank") <= out)
+  }
+
+  /** Query-bounded lexical ranking: shingle Jaccard of each query doc
+    * against the corpus, top `k` per query by (jac desc, cand).
+    *
+    * Scale: the pair stage is the inverted-index join RESTRICTED to
+    * query-side shingles — cost Σ_sh(q) df(sh), bounded by the query
+    * set, never Σdf² over the corpus; hot shingles can be pre-dropped
+    * with [[Dedup]]'s df-cap exactly as in the dedup family. */
+  def lexicalTopK(docs: DataFrame, queryIds: Column, k: Int): DataFrame = {
+    val sh = Dedup.shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.filter(queryIds).select(col("doc_id").as("q_id"), col("sh"))
+      .join(sh.select(col("doc_id").as("cand"), col("sh")), Seq("sh"))
+      .filter(col("cand") =!= col("q_id"))
+      .groupBy("q_id", "cand").agg(count(lit(1)).as("c"))
+    val jac = common
+      .join(sizes.select(col("doc_id").as("q_id"), col("n").as("n1")), Seq("q_id"))
+      .join(sizes.select(col("doc_id").as("cand"), col("n").as("n2")), Seq("cand"))
+      .withColumn("jac",
+        col("c").cast("double") / (col("n1") + col("n2") - col("c")))
+    val w = Window.partitionBy("q_id").orderBy(col("jac").desc, col("cand"))
+    jac.withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= k)
+      .select("q_id", "cand", "r")
+  }
+
+  val hybridRrf: Q = Q(
+    "n90_hybrid_rrf",
+    s"""WITH ${Dedup.shinglesSqlFor("documents")},
+       |common AS (SELECT a.doc_id AS q_id, b.doc_id AS cand, count(*) AS c
+       |           FROM sh a JOIN sh b ON a.sh = b.sh
+       |           WHERE a.doc_id < $NumQueries AND b.doc_id <> a.doc_id
+       |           GROUP BY 1, 2),
+       |lexj AS (SELECT q_id, cand,
+       |                CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jac
+       |         FROM common
+       |         JOIN sizes s1 ON s1.doc_id = q_id
+       |         JOIN sizes s2 ON s2.doc_id = cand),
+       |lexk AS (SELECT q_id, cand, r FROM (
+       |           SELECT q_id, cand,
+       |                  row_number() OVER (PARTITION BY q_id
+       |                                     ORDER BY jac DESC, cand) AS r
+       |           FROM lexj) WHERE r <= $HybridDepth),
+       |e AS (SELECT vec_id, embedding,
+       |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+       |      FROM embeddings),
+       |qv AS (SELECT * FROM e WHERE vec_id < $NumQueries),
+       |semp AS (SELECT q.vec_id AS q_id, e.vec_id AS cand,
+       |                ${round6Sql(
+              "list_sum(list_transform(generate_series(1, len(q.embedding)), " +
+              "i -> CAST(q.embedding[i] AS DOUBLE) * e.embedding[i])) / (q.nrm * e.nrm)")} AS cos
+       |         FROM qv q CROSS JOIN e
+       |         WHERE q.vec_id <> e.vec_id),
+       |semk AS (SELECT q_id, cand, r FROM (
+       |           SELECT q_id, cand,
+       |                  row_number() OVER (PARTITION BY q_id
+       |                                     ORDER BY cos DESC, cand) AS r
+       |           FROM semp) WHERE r <= $HybridDepth),
+       |fused AS (SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+       |                 COALESCE(l.cand, s.cand) AS cand,
+       |                 ${round6Sql(
+              s"COALESCE(1.0 / ($RrfK + l.r), 0) + COALESCE(1.0 / ($RrfK + s.r), 0)")} AS rrf
+       |          FROM lexk l FULL JOIN semk s
+       |            ON s.q_id = l.q_id AND s.cand = l.cand)
+       |SELECT q_id, cand, rrf, CAST(rrf_rank AS BIGINT) AS rrf_rank FROM (
+       |  SELECT q_id, cand, rrf,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY rrf DESC, cand) AS rrf_rank
+       |  FROM fused) WHERE rrf_rank <= $HybridOut
+       |ORDER BY q_id, rrf_rank""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val e = t.embeddings
+    val lexk = lexicalTopK(t.documents, col("doc_id") < NumQueries, HybridDepth)
+    val semk = cosineTopK(e, e.filter(col("vec_id") < NumQueries),
+        HybridDepth, useHeap = false)
+      .select(col("q_id"), col("nb_id").as("cand"), col("rn").as("r"))
+    rrfFuse(lexk, semk, HybridOut)
+      .select("q_id", "cand", "rrf", "rrf_rank")
+      .orderBy("q_id", "rrf_rank")
+  }
+
   val all: Seq[Q] = Seq(cosineTopK, cosineTopKHeap, annLsh,
     embeddingNearDup, annIvf, annIvfKmeans, vectorQuantize, quantizedTopK,
-    embeddingPool, truncationRecallQ)
+    embeddingPool, truncationRecallQ, hybridRrf)
 }

@@ -47,6 +47,7 @@ class PlanLintSpec extends SparkSpec {
     "n84_temperature_mix",  // 1-row token-total + 1-row normalizer broadcasts
     "n85_corpus_card",      // 1-row audit assembly (n60's pattern)
     "n88_truncation_recall",// n10's 32-query broadcast build side, per level
+    "n90_hybrid_rrf",       // n10's 32-query broadcast build side (semantic arm)
     "n52_skew_audit",       // 1-row total-rows broadcast over the key histogram
     "n73_dsir_select",      // 1-row feature-total broadcast (tn×rn) into the
                             //   1024-row tau table (n28's corpus-total pattern)

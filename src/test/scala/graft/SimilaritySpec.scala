@@ -258,6 +258,32 @@ class SimilaritySpec extends SparkSpec {
     assert(pool(rows.reverse) == a)
   }
 
+  test("rrfFuse: standard RRF arithmetic, absent-system convention, deterministic ties (n90)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // lexical ranks: cand 100 first, 200 second; semantic: 200 first,
+    // 300 second. RRF(k=60): 200 = 1/62+1/61 (top), 100 = 1/61 (one
+    // system only), 300 = 1/62.
+    val lex = Seq((1L, 100L, 1L), (1L, 200L, 2L)).toDF("q_id", "cand", "r")
+    val sem = Seq((1L, 200L, 1L), (1L, 300L, 2L)).toDF("q_id", "cand", "r")
+    val got = Similarity.rrfFuse(lex, sem, 10)
+      .orderBy("rrf_rank")
+      .collect().map(r => (r.getAs[Long]("cand"), r.getAs[Double]("rrf"),
+        r.getAs[Long]("rrf_rank")))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got.map(_._1).toSeq == Seq(200L, 100L, 300L))
+    assert(got(0)._2 == r6(1.0 / 62 + 1.0 / 61))
+    assert(got(1)._2 == r6(1.0 / 61))
+    assert(got(2)._2 == r6(1.0 / 62))
+    assert(got.map(_._3).toSeq == Seq(1L, 2L, 3L))
+    // tie (same single-system rank) breaks by candidate id
+    val tie = Similarity.rrfFuse(
+      Seq((1L, 9L, 1L)).toDF("q_id", "cand", "r"),
+      Seq((1L, 4L, 1L)).toDF("q_id", "cand", "r"), 10)
+      .orderBy("rrf_rank").collect().map(_.getAs[Long]("cand")).toSeq
+    assert(tie == Seq(4L, 9L))
+  }
+
   test("meanPoolEmbeddings fails loudly on ragged member dimensions (ADVICE r09)") {
     import spark.implicits._
     import graft.operators.Similarity
