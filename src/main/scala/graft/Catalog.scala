@@ -87,6 +87,7 @@ object Catalog {
     operators.Pq.all,
     operators.IncrementalAnn.all,
     operators.TextAnalysis.all,
+    operators.LexIndex.all,
     operators.Selection.all,
     operators.Classifier.all,
     operators.Bpe.all,

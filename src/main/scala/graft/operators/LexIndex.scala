@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.Det._
+
+/** Persisted/incremental LEXICAL ranking index — the search-side
+  * counterpart of [[IncrementalDedup]]'s dedup index and [[Pq]]'s ANN
+  * index, completing the persisted-index story across all three
+  * retrieval modalities. A curation service that BM25-probes its
+  * corpus (contamination hunting, targeted selection, n83's query
+  * shape) does not re-tokenize 100 TB per query batch: it maintains a
+  * postings index at rest and scores FROM THE INDEX.
+  *
+  * Components (both derived from one tokenize pass over a batch):
+  *   - `postings` (term, doc_id, tf): the inverted file. At rest:
+  *     bucketed by term (the probe-side join key — LexIndexSpec proves
+  *     the bucketed probe joins exchange-free, the IncrementalDedup
+  *     layout rule).
+  *   - `doclens` (doc_id, dl): document lengths; N and avgdl are one
+  *     1-row aggregate away, so corpus stats never need the text.
+  *
+  * Append semantics: doc_ids are unique across snapshots (the n86
+  * invariant), so appending a batch is a pure union of both
+  * components — df/N/avgdl recomputed from the accumulated index are
+  * EXACTLY the full-rebuild values. That exactness is the oracle:
+  * the n91 entry builds from the even half, appends the odd half and
+  * must hash-match n83's full-corpus answer computed from raw text.
+  *
+  * Scale shape of a probe: query terms (a bounded literal set —
+  * the decontamination-lookup shape) semi-filter the postings on the
+  * term key; df is an aggregate of that filtered sliver; the only
+  * corpus-proportional object touched is the doclens frame (one
+  * column, no text). Nothing re-reads or re-tokenizes documents. */
+object LexIndex {
+
+  /** The persistable index pair. */
+  final case class Bm25Index(postings: DataFrame, doclens: DataFrame)
+
+  /** Build from a (doc_id, text) batch: ONE tokenize pass feeds both
+    * components (tf is a map-side-combinable count keyed (term,
+    * doc_id); dl is a per-row projection aggregated trivially). */
+  def buildIndex(docs: DataFrame): Bm25Index = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    Bm25Index(
+      postings = toks.groupBy("term", "doc_id")
+        .agg(count(lit(1)).cast("long").as("tf")),
+      doclens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl")))
+  }
+
+  /** Append a new batch: component unions (exact — doc_ids unique
+    * across snapshots, so df/N/avgdl over the union equal the full
+    * rebuild's; LexIndexSpec proves it). */
+  def appendIndex(index: Bm25Index, newDocs: DataFrame): Bm25Index = {
+    val b = buildIndex(newDocs)
+    Bm25Index(
+      postings = index.postings.unionByName(b.postings),
+      doclens = index.doclens.unionByName(b.doclens))
+  }
+
+  /** Write both components as parquet under `path` (the manifest-less
+    * small cousin of IncrementalDedup.writeIndex — two tables, no
+    * cross-component invariant to protect beyond the append rule). */
+  def writeIndex(index: Bm25Index, path: String): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$path/postings")
+    index.doclens.write.mode("overwrite").parquet(s"$path/doclens")
+  }
+
+  def readIndex(spark: SparkSession, path: String): Bm25Index =
+    Bm25Index(
+      postings = spark.read.parquet(s"$path/postings"),
+      doclens = spark.read.parquet(s"$path/doclens"))
+
+  /** Publish as bucketed tables: postings by term (the probe key),
+    * doclens by doc_id (the score-join key). */
+  def publishBucketed(index: Bm25Index, prefix: String,
+      numBuckets: Int = 32, location: Option[String] = None): Unit = {
+    graft.plans.Scale.writeBucketed(index.postings, s"${prefix}_postings",
+      Seq("term"), numBuckets, location)
+    graft.plans.Scale.writeBucketed(index.doclens, s"${prefix}_doclens",
+      Seq("doc_id"), numBuckets, location)
+  }
+
+  def readBucketed(spark: SparkSession, prefix: String): Bm25Index =
+    Bm25Index(
+      postings = spark.table(s"${prefix}_postings"),
+      doclens = spark.table(s"${prefix}_doclens"))
+
+  /** BM25 top-k FROM THE INDEX: identical math (and identical
+    * determinism rules — round6 per contribution, DECIMAL sum, (score
+    * desc, doc_id) ties) to [[TextAnalysis.bm25TopK]], but every input
+    * frame comes from the index; the corpus text is never touched.
+    * queries = (q_id, term) bags. */
+  def bm25FromIndex(index: Bm25Index, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queries.select("term").distinct()
+    val tf = index.postings.join(broadcast(terms), Seq("term"))
+    val stats = index.doclens.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val contrib = tf
+      .join(tf.groupBy("term").agg(count_distinct(col("doc_id")).as("df")), Seq("term"))
+      .join(index.doclens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .join(queries, Seq("term"))
+      .select(col("q_id"), col("doc_id"),
+        round6(
+          log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+          .as("c"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    contrib.groupBy("q_id", "doc_id")
+      .agg(dsum(col("c")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** n91: build the index from the even half, APPEND the odd half,
+    * score the n83 query set from the accumulated index — the oracle
+    * is n83's full-corpus answer computed from raw text, so one wrong
+    * df, a lost posting row, or a stats drift anywhere in
+    * build/append/score flips the hash. */
+  val bm25IndexQ: Q = {
+    val k = 10
+    val qVals = TextAnalysis.bm25QuerySet
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    Q(
+      "n91_bm25_index",
+      s"""WITH q(q_id, term) AS (VALUES $qVals),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok WHERE term IN (SELECT term FROM q)
+         |       GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |       FROM documents),
+         |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |sc AS (SELECT q.q_id, t.doc_id,
+         |              ${round6Sql(
+                 "ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * " +
+                 "(t.tf * (1.2 + 1.0)) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))")} AS c
+         |       FROM tf t JOIN dfreq USING (term) JOIN dl USING (doc_id)
+         |       CROSS JOIN st JOIN q ON q.term = t.term),
+         |agg AS (SELECT q_id, doc_id, ${dsumSql("c")} AS score
+         |        FROM sc GROUP BY q_id, doc_id),
+         |rk AS (SELECT q_id, doc_id, score,
+         |              row_number() OVER (PARTITION BY q_id
+         |                                 ORDER BY score DESC, doc_id) AS rank
+         |       FROM agg)
+         |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rank AS BIGINT) AS rank,
+         |       doc_id, score
+         |FROM rk WHERE rank <= $k
+         |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val prior = buildIndex(docs.filter(col("doc_id") % 2 === 0))
+      val appended = appendIndex(prior, docs.filter(col("doc_id") % 2 === 1))
+      val queries = TextAnalysis.bm25QuerySet.toDF("q_id", "term")
+      bm25FromIndex(appended, queries, k)
+        .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+        .orderBy("q_id", "rank")
+    }
+  }
+
+  val all: Seq[Q] = Seq(bm25IndexQ)
+}

@@ -422,7 +422,9 @@ object TextAnalysis {
 
   /** Catalog query set for n83 — bounded and literal, the
     * decontamination-lookup shape (a benchmark suite's probe strings
-    * tokenized into term bags). */
+    * tokenized into term bags). Shared with n91's index probe
+    * ([[LexIndex]]), whose oracle is exactly n83's answer. */
+  private[operators] def bm25QuerySet: Seq[(Long, String)] = Bm25Queries
   private val Bm25Queries: Seq[(Long, String)] = Seq(
     1L -> "table", 1L -> "scan",
     2L -> "window", 2L -> "agg",

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{LexIndex, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** The persisted BM25 index: append exactness, index-score ==
+  * text-score, file roundtrip, and the bucketed at-rest probe layout. */
+class LexIndexSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sf0001).documents
+  private def queries = {
+    import spark.implicits._
+    Seq(1L -> "the", 1L -> "of", 2L -> "and", 2L -> "data").toDF("q_id", "term")
+  }
+
+  private def postingsSet(i: LexIndex.Bm25Index) =
+    i.postings.collect().map(r => (r.getAs[String]("term"),
+      r.getAs[Long]("doc_id"), r.getAs[Long]("tf"))).toSet
+
+  test("append == full rebuild, component for component") {
+    val appended = LexIndex.appendIndex(
+      LexIndex.buildIndex(docs.filter(col("doc_id") % 2 === 0)),
+      docs.filter(col("doc_id") % 2 === 1))
+    val rebuilt = LexIndex.buildIndex(docs)
+    assert(postingsSet(appended) == postingsSet(rebuilt))
+    val dlA = appended.doclens.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dlR = rebuilt.doclens.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dlA == dlR && dlA.nonEmpty)
+  }
+
+  test("scoring from the index is bit-identical to scoring from text") {
+    val fromText = TextAnalysis.bm25TopK(docs, queries, k = 10).collect()
+    val fromIndex = LexIndex.bm25FromIndex(LexIndex.buildIndex(docs), queries, k = 10)
+      .collect()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toMap
+    assert(keyed(fromIndex) == keyed(fromText) && fromIndex.nonEmpty)
+  }
+
+  test("file roundtrip preserves the probe answer") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    LexIndex.writeIndex(LexIndex.buildIndex(docs), dir)
+    val a = LexIndex.bm25FromIndex(LexIndex.readIndex(spark, dir), queries, 10)
+      .collect().map(_.toSeq).toSet
+    val b = LexIndex.bm25FromIndex(LexIndex.buildIndex(docs), queries, 10)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("bucketed postings probe: no shuffle exchange above the index-side scan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val loc = java.nio.file.Files.createTempDirectory("bm25_bucketed").toString
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      LexIndex.publishBucketed(LexIndex.buildIndex(docs), "bm25t", 4, Some(loc))
+      val idx = LexIndex.readBucketed(spark, "bm25t")
+      // the probe-shaped join: term-keyed postings vs a term frame
+      // staged bucketed the same way
+      graft.plans.Scale.writeBucketed(
+        queries.select("term").distinct(), "bm25t_q", Seq("term"), 4, Some(loc))
+      val probe = idx.postings.join(spark.table("bm25t_q"), Seq("term"))
+      val top = probe.queryExecution.executedPlan
+      def bucketedScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table == "bm25t_postings")
+        case _ => false
+      }
+      def reachesScanJoinFree(p: SparkPlan): Boolean =
+        bucketedScan(p) || (!p.isInstanceOf[BaseJoinExec] &&
+          p.children.exists(reachesScanJoinFree))
+      val offenders = top.collect {
+        case e: ShuffleExchangeLike if e.children.exists(reachesScanJoinFree) => e
+      }
+      assert(offenders.isEmpty, s"index-side exchange:\n$top")
+      assert(top.collect { case p if bucketedScan(p) => p }.nonEmpty)
+      // and the bucketed index answers identically
+      val a = LexIndex.bm25FromIndex(idx, queries, 10).collect().map(_.toSeq).toSet
+      val b = LexIndex.bm25FromIndex(LexIndex.buildIndex(docs), queries, 10)
+        .collect().map(_.toSeq).toSet
+      assert(a == b && a.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      saved.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      Seq("bm25t_postings", "bm25t_doclens", "bm25t_q").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+}

@@ -44,6 +44,7 @@ class PlanLintSpec extends SparkSpec {
     "a28_top_supplier",     // 1-row broadcast max-revenue scalar
     "n46_mixture_resample", // 1-row mixture-scale scalar × 5-key part list
     "n83_bm25_search",      // 1-row (N, avgdl) corpus-stats broadcast (n50's pattern)
+    "n91_bm25_index",       // same 1-row corpus-stats broadcast, index-probe path
     "n84_temperature_mix",  // 1-row token-total + 1-row normalizer broadcasts
     "n85_corpus_card",      // 1-row audit assembly (n60's pattern)
     "n88_truncation_recall",// n10's 32-query broadcast build side, per level
