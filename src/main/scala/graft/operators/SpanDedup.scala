@@ -53,7 +53,6 @@ object SpanDedup {
     * times corpus-wide (hot-group skew guard; None = exact). */
   def duplicateSpans(docs: DataFrame, maxDf: Option[Long] = None): DataFrame = {
     val byHash = Window.partitionBy("win_hash").orderBy("doc_id", "pos")
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val marked = TextAnalysis.windowHashes(docs)
       .withColumn("rn", row_number().over(byHash))
     val capped = maxDf match {
@@ -64,21 +63,7 @@ object SpanDedup {
           .filter(col("df") <= cap).drop("df")
       case None => marked
     }
-    capped
-      .filter(col("rn") > 1)
-      .select("doc_id", "pos")
-      // islands: NULL lag (first dup window of the doc) falls through
-      // to the ELSE branch and opens a span, same as the SQL twin
-      .withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= W, 0L)
-          .otherwise(1L))
-      .withColumn("isl", sum(col("brk")).over(byDoc))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg(
-        min(col("pos")).as("span_start"),
-        (max(col("pos")) + lit(W - 1).cast("long")).as("span_end"),
-        count(lit(1)).as("n_windows"))
-      .select("doc_id", "span_start", "span_end", "n_windows")
+    mergeIslands(capped.filter(col("rn") > 1).select("doc_id", "pos"))
   }
 
   /** Input docs + `__tk` (token array), `spans` (merged duplicate
@@ -86,20 +71,8 @@ object SpanDedup {
     * The span list per doc is small (merged islands), so the join
     * broadcasts nothing large and the surgery is a map-side
     * higher-order filter. */
-  private def withKept(docs: DataFrame, maxDf: Option[Long]): DataFrame = {
-    val spans = duplicateSpans(docs, maxDf)
-      .groupBy("doc_id")
-      .agg(
-        collect_list(struct(
-          col("span_start").as("lo"), col("span_end").as("hi"))).as("spans"),
-        sum(col("span_end") - col("span_start") + 1).as("__n_dup"))
-    docs
-      .withColumn("__tk", split(col("text"), " ", -1))
-      .join(spans, Seq("doc_id"), "left")
-      .withColumn("__kept",
-        when(col("spans").isNull, col("__tk")).otherwise(expr(
-          "filter(__tk, (t, i) -> NOT exists(spans, sp -> i >= sp.lo AND i <= sp.hi))")))
-  }
+  private def withKept(docs: DataFrame, maxDf: Option[Long]): DataFrame =
+    withKeptSpans(docs, duplicateSpans(docs, maxDf))
 
   /** Rewrite `text` with every duplicated span removed (keep-first:
     * the corpus-wide first occurrence of each run survives). All
@@ -191,5 +164,137 @@ object SpanDedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(dupSpans, substringDedup)
+  // ---------------------------------------------------------------
+  // n92: span-level DECONTAMINATION surgery — the refinement of the
+  // doc-level screens (n26/n39 count, st11 drops whole docs): remove
+  // only the contaminated ≥W-token runs and keep the novel remainder.
+  // The eval-overlap policy most pipelines actually want — dropping a
+  // long document for one quoted benchmark question wastes data;
+  // keeping it verbatim leaks the eval.
+  // ---------------------------------------------------------------
+
+  /** Merge matched window positions (doc_id, pos) into maximal token
+    * spans — the shared gaps-and-islands chain of [[duplicateSpans]]
+    * and [[contaminationSpans]]. */
+  private def mergeIslands(hits: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= W, 0L)
+          .otherwise(1L))
+      .withColumn("isl", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(W - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** Maximal contaminated token spans per document: every W-token
+    * window whose Rabin–Karp hash appears in `benchHashes` (a (h)
+    * frame — the held-out set's window hashes, n26/n39's fingerprint),
+    * merged to spans.
+    *
+    * Scale: the only corpus-proportional stage is the window-hash
+    * stream the contamination screens already carry; the bench join is
+    * hash-keyed (broadcast under st11's size cap, index-probe above
+    * it) and hits are bounded by the contamination rate. */
+  def contaminationSpans(docs: DataFrame, benchHashes: DataFrame): DataFrame =
+    mergeIslands(
+      TextAnalysis.windowHashes(docs)
+        .join(benchHashes.select(col("h").as("win_hash")).distinct(),
+          Seq("win_hash"), "left_semi")
+        .select("doc_id", "pos"))
+
+  /** Rewrite `text` with every contaminated span removed; other
+    * columns pass through. Same map-side higher-order surgery as
+    * [[dropDuplicateSpans]]. */
+  def decontaminateRewrite(docs: DataFrame, benchHashes: DataFrame): DataFrame =
+    withKeptSpans(docs, contaminationSpans(docs, benchHashes))
+      .withColumn("text", concat_ws(" ", col("__kept")))
+      .drop("__tk", "spans", "__n_dup", "__kept")
+
+  /** [[withKept]] generalized to an explicit span frame. */
+  private def withKeptSpans(docs: DataFrame, spanFrame: DataFrame): DataFrame = {
+    val spans = spanFrame
+      .groupBy("doc_id")
+      .agg(
+        collect_list(struct(
+          col("span_start").as("lo"), col("span_end").as("hi"))).as("spans"),
+        sum(col("span_end") - col("span_start") + 1).as("__n_dup"))
+    docs
+      .withColumn("__tk", split(col("text"), " ", -1))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("__kept",
+        when(col("spans").isNull, col("__tk")).otherwise(expr(
+          "filter(__tk, (t, i) -> NOT exists(spans, sp -> i >= sp.lo AND i <= sp.hi))")))
+  }
+
+  /** Entry: even docs are the benchmark, odd docs the training batch;
+    * per-doc surgery result hash-proving the rewritten bytes (n45's
+    * output shape — n_tokens, contaminated-token count, kept count,
+    * md5 of the clean text). */
+  val decontaminateSpansQ: Q = Q(
+    "n92_decontaminate_rewrite",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |pos_ AS (SELECT doc_id, tk,
+       |                unnest(generate_series(1, greatest(len(tk) - ${W - 1}, 0))) AS p
+       |         FROM toks),
+       |wh AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+       |              list_reduce(list_transform(tk[p:p+${W - 1}],
+       |                t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % ${TextAnalysis.P}),
+       |                (a, b) -> (a * ${TextAnalysis.B} + b) % ${TextAnalysis.P}) AS win_hash
+       |       FROM pos_),
+       |bench AS (SELECT DISTINCT win_hash FROM wh WHERE doc_id % 2 = 0),
+       |hit AS (SELECT doc_id, pos FROM wh
+       |        WHERE doc_id % 2 = 1 AND win_hash IN (SELECT win_hash FROM bench)),
+       |brk AS (SELECT doc_id, pos,
+       |               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $W
+       |                    THEN 0 ELSE 1 END AS b
+       |        FROM hit),
+       |isl AS (SELECT doc_id, pos,
+       |               sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |        FROM brk),
+       |spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |                 CAST(max(pos) + ${W - 1} AS BIGINT) AS span_end
+       |          FROM isl GROUP BY doc_id, g),
+       |tok AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS p
+       |        FROM toks WHERE doc_id % 2 = 1),
+       |keep AS (SELECT t.doc_id, t.p, t.tk[t.p] AS tokn
+       |         FROM tok t
+       |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |                           WHERE s.doc_id = t.doc_id
+       |                             AND t.p - 1 BETWEEN s.span_start AND s.span_end)),
+       |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |              string_agg(tokn, ' ' ORDER BY p) AS clean
+       |       FROM keep GROUP BY doc_id),
+       |ds AS (SELECT doc_id,
+       |              CAST(sum(span_end - span_start + 1) AS BIGINT) AS n_contam
+       |       FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(ds.n_contam, 0) AS BIGINT) AS n_contam_tokens,
+       |       CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+       |       md5(coalesce(ka.clean, '')) AS clean_fp
+       |FROM documents d
+       |LEFT JOIN ds ON ds.doc_id = d.doc_id
+       |LEFT JOIN ka ON ka.doc_id = d.doc_id
+       |WHERE d.doc_id % 2 = 1
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val bench = TextAnalysis.windowHashes(docs.filter(col("doc_id") % 2 === 0))
+      .select(col("win_hash").as("h")).distinct()
+    val train = docs.filter(col("doc_id") % 2 === 1)
+    withKeptSpans(train, contaminationSpans(train, bench))
+      .select(
+        col("doc_id"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        coalesce(col("__n_dup"), lit(0L)).as("n_contam_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("__kept")).cast("binary")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(dupSpans, substringDedup, decontaminateSpansQ)
 }

@@ -108,4 +108,32 @@ class SpanDedupSpec extends SparkSpec {
       .select("text").as[String].collect()
     assert(out.forall(_ == "x y z"))
   }
+
+  test("decontaminateRewrite removes exactly the quoted benchmark passage (n92)") {
+    import graft.operators.TextAnalysis
+    // W=8 token benchmark passage quoted verbatim inside a train doc
+    val passage = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val bench = Seq((100L, s"intro words then $passage and some tail here"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"novel head tokens $passage novel tail tokens close out fine"),
+      (2L, "entirely novel document with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val benchHashes = TextAnalysis.windowHashes(bench)
+      .select($"win_hash".as("h")).distinct()
+    val out = SpanDedup.decontaminateRewrite(train, benchHashes)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!out(1L).contains("q1") && !out(1L).contains("q8"),
+      s"passage must be removed: ${out(1L)}")
+    assert(out(1L).contains("novel head tokens") &&
+      out(1L).contains("novel tail tokens close out fine"),
+      s"novel remainder must survive: ${out(1L)}")
+    assert(out(2L) == "entirely novel document with no overlap at all whatsoever here")
+    // clean output carries no contaminated window anymore (idempotence)
+    val again = SpanDedup.decontaminateRewrite(
+      Seq((1L, out(1L))).toDF("doc_id", "text"), benchHashes)
+      .select("text").as[String].collect().head
+    assert(again == out(1L))
+  }
 }
