@@ -76,6 +76,30 @@ object Lab {
           }
           sample("cold"); sample("warm"); sample("warm2")
         }
+      case "qfull" =>
+        // like "q" but forces FULL evaluation of every output column:
+        // count() lets Catalyst prune columns and even eliminate
+        // unique-key left joins (observed on n92: the whole surgery
+        // pipeline join-eliminated to a scan count, faking a 0 scale
+        // slope). Hashing a struct of all columns into a sum defeats
+        // both prunings while adding only per-output-row work.
+        val coldCachesF = sys.env.get("SPARK_GRAFT_LAB_COLD").contains("1")
+        args.drop(1).foreach { name =>
+          val fn = SparkEntry.queries(name)
+          def sample(tag: String): Unit = {
+            if (coldCachesF) {
+              operators.Dedup.clearShingleCache(spark)
+              operators.Corpus.clearClusterCache(spark)
+              operators.Pq.clearPqCache(spark)
+            }
+            time(s"$name $tag") {
+              val df = fn(spark, sfDir)
+              df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
+                .agg(expr("bit_xor(__h)")).collect().head.getLong(0)
+            }
+          }
+          sample("cold"); sample("warm"); sample("warm2")
+        }
       case "explain" =>
         args.drop(1).foreach { name =>
           println(s"=== $name ===")
