@@ -231,6 +231,34 @@ object SpanDedup {
           "filter(__tk, (t, i) -> NOT exists(spans, sp -> i >= sp.lo AND i <= sp.hi))")))
   }
 
+  /** Row-level twin of [[contaminationSpans]] + the surgery filter,
+    * for the STREAMING gate (st13 — a stateless map over arrivals, the
+    * same shape as Dedup.rowBandSigs for st05): given a doc's tokens
+    * and the ascending positions of its benchmark-matched windows,
+    * return the tokens outside every merged span. SpanDedupSpec pins
+    * it token-for-token against the batch plan on the harness corpus,
+    * so stream and batch surgery can never drift. */
+  private[graft] def rowRemoveSpans(tokens: Array[String],
+      matchedPos: Array[Int], w: Int = W): Array[String] = {
+    if (matchedPos.isEmpty) return tokens
+    val covered = new Array[Boolean](tokens.length)
+    var lo = matchedPos(0)
+    var hi = matchedPos(0) + w - 1
+    def mark(): Unit = {
+      var i = lo
+      while (i <= math.min(hi, tokens.length - 1)) { covered(i) = true; i += 1 }
+    }
+    var k = 1
+    while (k < matchedPos.length) {
+      val p = matchedPos(k)
+      if (p - (hi - w + 1) <= w) hi = p + w - 1 // gap ≤ W: same island
+      else { mark(); lo = p; hi = p + w - 1 }
+      k += 1
+    }
+    mark()
+    tokens.indices.iterator.filterNot(covered).map(tokens).toArray
+  }
+
   /** Entry: even docs are the benchmark, odd docs the training batch;
     * per-doc surgery result hash-proving the rewritten bytes (n45's
     * output shape — n_tokens, contaminated-token count, kept count,

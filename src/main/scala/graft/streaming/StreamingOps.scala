@@ -96,6 +96,20 @@ object StreamingOps {
     * (n39's incremental decontaminate), not a scan-stage set. */
   val MaxBenchHashes: Int = 5000000
 
+  /** Collect + sort + broadcast the benchmark window-hash set — the
+    * shared gate payload of st11 and st13 (size-capped, primitive
+    * array; see [[decontaminatedIngest]]'s scaladoc for the envelope). */
+  private def broadcastBenchGate(spark: org.apache.spark.sql.SparkSession,
+      benchHashes: DataFrame): org.apache.spark.broadcast.Broadcast[Array[Long]] = {
+    val hs = benchHashes.limit(MaxBenchHashes + 1)
+      .collect().map(_.getLong(0))
+    require(hs.length <= MaxBenchHashes,
+      s"benchmark hash set exceeds MaxBenchHashes=$MaxBenchHashes — " +
+        "use IncrementalDedup.dedupAgainstIndex (n39 path) for corpus-sized screens")
+    java.util.Arrays.sort(hs)
+    spark.sparkContext.broadcast(hs)
+  }
+
   /** Streaming DECONTAMINATION gate (st11's stream side): drop every
     * arriving document sharing at least one Rabin–Karp window
     * fingerprint with the held-out benchmark set, then watermarked
@@ -124,14 +138,7 @@ object StreamingOps {
   def decontaminatedIngest(docs: DataFrame, benchHashes: DataFrame,
       watermark: String = "10 minutes"): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val spark = docs.sparkSession
-    val hs = benchHashes.limit(MaxBenchHashes + 1)
-      .collect().map(_.getLong(0))
-    require(hs.length <= MaxBenchHashes,
-      s"benchmark hash set exceeds MaxBenchHashes=$MaxBenchHashes — " +
-        "use IncrementalDedup.dedupAgainstIndex (n39 path) for corpus-sized screens")
-    java.util.Arrays.sort(hs)
-    val bench = spark.sparkContext.broadcast(hs)
+    val bench = broadcastBenchGate(docs.sparkSession, benchHashes)
     val w = graft.operators.TextAnalysis.RollingWindow
     val gated = docs
       .select(col("ts"), col("doc_id"), col("text"))
@@ -146,6 +153,49 @@ object StreamingOps {
       }(Encoders.product[(java.sql.Timestamp, Long, String)])
       .toDF("ts", "doc_id", "text")
     dedupNormalizedWithWatermark(gated, watermark)
+  }
+
+  /** Streaming span-level DECONTAMINATION SURGERY (st13 — the
+    * refinement of [[decontaminatedIngest]]'s whole-doc drop): each
+    * arriving document is REWRITTEN on arrival — benchmark-matched
+    * ≥W-token windows merge into maximal spans (the n92 batch
+    * semantics, via the row-level twin
+    * [[graft.operators.SpanDedup.rowRemoveSpans]], spec-pinned against
+    * the batch plan) and only those tokens are cut; documents reduced
+    * to nothing drop, survivors keep-first dedup on the NORMALIZED
+    * CLEAN text under the watermark. The policy most pipelines want:
+    * a long document is not wasted for one quoted eval question, and
+    * the eval never leaks.
+    *
+    * Scale/semantics: the gate payload is the same capped sorted
+    * primitive broadcast as st11; the surgery is a stateless
+    * mapPartitions in the scan stage (per-doc cost = rolling hashes +
+    * one boolean array); only surviving CLEAN fingerprints enter
+    * dedup state. WindowedAggs' st13 twin restates the whole chain
+    * for DuckDB; StreamingSpec proves stream == twin. */
+  def decontaminateRewriteIngest(docs: DataFrame, benchHashes: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val bench = broadcastBenchGate(docs.sparkSession, benchHashes)
+    val w = graft.operators.TextAnalysis.RollingWindow
+    val rewritten = docs
+      .select(col("ts"), col("doc_id"), col("text"))
+      .as(Encoders.product[(java.sql.Timestamp, Long, String)])
+      .mapPartitions { it =>
+        val b = bench.value
+        it.flatMap { case (ts, id, text) =>
+          val toks = text.split(" ", -1)
+          val hs = graft.operators.TextAnalysis.rollingHashes(toks, w)
+          val matched = hs.iterator.zipWithIndex
+            .collect { case (h, i) if java.util.Arrays.binarySearch(b, h) >= 0 => i }
+            .toArray
+          val kept = graft.operators.SpanDedup.rowRemoveSpans(toks, matched, w)
+          val clean = kept.mkString(" ")
+          if (clean.isEmpty) None else Some((ts, id, clean))
+        }
+      }(Encoders.product[(java.sql.Timestamp, Long, String)])
+      .toDF("ts", "doc_id", "text")
+    dedupNormalizedWithWatermark(rewritten, watermark)
   }
 
   /** Streaming LEARNED-quality gate: score each arriving document

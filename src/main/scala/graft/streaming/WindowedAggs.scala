@@ -465,6 +465,67 @@ object WindowedAggs {
     }
   }
 
+  /** Batch twin of [[StreamingOps.decontaminateRewriteIngest]] (st13 —
+    * st11's surgical refinement): same %10 bench/train split, but
+    * contaminated docs are REWRITTEN (n92's span surgery — matched
+    * windows merged to maximal spans, covered tokens cut) instead of
+    * dropped; docs reduced to empty drop, survivors keep-first dedup
+    * on the NORMALIZED CLEAN text. The twin restates surgery + dedup
+    * for DuckDB; StreamingSpec proves the MemoryStream run (row-level
+    * rowRemoveSpans gate) emits exactly this accepted set. */
+  val decontaminateRewriteTwin: Q = {
+    import graft.operators.TextAnalysis.{RollingWindow => W, P, B}
+    Q(
+      "st13_stream_decontaminate_rewrite",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |pos_ AS (SELECT doc_id, tk,
+         |                unnest(generate_series(1, greatest(len(tk) - ${W - 1}, 0))) AS p
+         |         FROM toks),
+         |wh AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+         |              list_reduce(list_transform(tk[p:p+${W - 1}],
+         |                t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % $P),
+         |                (a, b) -> (a * $B + b) % $P) AS h
+         |       FROM pos_),
+         |bench AS (SELECT DISTINCT h FROM wh WHERE doc_id % 10 = 0),
+         |hit AS (SELECT doc_id, pos FROM wh
+         |        WHERE doc_id % 10 <> 0 AND h IN (SELECT h FROM bench)),
+         |brk AS (SELECT doc_id, pos,
+         |               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $W
+         |                    THEN 0 ELSE 1 END AS b
+         |        FROM hit),
+         |isl AS (SELECT doc_id, pos,
+         |               sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |        FROM brk),
+         |spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |                 CAST(max(pos) + ${W - 1} AS BIGINT) AS span_end
+         |          FROM isl GROUP BY doc_id, g),
+         |tok AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS p
+         |        FROM toks WHERE doc_id % 10 <> 0),
+         |keep AS (SELECT t.doc_id, t.p, t.tk[t.p] AS tokn
+         |         FROM tok t
+         |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |                           WHERE s.doc_id = t.doc_id
+         |                             AND t.p - 1 BETWEEN s.span_start AND s.span_end)),
+         |cleaned AS (SELECT doc_id, string_agg(tokn, ' ' ORDER BY p) AS clean
+         |            FROM keep GROUP BY doc_id)
+         |SELECT min(doc_id) AS doc_id
+         |FROM cleaned
+         |WHERE clean <> ''
+         |GROUP BY md5(trim(regexp_replace(lower(clean), '\\s+', ' ', 'g')))
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.api.Graft._
+      import graft.operators.{SpanDedup, TextAnalysis}
+      val docs = Tables(s, dir).documents
+      val bench = TextAnalysis.windowHashes(docs.filter(col("doc_id") % 10 === 0))
+        .select(col("win_hash").as("h")).distinct()
+      SpanDedup.decontaminateRewrite(docs.filter(col("doc_id") % 10 =!= 0), bench)
+        .filter(col("text") =!= "")
+        .distinctDocuments(normalize = true)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }
+  }
+
   /** Batch twin of [[StreamingOps.streamingPack]] (st12): n82's
     * concat-and-chunk materialization restricted to FULL blocks — the
     * stream emits an example the moment it fills, and each shard's
@@ -502,5 +563,5 @@ object WindowedAggs {
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
     streamNearDup, indexedIngestBatch1, indexedIngestBatch2,
     qualityGateTwin, streamEnrichTwin, classifierGateTwin,
-    decontaminateTwin, streamPackTwin)
+    decontaminateTwin, decontaminateRewriteTwin, streamPackTwin)
 }

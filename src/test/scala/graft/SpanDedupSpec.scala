@@ -109,6 +109,30 @@ class SpanDedupSpec extends SparkSpec {
     assert(out.forall(_ == "x y z"))
   }
 
+  test("rowRemoveSpans is token-identical to the batch surgery on the harness corpus") {
+    import graft.operators.TextAnalysis
+    val docs = Tables(spark, sf0001).documents
+    val bench = TextAnalysis.windowHashes(docs.filter($"doc_id" % 10 === 0))
+      .select($"win_hash".as("h")).distinct()
+    val train = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = SpanDedup.decontaminateRewrite(train, bench)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hashes = bench.collect().map(_.getLong(0)).sorted
+    val roww = train.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).split(" ", -1)
+      val matched = TextAnalysis.rollingHashes(toks, SpanDedup.W)
+        .iterator.zipWithIndex
+        .collect { case (h, i) if java.util.Arrays.binarySearch(hashes, h) >= 0 => i }
+        .toArray
+      r.getLong(0) -> SpanDedup.rowRemoveSpans(toks, matched).mkString(" ")
+    }.toMap
+    assert(roww == batch && batch.nonEmpty)
+    assert(batch.values.exists(_.isEmpty) ||
+      batch.exists { case (id, t) => t != train.filter($"doc_id" === id).head.getString(1) },
+      "fixture must actually contaminate something")
+  }
+
   test("decontaminateRewrite removes exactly the quoted benchmark passage (n92)") {
     import graft.operators.TextAnalysis
     // W=8 token benchmark passage quoted verbatim inside a train doc

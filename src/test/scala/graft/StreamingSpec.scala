@@ -667,6 +667,40 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(twin -- streamed).take(5)} spurious=${(streamed -- twin).take(5)}")
   }
 
+  test("streaming decontamination REWRITE equals its batch twin (st13)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables(spark, sf0001).documents
+    val bench = graft.operators.TextAnalysis.windowHashes(
+        docs.filter(col("doc_id") % 10 === 0))
+      .select(col("win_hash")).distinct()
+    val streamRows = docs.filter(col("doc_id") % 10 =!= 0)
+      .select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), ts("2024-01-01 10:00:00"), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+      .select(col("ts"), col("doc_id"), col("text"))
+    val q = StreamingOps.decontaminateRewriteIngest(stream, bench, "1 hour")
+      .writeStream.format("memory").queryName("dsurg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(streamRows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dsurg").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val twin = Catalog.queries("st13_stream_decontaminate_rewrite")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty && streamed == twin,
+      s"missing=${(twin -- streamed).take(5)} spurious=${(streamed -- twin).take(5)}")
+    // the surgical gate must accept MORE than st11's drop gate (the
+    // point of rewriting): every st11 survivor also survives surgery
+    val st11 = Catalog.queries("st11_stream_decontaminate")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(st11.subsetOf(twin) && twin.size > st11.size,
+      s"surgery should strictly widen the accepted set: st11=${st11.size} st13=${twin.size}")
+  }
+
   test("streaming pack equals its batch twin, single batch and across a split (st12)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
