@@ -1,0 +1,53 @@
+package graft
+
+/** Parallelism must not change answers: every catalog result is built
+  * from order-independent aggregation (DECIMAL sums, min/max, counts)
+  * or explicitly tie-broken ranking, so the SAME query under a
+  * different shuffle-partition count — a different reduce order, a
+  * different partial-aggregation tree — must return byte-identical
+  * rows. This is the determinism half of the 100 TB claim: a
+  * 1000-executor cluster never runs with the test suite's partition
+  * count, and a float fold that survives only at one parallelism is a
+  * latent hash-flip. A representative entry per family keeps the suite
+  * fast; the full catalog's two-run determinism (same config) is
+  * CatalogSpec's job. */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  // one per numeric-sensitivity family: DECIMAL-folded aggs (a01, x13),
+  // window ranks (w02), LSH/dedup chain (n04), NB chain + gopher
+  // (n68), PQ/ADC float chain (n56), BM25 index probe (n91), RRF
+  // fusion (n90), rolling-hash surgery + dedup (st13), CC clusters
+  // (n07), retention sweep's global rank (n71)
+  private val entries = Seq(
+    "a01_shipping_priority", "x13_correlation", "w02_rank_dense",
+    "n04_lsh_neardup", "n68_weak_quality", "n56_pq_adc",
+    "n91_bm25_index", "n90_hybrid_rrf", "st13_stream_decontaminate_rewrite",
+    "n07_dup_clusters", "n71_retention_sweep")
+
+  private def rowsAt(name: String, partitions: Int): Seq[String] = {
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try {
+      // operator memoizers cache frames built under the previous
+      // partition count — clear so each run re-aggregates at the
+      // configured parallelism (the point of the test)
+      graft.operators.Dedup.clearShingleCache(spark)
+      graft.operators.Corpus.clearClusterCache(spark)
+      graft.operators.Pq.clearPqCache(spark)
+      Catalog.queries(name)(spark, sf0001).collect().map(_.toString).toSeq
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
+  entries.foreach { name =>
+    test(s"$name: identical rows at 3 and 13 shuffle partitions") {
+      val a = rowsAt(name, 3)
+      val b = rowsAt(name, 13)
+      assert(a.nonEmpty)
+      assert(a == b, {
+        val diff = a.zip(b).zipWithIndex.collectFirst {
+          case ((x, y), i) if x != y => s"first diff at row $i:\n  p3 = $x\n  p13= $y"
+        }
+        diff.getOrElse(s"row count ${a.size} vs ${b.size}")
+      })
+    }
+  }
+}
