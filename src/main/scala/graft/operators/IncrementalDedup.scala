@@ -210,6 +210,39 @@ object IncrementalDedup {
       hotShingles = index.hotShingles)
   }
 
+  /** Delete documents from the index (takedowns, opt-outs, retention
+    * expiry — the CRUD axis appends alone can't express). LSM-style
+    * LOGICAL deletes: every doc-keyed component anti-joins the
+    * tombstone set at probe time; a later [[writeIndex]] of the
+    * filtered index (or [[compactIndex]]) materializes them — the
+    * standard tombstone-then-compact cadence.
+    *
+    * Exactness: the DEDUP probe is exact immediately (fingerprints /
+    * bands / shingles / sizes all filter by doc_id — n93's oracle is
+    * the full rebuild on the surviving corpus, hash-checked). The
+    * doc-less `winHashes` set cannot attribute hashes to documents and
+    * stays a SUPERSET, so DECONTAMINATION against a delete-carrying
+    * index remains conservative (may still flag a deleted doc's
+    * windows — over-screening, never under) until a corpus rebuild
+    * refreshes it; the scaladoc on [[DedupIndex]] calls out the same
+    * one-way property for the hot list.
+    *
+    * Scale: tombstone sets are small (a takedown batch); the anti-join
+    * broadcasts. `hotShingles` is intentionally untouched — the
+    * banding filter is a configuration of the index, and narrowing it
+    * on delete would break band-filter consistency for future probes. */
+  def deleteFromIndex(index: DedupIndex, tombstones: DataFrame): DedupIndex = {
+    val dead = broadcast(tombstones.select("doc_id").distinct())
+    def alive(df: DataFrame) = df.join(dead, Seq("doc_id"), "left_anti")
+    DedupIndex(
+      fingerprints = alive(index.fingerprints),
+      bands = alive(index.bands),
+      shingles = alive(index.shingles),
+      sizes = alive(index.sizes),
+      winHashes = index.winHashes,
+      hotShingles = index.hotShingles)
+  }
+
   /** Compact an appended index back to freshly-built state, reading
     * ONLY the index itself (the corpus text is never re-read or
     * re-shingled — the inverted shingle index already holds everything
@@ -698,7 +731,42 @@ object IncrementalDedup {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** n93: tombstone-delete exactness — build on the even half,
+    * DELETE doc_id ≡ 0 (mod 4) (half the index), probe the odd half.
+    * The oracle is the full rebuild restricted to the SURVIVING prior
+    * (≡ 2 mod 4): a dup pair that a deleted doc should no longer
+    * block, or a tombstoned row leaking into any probe component,
+    * flips the hash. The behavioral point a takedown pipeline needs:
+    * after deleting X, a re-arrival of X's content is ACCEPTED
+    * (IncrementalDedupSpec pins that case directly). */
+  val tombstoneProbe: Q = Q(
+    "n93_index_delete",
+    s"""WITH $shinglesSql,
+       |common AS (SELECT a.doc_id AS d_new, b.doc_id AS d_prior, count(*) AS c
+       |           FROM sh a JOIN sh b ON a.sh = b.sh
+       |           WHERE a.doc_id % 2 = 1 AND b.doc_id % 4 = 2
+       |           GROUP BY 1, 2),
+       |near AS (SELECT DISTINCT co.d_new
+       |         FROM common co
+       |         JOIN sizes s1 ON s1.doc_id = co.d_new
+       |         JOIN sizes s2 ON s2.doc_id = co.d_prior
+       |         WHERE CAST(co.c AS DOUBLE) / (s1.n + s2.n - co.c) >= 0.6),
+       |exact AS (SELECT DISTINCT doc_id FROM documents
+       |          WHERE doc_id % 2 = 1 AND md5(text) IN
+       |            (SELECT md5(text) FROM documents WHERE doc_id % 4 = 2))
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 2 = 1
+       |  AND doc_id NOT IN (SELECT d_new FROM near)
+       |  AND doc_id NOT IN (SELECT doc_id FROM exact)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val (prior, fresh) = splitDocs(s, dir)
+    val tombstones = prior.filter(col("doc_id") % 4 === 0).select("doc_id")
+    dedupAgainstIndex(fresh,
+      deleteFromIndex(buildIndex(prior), tombstones), threshold = 0.6)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(incrementalNearDup, incrementalDedup,
     incrementalDecontaminate, bloomScreen, snapshotChurn, compactionProbe,
-    bucketedProbe)
+    bucketedProbe, tombstoneProbe)
 }

@@ -339,4 +339,37 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(survivors == all -- near -- exact)
     assert(near.nonEmpty, "fixture should contain cross-snapshot near-dups")
   }
+
+  test("tombstone delete: probe == rebuild on survivors; deleted content re-arrives freely (n93)") {
+    import spark.implicits._
+    val idx = IncrementalDedup.buildIndex(prior)
+    val tombstones = prior.filter(col("doc_id") % 4 === 0).select("doc_id")
+    val deleted = IncrementalDedup.deleteFromIndex(idx, tombstones)
+    val probeDeleted = IncrementalDedup.dedupAgainstIndex(fresh, deleted, 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rebuilt = IncrementalDedup.dedupAgainstIndex(fresh,
+        IncrementalDedup.buildIndex(prior.filter(col("doc_id") % 4 === 2)), 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(probeDeleted == rebuilt && probeDeleted.nonEmpty)
+    // the takedown guarantee: an exact copy of a DELETED doc's content
+    // is accepted by the deleted index and blocked by the original.
+    // The victim must be content-UNIQUE within the prior (the corpus
+    // plants dup clusters — a victim with a surviving twin would
+    // correctly stay blocked, which is not the property under test).
+    val inPair = Dedup.nearDuplicatePairs(prior, 0.6).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val exactDup = prior.groupBy(md5(col("text").cast("binary")))
+      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(explode(col("ids")))
+      .collect().map(_.getLong(0)).toSet
+    val victimId = tombstones.collect().map(_.getLong(0)).sorted
+      .find(id => !inPair(id) && !exactDup(id)).get
+    val victim = prior.filter(col("doc_id") === victimId)
+      .select("text").head.getString(0)
+    val rearrival = Seq((9000001L, victim)).toDF("doc_id", "text")
+    def accepted(i: graft.operators.DedupIndex) =
+      IncrementalDedup.dedupAgainstIndex(rearrival, i, 0.6).count()
+    assert(accepted(idx) == 0L, "original index must block the copy")
+    assert(accepted(deleted) == 1L, "deleted index must accept the copy")
+  }
 }
