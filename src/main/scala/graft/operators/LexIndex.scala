@@ -61,6 +61,18 @@ object LexIndex {
       doclens = index.doclens.unionByName(b.doclens))
   }
 
+  /** Delete documents (takedowns/opt-outs) — the n93 tombstone
+    * semantics, EXACT here with no conservative residue: both
+    * components are doc-keyed, and df/N/avgdl are derived from them at
+    * probe time, so a delete-carrying index scores identically to a
+    * rebuild on the surviving corpus (LexIndexSpec pins it). */
+  def deleteFromIndex(index: Bm25Index, tombstones: DataFrame): Bm25Index = {
+    val dead = broadcast(tombstones.select("doc_id").distinct())
+    Bm25Index(
+      postings = index.postings.join(dead, Seq("doc_id"), "left_anti"),
+      doclens = index.doclens.join(dead, Seq("doc_id"), "left_anti"))
+  }
+
   /** Write both components as parquet under `path` (the manifest-less
     * small cousin of IncrementalDedup.writeIndex — two tables, no
     * cross-component invariant to protect beyond the append rule). */

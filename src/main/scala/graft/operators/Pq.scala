@@ -531,6 +531,19 @@ object Pq {
       encode(newVecs, index.books)
         .join(assignCoarse(newVecs, index.anchors), Seq("vec_id"))))
 
+  /** Delete vectors (takedowns) — the n93 tombstone semantics. EXACT
+    * for search: `codes` is the only per-vector component, so a
+    * delete-carrying index answers identically to one rebuilt by
+    * re-encoding the survivors under the SAME frozen anchors/books
+    * (PqSpec pins it). Anchors and codebooks are the index's trained
+    * configuration and are intentionally untouched — like the dedup
+    * index's hot list, narrowing them on delete would change every
+    * remaining vector's quantization. */
+  def deletePqIndex(index: PqIndex, tombstones: DataFrame): PqIndex =
+    index.copy(codes = index.codes.join(
+      broadcast(tombstones.select(col("vec_id")).distinct()),
+      Seq("vec_id"), "left_anti"))
+
   /** Search the index: probe selection against the broadcast anchors,
     * then the restricted ADC over ONLY the probed cells' code rows —
     * with the at-rest cell partitioning, that cell join is partition

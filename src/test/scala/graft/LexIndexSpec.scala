@@ -40,6 +40,18 @@ class LexIndexSpec extends SparkSpec {
     assert(keyed(fromIndex) == keyed(fromText) && fromIndex.nonEmpty)
   }
 
+  test("tombstone delete scores exactly like a rebuild on the survivors") {
+    val tombstones = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+    val deleted = LexIndex.deleteFromIndex(LexIndex.buildIndex(docs), tombstones)
+    val rebuilt = LexIndex.buildIndex(docs.filter(col("doc_id") % 5 =!= 0))
+    def topk(i: LexIndex.Bm25Index) =
+      LexIndex.bm25FromIndex(i, queries, 10).collect().map(_.toSeq).toSet
+    val a = topk(deleted)
+    assert(a == topk(rebuilt) && a.nonEmpty)
+    // deletes must actually change the answer (df/N/avgdl shift)
+    assert(a != topk(LexIndex.buildIndex(docs)))
+  }
+
   test("file roundtrip preserves the probe answer") {
     val dir = java.nio.file.Files.createTempDirectory("bm25_idx").toString
     LexIndex.writeIndex(LexIndex.buildIndex(docs), dir)

@@ -186,6 +186,26 @@ class PqSpec extends SparkSpec {
       s"expected cell= partition dirs under ${base.getPath}")
   }
 
+  test("tombstone delete answers exactly like re-encoding the survivors under frozen artifacts") {
+    val queries = e.filter(col("vec_id") < 32)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "nb_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Pq.buildPqIndex(e)
+    val tombstones = e.filter(col("vec_id") % 3 === 2).select("vec_id")
+    val deleted = Pq.deletePqIndex(full, tombstones)
+    // rebuild = survivors re-encoded under the SAME frozen anchors and
+    // codebooks (delete never retrains — the documented contract)
+    val survivors = e.filter(col("vec_id") % 3 =!= 2)
+    val rebuilt = full.copy(codes = full.codes.limit(0))
+    val reEncoded = Pq.appendPqIndex(rebuilt, survivors)
+    val a = key(Pq.searchPqIndex(queries, deleted))
+    assert(a == key(Pq.searchPqIndex(queries, reEncoded)) && a.nonEmpty)
+    // a deleted vector never appears as a neighbor; answers did change
+    assert(!a.exists { case (_, nb, _) => nb % 3 == 2 })
+    assert(a != key(Pq.searchPqIndex(queries, full)))
+  }
+
   test("residual codes (IVFADC) beat raw codes at equal bytes: lower MSE, no recall regression") {
     // Jégou et al. §IV: quantizing x − c(x) spends the same 4-byte code
     // budget on a tighter distribution. The decisive equal-bytes metric
