@@ -391,5 +391,65 @@ object Classifier {
        |sc AS (SELECT doc_id, prior_lo + ${dsumSql("t")} AS logodds
        |       FROM terms GROUP BY doc_id, prior_lo)""".stripMargin
 
-  val all: Seq[Q] = Seq(nbLang, nbWeakQuality, retentionSweep)
+  // ---------------------------------------------------------------------
+  // n94: the retention threshold from a QUANTILE SKETCH — n71's own
+  // scaladoc names approx_percentile as the 100 TB path (the exact
+  // global rank is the audit's shape, not production's); this entry
+  // makes that path driver-checked with the x12 band pattern: the
+  // oracle emits TRUE for each sketch claim and exact values for
+  // everything else, so a sketch drifting outside its exact-percentile
+  // band (or a kept-count outside the band's count envelope) flips the
+  // hash.
+  // ---------------------------------------------------------------------
+
+  /** Budgets swept by n94 (a subset of n71's — each adds a full
+    * percentile buffer per budget). */
+  private val ApproxBudgets = Seq(25L, 50L)
+
+  val retentionApprox: Q = Q(
+    "n94_retention_approx",
+    s"""WITH $weakQualityChainSql,
+       |scores AS (SELECT doc_id, s_pass - s_fail AS lo FROM sc2)
+       |${ApproxBudgets.map { b =>
+           val q = (100L - b).toDouble / 100
+           s"""SELECT CAST($b AS BIGINT) AS budget_pct,
+              |       CAST(count(*) AS BIGINT) AS n_total,
+              |       ${round6Sql(s"quantile_cont(lo, $q)")} AS threshold_exact,
+              |       TRUE AS sketch_within_band,
+              |       TRUE AS kept_within_band
+              |FROM scores""".stripMargin
+         }.mkString("\nUNION ALL\n")}
+       |ORDER BY budget_pct""".stripMargin) { (s, dir) =>
+    val scores = weakQualityWide(Tables(s, dir).documents)
+      .select(col("doc_id"), (col("s_pass") - col("s_fail")).as("lo"))
+      .localCheckpoint() // the NB chain runs once, not once per budget pass
+    ApproxBudgets.map { b =>
+      val q = (100L - b).toDouble / 100
+      // [band-lo, exact, band-hi] percentiles ±0.02 around q (x12's
+      // triplet trick: one buffer) + the sketch at accuracy 10000
+      // (rank error ≤ N/10000 ≪ the 2-point band)
+      val trip = expr(s"percentile(lo, array(${q - 0.02}D, ${q}D, ${q + 0.02}D))")
+      val sk = expr(s"approx_percentile(lo, ${q}D, 10000)")
+      val stats = scores.agg(count(lit(1)).as("n_total"), trip.as("ex"), sk.as("sk"))
+      scores.crossJoin(broadcast(stats))
+        .groupBy()
+        .agg(
+          max(col("n_total")).as("n_total"),
+          max(round6(element_at(col("ex"), 2))).as("threshold_exact"),
+          max(col("sk").between(element_at(col("ex"), 1), element_at(col("ex"), 3)))
+            .as("sketch_within_band"),
+          // counts are antitone in the threshold: t_sketch inside
+          // [band-lo, band-hi] ⇒ its kept count inside the band's
+          // count envelope
+          sum(when(col("lo") >= col("sk"), 1L).otherwise(0L)).as("__kept_sk"),
+          sum(when(col("lo") >= element_at(col("ex"), 1), 1L).otherwise(0L)).as("__kept_max"),
+          sum(when(col("lo") >= element_at(col("ex"), 3), 1L).otherwise(0L)).as("__kept_min"))
+        .select(lit(b).as("budget_pct"), col("n_total"), col("threshold_exact"),
+          col("sketch_within_band"),
+          col("__kept_sk").between(col("__kept_min"), col("__kept_max"))
+            .as("kept_within_band"))
+    }.reduce(_.unionAll(_)).orderBy("budget_pct")
+  }
+
+  val all: Seq[Q] = Seq(nbLang, nbWeakQuality, retentionSweep, retentionApprox)
 }

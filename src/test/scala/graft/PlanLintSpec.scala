@@ -32,6 +32,8 @@ class PlanLintSpec extends SparkSpec {
     "n70r_pq_recall_residual", // same shapes, residual model
     "n71_retention_sweep",  // n68's class/vocab broadcasts + 1-row
                             //   corpus-total broadcast per budget
+    "n94_retention_approx", // n68's broadcasts + 1-row percentile/sketch
+                            //   stats broadcast per budget (x12's pattern)
     "n50_tfidf_topterms",   // 1-row corpus-count broadcast (n28's pattern)
     "n67_nb_lang",          // class-frame (5-row) + 1-row vocab/total broadcasts
     "n68_weak_quality",     // 2-class frame + 1-row vocab/total broadcasts
