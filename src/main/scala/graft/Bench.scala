@@ -364,7 +364,14 @@ object Bench {
           case Some(r) if b > ratioFor(r) * r =>
             val live = sampleByName.getOrElse(n, Nil).filter(_ > 0)
             val tightFresh = refRetimed.contains(n) && live.size >= 2 && live.max / live.min <= 1.15
-            if (canaryQuiet || tightFresh) Some(n -> b) else None
+            // Round-10 tightening: a quiet canary alone is NOT quiet —
+            // observed: a co-tenant saturating cores inflated wide
+            // stages ~30% while the single-thread canary threaded
+            // between bursts (drift 1.45), and an upward accept
+            // rewrote n17's ref 1.55 → 2.35 on unchanged code. An
+            // upward rewrite (a claimed plan-cost change) now needs
+            // BOTH quietness signals, or tight fresh retime samples.
+            if ((canaryQuiet && quietByEvidence) || tightFresh) Some(n -> b) else None
           case _ => Some(n -> b) // ratchet down, or seed a new query
         }
       }.toMap
