@@ -6,6 +6,17 @@ import graft.operators.Dedup
 /** Scratch perf lab (not part of the driver contract): times named
   * experiment variants at SPARK_GRAFT_SF_DIR. */
 object Lab {
+  /** Same session-memoizer set Bench's cold mode clears — a memoized
+    * shingle/cluster/PQ/ingest/bucketed-publish frame would fake a ~0
+    * scale exponent (warm-JVM, cache-cold semantics). */
+  private def clearOperatorCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
+    operators.Dedup.clearShingleCache(spark)
+    operators.Corpus.clearClusterCache(spark)
+    operators.Pq.clearPqCache(spark)
+    streaming.WindowedAggs.clearIngestCache(spark)
+    operators.IncrementalDedup.clearBucketedCache(spark)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -67,11 +78,7 @@ object Lab {
         args.drop(1).foreach { name =>
           val fn = SparkEntry.queries(name)
           def sample(tag: String): Unit = {
-            if (coldCaches) {
-              operators.Dedup.clearShingleCache(spark)
-              operators.Corpus.clearClusterCache(spark)
-              operators.Pq.clearPqCache(spark)
-            }
+            if (coldCaches) clearOperatorCaches(spark)
             time(s"$name $tag")(fn(spark, sfDir).count())
           }
           sample("cold"); sample("warm"); sample("warm2")
@@ -87,11 +94,7 @@ object Lab {
         args.drop(1).foreach { name =>
           val fn = SparkEntry.queries(name)
           def sample(tag: String): Unit = {
-            if (coldCachesF) {
-              operators.Dedup.clearShingleCache(spark)
-              operators.Corpus.clearClusterCache(spark)
-              operators.Pq.clearPqCache(spark)
-            }
+            if (coldCachesF) clearOperatorCaches(spark)
             time(s"$name $tag") {
               val df = fn(spark, sfDir)
               df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))

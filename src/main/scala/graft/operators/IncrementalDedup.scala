@@ -21,9 +21,18 @@ import graft.{Q, Tables}
   *     is capped).
   *   - `sizes` (doc_id, n): distinct-shingle counts (precomputed so a
   *     probe never re-aggregates the whole persisted index).
-  *   - `winHashes` (h): distinct Rabin–Karp window fingerprints — the
-  *     benchmark-decontamination probe side (n26's screen against a
-  *     REAL held-out index instead of an in-corpus stand-in).
+  *   - `winHashes` (doc_id, h): per-document distinct Rabin–Karp
+  *     window fingerprints — the benchmark-decontamination probe side
+  *     (n26's screen against a REAL held-out index instead of an
+  *     in-corpus stand-in). DOC-KEYED (round 11, VERDICT r10 #2) so
+  *     takedowns are exact: a doc-less distinct-h set could never
+  *     attribute a hash to its deleted document, leaving
+  *     decontamination conservatively over-screening until a corpus
+  *     rebuild. Attribution costs one extra 8-byte column and per-doc
+  *     (vs corpus-global) distinctness — cheap in practice because the
+  *     indexed side of a decontamination screen is the HELD-OUT
+  *     benchmark set, not the 100 TB corpus; probes still reduce to
+  *     distinct h (and at rest the component is bucketed by h).
   *   - `hotShingles` (sh): the df-capped stop-shingle list the bands
   *     were built WITHOUT. Persisted because MinHash only collides
   *     when both sides minimize over the SAME shingle filter — a probe
@@ -88,7 +97,8 @@ object IncrementalDedup {
       bands = Dedup.bandSignatures(banded),
       shingles = sh,
       sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n")),
-      winHashes = TextAnalysis.windowHashes(docs).select(col("win_hash").as("h")).distinct(),
+      winHashes = TextAnalysis.windowHashes(docs)
+        .select(col("doc_id"), col("win_hash").as("h")).distinct(),
       hotShingles = hot)
   }
 
@@ -162,7 +172,7 @@ object IncrementalDedup {
       "shingles" -> sh,
       "sizes" -> sh.groupBy("doc_id").agg(count(lit(1)).as("n")),
       "winhash" -> TextAnalysis.windowHashes(newDocs)
-        .select(col("win_hash").as("h")).distinct())
+        .select(col("doc_id"), col("win_hash").as("h")).distinct())
   }
 
   def appendToIndex(newDocs: DataFrame, path: String,
@@ -217,20 +227,23 @@ object IncrementalDedup {
     * filtered index (or [[compactIndex]]) materializes them — the
     * standard tombstone-then-compact cadence.
     *
-    * Exactness: the DEDUP probe is exact immediately (fingerprints /
-    * bands / shingles / sizes all filter by doc_id — n93's oracle is
-    * the full rebuild on the surviving corpus, hash-checked). The
-    * doc-less `winHashes` set cannot attribute hashes to documents and
-    * stays a SUPERSET, so DECONTAMINATION against a delete-carrying
-    * index remains conservative (may still flag a deleted doc's
-    * windows — over-screening, never under) until a corpus rebuild
-    * refreshes it; the scaladoc on [[DedupIndex]] calls out the same
-    * one-way property for the hot list.
+    * Exactness: EVERY content component is exact immediately —
+    * fingerprints / bands / shingles / sizes / winHashes all filter by
+    * doc_id (winHashes doc-keyed since round 11, VERDICT r10 #2, so
+    * DECONTAMINATION honors takedowns too: a delete-carrying index
+    * screens identically to a full rebuild on the surviving corpus —
+    * n96's oracle hash-checks exactly that; previously the doc-less
+    * distinct-h set stayed a conservative superset until a rebuild).
+    * [[compactIndex]] then materializes the same answer, so
+    * delete + compact == full rebuild including the contamination
+    * component (IncrementalDedupSpec pins the equality).
     *
     * Scale: tombstone sets are small (a takedown batch); the anti-join
     * broadcasts. `hotShingles` is intentionally untouched — the
     * banding filter is a configuration of the index, and narrowing it
-    * on delete would break band-filter consistency for future probes. */
+    * on delete would break band-filter consistency for future probes
+    * (a deleted doc's contribution to a df-cap is a COUNT, not
+    * content; it leaks nothing). */
   def deleteFromIndex(index: DedupIndex, tombstones: DataFrame): DedupIndex = {
     val dead = broadcast(tombstones.select("doc_id").distinct())
     def alive(df: DataFrame) = df.join(dead, Seq("doc_id"), "left_anti")
@@ -239,7 +252,7 @@ object IncrementalDedup {
       bands = alive(index.bands),
       shingles = alive(index.shingles),
       sizes = alive(index.sizes),
-      winHashes = index.winHashes,
+      winHashes = alive(index.winHashes),
       hotShingles = index.hotShingles)
   }
 
@@ -251,9 +264,9 @@ object IncrementalDedup {
     *   - crash-replayed batches (a batch whose append ran twice):
     *     every component dedupes to one copy, so Jaccard verify counts
     *     and sizes are exact again;
-    *   - cross-batch winhash duplicates (each append writes its own
-    *     DISTINCT set): collapsed, so probes drop the defensive
-    *     re-distinct;
+    *   - replayed winhash rows (doc-keyed, so cross-batch duplicates
+    *     only arise from a replayed batch): collapsed to one
+    *     (doc_id, h) copy each;
     *   - stale banding under a df-cap (appends band against the
     *     ORIGINAL hot list; shingles that became hot corpus-wide since
     *     are not retro-capped): with `dfCap` set the hot list is
@@ -459,8 +472,9 @@ object IncrementalDedup {
     * 8-token window fingerprint with the index's corpus — n26's screen
     * run the way a training pipeline actually runs it (the held-out
     * set is indexed once; every candidate batch probes it). The
-    * defensive distinct() keeps counts correct even after
-    * [[appendToIndex]] wrote overlapping window-hash sets. */
+    * select("h").distinct() reduces the doc-keyed component to the
+    * corpus-wide hash set the screen joins on (and keeps counts
+    * correct after [[appendToIndex]] wrote overlapping sets). */
   def contaminatedAgainstIndex(newDocs: DataFrame, index: DedupIndex): DataFrame =
     TextAnalysis.windowHashes(newDocs)
       .select(col("doc_id"), col("win_hash").as("h")).distinct()
@@ -680,16 +694,31 @@ object IncrementalDedup {
     * the session warehouse. */
   private val bucketedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  // locations OUTLIVE clearBucketedCache on purpose: a cold-mode
+  // re-publish overwrites the same external directory instead of
+  // orphaning a fresh temp dir per rep (ADVICE r10 #2)
+  private val bucketedLoc =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
   def clearBucketedCache(spark: SparkSession): Unit = {
     val it = bucketedCache.keySet().iterator()
     while (it.hasNext) if (it.next()._1 eq spark) it.remove()
   }
 
+  /** Collision-resistant table-name prefix for a corpus dir: md5 of the
+    * path (String.hashCode collisions between two sf dirs in one
+    * session would silently cross-publish — ADVICE r10 #1). */
+  private def dirDigest(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(12)
+
   private def bucketedPriorPrefix(s: SparkSession, dir: String): String =
     bucketedCache.computeIfAbsent((s, dir), { _: (SparkSession, String) =>
-      val prefix = s"graft_bidx_${(dir.hashCode & Int.MaxValue).toHexString}"
-      val loc = java.nio.file.Files.createTempDirectory("graft_bucketed_idx").toString
+      val prefix = s"graft_bidx_${dirDigest(dir)}"
+      val loc = bucketedLoc.computeIfAbsent((s, dir), { _: (SparkSession, String) =>
+        java.nio.file.Files.createTempDirectory("graft_bucketed_idx").toString
+      })
       val (prior, _) = splitDocs(s, dir)
       publishBucketedIndex(buildIndex(prior), prefix, numBuckets = 32,
         location = Some(loc))
@@ -766,7 +795,40 @@ object IncrementalDedup {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** n96: tombstone-exact DECONTAMINATION (VERDICT r10 #2) — the
+    * component n93 could not attest while winHashes was doc-less.
+    * Build the held-out index on the even half, DELETE doc_id ≡ 0
+    * (mod 4), screen the odd half: the oracle is n39's screen computed
+    * against the SURVIVING held-out docs (≡ 2 mod 4) only. A deleted
+    * doc's window hash still screening (the old conservative-superset
+    * behavior), or a shared window lost because a surviving doc also
+    * carries it (the naive set-minus bug doc-keying exists to avoid),
+    * flips the hash. */
+  val tombstoneDecontaminate: Q = Q(
+    "n96_delete_decontaminate",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |pos AS (SELECT doc_id, tk,
+       |               unnest(generate_series(1, greatest(len(tk) - ${TextAnalysis.RollingWindow - 1}, 0))) AS p
+       |        FROM toks),
+       |wh AS (SELECT doc_id,
+       |              list_reduce(list_transform(tk[p:p+${TextAnalysis.RollingWindow - 1}],
+       |                t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % ${TextAnalysis.P}),
+       |                (a, b) -> (a * ${TextAnalysis.B} + b) % ${TextAnalysis.P}) AS h
+       |       FROM pos),
+       |bench AS (SELECT DISTINCT h FROM wh WHERE doc_id % 4 = 2),
+       |train AS (SELECT DISTINCT doc_id, h FROM wh WHERE doc_id % 2 = 1)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM train t JOIN bench b ON t.h = b.h
+       |GROUP BY t.doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val (prior, fresh) = splitDocs(s, dir)
+    val tombstones = prior.filter(col("doc_id") % 4 === 0).select("doc_id")
+    contaminatedAgainstIndex(fresh,
+      deleteFromIndex(buildIndex(prior), tombstones))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(incrementalNearDup, incrementalDedup,
     incrementalDecontaminate, bloomScreen, snapshotChurn, compactionProbe,
-    bucketedProbe, tombstoneProbe)
+    bucketedProbe, tombstoneProbe, tombstoneDecontaminate)
 }

@@ -75,7 +75,14 @@ object LexIndex {
 
   /** Write both components as parquet under `path` (the manifest-less
     * small cousin of IncrementalDedup.writeIndex — two tables, no
-    * cross-component invariant to protect beyond the append rule). */
+    * cross-component invariant to protect beyond the append rule).
+    *
+    * Compaction cadence (ADVICE r10 #3): materializing a
+    * [[deleteFromIndex]] result MUST write to a FRESH path and swap —
+    * the delete-filtered frames still read lazily from the source
+    * path, and Spark refuses to overwrite a path it is reading (worse,
+    * some filesystems corrupt instead of refusing). Same rule as
+    * [[IncrementalDedup.compactAndRewrite]]'s pointer-flip. */
   def writeIndex(index: Bm25Index, path: String): Unit = {
     index.postings.write.mode("overwrite").parquet(s"$path/postings")
     index.doclens.write.mode("overwrite").parquet(s"$path/doclens")

@@ -372,4 +372,39 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(accepted(idx) == 0L, "original index must block the copy")
     assert(accepted(deleted) == 1L, "deleted index must accept the copy")
   }
+
+  test("doc-keyed winHashes: takedown exact for decontamination, delete+compact == rebuild (n96)") {
+    import spark.implicits._
+    val idx = IncrementalDedup.buildIndex(prior)
+    val tombstones = prior.filter(col("doc_id") % 4 === 0).select("doc_id")
+    val deleted = IncrementalDedup.deleteFromIndex(idx, tombstones)
+    def screen(i: graft.operators.DedupIndex) =
+      IncrementalDedup.contaminatedAgainstIndex(fresh, i)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = screen(
+      IncrementalDedup.buildIndex(prior.filter(col("doc_id") % 4 === 2)))
+    // exact IMMEDIATELY (no compaction needed) ...
+    assert(screen(deleted) == rebuilt)
+    // ... and compaction materializes the same answer: delete + compact
+    // == full rebuild INCLUDING the contamination component
+    assert(screen(IncrementalDedup.compactIndex(deleted)) == rebuilt)
+    // the delete actually removed attributed rows (not a vacuous pass)
+    assert(deleted.winHashes.count() < idx.winHashes.count())
+
+    // attribution guard, controlled corpus: a window shared between a
+    // deleted and a surviving doc KEEPS screening (the naive set-minus
+    // would lose it); a window unique to the deleted doc STOPS.
+    val sharedSpan = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val uniqueSpan = (1 to 8).map(i => s"unique$i").mkString(" ")
+    val bench = Seq(
+      (1L, s"$sharedSpan $uniqueSpan"),
+      (2L, s"$sharedSpan alive tail tokens beyond the window")).toDF("doc_id", "text")
+    val bidx = IncrementalDedup.deleteFromIndex(
+      IncrementalDedup.buildIndex(bench), Seq(1L).toDF("doc_id"))
+    val probes = Seq((101L, sharedSpan), (102L, uniqueSpan)).toDF("doc_id", "text")
+    val flagged = IncrementalDedup.contaminatedAgainstIndex(probes, bidx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(101L),
+      s"shared window must screen, unique-to-deleted must not: $flagged")
+  }
 }

@@ -68,7 +68,11 @@ class LexIndexSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     val loc = java.nio.file.Files.createTempDirectory("bm25_bucketed").toString
+    // save/restore BOTH confs to their actual prior values (ADVICE r10
+    // #4 — restoring adaptive.enabled to a hardcoded "true" would flip
+    // session state if the suite default ever changes)
     val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -99,7 +103,8 @@ class LexIndexSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
       assert(a == b && a.nonEmpty)
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      savedAqe.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
+        spark.conf.set("spark.sql.adaptive.enabled", _))
       saved.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
       Seq("bm25t_postings", "bm25t_doclens", "bm25t_q").foreach(t =>

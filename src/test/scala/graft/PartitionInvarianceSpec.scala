@@ -26,7 +26,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // tombstone probe (anti-join chain) and the sketch-banded entry —
     // approx_percentile's merge tree CHANGES with partitioning; only
     // the band booleans may be emitted, never the sketch value
-    "n93_index_delete", "n94_retention_approx")
+    "n93_index_delete", "n94_retention_approx",
+    // doc-keyed winHashes delete + decontamination screen (r11)
+    "n96_delete_decontaminate")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
