@@ -468,6 +468,112 @@ object StreamingOps {
       }.toDF()
   }
 
+  final case class TkProbe(band: Int, sig: Long, doc_id: Long,
+      hashes: Array[Long], sigs: Array[Long], dead: Boolean)
+  final case class TkBucketState(entries: List[BucketEntry], dead: List[Long])
+
+  /** STREAMING TAKEDOWN (st14, VERDICT r10 #6): [[streamingNearDupPairs]]
+    * with a second stream of mid-stream tombstones. A takedown for doc
+    * X removes X from every band bucket it occupies, so future
+    * arrivals of X-like content are ACCEPTED as new — the in-stream
+    * twin of the batch index's `deleteFromIndex` contract (n93):
+    * takedowns affect FUTURE pairing only; already-emitted pairs are
+    * immutable history (a stream cannot retract appended output).
+    *
+    * Takedowns must carry the CONTENT being taken down, not just the
+    * id: bucket state is content-addressed ((band, sig) keys derive
+    * from the text), so only the content can route a tombstone to the
+    * buckets holding it — `flatMapGroupsWithState` offers no scan-all-
+    * state primitive, and a broadcast-id side channel would rescan
+    * nothing anyway. Id-only takedowns are the PERSISTED index's job,
+    * where every component is doc-keyed precisely so an id filters it
+    * (IncrementalDedup.deleteFromIndex / n93, n96). DECISIONS r11
+    * records this split.
+    *
+    * Semantics, deterministic by construction:
+    *   - within a micro-batch, takedowns apply FIRST (a takedown is
+    *     effective from its batch start; inserts in the same batch see
+    *     post-takedown state);
+    *   - each bucket remembers its tombstoned doc_ids, so an
+    *     at-least-once source REDELIVERING a taken-down doc's insert
+    *     cannot resurrect it (the LSM rule: a tombstone outlives its
+    *     row) — re-arrival of the same content under a NEW doc_id is
+    *     accepted, matching the takedown pipeline's contract;
+    *   - tombstone probes carry the same (band, sig) vector as the
+    *     original insert, so one takedown reaches ALL 16 of X's
+    *     buckets in the same micro-batch — no bucket is left serving
+    *     a half-deleted doc, and the first-colliding-band emission
+    *     rule (computed from sig vectors, invariant under deletion)
+    *     keeps pair emission exactly-once.
+    *
+    * State cost: the base lane's, plus one Long per (tombstone,
+    * band) — takedown-batch-sized, the same budget as n93's broadcast
+    * tombstone sets. Returns streaming (d1, d2, jac), each qualifying
+    * pair at most once across the stream. */
+  def streamingNearDupPairsWithTakedown(docs: DataFrame,
+      takedowns: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val probeEnc = Encoders.product[TkProbe]
+    implicit val stateEnc = Encoders.product[TkBucketState]
+    implicit val outEnc = Encoders.product[NearDupPair]
+
+    val tagged = docs.select(col("doc_id"), col("text"), lit(false).as("dead"))
+      .unionByName(
+        takedowns.select(col("doc_id"), col("text"), lit(true).as("dead")))
+      .as(Encoders.product[(Long, String, Boolean)])
+
+    val probes = tagged.flatMap { case (id, text, dead) =>
+      val sh = graft.operators.Dedup.rowShingles(text)
+      if (sh.isEmpty) Iterator.empty
+      else {
+        val (sigs, hashes) = graft.operators.Dedup.rowBandSigs(sh)
+        sigs.iterator.zipWithIndex.map { case (sig, b) =>
+          TkProbe(b, sig, id, hashes, sigs, dead)
+        }
+      }
+    }
+
+    probes.groupByKey(p => (p.band, p.sig))
+      .flatMapGroupsWithState[TkBucketState, NearDupPair](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[TkProbe], state: GroupState[TkBucketState]) =>
+          val prev = state.getOption.getOrElse(TkBucketState(Nil, Nil))
+          var entries = prev.entries
+          var dead = prev.dead
+          val out = List.newBuilder[NearDupPair]
+          // takedowns first (batch-start effectiveness), then inserts in
+          // doc_id order — same-batch arrivals stay deterministic
+          rows.toSeq.sortBy(p => (!p.dead, p.doc_id)).foreach { p =>
+            if (p.dead) {
+              entries = entries.filterNot(_.doc_id == p.doc_id)
+              if (!dead.contains(p.doc_id)) dead = p.doc_id :: dead
+            } else if (!dead.contains(p.doc_id) &&
+                !entries.exists(_.doc_id == p.doc_id)) {
+              entries.foreach { e =>
+                // emit from the pair's FIRST colliding band only
+                var first = -1
+                var b = 0
+                while (first < 0 && b < e.sigs.length) {
+                  if (e.sigs(b) == p.sigs(b)) first = b
+                  b += 1
+                }
+                if (first == key._1) {
+                  val inter = sortedIntersection(e.hashes, p.hashes)
+                  val jac = inter.toDouble / (e.hashes.length + p.hashes.length - inter)
+                  if (jac >= threshold)
+                    out += NearDupPair(math.min(e.doc_id, p.doc_id),
+                      math.max(e.doc_id, p.doc_id), jac)
+                }
+              }
+              entries = BucketEntry(p.doc_id, p.hashes, p.sigs) :: entries
+            }
+          }
+          state.update(TkBucketState(entries, dead))
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Milliseconds in a `withWatermark`-style duration string — parsed
     * by Spark's own interval parser so the two notations can never
     * disagree. Day-time units only (a month has no fixed ms). */

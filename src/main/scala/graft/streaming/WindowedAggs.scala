@@ -560,8 +560,46 @@ object WindowedAggs {
     }
   }
 
+  /** Batch twin of [[StreamingOps.streamingNearDupPairsWithTakedown]]
+    * (st14, VERDICT r10 #6): the three-act takedown stream — phase-1
+    * docs (even doc_id) arrive and pair among themselves; a mid-stream
+    * takedown removes the ≡ 0 (mod 8) quarter of them; phase-2 docs
+    * (odd) then pair against SURVIVORS and each other. Emitted history
+    * is immutable, so the twin is every near-dup pair over the corpus
+    * EXCEPT (deleted × phase-2) pairs — those are exactly the pairings
+    * the takedown must prevent; a deleted doc still blocking a phase-2
+    * arrival (takedown ignored) or a surviving pair lost
+    * (over-deletion) flips the hash. Non-vacuous at every sf: the
+    * corpus' planted dup pairs land on both sides of the parity split,
+    * and the ≡ 0 (mod 8) takedowns intersect real (even, odd) pairs.
+    * StreamingSpec proves the MemoryStream run of the takedown lane
+    * (three micro-batches, tombstones in the middle) emits exactly
+    * this set. */
+  val streamTakedownTwin: Q = Q(
+    "st14_stream_takedown",
+    s"""WITH ${graft.operators.Dedup.shinglesSqlFor("documents")},
+       |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |           GROUP BY a.doc_id, b.doc_id)
+       |SELECT d1, d2,
+       |       CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jac
+       |FROM common
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6
+       |  AND NOT ((d1 % 8 = 0 AND d2 % 2 = 1) OR
+       |           (d2 % 8 = 0 AND d1 % 2 = 1))
+       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    graft.operators.Dedup.nearDuplicatePairs(docs, threshold = 0.6)
+      .filter(!((col("d1") % 8 === 0 && col("d2") % 2 === 1) ||
+                (col("d2") % 8 === 0 && col("d1") % 2 === 1)))
+      .orderBy("d1", "d2")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
     streamNearDup, indexedIngestBatch1, indexedIngestBatch2,
     qualityGateTwin, streamEnrichTwin, classifierGateTwin,
-    decontaminateTwin, decontaminateRewriteTwin, streamPackTwin)
+    decontaminateTwin, decontaminateRewriteTwin, streamPackTwin,
+    streamTakedownTwin)
 }

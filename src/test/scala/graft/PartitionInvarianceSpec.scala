@@ -28,7 +28,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // the band booleans may be emitted, never the sketch value
     "n93_index_delete", "n94_retention_approx",
     // doc-keyed winHashes delete + decontamination screen (r11)
-    "n96_delete_decontaminate")
+    "n96_delete_decontaminate",
+    // fused index-serving retrieval: BM25-from-index + IVF under RRF (r11)
+    "n95_fused_serving",
+    // streaming-takedown twin: LSH pair set minus takedown pairings (r11)
+    "st14_stream_takedown")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -340,6 +340,80 @@ class StreamingSpec extends SparkSpec {
       (2L, 3L), (2L, 4L), (3L, 4L)), s"got $live")
   }
 
+  test("streaming takedown equals the st14 batch twin across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables(spark, sf0001).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val phase1 = docs.filter(_._1 % 2 == 0).toSeq
+    val deleted = phase1.filter(_._1 % 8 == 0)
+    val phase2 = docs.filter(_._1 % 2 == 1).toSeq
+    assert(deleted.nonEmpty && phase2.nonEmpty)
+
+    val ins = MemoryStream[(Long, String)]
+    val tks = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingNearDupPairsWithTakedown(
+      ins.toDF().toDF("doc_id", "text"),
+      tks.toDF().toDF("doc_id", "text"), threshold = 0.6)
+      .writeStream.format("memory").queryName("tk_lsh")
+      .outputMode(OutputMode.Update).start()
+    try {
+      ins.addData(phase1); q.processAllAvailable()
+      tks.addData(deleted); q.processAllAvailable()
+      ins.addData(phase2); q.processAllAvailable()
+    } finally q.stop()
+
+    def jmap(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jac")).toMap
+    val streamed = spark.table("tk_lsh").collect().toSeq
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1))).distinct.size == streamed.size,
+      "pair emitted more than once")
+    val twin = jmap(Catalog.queries("st14_stream_takedown")(spark, sf0001)
+      .collect().toSeq)
+    assert(jmap(streamed) == twin,
+      s"stream ${streamed.size} pairs vs twin ${twin.size}")
+    // the takedown must be load-bearing: without it, the deleted docs'
+    // (even, odd) pairs WOULD have emitted
+    val unfiltered = graft.operators.Dedup.nearDuplicatePairs(
+      Tables(spark, sf0001).documents, 0.6).count()
+    assert(twin.size < unfiltered,
+      s"no pair actually suppressed ($unfiltered total)")
+  }
+
+  test("streaming takedown: tombstone blocks redelivery, content re-arrival accepted") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def words(tag: Int, n: Int) = (0 until n).map(w => s"t${tag}_$w").mkString(" ")
+    val base = words(1, 11)
+    val x = (200L, s"$base endX")
+    val y = (201L, s"$base endY") // near-dup of x's content
+    val z = (202L, s"$base endZ") // near-dup of both
+    val ins = MemoryStream[(Long, String)]
+    val tks = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingNearDupPairsWithTakedown(
+      ins.toDF().toDF("doc_id", "text"),
+      tks.toDF().toDF("doc_id", "text"), threshold = 0.6)
+      .writeStream.format("memory").queryName("tk_rules")
+      .outputMode(OutputMode.Update).start()
+    try {
+      ins.addData(Seq(x)); q.processAllAvailable()
+      // takedown of x, then an at-least-once REDELIVERY of x's insert:
+      // the tombstone must outlive the row — no resurrection
+      tks.addData(Seq(x)); q.processAllAvailable()
+      ins.addData(Seq(x)); q.processAllAvailable()
+      // y (x-like content, NEW id) is accepted as new: no pair with the
+      // deleted x, and it seeds state — z then pairs with y only
+      ins.addData(Seq(y)); q.processAllAvailable()
+      assert(spark.table("tk_rules").count() == 0,
+        "deleted doc still pairing, or redelivery resurrected it")
+      ins.addData(Seq(z)); q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("tk_rules").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((201L, 202L)), s"got $pairs")
+  }
+
   test("indexedIngest: accepted store stays dup-free while the index grows per batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
