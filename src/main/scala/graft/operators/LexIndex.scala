@@ -73,6 +73,21 @@ object LexIndex {
       doclens = index.doclens.join(dead, Seq("doc_id"), "left_anti"))
   }
 
+  /** Upsert a batch (insert-or-replace, keyed by doc_id) — the U in
+    * the index's CRUD axis: re-ingestion of EDITED documents (a
+    * re-crawl that found changed pages, a takedown-and-redact cycle
+    * that reinstates cleaned text) plus brand-new docs in one batch.
+    * Composition of the two exact primitives: tombstone the batch's
+    * ids (a no-op for ids not yet indexed — the insert arm), then
+    * append the batch's fresh components. Because the delete is exact
+    * (doc-keyed components, stats derived at probe time), the result
+    * scores identically to a full rebuild over the edited corpus —
+    * n99 oracles exactly that. Cost: one broadcast anti-join
+    * (batch-sized tombstone set) + one tokenize pass over the BATCH
+    * only; the at-rest corpus is never re-read. */
+  def upsertIndex(index: Bm25Index, docs: DataFrame): Bm25Index =
+    appendIndex(deleteFromIndex(index, docs.select("doc_id")), docs)
+
   /** Write both components as parquet under `path` (the manifest-less
     * small cousin of IncrementalDedup.writeIndex — two tables, no
     * cross-component invariant to protect beyond the append rule).
@@ -142,47 +157,134 @@ object LexIndex {
     * is n83's full-corpus answer computed from raw text, so one wrong
     * df, a lost posting row, or a stats drift anywhere in
     * build/append/score flips the hash. */
-  val bm25IndexQ: Q = {
-    val k = 10
+  /** Shared DuckDB twin body for the index-scoring entries: BM25
+    * top-`k` from raw text over `corpus` (a derived view of
+    * `documents`) — one SQL definition so n91 (full corpus), n97
+    * (post-tombstone survivors) and n99 (post-upsert text) cannot
+    * drift. `corpusSelect` is the view body: a doc_id/text SELECT.
+    * The core form omits the final ORDER BY so [[bm25SnapshotSql]]
+    * can UNION snapshot branches (DuckDB accepts a WITH chain inside
+    * each derived-table branch). */
+  private def bm25SqlCore(k: Int, corpusSelect: String): String = {
     val qVals = TextAnalysis.bm25QuerySet
       .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
-    Q(
-      "n91_bm25_index",
-      s"""WITH q(q_id, term) AS (VALUES $qVals),
-         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |       FROM tok WHERE term IN (SELECT term FROM q)
-         |       GROUP BY doc_id, term),
-         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
-         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-         |       FROM documents),
-         |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         |sc AS (SELECT q.q_id, t.doc_id,
-         |              ${round6Sql(
-                 "ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * " +
-                 "(t.tf * (1.2 + 1.0)) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))")} AS c
-         |       FROM tf t JOIN dfreq USING (term) JOIN dl USING (doc_id)
-         |       CROSS JOIN st JOIN q ON q.term = t.term),
-         |agg AS (SELECT q_id, doc_id, ${dsumSql("c")} AS score
-         |        FROM sc GROUP BY q_id, doc_id),
-         |rk AS (SELECT q_id, doc_id, score,
-         |              row_number() OVER (PARTITION BY q_id
-         |                                 ORDER BY score DESC, doc_id) AS rank
-         |       FROM agg)
-         |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rank AS BIGINT) AS rank,
-         |       doc_id, score
-         |FROM rk WHERE rank <= $k
-         |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    s"""WITH q(q_id, term) AS (VALUES $qVals),
+       |corpus AS ($corpusSelect),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok WHERE term IN (SELECT term FROM q)
+       |       GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |       FROM corpus),
+       |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |sc AS (SELECT q.q_id, t.doc_id,
+       |              ${round6Sql(
+             "ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * " +
+             "(t.tf * (1.2 + 1.0)) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))")} AS c
+       |       FROM tf t JOIN dfreq USING (term) JOIN dl USING (doc_id)
+       |       CROSS JOIN st JOIN q ON q.term = t.term),
+       |agg AS (SELECT q_id, doc_id, ${dsumSql("c")} AS score
+       |        FROM sc GROUP BY q_id, doc_id),
+       |rk AS (SELECT q_id, doc_id, score,
+       |              row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY score DESC, doc_id) AS rank
+       |       FROM agg)
+       |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rank AS BIGINT) AS rank,
+       |       doc_id, score
+       |FROM rk WHERE rank <= $k""".stripMargin
+  }
+
+  private def bm25SqlBody(k: Int, corpusSelect: String): String =
+    bm25SqlCore(k, corpusSelect) + "\nORDER BY q_id, rank"
+
+  private def bm25SqlFor(k: Int, corpusWhere: String): String =
+    bm25SqlBody(k, s"SELECT doc_id, text FROM documents WHERE $corpusWhere")
+
+  /** DuckDB twin for SNAPSHOT-VERSIONED serving (st15's batch twin):
+    * one BM25 branch per committed snapshot — branch `i` scores the
+    * corpus prefix `where`, tagged `snap = i` — unioned with a total
+    * order. Every intermediate commit of the append chain is
+    * hash-attested, not just the final state. */
+  private[graft] def bm25SnapshotSql(k: Int, snaps: Seq[String]): String = {
+    val branches = snaps.zipWithIndex.map { case (where, i) =>
+      s"SELECT CAST($i AS BIGINT) AS snap, * FROM (\n" +
+        bm25SqlCore(k, s"SELECT doc_id, text FROM documents WHERE $where") +
+        "\n)"
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY snap, q_id, rank")
+  }
+
+  /** The accumulated (even-build + odd-append) index, shared by n91
+    * and n97 — the serving path both score from. */
+  private def accumulatedIndex(s: SparkSession, dir: String): Bm25Index = {
+    val docs = Tables(s, dir).documents
+    appendIndex(buildIndex(docs.filter(col("doc_id") % 2 === 0)),
+      docs.filter(col("doc_id") % 2 === 1))
+  }
+
+  val bm25IndexQ: Q =
+    Q("n91_bm25_index", bm25SqlFor(10, "TRUE")) { (s, dir) =>
       import s.implicits._
-      val docs = Tables(s, dir).documents
-      val prior = buildIndex(docs.filter(col("doc_id") % 2 === 0))
-      val appended = appendIndex(prior, docs.filter(col("doc_id") % 2 === 1))
       val queries = TextAnalysis.bm25QuerySet.toDF("q_id", "term")
-      bm25FromIndex(appended, queries, k)
+      bm25FromIndex(accumulatedIndex(s, dir), queries, 10)
         .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
         .orderBy("q_id", "rank")
     }
-  }
+
+  /** n97: tombstone-deleted BM25 index, driver-hash-attested (the
+    * delete axis was spec-pinned only — LexIndexSpec's delete ==
+    * rebuild — since round 10; this entry puts the claim through the
+    * DuckDB gate like n93 did for the dedup index). Build + append the
+    * full index, DELETE doc_id ≡ 0 (mod 4), score the n83 query set:
+    * the oracle computes BM25 from raw text over the SURVIVORS only,
+    * so a tombstoned posting leaking into tf, a stale df, or N/avgdl
+    * still counting deleted docs flips the hash — the corpus stats are
+    * derived from the doc-keyed components at probe time, which is
+    * exactly why the delete is exact with no conservative residue. */
+  val bm25DeleteQ: Q =
+    Q("n97_bm25_delete", bm25SqlFor(10, "doc_id % 4 <> 0")) { (s, dir) =>
+      import s.implicits._
+      val tombstones = Tables(s, dir).documents
+        .filter(col("doc_id") % 4 === 0).select("doc_id")
+      val queries = TextAnalysis.bm25QuerySet.toDF("q_id", "term")
+      bm25FromIndex(deleteFromIndex(accumulatedIndex(s, dir), tombstones),
+        queries, 10)
+        .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+        .orderBy("q_id", "rank")
+    }
+
+  /** n99: UPSERTED BM25 index — the U axis completing the index's
+    * CRUD story (C=build/append n91, R=probe, D=tombstone n97). The
+    * base index deliberately omits the ≡ 3 (mod 4) docs; the upsert
+    * batch then carries BOTH arms at once: REPLACE (docs ≡ 2 (mod 5)
+    * already indexed, re-ingested with edited text — doubled, so tf
+    * and dl change but the term set does not: a leaked stale posting
+    * is indistinguishable from a correct one except through the
+    * score) and INSERT (the ≡ 3 (mod 4) docs, whose tombstone
+    * pre-delete must be a no-op). The oracle computes BM25 from raw
+    * text over the EDITED corpus (CASE-doubled text), so a stale tf
+    * surviving the replace, a double-counted doc inflating N/avgdl,
+    * or an insert dropped by its own no-op delete flips the hash. */
+  val bm25UpsertQ: Q =
+    Q("n99_bm25_upsert", bm25SqlBody(10,
+      "SELECT doc_id, CASE WHEN doc_id % 5 = 2 THEN text || ' ' || text " +
+        "ELSE text END AS text FROM documents")) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val base = appendIndex(
+        buildIndex(docs.filter(col("doc_id") % 2 === 0)),
+        docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 4 =!= 3))
+      val batch = docs
+        .filter(col("doc_id") % 5 === 2 || col("doc_id") % 4 === 3)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 2, concat(col("text"), lit(" "), col("text")))
+            .otherwise(col("text")))
+      val queries = TextAnalysis.bm25QuerySet.toDF("q_id", "term")
+      bm25FromIndex(upsertIndex(base, batch), queries, 10)
+        .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+        .orderBy("q_id", "rank")
+    }
 
   /** n95: fused INDEX-SERVING retrieval (VERDICT r10 #3) — the
     * production composition n90 deliberately did not exercise: BOTH
@@ -305,5 +407,5 @@ object LexIndex {
     }
   }
 
-  val all: Seq[Q] = Seq(bm25IndexQ, fusedServingQ)
+  val all: Seq[Q] = Seq(bm25IndexQ, fusedServingQ, bm25DeleteQ, bm25UpsertQ)
 }

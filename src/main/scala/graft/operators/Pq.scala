@@ -294,11 +294,21 @@ object Pq {
     * rounds to a sub-corpus (n64's frozen-codebook semantics: train on
     * the prior snapshot, encode everything); codes and query tables
     * always cover the full corpus. */
-  private def lloydChainSql(k: Int, trainWhere: String = "true"): String =
+  /** `embSrc` swaps the EMBEDDING VALUES feeding the encode side (the
+    * `sub` rows that become `codes`, and `asg` in [[ivfPqIndexSql]]) —
+    * the upsert twin (n100) routes a CASE-edited corpus through it.
+    * The default emits byte-identical SQL to the historical text.
+    * Callers passing a non-default source must keep every TRAINED
+    * artifact's inputs unedited: train rows (`trainWhere`), centroid
+    * seeds, coarse anchors and query vectors all read through the same
+    * CTEs, so the edit predicate must exclude them (n100's edits are
+    * odd non-query ids; train/anchors are even, queries < NumQueries). */
+  private def lloydChainSql(k: Int, trainWhere: String = "true",
+      embSrc: String = "embeddings"): String =
     s"""sub AS (SELECT vec_id, md.m,
        |                    list_slice(embedding, md.m * $SubDim + 1,
        |                               (md.m + 1) * $SubDim) AS sv
-       |             FROM embeddings
+       |             FROM $embSrc
        |             CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS m) md),
        |tsub AS (SELECT * FROM sub WHERE $trainWhere),
        |c0 AS (SELECT m, vec_id AS cent_id, sv AS cv FROM sub
@@ -544,6 +554,20 @@ object Pq {
       broadcast(tombstones.select(col("vec_id")).distinct()),
       Seq("vec_id"), "left_anti"))
 
+  /** Upsert a batch (insert-or-replace by vec_id) — the U axis for
+    * the ANN index: re-embedded documents (an embedding-model refresh
+    * over a slice, an edited doc re-encoded) land as one batch.
+    * Composition of the exact primitives: tombstone the batch's ids
+    * (no-op for new ids), then ONE encode/assign pass over the batch
+    * under the FROZEN anchors + books — the trained configuration is
+    * never narrowed or retrained, so every untouched code row is
+    * byte-identical and the replaced vectors may legitimately move
+    * cells (re-assignment under frozen anchors IS the re-insert).
+    * n100 oracles the result against a from-scratch encode of the
+    * edited corpus under the same frozen configuration. */
+  def upsertPqIndex(index: PqIndex, newVecs: DataFrame): PqIndex =
+    appendPqIndex(deletePqIndex(index, newVecs.select("vec_id")), newVecs)
+
   /** Search the index: probe selection against the broadcast anchors,
     * then the restricted ADC over ONLY the probed cells' code rows —
     * with the at-rest cell partitioning, that cell join is partition
@@ -603,9 +627,15 @@ object Pq {
       codes)
   }
 
-  private val ivfPqIndexSql: String = {
+  /** DuckDB twin of the accumulated-index search; `survivors` filters
+    * the candidate rows (over `a.vec_id`) so the tombstone entry (n98)
+    * shares one SQL body with n64 — a delete-carrying index must
+    * answer exactly like a search over the surviving codes under the
+    * SAME frozen anchors/books. */
+  private def ivfPqIndexSql(survivors: String = "TRUE",
+      embSrc: String = "embeddings"): String = {
     val trainWhere = "vec_id % 2 = 0"
-    s"""WITH ${lloydChainSql(KProd, trainWhere)},
+    s"""WITH ${lloydChainSql(KProd, trainWhere, embSrc)},
        |cc AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
        |       WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE $trainWhere
        |                        ORDER BY vec_id LIMIT $IvfCells)),
@@ -613,7 +643,7 @@ object Pq {
        |    SELECT e.vec_id, c.cell,
        |           row_number() OVER (PARTITION BY e.vec_id
        |             ORDER BY ${round6Sql(d2Sql("e.embedding", "c.cv", FullDim))}, c.cell) AS rn
-       |    FROM embeddings e CROSS JOIN cc c) WHERE rn = 1),
+       |    FROM $embSrc e CROSS JOIN cc c) WHERE rn = 1),
        |probes AS (SELECT q_id, cell FROM (
        |    SELECT e.vec_id AS q_id, c.cell,
        |           row_number() OVER (PARTITION BY e.vec_id
@@ -622,7 +652,8 @@ object Pq {
        |    WHERE e.vec_id < $NumQueries) WHERE rn <= $IvfProbe),
        |cand AS (SELECT p.q_id, a.vec_id FROM probes p
        |         JOIN asg a ON a.cell = p.cell
-       |         WHERE a.vec_id <> p.q_id),
+       |         WHERE a.vec_id <> p.q_id
+       |           AND (${survivors.replace("vec_id", "a.vec_id")})),
        |adc AS (SELECT cn.q_id, cd.vec_id, $adcSumSql AS adc
        |        FROM cand cn
        |        JOIN codes cd ON cd.vec_id = cn.vec_id
@@ -646,16 +677,20 @@ object Pq {
     * codebook contract) flips the hash as surely as a wrong ADC value.
     * PqSpec proves the file round-trip (manifest layout, cell-
     * partitioned codes) returns the identical answer. */
-  val ivfPqIndexQ: Q = Q("n64_pq_index", ivfPqIndexSql) { (s, dir) =>
+  /** The accumulated (even-train + odd-append, frozen books) index —
+    * the [[buildPqIndex]]/[[appendPqIndex]] composition with the
+    * trained artifacts memoized under the canonical corpus frame
+    * (logical keys — prior/fresh are derived, not canonical). Kept
+    * textually in step with those methods; the oracle pins the answer
+    * and PqSpec pins the unmemoized public API against the same
+    * search, so drift between the two flips a hash, not just a spec.
+    * Shared by n64 and n98 (train once; bench cold mode clears the
+    * memoizer for both). */
+  private def accumulatedPqIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): PqIndex = {
     val e = Tables(s, dir).embeddings
     val prior = e.filter(col("vec_id") % 2 === 0)
     val fresh = e.filter(col("vec_id") % 2 === 1)
-    // the [[buildPqIndex]]/[[appendPqIndex]] composition with the
-    // trained artifacts memoized under the canonical corpus frame
-    // (logical keys — prior/fresh are derived, not canonical). Kept
-    // textually in step with those methods; the oracle pins the answer
-    // and PqSpec pins the unmemoized public API against the same
-    // search, so drift between the two flips a hash, not just a spec.
     val anchors = memoized(e, "n64:anchors")(
       prior.orderBy("vec_id").limit(IvfCells)
         .select(col("vec_id").as("cell"), col("embedding").as("cv")))
@@ -664,9 +699,63 @@ object Pq {
       encode(prior, books).join(assignCoarse(prior, anchors), Seq("vec_id"))
         .unionByName(
           encode(fresh, books).join(assignCoarse(fresh, anchors), Seq("vec_id"))))
+    PqIndex(anchors, books, codes)
+  }
+
+  val ivfPqIndexQ: Q = Q("n64_pq_index", ivfPqIndexSql()) { (s, dir) =>
+    val e = Tables(s, dir).embeddings
     searchPqIndex(e.filter(col("vec_id") < NumQueries),
-      PqIndex(anchors, books, codes))
+      accumulatedPqIndex(s, dir))
       .orderBy("q_id", "rn")
+  }
+
+  /** n98: tombstone-deleted PQ index, driver-hash-attested (the
+    * delete axis was spec-pinned only — PqSpec's delete == re-encode —
+    * since round 10). DELETE vec_id ≡ 2 (mod 8) from the accumulated
+    * index's codes and search: the oracle restricts the candidate set
+    * to the survivors while training/encoding over the ORIGINAL
+    * corpus — the frozen-configuration contract (anchors and books
+    * parameterize every surviving code and are never narrowed by a
+    * delete; vec_id 2 is itself a coarse anchor, so the entry also
+    * proves deleting an anchor's VECTOR leaves its CELL intact). A
+    * tombstoned code still scoring, or a survivor re-encoded under
+    * narrowed configuration, flips the hash. */
+  val ivfPqDeleteQ: Q =
+    Q("n98_pq_delete", ivfPqIndexSql("vec_id % 8 <> 2")) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val tombstones = e.filter(col("vec_id") % 8 === 2).select("vec_id")
+      searchPqIndex(e.filter(col("vec_id") < NumQueries),
+        deletePqIndex(accumulatedPqIndex(s, dir), tombstones))
+        .orderBy("q_id", "rn")
+    }
+
+  /** n100: UPSERTED PQ index — the U axis (C=train/append n64,
+    * R=search, D=tombstone n98). The ≡ 5 (mod 8) non-query vectors are
+    * re-embedded as their NEGATIONS (exact in FP on both engines) and
+    * upserted into the accumulated index: tombstone + one
+    * encode/assign pass under the FROZEN anchors/books. The edit
+    * predicate is odd and ≥ NumQueries by construction, so every
+    * trained artifact's inputs (even-half Lloyd training, even coarse
+    * anchors, query vectors) are untouched — the oracle re-derives the
+    * whole chain with only the encode-side embeddings CASE-edited. A
+    * negated vector typically changes coarse cell (re-assignment under
+    * frozen anchors IS the re-insert); a stale code surviving the
+    * replace, a fresh code encoded under retrained books, or an
+    * untouched row perturbed in any way flips the hash. */
+  val ivfPqUpsertQ: Q = {
+    val editWhere = s"vec_id % 8 = 5 AND vec_id >= $NumQueries"
+    Q("n100_pq_upsert", ivfPqIndexSql(embSrc =
+      s"(SELECT vec_id, CASE WHEN $editWhere " +
+        "THEN list_transform(embedding, x -> -x) " +
+        "ELSE embedding END AS embedding FROM embeddings)")) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val edited = e
+        .filter(col("vec_id") % 8 === 5 && col("vec_id") >= NumQueries)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+      searchPqIndex(e.filter(col("vec_id") < NumQueries),
+        upsertPqIndex(accumulatedPqIndex(s, dir), edited))
+        .orderBy("q_id", "rn")
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -1173,5 +1262,5 @@ object Pq {
   }
 
   val all: Seq[Q] = Seq(pqAdc, ivfPqAdc, ivfPqResidual, ivfPqIndexQ,
-    pqRecall, pqRecallResidual)
+    pqRecall, pqRecallResidual, ivfPqDeleteQ, ivfPqUpsertQ)
 }

@@ -424,7 +424,7 @@ object TextAnalysis {
     * decontamination-lookup shape (a benchmark suite's probe strings
     * tokenized into term bags). Shared with n91's index probe
     * ([[LexIndex]]), whose oracle is exactly n83's answer. */
-  private[operators] def bm25QuerySet: Seq[(Long, String)] = Bm25Queries
+  private[graft] def bm25QuerySet: Seq[(Long, String)] = Bm25Queries
   private val Bm25Queries: Seq[(Long, String)] = Seq(
     1L -> "table", 1L -> "scan",
     2L -> "window", 2L -> "agg",

@@ -597,9 +597,41 @@ object WindowedAggs {
       .orderBy("d1", "d2")
   }
 
+  /** Batch twin of [[StreamingOps.bm25ServingIngest]] (st15): the
+    * SNAPSHOT-VERSIONED serving ladder — documents arrive in three
+    * micro-batches (doc_id mod 3), and the lane serves the n83 query
+    * set from the accumulated at-rest index at EVERY commit. Append
+    * exactness (df/N/avgdl derived from the components at probe time)
+    * makes each commit's answer equal a full rebuild over the prefix
+    * corpus, so the twin is three BM25 branches — snap 0 over the
+    * ≡ 0 (mod 3) third, snap 1 over two thirds, snap 2 over the full
+    * corpus (= n91's answer) — each hash-attested from raw text. A
+    * stale df served mid-stream, a snapshot scored against a torn
+    * batch, or cross-batch stats leaking backward flips the hash.
+    * StreamingSpec proves the MemoryStream run of the lane writes
+    * exactly these rows to its results directories. */
+  val bm25ServingTwin: Q = Q(
+    "st15_snapshot_serve",
+    graft.operators.LexIndex.bm25SnapshotSql(10,
+      Seq("doc_id % 3 = 0", "doc_id % 3 <= 1", "TRUE"))) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.{LexIndex, TextAnalysis}
+    val docs = Tables(s, dir).documents
+    val queries = TextAnalysis.bm25QuerySet.toDF("q_id", "term")
+    val idx0 = LexIndex.buildIndex(docs.filter(col("doc_id") % 3 === 0))
+    val idx1 = LexIndex.appendIndex(idx0, docs.filter(col("doc_id") % 3 === 1))
+    val idx2 = LexIndex.appendIndex(idx1, docs.filter(col("doc_id") % 3 === 2))
+    Seq(idx0, idx1, idx2).zipWithIndex.map { case (ix, i) =>
+      LexIndex.bm25FromIndex(ix, queries, 10)
+        .withColumn("snap", lit(i.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("snap"), col("q_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy("snap", "q_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
     streamNearDup, indexedIngestBatch1, indexedIngestBatch2,
     qualityGateTwin, streamEnrichTwin, classifierGateTwin,
     decontaminateTwin, decontaminateRewriteTwin, streamPackTwin,
-    streamTakedownTwin)
+    streamTakedownTwin, bm25ServingTwin)
 }

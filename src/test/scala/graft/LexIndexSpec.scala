@@ -62,6 +62,26 @@ class LexIndexSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("compaction cadence: delete materialized to a FRESH path, swapped, scores like a rebuild") {
+    // the writeIndex scaladoc's rule exercised end-to-end: read an
+    // at-rest index, tombstone-filter it, materialize to a NEW path
+    // (writing back to the source path would have Spark reading and
+    // overwriting the same files), then serve from the compacted copy
+    val base = java.nio.file.Files.createTempDirectory("bm25_compact").toString
+    LexIndex.writeIndex(LexIndex.buildIndex(docs), s"$base/v1")
+    val tombstones = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+    LexIndex.writeIndex(
+      LexIndex.deleteFromIndex(LexIndex.readIndex(spark, s"$base/v1"), tombstones),
+      s"$base/v2")
+    val served = LexIndex.bm25FromIndex(
+      LexIndex.readIndex(spark, s"$base/v2"), queries, 10)
+      .collect().map(_.toSeq).toSet
+    val rebuilt = LexIndex.bm25FromIndex(
+      LexIndex.buildIndex(docs.filter(col("doc_id") % 5 =!= 0)), queries, 10)
+      .collect().map(_.toSeq).toSet
+    assert(served == rebuilt && served.nonEmpty)
+  }
+
   test("bucketed postings probe: no shuffle exchange above the index-side scan") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec

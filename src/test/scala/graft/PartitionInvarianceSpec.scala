@@ -32,7 +32,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // fused index-serving retrieval: BM25-from-index + IVF under RRF (r11)
     "n95_fused_serving",
     // streaming-takedown twin: LSH pair set minus takedown pairings (r11)
-    "st14_stream_takedown")
+    "st14_stream_takedown",
+    // tombstone-deleted BM25 / PQ serving (anti-join + frozen-config) (r11)
+    "n97_bm25_delete", "n98_pq_delete",
+    // upsert axes + snapshot-versioned serving ladder (r11)
+    "n99_bm25_upsert", "n100_pq_upsert", "st15_snapshot_serve")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

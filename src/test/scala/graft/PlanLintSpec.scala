@@ -47,6 +47,13 @@ class PlanLintSpec extends SparkSpec {
     "n46_mixture_resample", // 1-row mixture-scale scalar × 5-key part list
     "n83_bm25_search",      // 1-row (N, avgdl) corpus-stats broadcast (n50's pattern)
     "n91_bm25_index",       // same 1-row corpus-stats broadcast, index-probe path
+    "n97_bm25_delete",      // same 1-row corpus-stats broadcast, tombstone path
+    "n99_bm25_upsert",      // same 1-row corpus-stats broadcast, upsert path
+    "st15_snapshot_serve",  // same 1-row corpus-stats broadcast, per snapshot
+    "n95_fused_serving",    // n91's 1-row stats broadcast (lexical arm) +
+                            //   n13's 16-centroid broadcast (semantic arm)
+    "n98_pq_delete",        // n64's 8-anchor broadcast, tombstone path
+    "n100_pq_upsert",       // n64's 8-anchor broadcast, upsert re-encode path
     "n84_temperature_mix",  // 1-row token-total + 1-row normalizer broadcasts
     "n85_corpus_card",      // 1-row audit assembly (n60's pattern)
     "n88_truncation_recall",// n10's 32-query broadcast build side, per level

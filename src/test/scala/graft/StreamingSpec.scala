@@ -809,6 +809,69 @@ class StreamingSpec extends SparkSpec {
     assert(split == twin, "blocks crossing the micro-batch boundary must match")
   }
 
+  test("bm25 serving ingest serves the st15 twin's rows at every snapshot") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25_serve").toString
+    def third(m: Long) = Tables(spark, sf0001).documents
+      .filter(col("doc_id") % 3 === m)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.bm25ServingIngest(
+      input.toDF().toDF("doc_id", "text"),
+      graft.operators.TextAnalysis.bm25QuerySet,
+      s"$dir/base", s"$dir/ckpt", k = 10)
+    try {
+      (0L to 2L).foreach { m =>
+        input.addData(third(m)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val served = rows(spark.read.parquet(s"$dir/base/results/*")
+      .select("snap", "q_id", "rank", "doc_id", "score"))
+    val twin = rows(Catalog.queries("st15_snapshot_serve")(spark, sf0001))
+    assert(served == twin && served.nonEmpty,
+      s"served ${served.size} rows vs twin ${twin.size}")
+    // snapshots must genuinely differ (mid-stream stats are
+    // load-bearing: df/N/avgdl at snap 0 ≠ full-corpus values)
+    assert(served.groupBy(_._1).values.map(_.map(t => (t._2, t._3, t._4, t._5)))
+      .toSet.size == 3, "all snapshots served identical answers")
+  }
+
+  test("bm25 serving ingest: a torn (markerless) batch directory is invisible") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.LexIndex
+    val dir = java.nio.file.Files.createTempDirectory("bm25_torn").toString
+    val a = Seq((1L, "apple banana cherry"), (2L, "banana cherry date"))
+    val b = Seq((3L, "cherry date egg"))
+    val queries = Seq((100L, "cherry"), (101L, "egg"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.bm25ServingIngest(input.toDF().toDF("doc_id", "text"),
+      queries, s"$dir/base", s"$dir/ckpt", k = 10)
+    try {
+      input.addData(a); q.processAllAvailable()
+      // a torn replay of a FUTURE batch: components on disk, no
+      // marker — must not leak into any subsequently served answer
+      LexIndex.writeIndex(LexIndex.buildIndex(
+        Seq((99L, "cherry cherry cherry")).toDF("doc_id", "text")),
+        s"$dir/base/batches/99")
+      input.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val snap1 = spark.read.parquet(s"$dir/base/results/1")
+      .select("q_id", "rank", "doc_id", "score")
+    val expect = LexIndex.bm25FromIndex(
+      LexIndex.buildIndex((a ++ b).toDF("doc_id", "text")),
+      queries.toDF("q_id", "term"), 10)
+      .select("q_id", "rank", "doc_id", "score")
+    assert(snap1.collect().map(_.toSeq).toSet ==
+      expect.collect().map(_.toSeq).toSet)
+    assert(!snap1.select("doc_id").collect().map(_.getLong(0)).contains(99L))
+  }
+
   test("decontamination gate refuses a corpus-sized benchmark set (st11 cap)") {
     import spark.implicits._
     val big = spark.range(0L, StreamingOps.MaxBenchHashes + 1L)

@@ -22,6 +22,10 @@ big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10x"
 ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
 if len(sys.argv) > 4:  # optional subset, e.g. the 100x ladder's worst two
     QUERIES = sys.argv[4].split(",")
+# optional clock: "qfull" forces full evaluation of every output column
+# (required for prunable-tail queries, where count() lets Catalyst
+# eliminate the work being measured — see PERF.md's n92 note)
+mode = sys.argv[5] if len(sys.argv) > 5 else "q"
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -31,7 +35,7 @@ def run(sf_dir):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_LAB_COLD="1")
     out = subprocess.run(
-        [os.path.join(repo, "tools/run.sh"), "graft.Lab", "q"] + QUERIES,
+        [os.path.join(repo, "tools/run.sh"), "graft.Lab", mode] + QUERIES,
         env=env, capture_output=True, text=True, check=True).stdout
     times = {}
     for q in QUERIES:
