@@ -123,6 +123,108 @@ object LexIndex {
       postings = spark.table(s"${prefix}_postings"),
       doclens = spark.table(s"${prefix}_doclens"))
 
+  // -------------------------------------------------------------------
+  // Segmented serving layout (st15's at-rest form): per-batch segment
+  // directories under `base/batches/<id>`, each made visible by a
+  // `base/_committed_batch_<id>` marker written after its components.
+  // Serving unions the committed segments (append exactness makes the
+  // union indistinguishable from a rebuild), which at 100 TB grows a
+  // read-amplification tail: thousands of small segments listed,
+  // opened and unioned per query. `compactServing` is the LSM answer —
+  // fold the committed segments into ONE base segment, marker-last,
+  // without ever blocking the ingest lane.
+
+  private def committedBatchIds(fs: org.apache.hadoop.fs.FileSystem,
+      base: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("_committed_batch_"))
+      .map(_.stripPrefix("_committed_batch_").toLong).toSeq.sorted
+  }
+
+  private def compactionUpto(fs: org.apache.hadoop.fs.FileSystem,
+      base: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("_compacted_upto_"))
+      .map(_.stripPrefix("_compacted_upto_").toLong).sorted.lastOption
+  }
+
+  /** The serving view of a segmented index directory: the newest
+    * compacted base segment (if any) plus every committed batch
+    * segment NEWER than it. A torn compaction (components without the
+    * `_compacted_upto_` marker) is invisible, exactly like a torn
+    * batch. */
+  def readServing(spark: SparkSession, base: String): Bm25Index = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val upto = compactionUpto(fs, base)
+    val tail = committedBatchIds(fs, base).filter(id => upto.forall(id > _))
+    val segs =
+      upto.map(u => readIndex(spark, s"$base/compacted/$u")).toSeq ++
+        tail.map(id => readIndex(spark, s"$base/batches/$id"))
+    require(segs.nonEmpty, s"no committed segments under $base")
+    segs.reduce((a, b) => Bm25Index(
+      a.postings.unionByName(b.postings),
+      a.doclens.unionByName(b.doclens)))
+  }
+
+  /** Fold every committed segment into one base segment at
+    * `base/compacted/<maxId>`, then publish it with a marker-last
+    * `_compacted_upto_<maxId>` flag. Readers before the marker see the
+    * old layout; readers after see one segment plus any batches that
+    * committed DURING the compaction — no reader ever blocks, no
+    * serving gap. The folded batch directories stay on disk for
+    * in-flight readers; `pruneCompacted` removes them once the marker
+    * is visible everywhere (the two-phase delete every LSM runs).
+    * Returns the compaction watermark, or None if there is nothing
+    * committed to fold. */
+  def compactServing(spark: SparkSession, base: String): Option[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val ids = committedBatchIds(fs, base)
+    val prior = compactionUpto(fs, base)
+    val fold = ids.filter(id => prior.forall(id > _))
+    if (fold.isEmpty) prior
+    else {
+      val maxId = fold.max
+      val segs = prior.map(u => readIndex(spark, s"$base/compacted/$u")).toSeq ++
+        fold.map(id => readIndex(spark, s"$base/batches/$id"))
+      val whole = segs.reduce((a, b) => Bm25Index(
+        a.postings.unionByName(b.postings),
+        a.doclens.unionByName(b.doclens)))
+      // fresh path (never the prior compacted dir: its frames are
+      // being read right here — the writeIndex swap rule)
+      writeIndex(whole, s"$base/compacted/$maxId")
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$base/_compacted_upto_$maxId"), true).close()
+      Some(maxId)
+    }
+  }
+
+  /** Second phase of the compaction's two-phase delete: drop folded
+    * batch segment DATA dirs (and older compacted bases) at or below
+    * the newest compaction watermark. Safe once no reader holds the
+    * pre-marker view. The `_committed_batch_` markers are kept — they
+    * are the ingest lane's at-least-once replay guard (a redelivered
+    * batch id must stay skippable forever), and both the serving read
+    * and the next compaction already exclude ids ≤ the watermark. */
+  def pruneCompacted(spark: SparkSession, base: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    compactionUpto(fs, base).foreach { upto =>
+      committedBatchIds(fs, base).filter(_ <= upto).foreach { id =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/batches/$id"), true)
+      }
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/compacted"))
+        .map(_.getPath.getName).map(_.toLong).filter(_ < upto)
+        .foreach(u => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$base/compacted/$u"), true))
+    }
+  }
+
   /** BM25 top-k FROM THE INDEX: identical math (and identical
     * determinism rules — round6 per contribution, DECIMAL sum, (score
     * desc, doc_id) ties) to [[TextAnalysis.bm25TopK]], but every input

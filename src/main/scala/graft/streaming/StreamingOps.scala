@@ -695,6 +695,16 @@ object StreamingOps {
     * like [[graft.operators.LexIndex.bm25FromIndex]] — the arrived
     * corpus is never re-tokenized.
     *
+    * Read amplification at 100 TB (thousands of small segments listed
+    * and unioned per serve) is bounded by the LSM compaction cadence:
+    * [[graft.operators.LexIndex.compactServing]] folds the committed
+    * segments into one base segment marker-last and composes
+    * transparently with this live lane (the serve step reads through
+    * [[graft.operators.LexIndex.readServing]]), and
+    * [[graft.operators.LexIndex.pruneCompacted]] runs the two-phase
+    * delete afterwards — LexIndexSpec exercises compact + prune
+    * mid-stream.
+    *
     * StreamingSpec proves the three-batch MemoryStream run serves,
     * at every snapshot, exactly the st15 batch twin's rows (each
     * prefix corpus' full-rebuild BM25 answer — append exactness makes
@@ -716,19 +726,21 @@ object StreamingOps {
         if (!fs.exists(marker) && !batch.isEmpty) {
           val bIdx = LexIndex.buildIndex(batch.select("doc_id", "text"))
           LexIndex.writeIndex(bIdx, s"$basePath/batches/$batchId")
-          // serve from every committed batch dir plus this one (its
-          // marker lands last): the accumulated index is a pure union
-          // of the at-rest components — df/N/avgdl derived at probe
-          // time, so the served answer equals a full rebuild over the
-          // arrived corpus
-          val committed = fs.listStatus(new org.apache.hadoop.fs.Path(basePath))
-            .map(_.getPath.getName).filter(_.startsWith("_committed_batch_"))
-            .map(_.stripPrefix("_committed_batch_").toLong)
-          val idx = (committed :+ batchId).distinct.sorted.map(id =>
-              LexIndex.readIndex(spark, s"$basePath/batches/$id"))
-            .reduce((a, b) => LexIndex.Bm25Index(
-              a.postings.unionByName(b.postings),
-              a.doclens.unionByName(b.doclens)))
+          // serve from the committed serving view (newest compacted
+          // base + newer committed batches — a concurrent
+          // LexIndex.compactServing composes transparently) plus this
+          // batch's at-rest segment (its marker lands last): the
+          // accumulated index is a pure union of the components —
+          // df/N/avgdl derived at probe time, so the served answer
+          // equals a full rebuild over the arrived corpus
+          val thisSeg = LexIndex.readIndex(spark, s"$basePath/batches/$batchId")
+          val idx =
+            try {
+              val prior = LexIndex.readServing(spark, basePath)
+              LexIndex.Bm25Index(
+                prior.postings.unionByName(thisSeg.postings),
+                prior.doclens.unionByName(thisSeg.doclens))
+            } catch { case _: IllegalArgumentException => thisSeg }
           LexIndex.bm25FromIndex(idx, queries.toDF("q_id", "term"), k)
             .withColumn("snap", lit(batchId))
             .select("snap", "q_id", "rank", "doc_id", "score")

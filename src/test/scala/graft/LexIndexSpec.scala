@@ -82,6 +82,55 @@ class LexIndexSpec extends SparkSpec {
     assert(served == rebuilt && served.nonEmpty)
   }
 
+  test("segmented serving: compaction folds marker-last, prune keeps the replay guard") {
+    val base = java.nio.file.Files.createTempDirectory("bm25_segs").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def commitBatch(id: Long, m: Long): Unit = {
+      LexIndex.writeIndex(
+        LexIndex.buildIndex(docs.filter(col("doc_id") % 3 === m)),
+        s"$base/batches/$id")
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$base/_committed_batch_$id"), true).close()
+    }
+    def served(whereMod: Long) = {
+      val got = LexIndex.bm25FromIndex(
+        LexIndex.readServing(spark, base), queries, 10)
+        .collect().map(_.toSeq).toSet
+      val want = LexIndex.bm25FromIndex(
+        LexIndex.buildIndex(docs.filter(col("doc_id") % 3 <= whereMod)),
+        queries, 10).collect().map(_.toSeq).toSet
+      assert(got == want && got.nonEmpty)
+    }
+    commitBatch(0, 0); commitBatch(1, 1)
+    served(1)
+    // fold both segments into one base, marker-last
+    assert(LexIndex.compactServing(spark, base).contains(1L))
+    served(1)
+    // a batch committing AFTER the compaction serves on top of the base
+    commitBatch(2, 2)
+    served(2)
+    // a TORN compaction (components, no marker) is invisible
+    LexIndex.writeIndex(
+      LexIndex.buildIndex(docs.filter(col("doc_id") % 3 === 0)),
+      s"$base/compacted/99")
+    served(2)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/compacted/99"), true)
+    // two-phase delete: folded batch DATA goes, replay markers stay
+    LexIndex.pruneCompacted(spark, base)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/batches/0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/_committed_batch_0")))
+    served(2)
+    // compact again: folds only the post-watermark batch; prune drops
+    // the superseded base
+    assert(LexIndex.compactServing(spark, base).contains(2L))
+    LexIndex.pruneCompacted(spark, base)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/compacted/1")))
+    served(2)
+    // idempotent when nothing new committed
+    assert(LexIndex.compactServing(spark, base).contains(2L))
+  }
+
   test("bucketed postings probe: no shuffle exchange above the index-side scan") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -859,6 +859,10 @@ class StreamingSpec extends SparkSpec {
       LexIndex.writeIndex(LexIndex.buildIndex(
         Seq((99L, "cherry cherry cherry")).toDF("doc_id", "text")),
         s"$dir/base/batches/99")
+      // LSM compaction mid-stream (folds batch 0, prunes its data dir):
+      // the live lane's next serve must read through the compacted base
+      assert(LexIndex.compactServing(spark, s"$dir/base").contains(0L))
+      LexIndex.pruneCompacted(spark, s"$dir/base")
       input.addData(b); q.processAllAvailable()
     } finally q.stop()
     val snap1 = spark.read.parquet(s"$dir/base/results/1")
