@@ -206,6 +206,35 @@ class PqSpec extends SparkSpec {
     assert(a != key(Pq.searchPqIndex(queries, full)))
   }
 
+  test("upsert == rebuild over the edited corpus; compaction materializes a delete to a fresh path") {
+    val queries = e.filter(col("vec_id") < 32)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "nb_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Pq.buildPqIndex(e)
+    val editPred = col("vec_id") % 8 === 5 && col("vec_id") >= 32
+    val edited = e.filter(editPred)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    val upserted = Pq.upsertPqIndex(full, edited)
+    // rebuild = the EDITED corpus re-encoded under the same frozen
+    // anchors/books (upsert never retrains — the n100 contract)
+    val rebuilt = Pq.appendPqIndex(full.copy(codes = full.codes.limit(0)),
+      e.filter(!editPred).unionByName(edited))
+    val a = key(Pq.searchPqIndex(queries, upserted))
+    assert(a == key(Pq.searchPqIndex(queries, rebuilt)) && a.nonEmpty)
+    assert(a != key(Pq.searchPqIndex(queries, full)),
+      "edit not load-bearing: no query's answer moved")
+    // compaction cadence (the LexIndex.writeIndex swap rule): a
+    // delete-carrying index materialized to a FRESH path serves
+    // identically after reopen
+    val tomb = e.filter(col("vec_id") % 3 === 2).select("vec_id")
+    val deleted = Pq.deletePqIndex(full, tomb)
+    val dir = java.nio.file.Files.createTempDirectory("pq_compact").toString
+    Pq.writePqIndex(deleted, dir)
+    assert(key(Pq.searchPqIndex(queries, Pq.readPqIndex(spark, dir))) ==
+      key(Pq.searchPqIndex(queries, deleted)))
+  }
+
   test("residual codes (IVFADC) beat raw codes at equal bytes: lower MSE, no recall regression") {
     // Jégou et al. §IV: quantizing x − c(x) spends the same 4-byte code
     // budget on a tighter distribution. The decisive equal-bytes metric
