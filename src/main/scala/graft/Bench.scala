@@ -170,6 +170,7 @@ object Bench {
         operators.Pq.clearPqCache(spark)
         streaming.WindowedAggs.clearIngestCache(spark)
         operators.IncrementalDedup.clearBucketedCache(spark)
+        operators.LexIndex.clearServingState(spark)
       }
       val t0 = System.nanoTime()
       val ok =

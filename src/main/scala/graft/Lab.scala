@@ -15,6 +15,7 @@ object Lab {
     operators.Pq.clearPqCache(spark)
     streaming.WindowedAggs.clearIngestCache(spark)
     operators.IncrementalDedup.clearBucketedCache(spark)
+    operators.LexIndex.clearServingState(spark)
   }
 
   def main(args: Array[String]): Unit = {

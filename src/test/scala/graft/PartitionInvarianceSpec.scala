@@ -36,7 +36,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     // tombstone-deleted BM25 / PQ serving (anti-join + frozen-config) (r11)
     "n97_bm25_delete", "n98_pq_delete",
     // upsert axes + snapshot-versioned serving ladder (r11)
-    "n99_bm25_upsert", "n100_pq_upsert", "st15_snapshot_serve")
+    "n99_bm25_upsert", "n100_pq_upsert", "st15_snapshot_serve",
+    "n101_serving_compact")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -50,6 +50,7 @@ class PlanLintSpec extends SparkSpec {
     "n97_bm25_delete",      // same 1-row corpus-stats broadcast, tombstone path
     "n99_bm25_upsert",      // same 1-row corpus-stats broadcast, upsert path
     "st15_snapshot_serve",  // same 1-row corpus-stats broadcast, per snapshot
+    "n101_serving_compact", // same 1-row corpus-stats broadcast, LSM-serving path
     "n95_fused_serving",    // n91's 1-row stats broadcast (lexical arm) +
                             //   n13's 16-centroid broadcast (semantic arm)
     "n98_pq_delete",        // n64's 8-anchor broadcast, tombstone path
