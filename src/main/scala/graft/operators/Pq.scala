@@ -632,11 +632,19 @@ object Pq {
     * shares one SQL body with n64 — a delete-carrying index must
     * answer exactly like a search over the surviving codes under the
     * SAME frozen anchors/books. */
+  /** `trainWhere` picks the training snapshot (default: the even half —
+    * n64's frozen-configuration family; n102 retrains on "true" = the
+    * whole current corpus). `anchorSrc` is where the coarse anchors'
+    * VECTORS are read (ids always come from `embeddings` — the edit
+    * predicates never change ids); n102 points it at the edited source
+    * so the retrained twin derives every artifact from the drifted
+    * corpus. Defaults emit byte-identical SQL to the historical text. */
   private def ivfPqIndexSql(survivors: String = "TRUE",
-      embSrc: String = "embeddings"): String = {
-    val trainWhere = "vec_id % 2 = 0"
+      embSrc: String = "embeddings",
+      trainWhere: String = "vec_id % 2 = 0",
+      anchorSrc: String = "embeddings"): String = {
     s"""WITH ${lloydChainSql(KProd, trainWhere, embSrc)},
-       |cc AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+       |cc AS (SELECT vec_id AS cell, embedding AS cv FROM $anchorSrc
        |       WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE $trainWhere
        |                        ORDER BY vec_id LIMIT $IvfCells)),
        |asg AS (SELECT vec_id, cell FROM (
@@ -729,6 +737,24 @@ object Pq {
         .orderBy("q_id", "rn")
     }
 
+  /** The n100/n102/n103/n104 drift edit, shared so the upsert, retrain
+    * and audit axes describe the SAME drifted corpus: the ≡ 5 (mod 8)
+    * non-query vectors re-embedded as their negations (exact in FP on
+    * both engines; queries and the even training half of the FROZEN
+    * family untouched). */
+  private[operators] val DriftEditWhere =
+    s"vec_id % 8 = 5 AND vec_id >= $NumQueries"
+  private[operators] val DriftEditSrc: String =
+    s"(SELECT vec_id, CASE WHEN $DriftEditWhere " +
+      "THEN list_transform(embedding, x -> -x) " +
+      "ELSE embedding END AS embedding FROM embeddings)"
+  private[operators] def driftEditPred: Column =
+    col("vec_id") % 8 === 5 && col("vec_id") >= NumQueries
+  private[operators] def driftEdited(e: DataFrame): DataFrame =
+    e.withColumn("embedding",
+      when(driftEditPred, transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")))
+
   /** n100: UPSERTED PQ index — the U axis (C=train/append n64,
     * R=search, D=tombstone n98). The ≡ 5 (mod 8) non-query vectors are
     * re-embedded as their NEGATIONS (exact in FP on both engines) and
@@ -742,12 +768,8 @@ object Pq {
     * frozen anchors IS the re-insert); a stale code surviving the
     * replace, a fresh code encoded under retrained books, or an
     * untouched row perturbed in any way flips the hash. */
-  val ivfPqUpsertQ: Q = {
-    val editWhere = s"vec_id % 8 = 5 AND vec_id >= $NumQueries"
-    Q("n100_pq_upsert", ivfPqIndexSql(embSrc =
-      s"(SELECT vec_id, CASE WHEN $editWhere " +
-        "THEN list_transform(embedding, x -> -x) " +
-        "ELSE embedding END AS embedding FROM embeddings)")) { (s, dir) =>
+  val ivfPqUpsertQ: Q =
+    Q("n100_pq_upsert", ivfPqIndexSql(embSrc = DriftEditSrc)) { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val edited = e
         .filter(col("vec_id") % 8 === 5 && col("vec_id") >= NumQueries)
@@ -755,6 +777,90 @@ object Pq {
       searchPqIndex(e.filter(col("vec_id") < NumQueries),
         upsertPqIndex(accumulatedPqIndex(s, dir), edited))
         .orderBy("q_id", "rn")
+    }
+
+  /** The RETRAINED index over the drifted corpus (n102) — the
+    * maintenance axis the frozen-configuration family deliberately
+    * lacks: anchors re-picked and codebooks re-trained from the
+    * CURRENT corpus (training snapshot = everything, the post-upsert
+    * state), then a full re-encode. Memoized under the canonical
+    * corpus frame like [[accumulatedPqIndex]] (one retrained model per
+    * session; bench cold mode clears it). */
+  private def retrainedPqIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): PqIndex = {
+    val e = Tables(s, dir).embeddings
+    val edited = driftEdited(e)
+    val anchors = memoized(e, "n102:anchors")(
+      edited.orderBy("vec_id").limit(IvfCells)
+        .select(col("vec_id").as("cell"), col("embedding").as("cv")))
+    val books = memoized(e, "n102:books")(codebooks(edited, Iters, KProd))
+    val codes = memoized(e, "n102:codes")(
+      encode(edited, books).join(assignCoarse(edited, anchors), Seq("vec_id")))
+    PqIndex(anchors, books, codes)
+  }
+
+  /** n102: drift-triggered RETRAIN — the last index-maintenance axis
+    * after create (n64), search (R), upsert (n100), delete (n98) and
+    * compaction (n59). n100 proves an upsert under the FROZEN
+    * configuration; its books were trained on the pre-drift even half
+    * and have never seen a negated vector, so quantization quality
+    * decays as drift accumulates (PqSpec measures it: retrained books
+    * cut sub-vector quantization MSE on the drifted corpus). The
+    * repair is a retrain: re-pick anchors and re-run Lloyd over the
+    * CURRENT corpus (trainWhere = true — both parities, negated rows
+    * included), re-encode everything, serve the same queries. The twin
+    * re-derives the ENTIRE chain (seeds, both Lloyd rounds, anchors,
+    * codes, ADC) from the drifted source, so a retrain that leaks the
+    * frozen books, trains on the stale snapshot, or misses one
+    * re-encoded row flips the hash. At 100 TB retrain is the expensive
+    * scheduled path (full Lloyd + re-encode, one broadcast-assignment
+    * pass per round over the corpus) that the cheap per-batch axes
+    * (n100/n98) make RARE — n103's drift monitor is the trigger. */
+  val ivfPqRetrainQ: Q =
+    Q("n102_pq_retrain",
+      ivfPqIndexSql(embSrc = DriftEditSrc, trainWhere = "true",
+        anchorSrc = DriftEditSrc)) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      searchPqIndex(e.filter(col("vec_id") < NumQueries),
+        retrainedPqIndex(s, dir))
+        .orderBy("q_id", "rn")
+    }
+
+  /** n104: IVF cell-skew audit — the structural "when to retrain"
+    * signal ([[ivfPqRetrainQ]]'s trigger, alongside n103's embedding
+    * drift). Re-assign the DRIFTED corpus under the frozen accumulated
+    * anchors and report each cell's load against the uniform ideal
+    * (skew = cnt · nCells / corpus): negated vectors abandon the cells
+    * that held them and pile into whichever anchors sit nearest their
+    * mirrored positions, so post-drift skew is visibly bimodal. One
+    * broadcast-assignment pass + an 8-group count — at 100 TB this is
+    * a cheap scheduled audit over the codes' cell column (no
+    * embeddings read in production; here it re-assigns so the oracle
+    * exercises the assignment itself). */
+  val ivfCellSkewQ: Q = {
+    val sql =
+      s"""WITH cc AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+         |       WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+         |                        ORDER BY vec_id LIMIT $IvfCells)),
+         |asg AS (SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${round6Sql(d2Sql("e.embedding", "c.cv", FullDim))}, c.cell) AS rn
+         |    FROM $DriftEditSrc e CROSS JOIN cc c) WHERE rn = 1),
+         |tot AS (SELECT count(*) AS n FROM asg)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS cnt,
+         |       ${round6Sql(s"count(*) * $IvfCells.0 / (SELECT n FROM tot)")} AS skew
+         |FROM asg GROUP BY cell
+         |ORDER BY cell""".stripMargin
+    Q("n104_ivf_cell_skew", sql) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val anchors = accumulatedPqIndex(s, dir).anchors
+      val counts = assignCoarse(driftEdited(e), anchors)
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("n"))))
+        .select(col("cell"), col("cnt"),
+          round6(col("cnt") * lit(IvfCells.toDouble) / col("n")).as("skew"))
+        .orderBy("cell")
     }
   }
 
@@ -1262,5 +1368,6 @@ object Pq {
   }
 
   val all: Seq[Q] = Seq(pqAdc, ivfPqAdc, ivfPqResidual, ivfPqIndexQ,
-    pqRecall, pqRecallResidual, ivfPqDeleteQ, ivfPqUpsertQ)
+    pqRecall, pqRecallResidual, ivfPqDeleteQ, ivfPqUpsertQ,
+    ivfPqRetrainQ, ivfCellSkewQ)
 }

@@ -796,6 +796,51 @@ object Similarity {
       .orderBy("group_id")
   }
 
+  /** n103: per-dimension embedding-drift monitor — the statistical
+    * "when to retrain" trigger for the ANN index family (n102 is the
+    * repair; n104 is the structural twin on the index side). Compares
+    * each dimension's mean between the base corpus and the post-upsert
+    * drifted corpus (Pq's shared edit: ≡ 5 (mod 8) non-query vectors
+    * negated) in ONE scan: explode once, carry (base, current) as two
+    * columns per element, aggregate both per dimension. Means use the
+    * DECIMAL-exact distributed-sum ladder (order-independent — the
+    * partition-invariance requirement for any float agg), so base,
+    * current and their difference are bit-identical in both engines
+    * before the portable rounding.
+    *
+    * Scale: one map-side explode + one 64-group aggregation — the
+    * cheapest possible full-corpus pass; at 100 TB this runs as a
+    * scheduled audit whose output (64 rows) feeds the retrain
+    * decision. A production deployment would compute it per ingest
+    * batch and compare against the index's training-time snapshot of
+    * the same statistics. */
+  val embeddingDriftQ: Q = Q(
+    "n103_embedding_drift",
+    s"""WITH ex AS (SELECT e.vec_id, d.i AS pos,
+       |                   CAST(e.embedding[d.i] AS DOUBLE) AS x,
+       |                   CASE WHEN ${Pq.DriftEditWhere}
+       |                        THEN -CAST(e.embedding[d.i] AS DOUBLE)
+       |                        ELSE CAST(e.embedding[d.i] AS DOUBLE) END AS cur
+       |            FROM embeddings e
+       |            CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d)
+       |SELECT CAST(pos AS BIGINT) AS dim,
+       |       ${round6Sql(davgSql("x"))} AS mean_base,
+       |       ${round6Sql(davgSql("cur"))} AS mean_cur,
+       |       ${round6Sql(s"${davgSql("cur")} - ${davgSql("x")}")} AS drift
+       |FROM ex GROUP BY pos
+       |ORDER BY dim""".stripMargin) { (s, dir) =>
+    Tables(s, dir).embeddings
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").cast("double").as("x"))
+      .withColumn("cur", when(Pq.driftEditPred, -col("x")).otherwise(col("x")))
+      .groupBy("dim")
+      .agg(round6(davg(col("x"))).as("mean_base"),
+        round6(davg(col("cur"))).as("mean_cur"),
+        round6(davg(col("cur")) - davg(col("x"))).as("drift"))
+      .orderBy("dim")
+  }
+
   /** Dimension-truncation recall sweep (the Matryoshka serving audit,
     * Kusupati et al. 2022 shape): re-rank the n10 query set using only
     * the FIRST d dimensions and measure top-k overlap against the
@@ -988,5 +1033,5 @@ object Similarity {
 
   val all: Seq[Q] = Seq(cosineTopK, cosineTopKHeap, annLsh,
     embeddingNearDup, annIvf, annIvfKmeans, vectorQuantize, quantizedTopK,
-    embeddingPool, truncationRecallQ, hybridRrf)
+    embeddingPool, truncationRecallQ, hybridRrf, embeddingDriftQ)
 }

@@ -37,7 +37,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "n97_bm25_delete", "n98_pq_delete",
     // upsert axes + snapshot-versioned serving ladder (r11)
     "n99_bm25_upsert", "n100_pq_upsert", "st15_snapshot_serve",
-    "n101_serving_compact")
+    "n101_serving_compact",
+    // drift-triggered retrain + its two trigger audits (r11)
+    "n102_pq_retrain", "n103_embedding_drift", "n104_ivf_cell_skew")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

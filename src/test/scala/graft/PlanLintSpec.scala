@@ -55,6 +55,8 @@ class PlanLintSpec extends SparkSpec {
                             //   n13's 16-centroid broadcast (semantic arm)
     "n98_pq_delete",        // n64's 8-anchor broadcast, tombstone path
     "n100_pq_upsert",       // n64's 8-anchor broadcast, upsert re-encode path
+    "n102_pq_retrain",      // same 8-anchor broadcast, retrained-config path
+    "n104_ivf_cell_skew",   // same 8-anchor broadcast + 1-row total scalar
     "n84_temperature_mix",  // 1-row token-total + 1-row normalizer broadcasts
     "n85_corpus_card",      // 1-row audit assembly (n60's pattern)
     "n88_truncation_recall",// n10's 32-query broadcast build side, per level

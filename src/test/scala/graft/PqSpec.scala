@@ -235,6 +235,46 @@ class PqSpec extends SparkSpec {
       key(Pq.searchPqIndex(queries, deleted)))
   }
 
+  test("retrain (n102): retrained books cut quantization error on the drifted corpus; the answer moves") {
+    // the retrain entry's motivation, which the hash oracle can't
+    // state: books frozen at train time (pre-drift even half) have
+    // never seen a negated vector, so their quantization error on the
+    // drifted corpus exceeds books retrained on it. Same KProd config
+    // as the catalog entries.
+    val editPred = col("vec_id") % 8 === 5 && col("vec_id") >= 32
+    val drifted = e.withColumn("embedding",
+      when(editPred, transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")))
+    def sqErr(books: org.apache.spark.sql.DataFrame): Double =
+      Pq.encode(drifted, books)
+        .join(books.withColumnRenamed("cent_id", "code"), Seq("m", "code"))
+        .join(drifted, Seq("vec_id"))
+        .select(aggregate(
+          zip_with(expr(s"slice(embedding, m * ${Pq.SubDim} + 1, ${Pq.SubDim})"),
+            col("cv"), (x, y) => { val d = x.cast("double") - y.cast("double"); d * d }),
+          lit(0.0), (a, x) => a + x).as("err"))
+        .agg(sum("err")).head().getDouble(0)
+    val frozen = Pq.codebooks(e.filter(col("vec_id") % 2 === 0), Pq.Iters, Pq.KProd)
+    val retrained = Pq.codebooks(drifted, Pq.Iters, Pq.KProd)
+    val fe = sqErr(frozen)
+    val re = sqErr(retrained)
+    assert(re < fe,
+      s"retraining must cut drifted-corpus quantization error: frozen=$fe retrained=$re")
+    // and the retrain is load-bearing for serving: the retrained
+    // index's answers differ from the frozen-config upsert's (n100)
+    val queries = e.filter(col("vec_id") < 32)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "nb_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val frozenUpserted = Pq.upsertPqIndex(Pq.buildPqIndex(e),
+      e.filter(editPred).withColumn("embedding",
+        transform(col("embedding"), x => -x)))
+    val retrainedIdx = Pq.buildPqIndex(drifted)
+    val a = key(Pq.searchPqIndex(queries, retrainedIdx))
+    assert(a.nonEmpty && a != key(Pq.searchPqIndex(queries, frozenUpserted)),
+      "retrain not load-bearing: no query's answer moved vs the frozen config")
+  }
+
   test("residual codes (IVFADC) beat raw codes at equal bytes: lower MSE, no recall regression") {
     // Jégou et al. §IV: quantizing x − c(x) spends the same 4-byte code
     // budget on a tighter distribution. The decisive equal-bytes metric
