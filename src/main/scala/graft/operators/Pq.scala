@@ -639,7 +639,7 @@ object Pq {
     * predicates never change ids); n102 points it at the edited source
     * so the retrained twin derives every artifact from the drifted
     * corpus. Defaults emit byte-identical SQL to the historical text. */
-  private def ivfPqIndexSql(survivors: String = "TRUE",
+  private def ivfPqIndexSqlCore(survivors: String = "TRUE",
       embSrc: String = "embeddings",
       trainWhere: String = "vec_id % 2 = 0",
       anchorSrc: String = "embeddings"): String = {
@@ -673,8 +673,53 @@ object Pq {
        |                                     ORDER BY adc, vec_id) AS rn
        |           FROM adc)
        |SELECT q_id, nb_id, adc, CAST(rn AS BIGINT) AS rn
-       |FROM ranked WHERE rn <= $TopK
-       |ORDER BY q_id, rn""".stripMargin
+       |FROM ranked WHERE rn <= $TopK""".stripMargin
+  }
+
+  private def ivfPqIndexSql(survivors: String = "TRUE",
+      embSrc: String = "embeddings",
+      trainWhere: String = "vec_id % 2 = 0",
+      anchorSrc: String = "embeddings"): String =
+    ivfPqIndexSqlCore(survivors, embSrc, trainWhere, anchorSrc) +
+      "\nORDER BY q_id, rn"
+
+  /** DuckDB twin for SNAPSHOT-VERSIONED ANN serving (st16's batch
+    * twin, the [[graft.operators.LexIndex.bm25SnapshotSql]] shape on
+    * the vector side): one IVF-PQ search branch per committed
+    * snapshot — branch `i` trains the frozen configuration on the
+    * FIRST batch (`trainWhere`) and restricts candidates to the
+    * arrived prefix `snaps(i)`, tagged `snap = i` — unioned with a
+    * total order. Every intermediate commit of the append chain is
+    * hash-attested, not just the final index. */
+  private[graft] def ivfPqSnapshotSql(snaps: Seq[String],
+      trainWhere: String): String = {
+    val branches = snaps.zipWithIndex.map { case (survivors, i) =>
+      s"SELECT CAST($i AS BIGINT) AS snap, * FROM (\n" +
+        ivfPqIndexSqlCore(survivors, "embeddings", trainWhere, "embeddings") +
+        "\n)"
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY snap, q_id, rn")
+  }
+
+  /** The st16 snapshot ladder's accumulated indexes: configuration
+    * (anchors + books) trained on the FIRST micro-batch and FROZEN,
+    * each later batch encoded under it — the streaming-ingest
+    * contract, where the trainer cannot see future arrivals. Memoized
+    * under the canonical corpus frame like [[accumulatedPqIndex]]. */
+  private[graft] def snapshotPqIndexes(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[PqIndex] = {
+    val e = Tables(s, dir).embeddings
+    val batches = (0 to 2).map(i => e.filter(col("vec_id") % 3 === i))
+    val anchors = memoized(e, "st16:anchors")(
+      batches(0).orderBy("vec_id").limit(IvfCells)
+        .select(col("vec_id").as("cell"), col("embedding").as("cv")))
+    val books = memoized(e, "st16:books")(codebooks(batches(0), Iters, KProd))
+    val codes = (0 to 2).map(i => memoized(e, s"st16:codes$i")(
+      encode(batches(i), books)
+        .join(assignCoarse(batches(i), anchors), Seq("vec_id"))))
+    codes.scanLeft(Option.empty[DataFrame]) {
+      case (acc, c) => Some(acc.fold(c)(_.unionByName(c)))
+    }.flatten.map(c => PqIndex(anchors, books, c))
   }
 
   /** Catalog entry: the persisted-index lifecycle — train on the even

@@ -754,6 +754,63 @@ object StreamingOps {
       .start()
   }
 
+  /** CONTINUOUS INGEST INTO THE ANN SERVING INDEX (st16): stream of
+    * embedding vectors → per-micro-batch PQ-encode under a FROZEN
+    * configuration → append to the at-rest IVF-PQ index
+    * ([[graft.operators.Pq]]'s manifest layout, cell-partitioned
+    * codes) → serve the standing query set from the ACCUMULATED index
+    * at every commit. The vector-side analog of [[bm25ServingIngest]]:
+    * the FIRST micro-batch trains the configuration (coarse anchors +
+    * codebooks — the streaming-ingest contract: the trainer cannot see
+    * future arrivals), every later batch pays only one broadcast
+    * encode/assign pass, and each commit's served answer is
+    * snapshot-versioned under `results/<batchId>`.
+    *
+    * Torn-batch / replay semantics ride [[graft.operators.IndexCommit]]:
+    * component dirs land first, the one-file manifest commits last
+    * (atomic rename), and the per-batch label is the batchId — an
+    * at-least-once redelivery overwrites the same dirs and re-commits
+    * the same manifest (idempotent). The serve marker lands after the
+    * results write, so a crash anywhere leaves the batch invisible or
+    * exactly reproducible.
+    *
+    * StreamingSpec proves the three-batch MemoryStream run serves, at
+    * every snapshot, exactly the st16 batch twin's rows (append
+    * exactness under the frozen configuration makes the trailing index
+    * indistinguishable from a rebuild over the arrived prefix). */
+  def pqServingIngest(vecs: DataFrame, queries: DataFrame,
+      basePath: String, checkpointDir: String,
+      k: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Pq
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(basePath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$basePath/_served_batch_$batchId")
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          val idxPath = s"$basePath/index"
+          if (batchId == 0L)
+            // the first batch trains the frozen configuration and
+            // becomes the base segment (clears any torn prior write)
+            Pq.writePqIndex(Pq.buildPqIndex(batch), idxPath)
+          else
+            Pq.appendToPqIndex(batch, idxPath, label = s"a$batchId")
+          Pq.searchPqIndex(queries, Pq.readPqIndex(spark, idxPath), k = k)
+            .withColumn("snap", lit(batchId))
+            .select("snap", "q_id", "nb_id", "adc", "rn")
+            .write.mode("overwrite").parquet(s"$basePath/results/$batchId")
+          // marker LAST: a crash above leaves the batch replayable
+          // under the same label and results dir
+          fs.create(marker, true).close()
+        }: Unit
+      }
+      .start()
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState with an
     * event-time timeout — emits a session once `gapMinutes` of event
     * time passes with no activity (the hand-rolled analog of

@@ -629,9 +629,37 @@ object WindowedAggs {
       .orderBy("snap", "q_id", "rank")
   }
 
+  /** Batch twin of [[StreamingOps.pqServingIngest]] (st16): the
+    * SNAPSHOT-VERSIONED ANN serving ladder — embedding vectors arrive
+    * in three micro-batches (vec_id mod 3), the FIRST batch trains the
+    * frozen configuration (anchors + codebooks — the streaming-ingest
+    * contract), and the lane serves the standing query set from the
+    * accumulated IVF-PQ index at EVERY commit. Append exactness under
+    * the frozen configuration makes each commit's answer equal a full
+    * encode of the arrived prefix, so the twin is three IVF-PQ search
+    * branches (candidates restricted to the prefix), each
+    * hash-attested from raw embeddings through seeds, both Lloyd
+    * rounds, codes and ADC. A batch leaking into training, a stale
+    * code served mid-stream, or a snapshot scoring unarrived vectors
+    * flips the hash. StreamingSpec proves the MemoryStream run of the
+    * lane writes exactly these rows to its results directories. */
+  val pqServingTwin: Q = Q(
+    "st16_ann_snapshot_serve",
+    graft.operators.Pq.ivfPqSnapshotSql(
+      Seq("vec_id % 3 = 0", "vec_id % 3 <= 1", "TRUE"),
+      trainWhere = "vec_id % 3 = 0")) { (s, dir) =>
+    import graft.operators.Pq
+    val queries = Tables(s, dir).embeddings.filter(col("vec_id") < 32)
+    Pq.snapshotPqIndexes(s, dir).zipWithIndex.map { case (ix, i) =>
+      Pq.searchPqIndex(queries, ix).withColumn("snap", lit(i.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("snap"), col("q_id"), col("nb_id"), col("adc"), col("rn"))
+      .orderBy("snap", "q_id", "rn")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
     streamNearDup, indexedIngestBatch1, indexedIngestBatch2,
     qualityGateTwin, streamEnrichTwin, classifierGateTwin,
     decontaminateTwin, decontaminateRewriteTwin, streamPackTwin,
-    streamTakedownTwin, bm25ServingTwin)
+    streamTakedownTwin, bm25ServingTwin, pqServingTwin)
 }

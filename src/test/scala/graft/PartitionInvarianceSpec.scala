@@ -39,7 +39,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "n99_bm25_upsert", "n100_pq_upsert", "st15_snapshot_serve",
     "n101_serving_compact",
     // drift-triggered retrain + its two trigger audits (r11)
-    "n102_pq_retrain", "n103_embedding_drift", "n104_ivf_cell_skew")
+    "n102_pq_retrain", "n103_embedding_drift", "n104_ivf_cell_skew",
+    // snapshot-versioned ANN serving lane's batch twin (r11)
+    "st16_ann_snapshot_serve")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -841,6 +841,39 @@ class StreamingSpec extends SparkSpec {
       .toSet.size == 3, "all snapshots served identical answers")
   }
 
+  test("pq serving ingest serves the st16 twin's rows at every snapshot") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq_serve").toString
+    val e = Tables(spark, sf0001).embeddings
+    def third(m: Long) = e.filter(col("vec_id") % 3 === m)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+      .sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.pqServingIngest(
+      input.toDF().toDF("vec_id", "embedding"),
+      e.filter(col("vec_id") < 32), s"$dir/base", s"$dir/ckpt")
+    try {
+      (0L to 2L).foreach { m =>
+        input.addData(third(m)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "q_id", "nb_id", "adc", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).toSet
+    val served = rows(spark.read.parquet(s"$dir/base/results/*"))
+    val twin = rows(Catalog.queries("st16_ann_snapshot_serve")(spark, sf0001))
+    assert(served == twin && served.nonEmpty,
+      s"served ${served.size} rows vs twin ${twin.size}")
+    // snapshots must genuinely differ (the arrived-prefix candidate
+    // restriction is load-bearing, not just the final index)
+    assert(served.groupBy(_._1).values
+      .map(_.map(t => (t._2, t._3, t._4, t._5))).toSet.size == 3,
+      "all snapshots served identical answers")
+  }
+
   test("bm25 serving ingest: a torn (markerless) batch directory is invisible") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
