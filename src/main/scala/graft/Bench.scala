@@ -171,6 +171,7 @@ object Bench {
         streaming.WindowedAggs.clearIngestCache(spark)
         operators.IncrementalDedup.clearBucketedCache(spark)
         operators.LexIndex.clearServingState(spark)
+        operators.Pq.clearPqServingState(spark)
       }
       val t0 = System.nanoTime()
       val ok =

@@ -16,6 +16,7 @@ object Lab {
     streaming.WindowedAggs.clearIngestCache(spark)
     operators.IncrementalDedup.clearBucketedCache(spark)
     operators.LexIndex.clearServingState(spark)
+    operators.Pq.clearPqServingState(spark)
   }
 
   def main(args: Array[String]): Unit = {

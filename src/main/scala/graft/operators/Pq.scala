@@ -909,6 +909,78 @@ object Pq {
     }
   }
 
+  // Deterministic per-(session, corpus-dir) root for the n105 at-rest
+  // lifecycle — the LexIndex.servingLoc pattern (one temp location per
+  // key, reused across cold-mode re-runs instead of orphaning a fresh
+  // dir per sample).
+  private val pqServingLoc =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+
+  /** Test hook: the n105 serving root for this (session, corpus dir),
+    * if the entry has run. */
+  private[graft] def pqServingBase(s: org.apache.spark.sql.SparkSession,
+      dir: String): Option[String] =
+    Option(pqServingLoc.get((s, dir)))
+
+  /** Cold-mode hook (Bench/Lab): wipe the n105 lifecycle CONTENTS so a
+    * cold sample re-runs ingest + fold from genuinely empty state, but
+    * keep the directory itself (location reuse). */
+  def clearPqServingState(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val it = pqServingLoc.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        val p = new org.apache.hadoop.fs.Path(e.getValue)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.listStatus(p).foreach(st => fs.delete(st.getPath, true))
+      }
+    }
+  }
+
+  /** n105: the PQ at-rest fold + swap lifecycle promoted to the DuckDB
+    * gate (n101's promotion on the vector side — PqSpec pins the
+    * materialize-to-fresh-path cadence; this entry makes the driver's
+    * hash attest the ANSWER served through it). One entry runs the
+    * cadence a 100 TB code store lives by:
+    *
+    *   ingest base (batch 0 trains the frozen configuration) → append
+    *   two segments under it → FOLD the accumulated index to a fresh
+    *   path (anchors/books/codes rewritten as one base — the
+    *   compaction that bounds per-serve segment listing) → PRUNE the
+    *   live segment tree (the swap: readers now point at the fold) →
+    *   serve the standing queries from the folded index.
+    *
+    * A code row lost in the fold, a pruned segment still being read,
+    * or the fold perturbing any quantized value flips the hash
+    * against the from-raw-embeddings twin. Unlike n101's
+    * at-least-once ingest (replay markers kept across reps), this
+    * lifecycle is deterministic-rebuild per invocation — base write
+    * clears, appends overwrite fixed labels — so every bench rep
+    * serves the identical answer by construction; st16 owns the
+    * redelivery story. */
+  val pqServingCompactQ: Q =
+    Q("n105_pq_serving_compact",
+      ivfPqIndexSql(trainWhere = "vec_id % 3 = 0")) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val base = pqServingLoc.computeIfAbsent((s, dir),
+        { _: (org.apache.spark.sql.SparkSession, String) =>
+          java.nio.file.Files.createTempDirectory("graft_pq_serving").toString
+        })
+      val live = s"$base/live"
+      val folded = s"$base/compacted"
+      writePqIndex(buildPqIndex(e.filter(col("vec_id") % 3 === 0)), live)
+      appendToPqIndex(e.filter(col("vec_id") % 3 === 1), live, label = "a1")
+      appendToPqIndex(e.filter(col("vec_id") % 3 === 2), live, label = "a2")
+      // the fold materializes BEFORE the prune (write is an action;
+      // clear afterwards is the two-phase swap)
+      writePqIndex(readPqIndex(s, live), folded)
+      IndexCommit.clear(s, live)
+      searchPqIndex(e.filter(col("vec_id") < NumQueries),
+        readPqIndex(s, folded))
+        .orderBy("q_id", "rn")
+    }
+
   // ---------------------------------------------------------------------
   // n62r: RESIDUAL-encoded IVF-PQ — true IVFADC (Jégou et al. 2011 §IV,
   // VERDICT r05 #2). n62 PQ-encodes raw vectors; IVFADC encodes the
@@ -1414,5 +1486,5 @@ object Pq {
 
   val all: Seq[Q] = Seq(pqAdc, ivfPqAdc, ivfPqResidual, ivfPqIndexQ,
     pqRecall, pqRecallResidual, ivfPqDeleteQ, ivfPqUpsertQ,
-    ivfPqRetrainQ, ivfCellSkewQ)
+    ivfPqRetrainQ, ivfCellSkewQ, pqServingCompactQ)
 }

@@ -41,7 +41,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // drift-triggered retrain + its two trigger audits (r11)
     "n102_pq_retrain", "n103_embedding_drift", "n104_ivf_cell_skew",
     // snapshot-versioned ANN serving lane's batch twin (r11)
-    "st16_ann_snapshot_serve")
+    "st16_ann_snapshot_serve",
+    // PQ at-rest fold+swap lifecycle (r11)
+    "n105_pq_serving_compact")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

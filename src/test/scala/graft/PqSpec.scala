@@ -275,6 +275,39 @@ class PqSpec extends SparkSpec {
       "retrain not load-bearing: no query's answer moved vs the frozen config")
   }
 
+  test("n105 lifecycle: fold+swap serves the monolithic answer every rep; pruned live tree is gone") {
+    import graft.operators.Pq
+    Pq.clearPqServingState(spark)
+    val queries = e.filter(col("vec_id") < 32)
+    val want = {
+      val idx = Pq.appendPqIndex(Pq.appendPqIndex(
+        Pq.buildPqIndex(e.filter(col("vec_id") % 3 === 0)),
+        e.filter(col("vec_id") % 3 === 1)),
+        e.filter(col("vec_id") % 3 === 2))
+      Pq.searchPqIndex(queries, idx).collect().map(_.toSeq).toSet
+    }
+    val runs = (1 to 3).map { _ =>
+      Pq.pqServingCompactQ.build(spark, sf0001).collect().map(_.toSeq).toSet
+    }
+    runs.foreach(r => assert(r == want && r.nonEmpty))
+    // after any rep: the live segment tree is pruned (the swap point),
+    // the fold is exactly one committed base
+    val base = Pq.pqServingBase(spark, sf0001).get
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/live")),
+      "pruned live tree must be gone")
+    val manifests = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$base/compacted/_manifests"))
+      .map(_.getPath.getName).toSet
+    assert(manifests == Set("base"))
+    // cold clear restarts the lifecycle from empty in the SAME location
+    Pq.clearPqServingState(spark)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(base)).isEmpty)
+    assert(Pq.pqServingCompactQ.build(spark, sf0001)
+      .collect().map(_.toSeq).toSet == want)
+  }
+
   test("residual codes (IVFADC) beat raw codes at equal bytes: lower MSE, no recall regression") {
     // Jégou et al. §IV: quantizing x − c(x) spends the same 4-byte code
     // budget on a tighter distribution. The decisive equal-bytes metric
