@@ -696,13 +696,17 @@ object IncrementalDedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   // locations OUTLIVE clearBucketedCache on purpose: a cold-mode
   // re-publish overwrites the same external directory instead of
-  // orphaning a fresh temp dir per rep (ADVICE r10 #2)
-  private val bucketedLoc =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  // orphaning a fresh temp dir per rep (ADVICE r10 #2) — held in the
+  // shared ServingLoc registry (stopped-session sweep included)
 
   def clearBucketedCache(spark: SparkSession): Unit = {
     val it = bucketedCache.keySet().iterator()
-    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+    while (it.hasNext) {
+      val k = it.next()
+      // also sweep stopped sessions (the ServingLoc rule): a strong
+      // SparkSession key would otherwise pin a stopped session forever
+      if ((k._1 eq spark) || k._1.sparkContext.isStopped) it.remove()
+    }
   }
 
   /** Collision-resistant table-name prefix for a corpus dir: md5 of the
@@ -716,9 +720,7 @@ object IncrementalDedup {
   private def bucketedPriorPrefix(s: SparkSession, dir: String): String =
     bucketedCache.computeIfAbsent((s, dir), { _: (SparkSession, String) =>
       val prefix = s"graft_bidx_${dirDigest(dir)}"
-      val loc = bucketedLoc.computeIfAbsent((s, dir), { _: (SparkSession, String) =>
-        java.nio.file.Files.createTempDirectory("graft_bucketed_idx").toString
-      })
+      val loc = ServingLoc.of(s, s"n89:$dir", "graft_bucketed_idx")
       val (prior, _) = splitDocs(s, dir)
       publishBucketedIndex(buildIndex(prior), prefix, numBuckets = 32,
         location = Some(loc))

@@ -134,22 +134,35 @@ object LexIndex {
   // fold the committed segments into ONE base segment, marker-last,
   // without ever blocking the ingest lane.
 
-  private def committedBatchIds(fs: org.apache.hadoop.fs.FileSystem,
-      base: String): Seq[Long] = {
+  // Marker parses tolerate stray non-numeric siblings (an operator's
+  // `_committed_batch_1_bak` must be ignored, not crash the lane —
+  // NumberFormatException escaping here would kill a streaming query).
+  private def markerIds(fs: org.apache.hadoop.fs.FileSystem,
+      base: String, prefix: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(base)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("_committed_batch_"))
-      .map(_.stripPrefix("_committed_batch_").toLong).toSeq.sorted
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong).toSeq.sorted
   }
 
+  private def committedBatchIds(fs: org.apache.hadoop.fs.FileSystem,
+      base: String): Seq[Long] =
+    markerIds(fs, base, "_committed_batch_")
+
   private def compactionUpto(fs: org.apache.hadoop.fs.FileSystem,
-      base: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(base)
-    if (!fs.exists(p)) None
-    else fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("_compacted_upto_"))
-      .map(_.stripPrefix("_compacted_upto_").toLong).sorted.lastOption
+      base: String): Option[Long] =
+    markerIds(fs, base, "_compacted_upto_").lastOption
+
+  /** Whether `base` holds ANY committed serving segment (a compacted
+    * base or a committed batch) — the explicit emptiness probe the
+    * ingest lane uses instead of catching [[readServing]]'s require
+    * (an exception-typed protocol would swallow unrelated errors). */
+  def hasCommittedSegments(spark: SparkSession, base: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    compactionUpto(fs, base).nonEmpty || committedBatchIds(fs, base).nonEmpty
   }
 
   /** The serving view of a segmented index directory: the newest
@@ -219,9 +232,18 @@ object LexIndex {
         fs.delete(new org.apache.hadoop.fs.Path(s"$base/batches/$id"), true)
       }
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/compacted"))
-        .map(_.getPath.getName).map(_.toLong).filter(_ < upto)
+        .map(_.getPath.getName).filter(n => n.nonEmpty && n.forall(_.isDigit))
+        .map(_.toLong).filter(_ < upto)
         .foreach(u => fs.delete(
           new org.apache.hadoop.fs.Path(s"$base/compacted/$u"), true))
+      // superseded compaction watermarks go with the bases they
+      // described — only the max marker is ever meaningful, and on a
+      // compact-regularly lane the root listing must stay bounded
+      // (batch replay markers, by contrast, are kept forever: they are
+      // the ingest lane's at-least-once skip guard)
+      markerIds(fs, base, "_compacted_upto_").filter(_ < upto)
+        .foreach(u => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$base/_compacted_upto_$u"), false))
     }
   }
 
@@ -491,11 +513,11 @@ object LexIndex {
          |ORDER BY q_id, rrf_rank""".stripMargin) { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      val docs = t.documents
-      val idx = appendIndex(buildIndex(docs.filter(col("doc_id") % 2 === 0)),
-        docs.filter(col("doc_id") % 2 === 1))
       val queries = TextAnalysis.bm25QuerySet.toDF("q_id", "term")
-      val lexk = bm25FromIndex(idx, queries, depth)
+      // the SAME accumulated serving index n91/n97 score from — a
+      // drifted serving cadence here would silently change what this
+      // entry's oracle attests
+      val lexk = bm25FromIndex(accumulatedIndex(s, dir), queries, depth)
         .select(col("q_id"), col("doc_id").as("cand"), col("rank").as("r"))
       val e = t.embeddings
       val cents = e.filter(col("vec_id") < nCells)
@@ -509,33 +531,17 @@ object LexIndex {
     }
   }
 
-  // Deterministic per-(session, corpus-dir) segmented serving root for
-  // n101 — the bucketedLoc pattern (ADVICE r10 #2): the location
-  // outlives cold-mode clears so re-runs reuse one temp dir instead of
-  // orphaning a fresh one per sample.
-  private val servingLoc =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-
   /** Test hook: the n101 serving root for this (session, corpus dir),
     * if the entry has run. */
   private[graft] def servingBase(s: SparkSession, dir: String): Option[String] =
-    Option(servingLoc.get((s, dir)))
+    ServingLoc.get(s, s"n101:$dir")
 
   /** Cold-mode hook (Bench/Lab): wipe the segmented serving CONTENTS so
     * the n101 lifecycle re-runs from genuinely empty state — a
     * surviving compaction watermark would fake a ~0-cost compact — but
-    * keep the directory itself (location reuse, the r10 advice). */
-  def clearServingState(spark: SparkSession): Unit = {
-    val it = servingLoc.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq spark) {
-        val p = new org.apache.hadoop.fs.Path(e.getValue)
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(p)) fs.listStatus(p).foreach(st => fs.delete(st.getPath, true))
-      }
-    }
-  }
+    * keep the directory itself ([[ServingLoc]]'s location-reuse rule). */
+  def clearServingState(spark: SparkSession): Unit =
+    ServingLoc.clearContents(spark, "n101:")
 
   /** n101: the LSM serving lifecycle promoted to the DuckDB gate (the
     * n89/n97 promotion pattern — LexIndexSpec pins each transition;
@@ -563,9 +569,7 @@ object LexIndex {
     Q("n101_serving_compact", bm25SqlFor(10, "TRUE")) { (s, dir) =>
       import s.implicits._
       val docs = Tables(s, dir).documents
-      val base = servingLoc.computeIfAbsent((s, dir), { _: (SparkSession, String) =>
-        java.nio.file.Files.createTempDirectory("graft_bm25_serving").toString
-      })
+      val base = ServingLoc.of(s, s"n101:$dir", "graft_bm25_serving")
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sessionState.newHadoopConf())
       def commit(id: Long, batch: DataFrame): Unit = {

@@ -611,6 +611,15 @@ object Pq {
     IndexCommit.commitManifest(spark, path, lbl)
   }
 
+  /** Whether a committed index exists at `path` — the ingest lane's
+    * initialization probe (train-on-first-batch must key off the
+    * INDEX's state, not the batchId: a skipped empty batch 0 or a
+    * fresh path under a reused checkpoint would otherwise wedge every
+    * subsequent append on the missing-index require). */
+  def hasPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean =
+    IndexCommit.committedLabels(spark, path).nonEmpty
+
   def readPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): PqIndex = {
     val labels = IndexCommit.committedLabels(spark, path)
@@ -902,41 +911,28 @@ object Pq {
       val anchors = accumulatedPqIndex(s, dir).anchors
       val counts = assignCoarse(driftEdited(e), anchors)
         .groupBy("cell").agg(count(lit(1)).as("cnt"))
-      counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("n"))))
+      // total as a window over the 8-row grouped frame — a crossJoin
+      // against counts.agg(...) would plan the corpus-proportional
+      // assignment subtree TWICE (the entry's only heavy stage)
+      counts
         .select(col("cell"), col("cnt"),
-          round6(col("cnt") * lit(IvfCells.toDouble) / col("n")).as("skew"))
+          round6(col("cnt") * lit(IvfCells.toDouble) /
+            sum(col("cnt")).over(Window.partitionBy())).as("skew"))
         .orderBy("cell")
     }
   }
-
-  // Deterministic per-(session, corpus-dir) root for the n105 at-rest
-  // lifecycle — the LexIndex.servingLoc pattern (one temp location per
-  // key, reused across cold-mode re-runs instead of orphaning a fresh
-  // dir per sample).
-  private val pqServingLoc =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String), String]()
 
   /** Test hook: the n105 serving root for this (session, corpus dir),
     * if the entry has run. */
   private[graft] def pqServingBase(s: org.apache.spark.sql.SparkSession,
       dir: String): Option[String] =
-    Option(pqServingLoc.get((s, dir)))
+    ServingLoc.get(s, s"n105:$dir")
 
   /** Cold-mode hook (Bench/Lab): wipe the n105 lifecycle CONTENTS so a
     * cold sample re-runs ingest + fold from genuinely empty state, but
-    * keep the directory itself (location reuse). */
-  def clearPqServingState(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val it = pqServingLoc.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq spark) {
-        val p = new org.apache.hadoop.fs.Path(e.getValue)
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(p)) fs.listStatus(p).foreach(st => fs.delete(st.getPath, true))
-      }
-    }
-  }
+    * keep the directory itself ([[ServingLoc]]'s location-reuse rule). */
+  def clearPqServingState(spark: org.apache.spark.sql.SparkSession): Unit =
+    ServingLoc.clearContents(spark, "n105:")
 
   /** n105: the PQ at-rest fold + swap lifecycle promoted to the DuckDB
     * gate (n101's promotion on the vector side — PqSpec pins the
@@ -963,10 +959,7 @@ object Pq {
     Q("n105_pq_serving_compact",
       ivfPqIndexSql(trainWhere = "vec_id % 3 = 0")) { (s, dir) =>
       val e = Tables(s, dir).embeddings
-      val base = pqServingLoc.computeIfAbsent((s, dir),
-        { _: (org.apache.spark.sql.SparkSession, String) =>
-          java.nio.file.Files.createTempDirectory("graft_pq_serving").toString
-        })
+      val base = ServingLoc.of(s, s"n105:$dir", "graft_pq_serving")
       val live = s"$base/live"
       val folded = s"$base/compacted"
       writePqIndex(buildPqIndex(e.filter(col("vec_id") % 3 === 0)), live)

@@ -506,7 +506,17 @@ object StreamingOps {
     *     rule (computed from sig vectors, invariant under deletion)
     *     keeps pair emission exactly-once.
     *
-    * State cost: the base lane's, plus one Long per (tombstone,
+    * NOT supported in-stream: reinstating the SAME doc_id with edited
+    * content after its takedown. Tombstones are id-keyed per bucket
+    * while routing is content-addressed, so an edited re-insert would
+    * reach a MIX of tombstoned buckets (where its bands still match
+    * the dead content) and fresh ones — a half-indexed doc that can
+    * silently miss future pairs. The takedown pipeline's contract is
+    * id retirement: reinstated (redacted) content re-enters under a
+    * NEW doc_id (which this lane accepts), or goes through the
+    * persisted index's delete + rebuild path where id-keyed components
+    * make the cycle exact. */
+  /** State cost: the base lane's, plus one Long per (tombstone,
     * band) — takedown-batch-sized, the same budget as n93's broadcast
     * tombstone sets. Returns streaming (d1, d2, jac), each qualifying
     * pair at most once across the stream. */
@@ -734,13 +744,17 @@ object StreamingOps {
           // df/N/avgdl derived at probe time, so the served answer
           // equals a full rebuild over the arrived corpus
           val thisSeg = LexIndex.readIndex(spark, s"$basePath/batches/$batchId")
+          // explicit emptiness probe, NOT a catch of readServing's
+          // require: an exception-typed protocol would also swallow
+          // unrelated IllegalArgumentExceptions and permanently commit
+          // a batch-local-stats snapshot as if it were the first
           val idx =
-            try {
+            if (LexIndex.hasCommittedSegments(spark, basePath)) {
               val prior = LexIndex.readServing(spark, basePath)
               LexIndex.Bm25Index(
                 prior.postings.unionByName(thisSeg.postings),
                 prior.doclens.unionByName(thisSeg.doclens))
-            } catch { case _: IllegalArgumentException => thisSeg }
+            } else thisSeg
           LexIndex.bm25FromIndex(idx, queries.toDF("q_id", "term"), k)
             .withColumn("snap", lit(batchId))
             .select("snap", "q_id", "rank", "doc_id", "score")
@@ -793,9 +807,13 @@ object StreamingOps {
           s"$basePath/_served_batch_$batchId")
         if (!fs.exists(marker) && !batch.isEmpty) {
           val idxPath = s"$basePath/index"
-          if (batchId == 0L)
-            // the first batch trains the frozen configuration and
-            // becomes the base segment (clears any torn prior write)
+          if (!Pq.hasPqIndex(spark, idxPath))
+            // the first batch to reach an uninitialized index trains
+            // the frozen configuration and becomes the base segment
+            // (keyed off the INDEX's state, not batchId == 0 — an
+            // empty first batch or a fresh path under a reused
+            // checkpoint must not wedge every later append; clears
+            // any torn prior write)
             Pq.writePqIndex(Pq.buildPqIndex(batch), idxPath)
           else
             Pq.appendToPqIndex(batch, idxPath, label = s"a$batchId")
