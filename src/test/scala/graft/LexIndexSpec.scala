@@ -129,6 +129,19 @@ class LexIndexSpec extends SparkSpec {
     served(2)
     // idempotent when nothing new committed
     assert(LexIndex.compactServing(spark, base).contains(2L))
+    // superseded compaction watermarks are pruned with their bases —
+    // only the max marker remains at the root
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/_compacted_upto_1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/_compacted_upto_2")))
+    // stray non-numeric marker-lookalikes (an operator's _bak copy) are
+    // ignored by every marker parse, not a lane-killing crash
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$base/_committed_batch_1_bak"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$base/_compacted_upto_2_old"), true).close()
+    served(2)
+    assert(LexIndex.hasCommittedSegments(spark, base))
+    assert(LexIndex.compactServing(spark, base).contains(2L))
   }
 
   test("n101 lifecycle: replay-idempotent across reps, steady state is one base + one tail") {
