@@ -278,6 +278,20 @@ object Graft {
     def searchPqIndex(index: graft.operators.Pq.PqIndex, nProbe: Int = 2,
         k: Int = 5): DataFrame =
       graft.operators.Pq.searchPqIndex(df, index, nProbe, k)
+
+    /** Per-dimension drift of THIS corpus (base) vs a `current`
+      * snapshot: (dim, mean_base, mean_cur, drift) — the statistical
+      * "when to retrain the index" trigger (n103). One union-tagged
+      * pass, DECIMAL-exact means. */
+    def embeddingDrift(current: DataFrame): DataFrame =
+      Similarity.embeddingDrift(df, current)
+
+    /** Per-cell load of THIS corpus under an index's coarse anchors
+      * vs the uniform ideal: (cell, cnt, skew) — the structural
+      * "when to retrain" trigger (n104). One broadcast-assignment
+      * pass. */
+    def ivfCellSkew(anchors: DataFrame): DataFrame =
+      graft.operators.Pq.cellSkew(df, anchors)
   }
 
   /** Media ops over a (doc_id, media: binary) frame — encoded images

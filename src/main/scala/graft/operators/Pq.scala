@@ -908,18 +908,26 @@ object Pq {
          |ORDER BY cell""".stripMargin
     Q("n104_ivf_cell_skew", sql) { (s, dir) =>
       val e = Tables(s, dir).embeddings
-      val anchors = accumulatedPqIndex(s, dir).anchors
-      val counts = assignCoarse(driftEdited(e), anchors)
-        .groupBy("cell").agg(count(lit(1)).as("cnt"))
-      // total as a window over the 8-row grouped frame — a crossJoin
-      // against counts.agg(...) would plan the corpus-proportional
-      // assignment subtree TWICE (the entry's only heavy stage)
-      counts
-        .select(col("cell"), col("cnt"),
-          round6(col("cnt") * lit(IvfCells.toDouble) /
-            sum(col("cnt")).over(Window.partitionBy())).as("skew"))
-        .orderBy("cell")
+      cellSkew(driftEdited(e), accumulatedPqIndex(s, dir).anchors)
     }
+  }
+
+  /** Per-cell load of `vecs` under `anchors` against the uniform
+    * ideal (skew = cnt · nCells / corpus) — n104's operator, exposed
+    * on the API facade. One broadcast coarse-assignment pass + an
+    * nCells-group count; the total is a window over the tiny grouped
+    * frame (a crossJoin against counts.agg(...) would plan the
+    * corpus-proportional assignment subtree TWICE). Returns
+    * (cell, cnt, skew) ordered by cell. */
+  def cellSkew(vecs: DataFrame, anchors: DataFrame): DataFrame = {
+    val nCells = anchors.count().toDouble
+    val counts = assignCoarse(vecs, anchors)
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+    counts
+      .select(col("cell"), col("cnt"),
+        round6(col("cnt") * lit(nCells) /
+          sum(col("cnt")).over(Window.partitionBy())).as("skew"))
+      .orderBy("cell")
   }
 
   /** Test hook: the n105 serving root for this (session, corpus dir),

@@ -796,6 +796,31 @@ object Similarity {
       .orderBy("group_id")
   }
 
+  /** Per-dimension drift between two embedding corpora (the general
+    * two-frame form of n103, exposed on the API facade): one
+    * union-tagged explode + one grouped aggregation — a single
+    * shuffle regardless of corpus sizes. Means use the DECIMAL-exact
+    * distributed-sum ladder, so the output is partition-order
+    * independent. Returns (dim, mean_base, mean_cur, drift) ordered
+    * by dim. The n103 catalog entry keeps its one-pass CASE form
+    * (exploits the row-aligned edit to scan once); SimilaritySpec
+    * pins the two forms equal on that input. */
+  def embeddingDrift(base: DataFrame, current: DataFrame): DataFrame = {
+    def sided(df: DataFrame, side: Int) =
+      df.select(posexplode(col("embedding")))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          col("col").cast("double").as("x"), lit(side).as("side"))
+    def sideMean(side: Int): Column =
+      sum(when(col("side") === side, col("x")).cast("decimal(25,6)"))
+        .cast("double") / count(when(col("side") === side, lit(1)))
+    sided(base, 0).unionByName(sided(current, 1))
+      .groupBy("dim")
+      .agg(round6(sideMean(0)).as("mean_base"),
+        round6(sideMean(1)).as("mean_cur"),
+        round6(sideMean(1) - sideMean(0)).as("drift"))
+      .orderBy("dim")
+  }
+
   /** n103: per-dimension embedding-drift monitor — the statistical
     * "when to retrain" trigger for the ANN index family (n102 is the
     * repair; n104 is the structural twin on the index side). Compares

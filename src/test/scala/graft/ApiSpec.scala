@@ -71,6 +71,28 @@ class ApiSpec extends SparkSpec {
     assert(api == op && api.nonEmpty)
   }
 
+  test("drift triggers: facade embeddingDrift/ivfCellSkew match the catalog entries") {
+    import org.apache.spark.sql.functions.{transform => atransform, when => fwhen}
+    val e = Tables(spark, sf0001).embeddings
+    val edited = e.withColumn("embedding",
+      fwhen(col("vec_id") % 8 === 5 && col("vec_id") >= 32,
+        atransform(col("embedding"), x => -x)).otherwise(col("embedding")))
+    // the general two-frame drift form equals n103's one-pass CASE
+    // form on its row-aligned input (DECIMAL sums are order-free)
+    val api = e.embeddingDrift(edited).collect().map(_.toSeq).toSet
+    val entry = Catalog.queries("n103_embedding_drift")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(api == entry && api.nonEmpty)
+    // skew facade: 8 cells, loads sum to the corpus, skew averages 1
+    val anchors = e.filter(col("vec_id") % 2 === 0).orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    val skew = edited.ivfCellSkew(anchors).collect()
+    assert(skew.length == 8)
+    assert(skew.map(_.getAs[Long]("cnt")).sum == edited.count())
+    val meanSkew = skew.map(_.getAs[Double]("skew")).sum / 8
+    assert(math.abs(meanSkew - 1.0) < 0.01)
+  }
+
   test("GraftExtensions: custom functions resolve in a fresh session via SQL") {
     val active = SparkSession.getActiveSession
     try {
