@@ -211,4 +211,40 @@ class ScaleSpec extends SparkSpec {
         s"expected bucketed index scans in:\n$top")
     }
   }
+
+  test("PQ serving read is dynamic-partition-pruned: only probed cells' code dirs are scanned") {
+    import graft.operators.Pq
+    // the at-rest 100 TB serving claim behind the cell-partitioned
+    // codes layout (Pq.writePqIndex partitionBy("cell")): the probe
+    // side is a tiny (q_id, cell) frame, so Spark's dynamic partition
+    // pruning must turn the cell join into a directory-level IN filter
+    // on the codes scan — a serve reads nProbe/nCells of the index,
+    // never all of it. A layout regression (codes written unpartitioned,
+    // or the join rewritten so DPP can't attach) fails here.
+    // assert on the REAL serving path (AQE on, the catalog default):
+    // under AQE the DPP filter reuses the probe side's broadcast, so
+    // the formatted plan carries a live `IN dynamicpruning#N` partition
+    // filter on the cell-partitioned codes scan (with AQE forced off
+    // the reuse heuristic degenerates the filter to literal true —
+    // observed here — which is exactly why the assertion targets the
+    // configuration the entries run under)
+    val e = Tables(spark, sf0001).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("pq_dpp").toString
+    Pq.writePqIndex(Pq.buildPqIndex(e), dir)
+    val served = Pq.searchPqIndex(e.filter(col("vec_id") < 8),
+      Pq.readPqIndex(spark, dir))
+    assert(served.count() > 0)
+    val plan = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("dynamicpruning#"),
+      s"codes scan not dynamic-partition-pruned:\n$plan")
+    assert(!codeScansUnpruned(plan),
+      s"codes scan carries only a degenerate dynamicpruningexpression(true):\n$plan")
+  }
+
+  /** True when every dynamicpruningexpression in `plan` is the
+    * degenerate literal-true form (no live IN subquery attached). */
+  private def codeScansUnpruned(plan: String): Boolean =
+    plan.contains("dynamicpruningexpression(true)") &&
+      !plan.contains("IN dynamicpruning#")
 }
