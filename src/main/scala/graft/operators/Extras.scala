@@ -380,7 +380,45 @@ object Extras {
     * "tax", corrupting the generic-API answer). */
   private def sumName(is: Int*): String = "s_" + is.mkString("_")
 
+  /** x14: distinct-per-window — the last sketch shape on the
+    * DECISIONS round-4+ candidate list (f09 = grouped HLL, n35/n36 =
+    * heavy hitters; this is the time-windowed axis a streaming audit
+    * sweeps). Per (day, event_type): exact distinct users, plus the
+    * f09-style banded BOOLEAN over approx_count_distinct — both
+    * engines run their OWN HLL and each must land within the band, so
+    * the hash attests the sketch's accuracy contract without
+    * demanding cross-engine register equality. HLL++ merges are
+    * max-of-registers (commutative, associative, idempotent), so the
+    * estimate — and a fortiori the boolean — is partition-order
+    * invariant, unlike approx_percentile's order-sensitive KLL (the
+    * x12 caveat).
+    *
+    * Scale: one shuffle on (day, event_type); count(DISTINCT) adds
+    * the standard expand — at 100 TB the production path drops the
+    * exact arm and keeps the sketch (partial HLL merge, no expand),
+    * which this entry's band certifies against. */
+  val windowDistinct: Q = Q(
+    "x14_window_distinct",
+    s"""SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS wstart_ms,
+       |       event_type,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       |       (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+       |          <= count(DISTINCT user_id) * 0.15) AS approx_within_3rsd
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY wstart_ms, event_type""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        (abs(approx_count_distinct(col("user_id")) - countDistinct(col("user_id")))
+          <= countDistinct(col("user_id")) * 0.15).as("approx_within_3rsd"))
+      .select(epochMs(col("window.start")).as("wstart_ms"),
+        col("event_type"), col("exact_users"), col("approx_within_3rsd"))
+      .orderBy("wstart_ms", "event_type")
+  }
+
   val all: Seq[Q] = Seq(explodeOuter, multisetOps, latestPerGroup, nthValue,
     dateSpine, nullSafeOps, mapFuncs, posExplode, histogram, momentsExact,
-    funnel, quantiles, correlation)
+    funnel, quantiles, correlation, windowDistinct)
 }

@@ -43,7 +43,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // snapshot-versioned ANN serving lane's batch twin (r11)
     "st16_ann_snapshot_serve",
     // PQ at-rest fold+swap lifecycle (r11)
-    "n105_pq_serving_compact")
+    "n105_pq_serving_compact",
+    // windowed HLL band booleans: register-max merge is commutative (r11)
+    "x14_window_distinct")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
