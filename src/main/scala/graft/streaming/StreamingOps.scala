@@ -829,6 +829,69 @@ object StreamingOps {
       .start()
   }
 
+  /** STREAMING EMBEDDING-DRIFT MONITOR (st17): the production form of
+    * n103's audit — per micro-batch, accumulate each dimension's
+    * EXACT sufficient statistics (DECIMAL sum + count: 64 rows per
+    * batch, additive and order-free) and emit the per-dimension drift
+    * of the arrived corpus against the FIRST batch's means (the
+    * snapshot st16's frozen configuration was trained on — this lane
+    * is the trigger that tells the retrain, n102, when to fire).
+    *
+    * Because the per-dim sums are DECIMAL-exact, the incremental
+    * accumulation equals a full recompute over the arrived prefix
+    * bit-for-bit — which is exactly what the batch twin hash-attests
+    * per snapshot. State at rest is segments of 64 (dim, sum, cnt)
+    * rows under marker-last commits (the st15 rule: torn batches
+    * invisible, replays overwrite the same dirs); per-commit cost is
+    * one explode+aggregate over the BATCH plus a 64-row fold of the
+    * committed segments. */
+  def embeddingDriftIngest(vecs: DataFrame, basePath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(basePath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$basePath/_committed_batch_$batchId")
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          batch.select(posexplode(col("embedding")))
+            .select((col("pos") + 1).cast("long").as("dim"),
+              col("col").cast("double").as("x"))
+            .groupBy("dim")
+            .agg(sum(col("x").cast("decimal(25,6)")).as("s"),
+              count(lit(1)).as("cnt"))
+            .write.mode("overwrite").parquet(s"$basePath/segs/$batchId")
+          // committed segment ids (this batch's marker lands last, so
+          // include it explicitly); base = the LOWEST committed id —
+          // the first batch that ever arrived
+          val ids = (fs.listStatus(new org.apache.hadoop.fs.Path(basePath))
+            .map(_.getPath.getName)
+            .filter(_.startsWith("_committed_batch_"))
+            .map(_.stripPrefix("_committed_batch_"))
+            .filter(s => s.nonEmpty && s.forall(_.isDigit))
+            .map(_.toLong).toSeq :+ batchId).distinct.sorted
+          def meansOf(segIds: Seq[Long]) =
+            segIds.map(i => spark.read.parquet(s"$basePath/segs/$i"))
+              .reduce(_.unionByName(_))
+              .groupBy("dim")
+              .agg((sum(col("s")).cast("double") / sum(col("cnt"))).as("m"))
+          val cur = meansOf(ids)
+          val base = meansOf(Seq(ids.min)).withColumnRenamed("m", "mb")
+          cur.join(base, Seq("dim"))
+            .select(lit(batchId).as("snap"), col("dim"),
+              graft.Det.round6(col("mb")).as("mean_base"),
+              graft.Det.round6(col("m")).as("mean_cur"),
+              graft.Det.round6(col("m") - col("mb")).as("drift"))
+            .write.mode("overwrite").parquet(s"$basePath/results/$batchId")
+          fs.create(marker, true).close()
+        }: Unit
+      }
+      .start()
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState with an
     * event-time timeout — emits a session once `gapMinutes` of event
     * time passes with no activity (the hand-rolled analog of

@@ -657,9 +657,57 @@ object WindowedAggs {
       .orderBy("snap", "q_id", "rn")
   }
 
+  /** Batch twin of [[StreamingOps.embeddingDriftIngest]] (st17): the
+    * snapshot-versioned drift ladder — per commit, the per-dimension
+    * mean of the ARRIVED corpus vs the first batch's mean. The lane
+    * accumulates DECIMAL-exact (sum, count) segments, so its
+    * incremental answer equals this full recompute over each prefix
+    * bit-for-bit; the twin is three drift branches hash-attested from
+    * raw embeddings. Snap 0 additionally pins drift ≡ 0 (cur == base
+    * by definition) — a lane that misassigns its base flips it. */
+  val streamDriftTwin: Q = {
+    def branch(i: Int): String =
+      s"""SELECT CAST($i AS BIGINT) AS snap, * FROM (
+         |WITH ex AS (SELECT e.vec_id, d.i AS pos,
+         |                   CAST(e.embedding[d.i] AS DOUBLE) AS x
+         |            FROM embeddings e
+         |            CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d),
+         |cur AS (SELECT pos, ${dsumSql("x")} / count(*) AS m
+         |        FROM ex WHERE vec_id % 3 <= $i GROUP BY pos),
+         |base AS (SELECT pos, ${dsumSql("x")} / count(*) AS m
+         |         FROM ex WHERE vec_id % 3 = 0 GROUP BY pos)
+         |SELECT CAST(cur.pos AS BIGINT) AS dim,
+         |       ${round6Sql("base.m")} AS mean_base,
+         |       ${round6Sql("cur.m")} AS mean_cur,
+         |       ${round6Sql("cur.m - base.m")} AS drift
+         |FROM cur JOIN base ON base.pos = cur.pos
+         |)""".stripMargin
+    Q("st17_stream_drift",
+      (0 to 2).map(branch).mkString("", "\nUNION ALL\n",
+        "\nORDER BY snap, dim")) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      def meansOf(prefix: org.apache.spark.sql.DataFrame) =
+        prefix.select(posexplode(col("embedding")))
+          .select((col("pos") + 1).cast("long").as("dim"),
+            col("col").cast("double").as("x"))
+          .groupBy("dim").agg(davg(col("x")).as("m"))
+      val base = meansOf(e.filter(col("vec_id") % 3 === 0))
+        .withColumnRenamed("m", "mb")
+      (0 to 2).map { i =>
+        meansOf(e.filter(col("vec_id") % 3 <= i))
+          .join(base, Seq("dim"))
+          .select(lit(i.toLong).as("snap"), col("dim"),
+            round6(col("mb")).as("mean_base"),
+            round6(col("m")).as("mean_cur"),
+            round6(col("m") - col("mb")).as("drift"))
+      }.reduce(_ unionByName _)
+        .orderBy("snap", "dim")
+    }
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
     streamNearDup, indexedIngestBatch1, indexedIngestBatch2,
     qualityGateTwin, streamEnrichTwin, classifierGateTwin,
     decontaminateTwin, decontaminateRewriteTwin, streamPackTwin,
-    streamTakedownTwin, bm25ServingTwin, pqServingTwin)
+    streamTakedownTwin, bm25ServingTwin, pqServingTwin, streamDriftTwin)
 }

@@ -45,7 +45,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // PQ at-rest fold+swap lifecycle (r11)
     "n105_pq_serving_compact",
     // windowed HLL band booleans: register-max merge is commutative (r11)
-    "x14_window_distinct")
+    "x14_window_distinct",
+    // streaming drift monitor's batch twin: DECIMAL-exact means (r11)
+    "st17_stream_drift")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -874,6 +874,38 @@ class StreamingSpec extends SparkSpec {
       "all snapshots served identical answers")
   }
 
+  test("drift monitor ingest emits the st17 twin's rows at every snapshot") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drift_serve").toString
+    val e = Tables(spark, sf0001).embeddings
+    def third(m: Long) = e.filter(col("vec_id") % 3 === m)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+      .sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.embeddingDriftIngest(
+      input.toDF().toDF("vec_id", "embedding"), s"$dir/base", s"$dir/ckpt")
+    try {
+      (0L to 2L).foreach { m =>
+        input.addData(third(m)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "dim", "mean_base", "mean_cur", "drift").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+    val emitted = rows(spark.read.parquet(s"$dir/base/results/*"))
+    val twin = rows(Catalog.queries("st17_stream_drift")(spark, sf0001))
+    // the incremental DECIMAL sufficient-stat accumulation must equal
+    // the twin's full per-prefix recompute BIT-FOR-BIT
+    assert(emitted == twin && emitted.nonEmpty,
+      s"emitted ${emitted.size} rows vs twin ${twin.size}")
+    // snap 0 pins drift == 0 (cur == base); later snaps must move
+    assert(emitted.filter(_._1 == 0L).forall(_._5 == 0.0))
+    assert(emitted.exists(t => t._1 > 0L && t._5 != 0.0))
+  }
+
   test("bm25 serving ingest: a torn (markerless) batch directory is invisible") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
