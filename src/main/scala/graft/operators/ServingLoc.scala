@@ -15,14 +15,37 @@ import org.apache.spark.sql.SparkSession
   *     pqCaches weak-ref rule): a ConcurrentHashMap keyed by
   *     SparkSession would otherwise pin each stopped session — and
   *     its sessionState — forever in a long-lived test or Lab JVM.
+  *     The sweep also DELETES the swept entry's directory (ADVICE
+  *     r11): dropping the registry entry is what makes the tree
+  *     unreachable, so the delete must ride the same step.
   */
 private[graft] object ServingLoc {
   private val locs = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
   private def sweep(): Unit = {
-    val it = locs.keySet().iterator()
-    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    val it = locs.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) {
+        // delete the serving tree BEFORE dropping the entry (ADVICE
+        // r11: removal alone made the dir unreachable for any later
+        // cleanup — every stopped session leaked its n89/n101/n105
+        // contents for the life of the JVM). Locations are local temp
+        // dirs (createTempDirectory), so plain NIO suffices — the
+        // stopped session's sessionState may no longer be usable.
+        try {
+          val dir = java.nio.file.Paths.get(e.getValue)
+          if (java.nio.file.Files.exists(dir)) {
+            val walk = java.nio.file.Files.walk(dir)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+            finally walk.close()
+          }
+        } catch { case _: java.io.IOException => () } // best-effort
+        it.remove()
+      }
+    }
   }
 
   /** The stable temp location for (session, key), created on first

@@ -469,7 +469,7 @@ object StreamingOps {
   }
 
   final case class TkProbe(band: Int, sig: Long, doc_id: Long,
-      hashes: Array[Long], sigs: Array[Long], dead: Boolean)
+      hashes: Array[Long], sigs: Array[Long], dead: Boolean, ts: Timestamp)
   final case class TkBucketState(entries: List[BucketEntry], dead: List[Long])
 
   /** STREAMING TAKEDOWN (st14, VERDICT r10 #6): [[streamingNearDupPairs]]
@@ -518,69 +518,115 @@ object StreamingOps {
     * make the cycle exact. */
   /** State cost: the base lane's, plus one Long per (tombstone,
     * band) — takedown-batch-sized, the same budget as n93's broadcast
-    * tombstone sets. Returns streaming (d1, d2, jac), each qualifying
+    * tombstone sets. Tombstone membership is checked through a Set
+    * built once per bucket-batch (ADVICE r11: the stored List's O(n)
+    * `contains` per probe compounds on long-lived streams).
+    *
+    * `retention` mirrors [[streamingNearDupPairs]]'s event-time
+    * eviction exactly (same timeout arithmetic, same per-bucket
+    * semantics): when the watermark passes a bucket's last touch +
+    * retention the WHOLE bucket drops — entries and tombstones
+    * together. A tombstone may expire once the at-least-once
+    * redelivery horizon (≤ the watermark delay) has passed: a source
+    * can no longer redeliver the taken-down doc's insert, so the
+    * resurrection guard the tombstone existed for is vacuous. With
+    * retention set, both `docs` AND `takedowns` must carry an
+    * event-time `ts` column. Without it (`None`, the default) state
+    * only grows — a bounded-run configuration.
+    *
+    * Returns streaming (d1, d2, jac), each qualifying
     * pair at most once across the stream. */
   def streamingNearDupPairsWithTakedown(docs: DataFrame,
-      takedowns: DataFrame, threshold: Double = 0.6): DataFrame = {
+      takedowns: DataFrame, threshold: Double = 0.6,
+      retention: Option[String] = None,
+      watermark: String = "0 seconds"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     implicit val probeEnc = Encoders.product[TkProbe]
     implicit val stateEnc = Encoders.product[TkBucketState]
     implicit val outEnc = Encoders.product[NearDupPair]
+    val withRet = retention.isDefined
+    val retMs = retention.map(durationMs).getOrElse(0L)
 
-    val tagged = docs.select(col("doc_id"), col("text"), lit(false).as("dead"))
-      .unionByName(
-        takedowns.select(col("doc_id"), col("text"), lit(true).as("dead")))
-      .as(Encoders.product[(Long, String, Boolean)])
+    def side(df: DataFrame, dead: Boolean) = {
+      val ts = if (withRet) col("ts") else lit(null).cast("timestamp").as("ts")
+      df.select(col("doc_id"), col("text"), lit(dead).as("dead"), ts)
+    }
+    val tagged = side(docs, dead = false)
+      .unionByName(side(takedowns, dead = true))
+      .as(Encoders.product[(Long, String, Boolean, Timestamp)])
 
-    val probes = tagged.flatMap { case (id, text, dead) =>
+    val rawProbes = tagged.flatMap { case (id, text, dead, ts) =>
+      require(!withRet || ts != null,
+        s"streamingNearDupPairsWithTakedown: doc_id=$id has null ts but " +
+          "retention is set — event-time retention requires a non-null ts")
       val sh = graft.operators.Dedup.rowShingles(text)
       if (sh.isEmpty) Iterator.empty
       else {
         val (sigs, hashes) = graft.operators.Dedup.rowBandSigs(sh)
         sigs.iterator.zipWithIndex.map { case (sig, b) =>
-          TkProbe(b, sig, id, hashes, sigs, dead)
+          TkProbe(b, sig, id, hashes, sigs, dead, ts)
         }
       }
     }
+    val probes =
+      if (withRet) rawProbes.toDF().withWatermark("ts", watermark)
+        .as(Encoders.product[TkProbe])
+      else rawProbes
 
     probes.groupByKey(p => (p.band, p.sig))
       .flatMapGroupsWithState[TkBucketState, NearDupPair](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update,
+        if (withRet) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
         (key: (Int, Long), rows: Iterator[TkProbe], state: GroupState[TkBucketState]) =>
-          val prev = state.getOption.getOrElse(TkBucketState(Nil, Nil))
-          var entries = prev.entries
-          var dead = prev.dead
-          val out = List.newBuilder[NearDupPair]
-          // takedowns first (batch-start effectiveness), then inserts in
-          // doc_id order — same-batch arrivals stay deterministic
-          rows.toSeq.sortBy(p => (!p.dead, p.doc_id)).foreach { p =>
-            if (p.dead) {
-              entries = entries.filterNot(_.doc_id == p.doc_id)
-              if (!dead.contains(p.doc_id)) dead = p.doc_id :: dead
-            } else if (!dead.contains(p.doc_id) &&
-                !entries.exists(_.doc_id == p.doc_id)) {
-              entries.foreach { e =>
-                // emit from the pair's FIRST colliding band only
-                var first = -1
-                var b = 0
-                while (first < 0 && b < e.sigs.length) {
-                  if (e.sigs(b) == p.sigs(b)) first = b
-                  b += 1
+          if (withRet && state.hasTimedOut) {
+            // watermark passed (last touch + retention): entries AND
+            // tombstones drop together — redelivery of the taken-down
+            // insert is no longer possible inside the watermark
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(TkBucketState(Nil, Nil))
+            var entries = prev.entries
+            // LinkedHashSet: O(1) membership with the stored List's
+            // order preserved, so state bytes stay deterministic
+            val dead = scala.collection.mutable.LinkedHashSet(prev.dead: _*)
+            val out = List.newBuilder[NearDupPair]
+            var lastTs = 0L
+            // takedowns first (batch-start effectiveness), then inserts in
+            // doc_id order — same-batch arrivals stay deterministic
+            rows.toSeq.sortBy(p => (!p.dead, p.doc_id)).foreach { p =>
+              if (p.ts != null && p.ts.getTime > lastTs) lastTs = p.ts.getTime
+              if (p.dead) {
+                entries = entries.filterNot(_.doc_id == p.doc_id)
+                dead += p.doc_id
+              } else if (!dead.contains(p.doc_id) &&
+                  !entries.exists(_.doc_id == p.doc_id)) {
+                entries.foreach { e =>
+                  // emit from the pair's FIRST colliding band only
+                  var first = -1
+                  var b = 0
+                  while (first < 0 && b < e.sigs.length) {
+                    if (e.sigs(b) == p.sigs(b)) first = b
+                    b += 1
+                  }
+                  if (first == key._1) {
+                    val inter = sortedIntersection(e.hashes, p.hashes)
+                    val jac = inter.toDouble / (e.hashes.length + p.hashes.length - inter)
+                    if (jac >= threshold)
+                      out += NearDupPair(math.min(e.doc_id, p.doc_id),
+                        math.max(e.doc_id, p.doc_id), jac)
+                  }
                 }
-                if (first == key._1) {
-                  val inter = sortedIntersection(e.hashes, p.hashes)
-                  val jac = inter.toDouble / (e.hashes.length + p.hashes.length - inter)
-                  if (jac >= threshold)
-                    out += NearDupPair(math.min(e.doc_id, p.doc_id),
-                      math.max(e.doc_id, p.doc_id), jac)
-                }
+                entries = BucketEntry(p.doc_id, p.hashes, p.sigs) :: entries
               }
-              entries = BucketEntry(p.doc_id, p.hashes, p.sigs) :: entries
             }
+            state.update(TkBucketState(entries, dead.toList))
+            if (withRet) state.setTimeoutTimestamp(
+              math.max(lastTs + retMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
           }
-          state.update(TkBucketState(entries, dead))
-          out.result().iterator
       }.toDF()
   }
 
@@ -786,7 +832,11 @@ object StreamingOps {
     * at-least-once redelivery overwrites the same dirs and re-commits
     * the same manifest (idempotent). The serve marker lands after the
     * results write, so a crash anywhere leaves the batch invisible or
-    * exactly reproducible.
+    * exactly reproducible — including the one non-idempotent arm: the
+    * training batch records a `_trained_batch_<id>` marker before the
+    * base commit, so its replay after a crash between base commit and
+    * serve marker re-serves instead of appending a duplicate copy of
+    * its vectors (StreamingSpec's restart test pins this).
     *
     * StreamingSpec proves the three-batch MemoryStream run serves, at
     * every snapshot, exactly the st16 batch twin's rows (append
@@ -807,15 +857,25 @@ object StreamingOps {
           s"$basePath/_served_batch_$batchId")
         if (!fs.exists(marker) && !batch.isEmpty) {
           val idxPath = s"$basePath/index"
-          if (!Pq.hasPqIndex(spark, idxPath))
-            // the first batch to reach an uninitialized index trains
-            // the frozen configuration and becomes the base segment
-            // (keyed off the INDEX's state, not batchId == 0 — an
-            // empty first batch or a fresh path under a reused
-            // checkpoint must not wedge every later append; clears
-            // any torn prior write)
+          // The train/append decision must be REPLAY-STABLE (ADVICE
+          // r11): hasPqIndex changes truth value mid-replay — a crash
+          // after the base manifest commits but before the serve
+          // marker would otherwise route the training batch's replay
+          // down the append arm, permanently duplicating its vectors
+          // (readPqIndex unions every manifested code dir). Record the
+          // trainer's identity BEFORE the base commit: marker present
+          // + index absent ⇒ re-train (writePqIndex clears the torn
+          // write, idempotent); marker present + index present ⇒ the
+          // base already holds exactly this batch — skip straight to
+          // the serve. Only the batch that found the index
+          // uninitialized ever writes its marker, so the append arm
+          // stays keyed off the index's state, not batchId == 0.
+          val trained = new org.apache.hadoop.fs.Path(
+            s"$basePath/_trained_batch_$batchId")
+          if (!Pq.hasPqIndex(spark, idxPath)) {
+            fs.create(trained, true).close()
             Pq.writePqIndex(Pq.buildPqIndex(batch), idxPath)
-          else
+          } else if (!fs.exists(trained))
             Pq.appendToPqIndex(batch, idxPath, label = s"a$batchId")
           Pq.searchPqIndex(queries, Pq.readPqIndex(spark, idxPath), k = k)
             .withColumn("snap", lit(batchId))

@@ -414,6 +414,100 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((201L, 202L)), s"got $pairs")
   }
 
+  test("streaming takedown retention: an expired tombstone stops blocking re-arrival") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def words(tag: Int, n: Int) = (0 until n).map(w => s"r${tag}_$w").mkString(" ")
+    val base = words(1, 11)
+    val doc1 = s"$base endP"
+    // script: insert 1, take it down, drive the watermark 2 h forward,
+    // REDELIVER 1's insert, then insert a near-dup under a new id. With
+    // a 10-minute retention the tombstone's bucket evicts before the
+    // redelivery (the at-least-once horizon has passed), so doc 1
+    // re-enters and pairs with 5; with 1-day retention the tombstone
+    // still holds and nothing ever pairs. Same stream, two outcomes —
+    // proving expiry is eviction-driven, not a takedown-semantics leak.
+    def run(name: String, retention: String): Set[(Long, Long)] = {
+      val ins = MemoryStream[(Long, Timestamp, String)]
+      val tks = MemoryStream[(Long, Timestamp, String)]
+      val q = StreamingOps.streamingNearDupPairsWithTakedown(
+        ins.toDF().toDF("doc_id", "ts", "text").select("doc_id", "text", "ts"),
+        tks.toDF().toDF("doc_id", "ts", "text").select("doc_id", "text", "ts"),
+        threshold = 0.6, retention = Some(retention))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try {
+        ins.addData(Seq((1L, ts("2024-01-01 10:00:00"), doc1)))
+        q.processAllAvailable()
+        tks.addData(Seq((1L, ts("2024-01-01 10:01:00"), doc1)))
+        q.processAllAvailable()
+        // two driver batches: watermark moves on the first, eviction of
+        // quiet buckets fires on the second (the base lane's pattern)
+        ins.addData(Seq((50L, ts("2024-01-01 12:00:00"), words(50, 12))))
+        q.processAllAvailable()
+        ins.addData(Seq((51L, ts("2024-01-01 12:00:30"), words(51, 12))))
+        q.processAllAvailable()
+        ins.addData(Seq((1L, ts("2024-01-01 12:01:00"), doc1)))
+        q.processAllAvailable()
+        ins.addData(Seq((5L, ts("2024-01-01 12:02:00"), s"$base endQ")))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val expired = run("tk_ret10m", "10 minutes")
+    assert(expired == Set((1L, 5L)), s"got $expired")
+    val held = run("tk_ret1d", "1 day")
+    assert(held == Set.empty, s"got $held")
+  }
+
+  test("pq serving ingest: crash between base commit and serve marker replays without duplicating the training batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq_crash").toString
+    val e = Tables(spark, sf0001).embeddings
+    def third(m: Long) = e.filter(col("vec_id") % 3 === m)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+      .sortBy(_._1).toSeq
+    // simulate the lane's own batch-0 crash: trainer marker down, base
+    // manifest committed, serve marker ABSENT — the exact torn state
+    // ADVICE r11 flagged (hasPqIndex flips truth value mid-replay)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/base"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/base/_trained_batch_0"),
+      true).close()
+    graft.operators.Pq.writePqIndex(
+      graft.operators.Pq.buildPqIndex(e.filter(col("vec_id") % 3 === 0)),
+      s"$dir/base/index")
+    // restart: a fresh checkpoint replays batch 0 with the same data
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.pqServingIngest(
+      input.toDF().toDF("vec_id", "embedding"),
+      e.filter(col("vec_id") < 32), s"$dir/base", s"$dir/ckpt")
+    try {
+      (0L to 2L).foreach { m =>
+        input.addData(third(m)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the replayed trainer must NOT have appended a duplicate copy
+    val codes = graft.operators.Pq.readPqIndex(spark, s"$dir/base/index").codes
+    val duped = codes.groupBy("vec_id", "m").count()
+      .filter(col("count") > 1).count()
+    assert(duped == 0, s"$duped (vec_id, m) code cells duplicated by replay")
+    // and the batch was re-SERVED (marker + results), with the full run
+    // still matching the st16 twin — the pre-crash base answers for it
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/base/_served_batch_0")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "q_id", "nb_id", "adc", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).toSet
+    val served = rows(spark.read.parquet(s"$dir/base/results/*"))
+    val twin = rows(Catalog.queries("st16_ann_snapshot_serve")(spark, sf0001))
+    assert(served == twin && served.nonEmpty,
+      s"served ${served.size} rows vs twin ${twin.size}")
+  }
+
   test("indexedIngest: accepted store stays dup-free while the index grows per batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
