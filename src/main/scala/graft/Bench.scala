@@ -102,6 +102,15 @@ object Bench {
     // Jackson ships with Spark; parse failures degrade to "no refs"
     // (the gate just doesn't fire), never to a crashed bench.
     var provRaw: Map[String, Map[String, String]] = Map.empty
+    // "_quiet": per-sf record of the most recent ACCEPTED quiet run —
+    // the rolling denominator quiet-by-evidence compares against
+    // (round 12, VERDICT r11 #3: the old 1.2x MIN-SUM band was
+    // structurally unreachable at 218 refs, because per-query minima
+    // accumulate downward bias with history depth; a SINGLE quiet
+    // run's costs are the right same-catalog, same-history yardstick).
+    final case class QuietRec(run: String, drift: Double, stale: Int,
+        queries: Map[String, Double])
+    var quietAll: Map[String, QuietRec] = Map.empty
     val allRefs: Map[String, Map[String, Double]] =
       try {
         val p = Paths.get(refPath)
@@ -111,7 +120,23 @@ object Bench {
           val root = om.readTree(Files.readString(p))
           val out = scala.collection.mutable.Map[String, Map[String, Double]]()
           root.fields().forEachRemaining { sfe =>
-            if (sfe.getKey == "_prov") {
+            if (sfe.getKey == "_quiet") {
+              val qa = scala.collection.mutable.Map[String, QuietRec]()
+              sfe.getValue.fields().forEachRemaining { se =>
+                val n = se.getValue
+                val qs = scala.collection.mutable.Map[String, Double]()
+                if (n.has("queries"))
+                  n.get("queries").fields().forEachRemaining { qe =>
+                    qs(qe.getKey) = qe.getValue.asDouble()
+                  }
+                qa(se.getKey) = QuietRec(
+                  if (n.has("run")) n.get("run").asText() else "",
+                  if (n.has("drift")) n.get("drift").asDouble() else -1.0,
+                  if (n.has("stale")) n.get("stale").asInt() else 0,
+                  qs.toMap)
+              }
+              quietAll = qa.toMap
+            } else if (sfe.getKey == "_prov") {
               val pv = scala.collection.mutable.Map[String, Map[String, String]]()
               sfe.getValue.fields().forEachRemaining { pe =>
                 val qs = scala.collection.mutable.Map[String, String]()
@@ -318,17 +343,43 @@ object Bench {
     // Quietness for the RATCHET: the canary is a ~0.05-0.1 s spin and
     // its max/min drift false-positives on scheduler noise (observed: a
     // run whose 160-query total matched ref_total within 0.5% stamped
-    // drift 2.9). The per-query references are far stronger evidence —
-    // if the measured total over ref-covered queries is within 20% of
-    // their stored quiet costs, the host was quiet in every way that
-    // matters, canary wobble notwithstanding. Genuine contention (the
-    // driver's 4.4x) fails this check by a wide margin.
-    val refCovered = results.filter { case (n, _, _, ok) => ok && refs.contains(n) }
-    val quietByEvidence = refCovered.nonEmpty && {
-      val measured = refCovered.map(_._2).sum
-      val stored = refCovered.map { case (n, _, _, _) => refs(n) }.sum
-      stored > 0 && measured <= 1.2 * stored
+    // drift 2.9). The per-query evidence is stronger — but the right
+    // denominator is the LAST ACCEPTED QUIET RUN, not the accumulated
+    // per-query min-sum (round 12, VERDICT r11 #3: at 218 refs no
+    // single run can match a composite of historical minima — the old
+    // 1.2x band never read true in round 11; and the measured per-query
+    // within-1.3x-of-ref fraction on a KNOWN-quiet close was 39%, so
+    // fraction-of-refs variants are equally dead). Two equally-quiet
+    // runs of the same catalog land within a few percent of each other,
+    // while the r10 throughput-contention pattern (co-tenant saturating
+    // cores: wide stages +30%, single-thread canary threading between
+    // bursts) misses the band at once — catalog-size-robust on both
+    // sides. The comparison runs over the intersection of this run's
+    // ok queries with the stored run's, and requires the intersection
+    // to cover at least half of this run's measured queries (a partial
+    // overlap cannot fake quiet). Self-healing: QUIET_STALE_MAX
+    // consecutive canary-quiet misses rebase the stored run (a genuine
+    // plan-cost change moves the yardstick after three looks; transient
+    // contention rarely survives three canary-quiet runs), and every
+    // accepted run refreshes it, so the denominator tracks the current
+    // catalog and the current code.
+    val quietBand =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_BAND", "1.15").toDouble
+    val quietStaleMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_STALE_MAX", "3").toInt
+    val quietRec = quietAll.get(sfBase)
+    val quietStored: Map[String, Double] =
+      quietRec.map(_.queries).getOrElse(Map.empty)
+    val quietCovered = results.filter { case (n, _, _, ok) =>
+      ok && quietStored.contains(n)
     }
+    val quietRatio: Double = {
+      val stored = quietCovered.map { case (n, _, _, _) => quietStored(n) }.sum
+      if (stored > 0) quietCovered.map(_._2).sum / stored else -1.0
+    }
+    val quietByEvidence = quietRatio > 0 &&
+      quietCovered.size * 2 >= results.count(_._4) &&
+      quietRatio <= quietBand
 
     // Ratchet the reference file on QUIET runs only. Round-6 semantics
     // (VERDICT_r05 #5 + ADVICE r05):
@@ -347,16 +398,47 @@ object Bench {
     //  - Every changed value records provenance under "_prov" (run id,
     //    1-min load, canary drift at write time) so a lowered or raised
     //    reference is always traceable to the sample that produced it.
-    if (!contended || quietByEvidence) {
-      val canaryQuiet = drift >= 0 && drift <= driftMax
+    val canaryQuiet = drift >= 0 && drift <= driftMax
+    val runId = java.time.Instant.now().toString
+    val measuredNow: Map[String, Double] =
+      results.filter(_._4).map { case (n, b, _, _) => n -> b }.toMap
+    // Rolling-quiet state transition (see quietByEvidence above). Only
+    // a canary-quiet run may touch the record: accepted runs refresh
+    // it (replace when strictly faster over the intersection, or when
+    // the catalog grew past the stored run's coverage; otherwise just
+    // clear the stale counter), misses bump the counter until
+    // QUIET_STALE_MAX rebases. A contended run leaves it untouched.
+    val quietTransition: Option[(QuietRec, String)] =
+      if (!canaryQuiet) None
+      else if (quietStored.isEmpty)
+        Some((QuietRec(runId, drift, 0, measuredNow), "seed"))
+      else if (quietByEvidence) {
+        val covered = measuredNow.keys.count(quietStored.contains)
+        if (quietRatio <= 1.0)
+          Some((QuietRec(runId, drift, 0, measuredNow), "accept_faster"))
+        else if (covered * 10 < measuredNow.size * 9)
+          Some((QuietRec(runId, drift, 0, measuredNow), "accept_refresh"))
+        else if (quietRec.exists(_.stale != 0))
+          Some((quietRec.get.copy(stale = 0), "stale_clear"))
+        else None
+      } else if (quietRec.exists(_.stale + 1 >= quietStaleMax))
+        Some((QuietRec(runId, drift, 0, measuredNow), "stale_rebase"))
+      else
+        Some((quietRec.get.copy(stale = quietRec.get.stale + 1), "stale_bump"))
+    val quietAll2 = quietTransition match {
+      case Some((rec, _)) => quietAll + (sfBase -> rec)
+      case None => quietAll
+    }
+
+    // Names whose stored ref was REPLACED by the rebase branch — only
+    // these carry "rebase":true provenance (ADVICE r09: a shared tag
+    // also stamped ordinary seeds and ratchet-downs written during a
+    // rebase run, muddying the attribution the flag exists for).
+    val rebasedKeys = scala.collection.mutable.Set[String]()
+    val updated: Map[String, Double] = if (!contended || quietByEvidence) {
       val sampleByName = results.map { case (n, _, ss, _) => n -> ss }.toMap
       val measured = results.filter(_._4).map { case (n, b, _, _) => n -> b }
-      // Names whose stored ref was REPLACED by the rebase branch — only
-      // these carry "rebase":true provenance (ADVICE r09: a shared tag
-      // also stamped ordinary seeds and ratchet-downs written during a
-      // rebase run, muddying the attribution the flag exists for).
-      val rebasedKeys = scala.collection.mutable.Set[String]()
-      val updated = measured.flatMap { case (n, b) =>
+      measured.flatMap { case (n, b) =>
         refs.get(n) match {
           // Explicit host-migration rebase: quiet-canary minima replace
           // the stored value in either direction (see `rebase` above).
@@ -377,10 +459,10 @@ object Bench {
           case _ => Some(n -> b) // ratchet down, or seed a new query
         }
       }.toMap
-      if (updated.nonEmpty) {
+    } else Map.empty
+    if (updated.nonEmpty || quietTransition.isDefined) {
         def j(d: Double): String =
           String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
-        val runId = java.time.Instant.now().toString
         val loadW = j(loadNow())
         def provEntry(n: String): String = {
           val rebaseTag = if (rebasedKeys(n)) ""","rebase":true""" else ""
@@ -398,13 +480,22 @@ object Bench {
           "\"" + sf + "\":" + qs.toSeq.sortBy(_._1)
             .map { case (q, v) => "\"" + q + "\":" + v }
             .mkString("{", ",", "}")
-        }.mkString("{", ",", "}"))
+        }.mkString("{", ",", "}")) ++
+        (if (quietAll2.isEmpty) Nil
+         else Seq("\"_quiet\":" + quietAll2.toSeq.sortBy(_._1).map { case (sf, r) =>
+          "\"" + sf + "\":{\"run\":\"" + r.run + "\",\"drift\":" + j(r.drift) +
+            ",\"stale\":" + r.stale +
+            ",\"reason\":\"" + quietTransition.filter(_ => sf == sfBase)
+              .map(_._2).getOrElse("carried") + "\"" +
+            ",\"queries\":" + r.queries.toSeq.sortBy(_._1)
+              .map { case (q, v) => "\"" + q + "\":" + j(v) }
+              .mkString("{", ",", "}") + "}"
+        }.mkString("{", ",", "}")))
         val body = sections.mkString("{\n", ",\n", "\n}")
         try Files.writeString(Paths.get(refPath), body + "\n")
         catch { case e: Throwable =>
           System.err.println(s"[bench] could not write $refPath: ${e.getMessage}")
         }
-      }
     }
 
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and
@@ -428,7 +519,7 @@ object Bench {
       .filter { case (n, _, _, ok) => ok && refs.contains(n) }
       .map { case (n, _, _, _) => refs(n) }.sum
     val refJson =
-      s"""{"path":"$refPath","n_refs":${refs.size},"ref_total":${fmt(refTotal)},"ratio_max":${fmt(refRatio)},"ratio_heavy":${fmt(refRatioHeavy)},"heavy_ref_sec":${fmt(heavyRefSec)},"quiet_by_evidence":$quietByEvidence,"retimed":${refRetimed.map("\"" + _ + "\"").mkString("[", ",", "]")},"still_over":${stillOver.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s"""{"path":"$refPath","n_refs":${refs.size},"ref_total":${fmt(refTotal)},"ratio_max":${fmt(refRatio)},"ratio_heavy":${fmt(refRatioHeavy)},"heavy_ref_sec":${fmt(heavyRefSec)},"quiet_by_evidence":$quietByEvidence,"quiet_ratio":${fmt(quietRatio)},"quiet_n":${quietCovered.size},"quiet_stale":${quietRec.map(_.stale).getOrElse(-1)},"quiet_transition":"${quietTransition.map(_._2).getOrElse("none")}","retimed":${refRetimed.map("\"" + _ + "\"").mkString("[", ",", "]")},"still_over":${stillOver.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val hostJson =
       s"""{"cpus":${Runtime.getRuntime.availableProcessors},"load":[${fmt(loadStart)},${fmt(loadMid)},${fmt(loadNow())}]}"""
     val line =

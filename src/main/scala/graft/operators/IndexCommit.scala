@@ -22,7 +22,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Concurrent appends are not supported (one writer per index — the
   * ingest-loop contract); labels are per-batch unique by construction.
   */
-private[operators] object IndexCommit {
+private[graft] object IndexCommit {
 
   def fsOf(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path)

@@ -844,13 +844,30 @@ object Pq {
       dir: String): PqIndex = {
     val e = Tables(s, dir).embeddings
     val edited = driftEdited(e)
-    val anchors = memoized(e, "n102:anchors")(
-      edited.orderBy("vec_id").limit(IvfCells)
-        .select(col("vec_id").as("cell"), col("embedding").as("cv")))
+    val anchors = memoized(e, "n102:anchors")(retrainAnchorsOf(edited))
     val books = memoized(e, "n102:books")(codebooks(edited, Iters, KProd))
     val codes = memoized(e, "n102:codes")(
       encode(edited, books).join(assignCoarse(edited, anchors), Seq("vec_id")))
     PqIndex(anchors, books, codes)
+  }
+
+  /** Retrain-time coarse anchors: the first [[IvfCells]] ids of the
+    * CURRENT corpus (the retrain sees everything — unlike n64's
+    * even-half frozen pick). */
+  private def retrainAnchorsOf(current: DataFrame): DataFrame =
+    current.orderBy("vec_id").limit(IvfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+
+  /** [[retrainedPqIndex]]'s un-memoized general form — retrain the
+    * whole configuration from `current` (anchors re-picked, books
+    * re-trained, full re-encode). n106's gate passes this lazily for
+    * the arm whose trigger never fires; PqSpec pins it equal to the
+    * memoized n102 index on the drifted corpus. */
+  private[graft] def retrainPqIndexOn(current: DataFrame): PqIndex = {
+    val anchors = retrainAnchorsOf(current)
+    val books = codebooks(current, Iters, KProd)
+    PqIndex(anchors, books,
+      encode(current, books).join(assignCoarse(current, anchors), Seq("vec_id")))
   }
 
   /** n102: drift-triggered RETRAIN — the last index-maintenance axis
@@ -928,6 +945,119 @@ object Pq {
         round6(col("cnt") * lit(nCells) /
           sum(col("cnt")).over(Window.partitionBy())).as("skew"))
       .orderBy("cell")
+  }
+
+  /** n106's trigger threshold: L∞ over the 64 per-dimension mean
+    * drifts ([[graft.operators.Similarity.embeddingDrift]]'s output).
+    * An identical corpus yields EXACTLY 0.0 (DECIMAL-exact means of
+    * the same rows subtract to zero bits), while the shared drift edit
+    * lands ≥ 47× above this at every test SF (measured max |drift|:
+    * 0.0099 / 0.0101 / 0.0047 at sf 0.001/0.01/0.1) — so the gate's
+    * decision is data-determined with wide margins on both sides. A
+    * FIXED threshold is the catalog's determinism simplification:
+    * per-dim means of an undrifted corpus concentrate as ~N^(-1/2),
+    * so a production deployment scales the band with sample size
+    * (z-score per dimension) — same gate shape, calibrated τ. */
+  val DriftRetrainThreshold = 1e-4
+
+  /** One scenario of the drift-gated maintainer: audit `current`
+    * against the training-time snapshot `base` (n103's statistic,
+    * collected to one scalar — a 64-row aggregate is a driver-side
+    * decision by design: cheap audit → scheduled branch → expensive
+    * retrain), then serve `queries` from the RETRAINED index if the
+    * trigger fired, the standing FROZEN one if not. Both index
+    * arguments are by-name — the untaken branch's plan is never
+    * built, which is the point of the gate (the retrain is the
+    * corpus-proportional path the trigger makes rare). */
+  private def driftGatedArm(scenario: String, base: DataFrame,
+      current: DataFrame, queries: DataFrame,
+      frozen: => PqIndex, retrained: => PqIndex): DataFrame = {
+    val trig = Similarity.embeddingDrift(base, current)
+      .agg(max(abs(col("drift"))).as("t")).collect()(0).getDouble(0)
+    val fired = trig > DriftRetrainThreshold
+    searchPqIndex(queries, if (fired) retrained else frozen)
+      .select(lit(scenario).as("scenario"),
+        lit(if (fired) 1L else 0L).as("fired"), lit(trig).as("trig"),
+        col("q_id"), col("nb_id"), col("adc"), col("rn"))
+  }
+
+  /** n106: the drift→retrain loop END-TO-END (VERDICT r11 #1) — the
+    * round-11 trigger/retrain pieces composed into one gated
+    * maintainer, both branches oracle-attested in a single entry. Two
+    * scenarios run the same gate:
+    *
+    *   - STABLE: current == training snapshot → trigger reads exactly
+    *     0.0 → the gate serves the standing frozen index (n64's
+    *     accumulated even-train/odd-append state) untouched;
+    *   - DRIFTED: the shared ≡5 (mod 8) negation edit → trigger reads
+    *     ≥ 47× the threshold → the gate RETRAINS on the current corpus
+    *     (n102's path) and the served answers provably move (PqSpec
+    *     pins them ≠ the frozen-config n100 serving).
+    *
+    * The twin re-derives the trigger (per-dim DECIMAL-exact mean
+    * drift, round6, L∞) and BOTH index arms per scenario, selecting
+    * rows by the same comparison — so a gate that fires on the wrong
+    * side, serves the wrong index, or reports a perturbed trigger
+    * value flips the hash. Output carries the gate's evidence
+    * (`fired`, `trig`) on every row.
+    *
+    * Scale: the trigger is one posexplode + 64-group aggregate over
+    * the corpus (n103's cost — the cheap scheduled audit); the
+    * retrain, when and only when it fires, is the deliberate
+    * corpus-proportional path (full Lloyd + re-encode, n64's training
+    * class). The gate is exactly how a 100 TB deployment keeps the
+    * expensive path rare. */
+  val driftGatedRetrainQ: Q = {
+    val dims = "(SELECT unnest(generate_series(1, 64)) AS i)"
+    val trigSql = (cur: String) =>
+      s"""(SELECT max(abs(drift)) AS t FROM (
+         |  SELECT ${round6Sql(s"${davgSql(cur)} - ${davgSql("x")}")} AS drift
+         |  FROM (SELECT e.vec_id, d.i AS pos,
+         |               CAST(e.embedding[d.i] AS DOUBLE) AS x,
+         |               CASE WHEN $DriftEditWhere
+         |                    THEN -CAST(e.embedding[d.i] AS DOUBLE)
+         |                    ELSE CAST(e.embedding[d.i] AS DOUBLE) END AS cur
+         |        FROM embeddings e CROSS JOIN $dims d)
+         |  GROUP BY pos))""".stripMargin
+    def armSql(scenario: String, trig: String, firedArm: Boolean,
+        core: String): String = {
+      val cmp = s"(SELECT t FROM $trig) > $DriftRetrainThreshold"
+      val guard = if (firedArm) cmp else s"NOT ($cmp)"
+      val fired = if (firedArm) 1 else 0
+      s"""SELECT '$scenario' AS scenario, CAST($fired AS BIGINT) AS fired,
+         |       (SELECT t FROM $trig) AS trig, q_id, nb_id, adc, rn
+         |FROM (
+         |$core
+         |) WHERE $guard""".stripMargin
+    }
+    val sql =
+      s"""WITH t_s AS ${trigSql("x")},
+         |t_d AS ${trigSql("cur")}
+         |${armSql("stable", "t_s", firedArm = false, ivfPqIndexSqlCore())}
+         |UNION ALL
+         |${armSql("stable", "t_s", firedArm = true,
+          ivfPqIndexSqlCore(trainWhere = "true"))}
+         |UNION ALL
+         |${armSql("drifted", "t_d", firedArm = false,
+          ivfPqIndexSqlCore(embSrc = DriftEditSrc))}
+         |UNION ALL
+         |${armSql("drifted", "t_d", firedArm = true,
+          ivfPqIndexSqlCore(embSrc = DriftEditSrc, trainWhere = "true",
+            anchorSrc = DriftEditSrc))}
+         |ORDER BY scenario, q_id, rn""".stripMargin
+    Q("n106_drift_gated_retrain", sql) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val qs = e.filter(col("vec_id") < NumQueries)
+      driftGatedArm("stable", e, e, qs,
+        frozen = accumulatedPqIndex(s, dir),
+        retrained = retrainPqIndexOn(e))
+        .unionByName(driftGatedArm("drifted", e, driftEdited(e), qs,
+          frozen = upsertPqIndex(accumulatedPqIndex(s, dir),
+            e.filter(driftEditPred)
+              .withColumn("embedding", transform(col("embedding"), x => -x))),
+          retrained = retrainedPqIndex(s, dir)))
+        .orderBy("scenario", "q_id", "rn")
+    }
   }
 
   /** Test hook: the n105 serving root for this (session, corpus dir),
@@ -1487,5 +1617,5 @@ object Pq {
 
   val all: Seq[Q] = Seq(pqAdc, ivfPqAdc, ivfPqResidual, ivfPqIndexQ,
     pqRecall, pqRecallResidual, ivfPqDeleteQ, ivfPqUpsertQ,
-    ivfPqRetrainQ, ivfCellSkewQ, pqServingCompactQ)
+    ivfPqRetrainQ, ivfCellSkewQ, pqServingCompactQ, driftGatedRetrainQ)
 }

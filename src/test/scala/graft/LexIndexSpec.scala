@@ -144,6 +144,55 @@ class LexIndexSpec extends SparkSpec {
     assert(LexIndex.compactServing(spark, base).contains(2L))
   }
 
+  test("reader across the fold+prune swap: phase one never disturbs an in-flight view; only phase two is destructive") {
+    // VERDICT r11 #5: the failure mode a two-phase delete exists for is
+    // a reader caught between the phases. This pins the exact contract:
+    //   (1) a plan resolved over the PRE-fold layout collects correctly
+    //       after the fold + marker (phase one writes only fresh paths);
+    //   (2) a pre-marker reader that has EXECUTED keeps answering after
+    //       the prune: its exchange nodes hold the materialized shuffle
+    //       stages, so re-collects never re-open the pruned dirs;
+    //   (3) a plan resolved AFTER the marker never references the batch
+    //       dirs, so it survives the prune;
+    //   (4) a pre-marker plan that never executed dies after the prune —
+    //       which is WHY prune is a separate phase, run only once
+    //       in-flight readers have drained (deployment grace policy).
+    val base = java.nio.file.Files.createTempDirectory("bm25_swap").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0L to 1L).foreach { id =>
+      LexIndex.writeIndex(
+        LexIndex.buildIndex(docs.filter(col("doc_id") % 3 === id)),
+        s"$base/batches/$id")
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$base/_committed_batch_$id"), true).close()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val want = rows(LexIndex.bm25FromIndex(
+      LexIndex.buildIndex(docs.filter(col("doc_id") % 3 <= 1)), queries, 10))
+    // two in-flight readers over batches/0 + batches/1: `hot` executes
+    // before the prune, `cold` never does
+    val hot = LexIndex.bm25FromIndex(
+      LexIndex.readServing(spark, base), queries, 10)
+    val cold = LexIndex.bm25FromIndex(
+      LexIndex.readServing(spark, base), queries, 10)
+    assert(LexIndex.compactServing(spark, base).contains(1L))
+    assert(rows(hot) == want && want.nonEmpty,
+      "fold disturbed an in-flight pre-marker reader")
+    // a reader resolved after the marker holds only the folded base
+    val postSwap = LexIndex.bm25FromIndex(
+      LexIndex.readServing(spark, base), queries, 10)
+    LexIndex.pruneCompacted(spark, base)
+    assert(rows(postSwap) == want,
+      "prune disturbed a post-marker reader")
+    assert(rows(hot) == want,
+      "prune disturbed an executed pre-marker reader's materialized view")
+    // the never-executed pre-marker plan is genuinely dead — the
+    // prune's destructiveness is real, just confined to phase two
+    assertThrows[Exception](cold.collect())
+  }
+
   test("n101 lifecycle: replay-idempotent across reps, steady state is one base + one tail") {
     // the catalog entry mutates at-rest state per invocation (commit →
     // compact → prune → commit); the bench runs it 3×, so every rep

@@ -47,7 +47,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // windowed HLL band booleans: register-max merge is commutative (r11)
     "x14_window_distinct",
     // streaming drift monitor's batch twin: DECIMAL-exact means (r11)
-    "st17_stream_drift")
+    "st17_stream_drift",
+    // drift→retrain gate: trigger scalar + both served arms (r12)
+    "n106_drift_gated_retrain")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -275,6 +275,86 @@ class PqSpec extends SparkSpec {
       "retrain not load-bearing: no query's answer moved vs the frozen config")
   }
 
+  test("n106 gate: stable arm serves the frozen index verbatim; drifted arm serves moved, retrained answers") {
+    // the end-to-end properties the hash oracle attests structurally,
+    // restated as direct set comparisons against the component entries
+    val out = Pq.driftGatedRetrainQ.build(spark, sf0001).collect()
+    def arm(s: String) = out.filter(_.getString(0) == s)
+      .map(r => (r.getLong(3), r.getLong(4), r.getLong(6))).toSet
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "nb_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // no-trigger branch: trig exactly 0, gate closed, and the served
+    // rows ARE the standing frozen index's (n64's catalog answer)
+    val stable = out.filter(_.getString(0) == "stable")
+    assert(stable.forall(r => r.getLong(1) == 0L && r.getDouble(2) == 0.0),
+      "stable scenario fired or reported nonzero drift")
+    assert(arm("stable") == key(Catalog.queries("n64_pq_index")(spark, sf0001)),
+      "stable arm did not serve the frozen accumulated index")
+    // fired branch: trigger crossed, and the served answers both match
+    // the retrain entry (n102) and MOVE vs the frozen-config upsert
+    // serving (n100) — the loop is load-bearing end to end
+    val drifted = out.filter(_.getString(0) == "drifted")
+    assert(drifted.forall(r => r.getLong(1) == 1L &&
+      r.getDouble(2) > Pq.DriftRetrainThreshold),
+      "drifted scenario did not fire")
+    assert(arm("drifted") == key(Catalog.queries("n102_pq_retrain")(spark, sf0001)),
+      "drifted arm did not serve the retrained index")
+    assert(arm("drifted") != key(Catalog.queries("n100_pq_upsert")(spark, sf0001)),
+      "gate vacuous: retrained serving equals the frozen-config serving")
+  }
+
+  test("retrainPqIndexOn (n106's general form) answers exactly like the memoized n102 index") {
+    val editPred = col("vec_id") % 8 === 5 && col("vec_id") >= 32
+    val drifted = e.withColumn("embedding",
+      when(editPred, transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")))
+    val queries = e.filter(col("vec_id") < 32)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "nb_id", "adc", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val general = key(Pq.searchPqIndex(queries, Pq.retrainPqIndexOn(drifted)))
+    val catalog = key(Catalog.queries("n102_pq_retrain")(spark, sf0001))
+    assert(general == catalog && general.nonEmpty,
+      s"general retrain ${general.size} rows != n102 ${catalog.size}")
+  }
+
+  test("reader across the PQ fold+swap: fold to a fresh path never disturbs an in-flight view; only the clear is destructive") {
+    // n105's side of VERDICT r11 #5 (LexIndexSpec pins the BM25 side):
+    // the fold MATERIALIZES to a fresh path before the live tree is
+    // cleared, so (1) an in-flight reader of the live tree collects
+    // correctly across the fold, (2) an EXECUTED live-tree reader keeps
+    // answering after the clear (its exchanges hold the materialized
+    // shuffle stages — re-collects never re-open the cleared dirs),
+    // (3) a post-swap reader of the folded path survives the clear, and
+    // (4) only a never-executed live-tree plan dies — the window the
+    // two-phase swap confines, closed in deployment by reader drain.
+    val root = java.nio.file.Files.createTempDirectory("pq_swap").toString
+    val live = s"$root/live"
+    val folded = s"$root/compacted"
+    Pq.writePqIndex(Pq.buildPqIndex(e.filter(col("vec_id") % 3 === 0)), live)
+    Pq.appendToPqIndex(e.filter(col("vec_id") % 3 === 1), live, label = "a1")
+    Pq.appendToPqIndex(e.filter(col("vec_id") % 3 === 2), live, label = "a2")
+    val queries = e.filter(col("vec_id") < 32)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val want = rows(Pq.searchPqIndex(queries, Pq.readPqIndex(spark, live)))
+    // two in-flight readers over the live segment tree: `hot` executes
+    // before the clear, `cold` never does
+    val hot = Pq.searchPqIndex(queries, Pq.readPqIndex(spark, live))
+    val cold = Pq.searchPqIndex(queries, Pq.readPqIndex(spark, live))
+    Pq.writePqIndex(Pq.readPqIndex(spark, live), folded) // fold: fresh path
+    assert(rows(hot) == want && want.nonEmpty,
+      "fold disturbed an in-flight live-tree reader")
+    val postSwap = Pq.searchPqIndex(queries, Pq.readPqIndex(spark, folded))
+    graft.operators.IndexCommit.clear(spark, live)       // the swap's prune
+    assert(rows(postSwap) == want,
+      "clear disturbed a post-swap reader of the folded path")
+    assert(rows(hot) == want,
+      "clear disturbed an executed live-tree reader's materialized view")
+    assertThrows[Exception](cold.collect())
+  }
+
   test("n105 lifecycle: fold+swap serves the monolithic answer every rep; pruned live tree is gone") {
     import graft.operators.Pq
     Pq.clearPqServingState(spark)
