@@ -476,7 +476,7 @@ object Bench {
           "\"" + sf + "\":" + qs.toSeq.sortBy(_._1)
             .map { case (q, v) => "\"" + q + "\":" + j(v) }
             .mkString("{", ",", "}")
-        } :+ ("\"_prov\":" + mergedProv.toSeq.sortBy(_._1).map { case (sf, qs) =>
+        } ++ Seq("\"_prov\":" + mergedProv.toSeq.sortBy(_._1).map { case (sf, qs) =>
           "\"" + sf + "\":" + qs.toSeq.sortBy(_._1)
             .map { case (q, v) => "\"" + q + "\":" + v }
             .mkString("{", ",", "}")

@@ -13,6 +13,12 @@ Scaling recipe (PERF.md "scale slopes"):
 - embeddings: 10 copies; copy c flips the sign of a deterministic
   (hash-chosen) subset of dimensions. Norms and intra-copy geometry are
   exact-preserved; cross-copy vectors land in different LSH buckets.
+- events: 10 copies; copy c shifts user_id/event_id by the stride and
+  ts by c milliseconds. Same timeline, 10x the traffic and 10x the
+  distinct users per window — the production scale axis for the
+  windowed-agg family (st01-st04) and the distinct-count sketch (x14):
+  window COUNT stays constant while per-window state and the
+  distinct-cardinality grow with the corpus.
 
 Other tables are symlinked from the source dir unchanged.
 """
@@ -65,12 +71,26 @@ COPY (
 ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
 """)
 
+estride = con.sql(f"SELECT max(event_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
+ustride = con.sql(f"SELECT max(user_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
+con.sql(f"""
+COPY (
+  SELECT e.event_id + c.copy * {estride} AS event_id,
+         e.ts + c.copy * INTERVAL 1 MILLISECOND AS ts,
+         e.user_id + c.copy * {ustride} AS user_id,
+         e.event_type, e.value, e.props
+  FROM '{src}/events.parquet' e
+  CROSS JOIN (SELECT unnest(generate_series(0, {copies - 1})) AS copy) c
+  ORDER BY event_id
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+""")
+
 for f in os.listdir(src):
-    if f.endswith(".parquet") and f not in ("documents.parquet", "embeddings.parquet"):
+    if f.endswith(".parquet") and f not in ("documents.parquet", "embeddings.parquet", "events.parquet"):
         dst = os.path.join(out, f)
         if not os.path.exists(dst):
             os.symlink(os.path.join(src, f), dst)
 
-for t in ("documents", "embeddings"):
+for t in ("documents", "embeddings", "events"):
     n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
     print(f"{out}/{t}.parquet rows={n}")
