@@ -731,6 +731,135 @@ object Pq {
     }.flatten.map(c => PqIndex(anchors, books, c))
   }
 
+  // ---------------------------------------------------------------------
+  // st18: drift-GATED snapshot serving — n106's gate in streaming form.
+  // The drift payload is a COVARIATE SHIFT (+1.0 to every dimension of
+  // the third micro-batch — an upstream encoder change): unlike the
+  // n100-family negation edit, whose mean displacement is the edited
+  // subset's own sampling mean (~N^(-1/2), indistinguishable from the
+  // disjoint-batch composition noise a streaming prefix comparison
+  // inherently carries — measured: noise 0.016-0.018 vs signal
+  // 0.015 at the test SFs), a constant shift holds its magnitude at
+  // every corpus size. Measured prefix-vs-batch0 L∞ drift: snap 0
+  // exactly 0.0, snap 1 ≤ 0.018 (pure composition noise), snap 2
+  // ≈ 0.35 at all three SFs — the 0.1 threshold sits ≥ 5.5× from both
+  // sides, and the noise side only shrinks as N grows.
+  // ---------------------------------------------------------------------
+
+  // queries (vec_id < NumQueries) are excluded from the edit — the
+  // standing query set is fixed, the DriftEditWhere convention (and
+  // the twin's dtab derives query vectors from embSrc, so an edited
+  // query would silently diverge from the lane's unshifted probes)
+  private[graft] val ShiftEditWhere =
+    s"vec_id % 3 = 2 AND vec_id >= $NumQueries"
+  /** The shifted corpus: float-exact in both engines (the double add
+    * is exact for float inputs, so the single rounding back to REAL
+    * equals Spark's float addition). */
+  private[graft] val ShiftEditSrc: String =
+    s"(SELECT vec_id, CASE WHEN $ShiftEditWhere " +
+      "THEN CAST(list_transform(embedding, " +
+      "x -> CAST(CAST(x AS DOUBLE) + 1.0 AS REAL)) AS FLOAT[]) " +
+      "ELSE embedding END AS embedding FROM embeddings)"
+  private[graft] def shiftEdited(e: DataFrame): DataFrame =
+    e.withColumn("embedding",
+      when(expr(ShiftEditWhere),
+        transform(col("embedding"), x => x + lit(1.0f)))
+        .otherwise(col("embedding")))
+
+  /** st18's gate threshold (L∞ of per-dimension mean drift between the
+    * arrived prefix and the first batch). See the margin measurements
+    * in the section comment; [[DriftRetrainThreshold]]'s Scaladoc
+    * covers why a production band is sample-size-calibrated. */
+  val DriftServeThreshold = 0.1
+
+  /** DuckDB twin for DRIFT-GATED snapshot ANN serving (st18): one
+    * branch per committed prefix; each branch computes the prefix's
+    * drift trigger from raw embeddings and selects the FROZEN
+    * first-batch-config arm or the RETRAINED-on-the-prefix arm by the
+    * same comparison the lane makes — so the gate's decision at every
+    * snapshot is hash-attested, not just the served rows. */
+  private[graft] def gatedSnapshotSql(threshold: Double): String = {
+    def trigSql(prefix: String): String =
+      s"""(SELECT max(abs(${round6Sql("cur.m - base.m")})) AS t FROM
+         |  (SELECT pos, ${dsumSql("x")} / count(*) AS m FROM
+         |     (SELECT e.vec_id, d.i AS pos,
+         |             CASE WHEN $ShiftEditWhere
+         |                  THEN CAST(CAST(CAST(e.embedding[d.i] AS DOUBLE)
+         |                       + 1.0 AS REAL) AS DOUBLE)
+         |                  ELSE CAST(e.embedding[d.i] AS DOUBLE) END AS x
+         |      FROM embeddings e
+         |      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d)
+         |   WHERE $prefix GROUP BY pos) cur
+         |  JOIN
+         |  (SELECT pos, ${dsumSql("x")} / count(*) AS m FROM
+         |     (SELECT e.vec_id, d.i AS pos,
+         |             CAST(e.embedding[d.i] AS DOUBLE) AS x
+         |      FROM embeddings e
+         |      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d)
+         |   WHERE vec_id % 3 = 0 GROUP BY pos) base USING (pos))""".stripMargin
+    val branches = (0 to 2).flatMap { i =>
+      val prefix = if (i == 2) "TRUE" else s"vec_id % 3 <= $i"
+      val trig = s"t_$i"
+      val cmp = s"(SELECT t FROM $trig) > $threshold"
+      def arm(firedArm: Boolean, core: String): String = {
+        val guard = if (firedArm) cmp else s"NOT ($cmp)"
+        val fired = if (firedArm) 1 else 0
+        s"""SELECT CAST($i AS BIGINT) AS snap, CAST($fired AS BIGINT) AS fired,
+           |       (SELECT t FROM $trig) AS trig, q_id, nb_id, adc, rn
+           |FROM (
+           |$core
+           |) WHERE $guard""".stripMargin
+      }
+      Seq(
+        arm(firedArm = false, ivfPqIndexSqlCore(survivors = prefix,
+          embSrc = ShiftEditSrc, trainWhere = "vec_id % 3 = 0",
+          anchorSrc = ShiftEditSrc)),
+        arm(firedArm = true, ivfPqIndexSqlCore(survivors = prefix,
+          embSrc = ShiftEditSrc, trainWhere = prefix,
+          anchorSrc = ShiftEditSrc)))
+    }
+    val trigs = (0 to 2).map { i =>
+      val prefix = if (i == 2) "TRUE" else s"vec_id % 3 <= $i"
+      s"t_$i AS ${trigSql(prefix)}"
+    }.mkString(",\n")
+    s"WITH $trigs\n" + branches.mkString("", "\nUNION ALL\n",
+      "\nORDER BY snap, q_id, rn")
+  }
+
+  /** st18's frozen-config snapshot indexes: the st16 ladder over the
+    * SHIFTED corpus — anchors/books from the (unshifted) first batch,
+    * every batch's codes encoded under them as they arrive. */
+  private[graft] def shiftSnapshotPqIndexes(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[PqIndex] = {
+    val e = Tables(s, dir).embeddings
+    val b0 = e.filter(col("vec_id") % 3 === 0)
+    val batches = (0 to 2).map(i => shiftEdited(e).filter(col("vec_id") % 3 === i))
+    val anchors = memoized(e, "st16:anchors")(
+      b0.orderBy("vec_id").limit(IvfCells)
+        .select(col("vec_id").as("cell"), col("embedding").as("cv")))
+    val books = memoized(e, "st16:books")(codebooks(b0, Iters, KProd))
+    val codes = (0 to 2).map(i => memoized(e, s"st18:codes$i")(
+      encode(batches(i), books)
+        .join(assignCoarse(batches(i), anchors), Seq("vec_id"))))
+    codes.scanLeft(Option.empty[DataFrame]) {
+      case (acc, c) => Some(acc.fold(c)(_.unionByName(c)))
+    }.flatten.map(c => PqIndex(anchors, books, c))
+  }
+
+  /** st18's fired arm: the configuration retrained over the full
+    * arrived (shifted) corpus, memoized like the other trained
+    * artifacts (bench cold mode clears it). */
+  private[graft] def shiftRetrainedPqIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
+    val e = Tables(s, dir).embeddings
+    val cur = shiftEdited(e)
+    val anchors = memoized(e, "st18:ranchors")(retrainAnchorsOf(cur))
+    val books = memoized(e, "st18:rbooks")(codebooks(cur, Iters, KProd))
+    val codes = memoized(e, "st18:rcodes")(
+      encode(cur, books).join(assignCoarse(cur, anchors), Seq("vec_id")))
+    PqIndex(anchors, books, codes)
+  }
+
   /** Catalog entry: the persisted-index lifecycle — train on the even
     * snapshot (anchors, 256-code books), append the odd snapshot with
     * FROZEN books, search mixed queries over the accumulated index.

@@ -952,6 +952,110 @@ object StreamingOps {
       .start()
   }
 
+  /** DRIFT-GATED ANN SERVING (st18): the drift→retrain loop end-to-end
+    * in streaming form — st17's monitor GATING st16's serving lane in
+    * ONE pipeline (n106 is the batch form). Per micro-batch:
+    *
+    *   1. persist the batch's raw vectors (`vecs/<id>` — the corpus
+    *      store a retrain reads) and its DECIMAL-exact per-dimension
+    *      drift segment (`segs/<id>`, st17's 64 additive rows);
+    *   2. fold the committed segments into the arrived corpus's
+    *      per-dim means and compare against the FIRST batch's — the
+    *      trigger is the L∞ of the round6'd drifts, bit-identical to
+    *      a full recompute by DECIMAL additivity;
+    *   3. if the trigger crosses `threshold`, RETRAIN: rebuild the
+    *      whole configuration from the at-rest corpus at a fresh path
+    *      `index_r<id>` (fold-to-fresh + marker — n105's swap shape;
+    *      deterministic from at-rest inputs, so replay is idempotent
+    *      by construction) and serve from it; later unfired batches
+    *      append to the NEWEST retrained tree;
+    *   4. otherwise train-on-first/append under the current frozen
+    *      configuration (st16's arms, including its replay-stable
+    *      trainer marker) and serve the accumulated index.
+    *
+    * Every commit's served rows carry the gate's evidence (fired,
+    * trig) — StreamingSpec proves the three-batch MemoryStream run
+    * equals the st18 batch twin at every snapshot, where the DuckDB
+    * twin re-derives trigger AND both arms per prefix and selects by
+    * the same comparison. */
+  def driftGatedPqServingIngest(vecs: DataFrame, queries: DataFrame,
+      basePath: String, checkpointDir: String,
+      threshold: Double = graft.operators.Pq.DriftServeThreshold,
+      k: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Pq
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(basePath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$basePath/_served_batch_$batchId")
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          batch.write.mode("overwrite").parquet(s"$basePath/vecs/$batchId")
+          batch.select(posexplode(col("embedding")))
+            .select((col("pos") + 1).cast("long").as("dim"),
+              col("col").cast("double").as("x"))
+            .groupBy("dim")
+            .agg(sum(col("x").cast("decimal(25,6)")).as("s"),
+              count(lit(1)).as("cnt"))
+            .write.mode("overwrite").parquet(s"$basePath/segs/$batchId")
+          def committed(prefix: String): Seq[Long] =
+            fs.listStatus(new org.apache.hadoop.fs.Path(basePath))
+              .map(_.getPath.getName).filter(_.startsWith(prefix))
+              .map(_.stripPrefix(prefix))
+              .filter(s => s.nonEmpty && s.forall(_.isDigit))
+              .map(_.toLong).toSeq
+          val ids = (committed("_served_batch_") :+ batchId).distinct.sorted
+          def meansOf(segIds: Seq[Long]) =
+            segIds.map(i => spark.read.parquet(s"$basePath/segs/$i"))
+              .reduce(_.unionByName(_))
+              .groupBy("dim")
+              .agg((sum(col("s")).cast("double") / sum(col("cnt"))).as("m"))
+          val trig = meansOf(ids)
+            .join(meansOf(Seq(ids.min)).withColumnRenamed("m", "mb"), Seq("dim"))
+            .agg(max(abs(graft.Det.round6(col("m") - col("mb")))))
+            .collect()(0).getDouble(0)
+          val fired = trig > threshold
+          val idx =
+            if (fired) {
+              // retrain over EVERYTHING arrived, at a fresh path —
+              // deterministic from the at-rest corpus, so an
+              // at-least-once replay rebuilds the identical tree
+              val all = ids.map(i => spark.read.parquet(s"$basePath/vecs/$i"))
+                .reduce(_.unionByName(_))
+              val rPath = s"$basePath/index_r$batchId"
+              Pq.writePqIndex(Pq.buildPqIndex(all), rPath)
+              fs.create(new org.apache.hadoop.fs.Path(
+                s"$basePath/_retrained_batch_$batchId"), true).close()
+              Pq.readPqIndex(spark, rPath)
+            } else {
+              // the current tree: the newest retrained one if any
+              // retrain has committed, else the frozen base tree
+              val idxPath = committed("_retrained_batch_").maxOption
+                .map(r => s"$basePath/index_r$r")
+                .getOrElse(s"$basePath/index")
+              val trained = new org.apache.hadoop.fs.Path(
+                s"$basePath/_trained_batch_$batchId")
+              if (!Pq.hasPqIndex(spark, idxPath)) {
+                fs.create(trained, true).close()
+                Pq.writePqIndex(Pq.buildPqIndex(batch), idxPath)
+              } else if (!fs.exists(trained))
+                Pq.appendToPqIndex(batch, idxPath, label = s"a$batchId")
+              Pq.readPqIndex(spark, idxPath)
+            }
+          Pq.searchPqIndex(queries, idx, k = k)
+            .select(lit(batchId).as("snap"),
+              lit(if (fired) 1L else 0L).as("fired"), lit(trig).as("trig"),
+              col("q_id"), col("nb_id"), col("adc"), col("rn"))
+            .write.mode("overwrite").parquet(s"$basePath/results/$batchId")
+          fs.create(marker, true).close()
+        }: Unit
+      }
+      .start()
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState with an
     * event-time timeout — emits a session once `gapMinutes` of event
     * time passes with no activity (the hand-rolled analog of

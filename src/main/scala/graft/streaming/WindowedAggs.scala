@@ -705,9 +705,50 @@ object WindowedAggs {
     }
   }
 
+  /** Batch twin of [[StreamingOps.driftGatedPqServingIngest]] (st18):
+    * the drift→retrain loop in its streaming form, snapshot by
+    * snapshot. Vectors arrive in three micro-batches (vec_id mod 3);
+    * the THIRD arrives covariate-shifted (+1.0 per dimension — an
+    * upstream encoder change; see the margin measurements in
+    * [[graft.operators.Pq.ShiftEditSrc]]'s section). At every commit
+    * the lane audits the arrived corpus against the first batch
+    * (st17's DECIMAL-exact statistic, L∞-collapsed) and the gate picks
+    * the serving configuration: snapshots 0 and 1 read 0.0 and
+    * composition noise (≤ 0.018) — frozen first-batch config serves;
+    * snapshot 2 reads ≈ 0.35 — the gate RETRAINS on the arrived corpus
+    * and the served answers move. The twin re-derives the trigger and
+    * BOTH arms per prefix from raw embeddings and selects by the same
+    * comparison, so the gate's per-snapshot decision is hash-attested
+    * with `fired`/`trig` as evidence on every row. */
+  val driftGatedServeTwin: Q = Q(
+    "st18_drift_gated_serve",
+    graft.operators.Pq.gatedSnapshotSql(
+      graft.operators.Pq.DriftServeThreshold)) { (s, dir) =>
+    import graft.operators.{Pq, Similarity}
+    val e = Tables(s, dir).embeddings
+    val queries = e.filter(col("vec_id") < 32)
+    val b0 = e.filter(col("vec_id") % 3 === 0)
+    lazy val frozen = Pq.shiftSnapshotPqIndexes(s, dir)
+    (0 to 2).map { i =>
+      val prefix = Pq.shiftEdited(e).filter(col("vec_id") % 3 <= i)
+      val trig = Similarity.embeddingDrift(b0, prefix)
+        .agg(max(abs(col("drift")))).collect()(0).getDouble(0)
+      val fired = trig > Pq.DriftServeThreshold
+      val idx =
+        if (!fired) frozen(i)
+        else if (i == 2) Pq.shiftRetrainedPqIndex(s, dir)
+        else Pq.retrainPqIndexOn(prefix)
+      Pq.searchPqIndex(queries, idx)
+        .select(lit(i.toLong).as("snap"),
+          lit(if (fired) 1L else 0L).as("fired"), lit(trig).as("trig"),
+          col("q_id"), col("nb_id"), col("adc"), col("rn"))
+    }.reduce(_ unionByName _).orderBy("snap", "q_id", "rn")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
     streamNearDup, indexedIngestBatch1, indexedIngestBatch2,
     qualityGateTwin, streamEnrichTwin, classifierGateTwin,
     decontaminateTwin, decontaminateRewriteTwin, streamPackTwin,
-    streamTakedownTwin, bm25ServingTwin, pqServingTwin, streamDriftTwin)
+    streamTakedownTwin, bm25ServingTwin, pqServingTwin, streamDriftTwin,
+    driftGatedServeTwin)
 }

@@ -49,7 +49,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // streaming drift monitor's batch twin: DECIMAL-exact means (r11)
     "st17_stream_drift",
     // drift→retrain gate: trigger scalar + both served arms (r12)
-    "n106_drift_gated_retrain")
+    "n106_drift_gated_retrain",
+    // streaming drift-gated serving's batch twin (r12)
+    "st18_drift_gated_serve")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

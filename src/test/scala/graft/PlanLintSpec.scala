@@ -60,6 +60,7 @@ class PlanLintSpec extends SparkSpec {
     "st16_ann_snapshot_serve", // n64's 8-anchor broadcast, per snapshot
     "n105_pq_serving_compact", // n64's 8-anchor broadcast, folded-index path
     "n106_drift_gated_retrain", // n64's 8-anchor broadcast on both gated arms
+    "st18_drift_gated_serve",   // n64's 8-anchor broadcast, per gated snapshot
     "n84_temperature_mix",  // 1-row token-total + 1-row normalizer broadcasts
     "n85_corpus_card",      // 1-row audit assembly (n60's pattern)
     "n88_truncation_recall",// n10's 32-query broadcast build side, per level

@@ -1000,6 +1000,54 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.exists(t => t._1 > 0L && t._5 != 0.0))
   }
 
+  test("drift-gated serving lane retrains mid-stream and serves the st18 twin's rows at every snapshot") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gated_serve").toString
+    val e = Tables(spark, sf0001).embeddings
+    val shifted = graft.operators.Pq.shiftEdited(e)
+    def third(m: Long) = shifted.filter(col("vec_id") % 3 === m)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+      .sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.driftGatedPqServingIngest(
+      input.toDF().toDF("vec_id", "embedding"),
+      e.filter(col("vec_id") < 32), s"$dir/base", s"$dir/ckpt")
+    try {
+      (0L to 2L).foreach { m =>
+        input.addData(third(m)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "fired", "trig", "q_id", "nb_id", "adc", "rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6))).toSet
+    val served = rows(spark.read.parquet(s"$dir/base/results/*"))
+    val twin = rows(Catalog.queries("st18_drift_gated_serve")(spark, sf0001))
+    assert(served == twin && served.nonEmpty,
+      s"served ${served.size} rows vs twin ${twin.size}")
+    // the gate's trajectory: frozen, frozen, RETRAIN — and the retrain
+    // is load-bearing (snapshot 2's answers differ from what the
+    // frozen configuration would have served)
+    val firedBySnap = served.groupBy(_._1).view.mapValues(_.map(_._2).head).toMap
+    assert(firedBySnap == Map(0L -> 0L, 1L -> 0L, 2L -> 1L), s"$firedBySnap")
+    val frozen2 = graft.operators.Pq.searchPqIndex(
+      e.filter(col("vec_id") < 32),
+      graft.operators.Pq.shiftSnapshotPqIndexes(spark, sf0001)(2))
+      .select("q_id", "nb_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val snap2 = served.filter(_._1 == 2L).map(t => (t._4, t._5, t._7))
+    assert(snap2 != frozen2,
+      "gate vacuous: retrained serving equals the frozen-config serving")
+    // and a retrained tree exists on disk at a fresh path (the n105
+    // swap shape), with the serve marker trailing it
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/base/index_r2")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/base/_retrained_batch_2")))
+  }
+
   test("bm25 serving ingest: a torn (markerless) batch directory is invisible") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
