@@ -165,6 +165,30 @@ object LexIndex {
     compactionUpto(fs, base).nonEmpty || committedBatchIds(fs, base).nonEmpty
   }
 
+  /** Shape of the committed serving view: (number of segments the next
+    * [[readServing]] will union, compaction watermark or -1). The
+    * st19 lane serves these as evidence columns — the oracle pins the
+    * values the LSM cadence predicts, so a fold that silently never
+    * ran (n_segs too high) or a prune that broke the view flips the
+    * driver hash, not just a spec. */
+  def servingLayout(spark: SparkSession, base: String): (Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val upto = compactionUpto(fs, base)
+    val tail = committedBatchIds(fs, base).filter(id => upto.forall(id > _))
+    ((if (upto.isDefined) 1L else 0L) + tail.size, upto.getOrElse(-1L))
+  }
+
+  /** Committed batch segments NEWER than the compaction watermark —
+    * the quantity an LSM cadence gates on (fold when the tail reaches
+    * the configured fan-in). */
+  def tailSegmentCount(spark: SparkSession, base: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val upto = compactionUpto(fs, base)
+    committedBatchIds(fs, base).count(id => upto.forall(id > _))
+  }
+
   /** The serving view of a segmented index directory: the newest
     * compacted base segment (if any) plus every committed batch
     * segment NEWER than it. A torn compaction (components without the
@@ -333,6 +357,25 @@ object LexIndex {
   private[graft] def bm25SnapshotSql(k: Int, snaps: Seq[String]): String = {
     val branches = snaps.zipWithIndex.map { case (where, i) =>
       s"SELECT CAST($i AS BIGINT) AS snap, * FROM (\n" +
+        bm25SqlCore(k, s"SELECT doc_id, text FROM documents WHERE $where") +
+        "\n)"
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY snap, q_id, rank")
+  }
+
+  /** DuckDB twin for the COMPACTING serving ladder (st19's batch
+    * twin): [[bm25SnapshotSql]] plus per-branch layout evidence —
+    * `(where, n_segs, base_upto)` per snapshot, the values the LSM
+    * cadence (fold every `compactEvery` tail segments, prune after)
+    * independently predicts. The Spark side reads n_segs/base_upto
+    * from the ACTUAL on-disk layout at serve time, so the hash attests
+    * both the answers and that the fold/prune really happened when the
+    * cadence says they must. */
+  private[graft] def bm25CompactSnapshotSql(
+      k: Int, snaps: Seq[(String, Long, Long)]): String = {
+    val branches = snaps.zipWithIndex.map { case ((where, nSegs, upto), i) =>
+      s"SELECT CAST($i AS BIGINT) AS snap, CAST($nSegs AS BIGINT) AS n_segs," +
+        s" CAST($upto AS BIGINT) AS base_upto, * FROM (\n" +
         bm25SqlCore(k, s"SELECT doc_id, text FROM documents WHERE $where") +
         "\n)"
     }

@@ -814,6 +814,82 @@ object StreamingOps {
       .start()
   }
 
+  /** CONTINUOUS INGEST WITH THE LSM CADENCE IN THE LANE ITSELF (st19):
+    * [[bm25ServingIngest]]'s serving ladder plus the compaction POLICY
+    * a long-lived 100 TB serving stream actually runs — fold when the
+    * committed tail reaches `compactEvery` segments, prune afterwards
+    * (the two-phase delete), all scheduled by the lane, not by an
+    * operator beside it. st15 proved compaction COMPOSES with a live
+    * lane; this lane makes the cadence itself part of the attested
+    * behavior: every served snapshot carries `n_segs`/`base_upto`
+    * evidence columns read from the real layout at serve time, and the
+    * twin's oracle pins the values the cadence predicts — a fold that
+    * never fired (unbounded read amplification), a prune that broke
+    * the serving view, or a serve that missed a post-fold batch all
+    * flip the driver hash.
+    *
+    * Ordering per micro-batch: segment write → serve (committed view +
+    * this segment) → results/<id> → `_committed_batch_` marker → gate.
+    * The gate runs AFTER the marker (this batch counts toward the
+    * tail) and OUTSIDE the replay guard: a crash between marker and
+    * fold self-heals — the next batch sees the tail still ≥ the
+    * fan-in and folds then. Replayed batches never re-serve (marker
+    * guard) but still evaluate the gate, so a redelivery can finish an
+    * interrupted compaction but never double-fold (ids ≤ watermark are
+    * excluded from every fold).
+    *
+    * StreamingSpec proves the three-batch MemoryStream run serves
+    * exactly the st19 batch twin's rows at every snapshot AND that the
+    * on-disk tree went through the fold (compacted base present,
+    * folded batch dirs pruned, replay markers kept). */
+  def bm25ServingIngestCompacting(docs: DataFrame,
+      queries: Seq[(Long, String)], basePath: String, checkpointDir: String,
+      k: Int = 10, compactEvery: Int = 2):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.LexIndex
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val fs = new org.apache.hadoop.fs.Path(basePath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$basePath/_committed_batch_$batchId")
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          val bIdx = LexIndex.buildIndex(batch.select("doc_id", "text"))
+          LexIndex.writeIndex(bIdx, s"$basePath/batches/$batchId")
+          val thisSeg = LexIndex.readIndex(spark, s"$basePath/batches/$batchId")
+          // layout BEFORE this batch's marker: the committed view the
+          // serve unions with this segment — its shape is the evidence
+          val (committedSegs, baseUpto) = LexIndex.servingLayout(spark, basePath)
+          val idx =
+            if (committedSegs > 0L) {
+              val prior = LexIndex.readServing(spark, basePath)
+              LexIndex.Bm25Index(
+                prior.postings.unionByName(thisSeg.postings),
+                prior.doclens.unionByName(thisSeg.doclens))
+            } else thisSeg
+          LexIndex.bm25FromIndex(idx, queries.toDF("q_id", "term"), k)
+            .withColumn("snap", lit(batchId))
+            .withColumn("n_segs", lit(committedSegs + 1L))
+            .withColumn("base_upto", lit(baseUpto))
+            .select("snap", "n_segs", "base_upto",
+              "q_id", "rank", "doc_id", "score")
+            .write.mode("overwrite").parquet(s"$basePath/results/$batchId")
+          fs.create(marker, true).close()
+        }
+        // the LSM gate — after the marker, outside the replay guard
+        if (compactEvery > 0 &&
+            LexIndex.tailSegmentCount(spark, basePath) >= compactEvery) {
+          LexIndex.compactServing(spark, basePath)
+          LexIndex.pruneCompacted(spark, basePath)
+        }: Unit
+      }
+      .start()
+  }
+
   /** CONTINUOUS INGEST INTO THE ANN SERVING INDEX (st16): stream of
     * embedding vectors → per-micro-batch PQ-encode under a FROZEN
     * configuration → append to the at-rest IVF-PQ index

@@ -629,6 +629,65 @@ object WindowedAggs {
       .orderBy("snap", "q_id", "rank")
   }
 
+  /** Batch twin of [[StreamingOps.bm25ServingIngestCompacting]] (st19):
+    * the serving ladder WITH THE LSM CADENCE INSIDE — st15's
+    * three-batch ingest where the lane itself folds the committed
+    * segments once the tail reaches the fan-in (compactEvery = 2) and
+    * prunes the folded dirs (the two-phase delete), mid-stream. The
+    * twin replays the exact cadence against a real on-disk tree:
+    * commit seg → serve through [[graft.operators.LexIndex.readServing]]
+    * into `results/<id>` → gate (fold + prune) — so snapshot 2 is
+    * served THROUGH the compacted+pruned layout, and every snapshot's
+    * row carries `n_segs`/`base_upto` read from the actual layout at
+    * serve time. The oracle recomputes each prefix's BM25 from raw
+    * text AND pins the layout evidence the cadence predicts
+    * ((1,-1), (2,-1), (2,1)): a fold that never fired, a prune that
+    * broke the serving view, a posting lost in the fold, or a serve
+    * that missed the post-fold batch all flip the hash. Results are
+    * materialized per snapshot BEFORE the gate runs (the lane's own
+    * order) — the returned frame reads the results dirs, never the
+    * pruned segment dirs (DECISIONS r12 #3: a never-executed pre-prune
+    * plan dies; a serving LOG does not). State honestly rebuilds from
+    * empty per invocation (the n105 rule): snapshot answers depend on
+    * prefix state, so every rep re-runs the full lifecycle and serves
+    * identical rows. */
+  val streamServingCompactTwin: Q = Q(
+    "st19_stream_serving_compact",
+    graft.operators.LexIndex.bm25CompactSnapshotSql(10,
+      Seq(("doc_id % 3 = 0", 1L, -1L), ("doc_id % 3 <= 1", 2L, -1L),
+        ("TRUE", 2L, 1L)))) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.{LexIndex, ServingLoc, TextAnalysis}
+    val docs = Tables(s, dir).documents
+    val base = ServingLoc.of(s, s"st19:$dir", "graft_bm25_stream_compact")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .foreach(st => fs.delete(st.getPath, true))
+    val queries = TextAnalysis.bm25QuerySet.toDF("q_id", "term")
+    (0 to 2).foreach { i =>
+      LexIndex.writeIndex(
+        LexIndex.buildIndex(
+          docs.filter(col("doc_id") % 3 === i).select("doc_id", "text")),
+        s"$base/batches/$i")
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$base/_committed_batch_$i"), true).close()
+      val (nSegs, upto) = LexIndex.servingLayout(s, base)
+      LexIndex.bm25FromIndex(LexIndex.readServing(s, base), queries, 10)
+        .select(lit(i.toLong).as("snap"), lit(nSegs).as("n_segs"),
+          lit(upto).as("base_upto"),
+          col("q_id"), col("rank"), col("doc_id"), col("score"))
+        .write.mode("overwrite").parquet(s"$base/results/$i")
+      if (LexIndex.tailSegmentCount(s, base) >= 2) {
+        LexIndex.compactServing(s, base)
+        LexIndex.pruneCompacted(s, base)
+      }
+    }
+    s.read.parquet((0 to 2).map(i => s"$base/results/$i"): _*)
+      .select("snap", "n_segs", "base_upto", "q_id", "rank", "doc_id", "score")
+      .orderBy("snap", "q_id", "rank")
+  }
+
   /** Batch twin of [[StreamingOps.pqServingIngest]] (st16): the
     * SNAPSHOT-VERSIONED ANN serving ladder — embedding vectors arrive
     * in three micro-batches (vec_id mod 3), the FIRST batch trains the
@@ -749,6 +808,6 @@ object WindowedAggs {
     streamNearDup, indexedIngestBatch1, indexedIngestBatch2,
     qualityGateTwin, streamEnrichTwin, classifierGateTwin,
     decontaminateTwin, decontaminateRewriteTwin, streamPackTwin,
-    streamTakedownTwin, bm25ServingTwin, pqServingTwin, streamDriftTwin,
-    driftGatedServeTwin)
+    streamTakedownTwin, bm25ServingTwin, streamServingCompactTwin,
+    pqServingTwin, streamDriftTwin, driftGatedServeTwin)
 }

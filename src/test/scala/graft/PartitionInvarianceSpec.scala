@@ -51,7 +51,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // drift→retrain gate: trigger scalar + both served arms (r12)
     "n106_drift_gated_retrain",
     // streaming drift-gated serving's batch twin (r12)
-    "st18_drift_gated_serve")
+    "st18_drift_gated_serve",
+    // compacting serving lane's batch twin: served THROUGH the fold (r12)
+    "st19_stream_serving_compact")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

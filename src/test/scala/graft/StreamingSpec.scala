@@ -935,6 +935,52 @@ class StreamingSpec extends SparkSpec {
       .toSet.size == 3, "all snapshots served identical answers")
   }
 
+  test("compacting bm25 serving lane serves the st19 twin's rows and folds mid-stream") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25_compact_serve").toString
+    def third(m: Long) = Tables(spark, sf0001).documents
+      .filter(col("doc_id") % 3 === m)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.bm25ServingIngestCompacting(
+      input.toDF().toDF("doc_id", "text"),
+      graft.operators.TextAnalysis.bm25QuerySet,
+      s"$dir/base", s"$dir/ckpt", k = 10, compactEvery = 2)
+    try {
+      (0L to 2L).foreach { m =>
+        input.addData(third(m)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "n_segs", "base_upto", "q_id", "rank", "doc_id", "score")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    val served = rows(spark.read.parquet(s"$dir/base/results/*"))
+    val twin = rows(Catalog.queries("st19_stream_serving_compact")(spark, sf0001))
+    assert(served == twin && served.nonEmpty,
+      s"served ${served.size} rows vs twin ${twin.size}")
+    // the layout evidence the cadence predicts: snapshot 2 was served
+    // THROUGH the folded base (2 segments, watermark 1), not 3 raw ones
+    assert(served.filter(_._1 == 2L).forall(t => t._2 == 2L && t._3 == 1L),
+      "snapshot 2 must serve through the compacted base + one tail segment")
+    // the tree really went through the fold and its two-phase delete
+    val base = new java.io.File(s"$dir/base")
+    assert(new java.io.File(base, "compacted/1").isDirectory,
+      "fold must have materialized the compacted base")
+    assert(!new java.io.File(base, "batches/0").exists &&
+      !new java.io.File(base, "batches/1").exists,
+      "folded segment dirs must be pruned")
+    assert(new java.io.File(base, "batches/2").isDirectory,
+      "the post-fold tail segment must survive the prune")
+    (0 to 2).foreach(i => assert(
+      new java.io.File(base, s"_committed_batch_$i").exists,
+      s"replay marker $i must be kept (at-least-once skip guard)"))
+    assert(new java.io.File(base, "_compacted_upto_1").exists)
+  }
+
   test("pq serving ingest serves the st16 twin's rows at every snapshot") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
