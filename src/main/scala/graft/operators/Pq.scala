@@ -710,6 +710,89 @@ object Pq {
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY snap, q_id, rn")
   }
 
+  // ---------------------------------------------------------------------
+  // st20 serving-generation protocol: generation g's index (an ordinary
+  // IndexCommit tree) lives under `base/gens/<g>`; `base/_gen_<g>`
+  // markers name the serving generation (current = max, 0 implied when
+  // none) and are written marker-last AFTER the folded generation
+  // materializes — the n105 fold+swap shape with the swap pointer made
+  // explicit, so a stateless foreachBatch (and a restarted stream)
+  // resolves the serving tree from disk alone.
+  // ---------------------------------------------------------------------
+
+  def pqGenPath(base: String, g: Long): String = s"$base/gens/$g"
+
+  /** The serving generation: max committed `_gen_<g>` marker, 0 when
+    * none (the training batch's implied generation). */
+  def currentPqGen(spark: org.apache.spark.sql.SparkSession,
+      base: String): Long = {
+    val fs = IndexCommit.fsOf(spark, base)
+    val p = new org.apache.hadoop.fs.Path(base)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("_gen_")).map(_.stripPrefix("_gen_"))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+      .maxOption.getOrElse(0L)
+  }
+
+  /** Manifested append segments in a generation tree (committed labels
+    * minus the base) — the quantity the fold cadence gates on and the
+    * `n_appends` evidence column serves. */
+  def pqAppendCount(spark: org.apache.spark.sql.SparkSession,
+      genPath: String): Int =
+    math.max(0, IndexCommit.committedLabels(spark, genPath).size - 1)
+
+  /** The in-lane fold+swap: when the serving generation carries at
+    * least `compactEvery` appends, materialize the whole index to the
+    * NEXT generation path (an action — phase one), commit the new
+    * `_gen_` marker (the swap point), then prune every older
+    * generation dir and marker (phase two). Crash-windows self-heal:
+    * before the marker, the next gate refolds (writePqIndex clears its
+    * torn target); after the marker but before the prune, stale
+    * generations linger harmlessly until the next fold's sweep — the
+    * sweep prunes every numeric gen ≤ the folded one, not just g. */
+  def foldPqServingIfDue(spark: org.apache.spark.sql.SparkSession,
+      base: String, compactEvery: Int): Unit = {
+    val g = currentPqGen(spark, base)
+    val cur = pqGenPath(base, g)
+    if (compactEvery > 0 && hasPqIndex(spark, cur) &&
+        pqAppendCount(spark, cur) >= compactEvery) {
+      writePqIndex(readPqIndex(spark, cur), pqGenPath(base, g + 1))
+      val fs = IndexCommit.fsOf(spark, base)
+      fs.create(new org.apache.hadoop.fs.Path(s"$base/_gen_${g + 1}"),
+        true).close()
+      val gensDir = new org.apache.hadoop.fs.Path(s"$base/gens")
+      if (fs.exists(gensDir))
+        fs.listStatus(gensDir).map(_.getPath.getName)
+          .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+          .filter(_ <= g).foreach { og =>
+            IndexCommit.clear(spark, pqGenPath(base, og))
+            fs.delete(new org.apache.hadoop.fs.Path(s"$base/_gen_$og"),
+              false): Unit
+          }
+    }
+  }
+
+  /** DuckDB twin for the COMPACTING ANN serving ladder (st20's batch
+    * twin): [[ivfPqSnapshotSql]] plus per-branch layout evidence —
+    * `(survivors, n_appends, gen)` per snapshot, the values the
+    * fold+swap cadence (fold when the serving generation carries
+    * `compactEvery` appends, prune the old generation after the new
+    * marker) independently predicts. The Spark side reads
+    * n_appends/gen from the ACTUAL generation tree at serve time, so
+    * the hash attests both the answers and that the fold/swap really
+    * happened when the cadence says they must. */
+  private[graft] def ivfPqCompactSnapshotSql(
+      snaps: Seq[(String, Long, Long)], trainWhere: String): String = {
+    val branches = snaps.zipWithIndex.map { case ((survivors, nApp, gen), i) =>
+      s"SELECT CAST($i AS BIGINT) AS snap, CAST($nApp AS BIGINT) AS n_appends," +
+        s" CAST($gen AS BIGINT) AS gen, * FROM (\n" +
+        ivfPqIndexSqlCore(survivors, "embeddings", trainWhere, "embeddings") +
+        "\n)"
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY snap, q_id, rn")
+  }
+
   /** The st16 snapshot ladder's accumulated indexes: configuration
     * (anchors + books) trained on the FIRST micro-batch and FROZEN,
     * each later batch encoded under it — the streaming-ingest

@@ -965,6 +965,79 @@ object StreamingOps {
       .start()
   }
 
+  /** CONTINUOUS ANN INGEST WITH THE FOLD+SWAP CADENCE IN THE LANE
+    * (st20): [[pqServingIngest]]'s serving ladder plus the compaction
+    * policy n105 proved at rest — the vector-side analog of
+    * [[bm25ServingIngestCompacting]]. When the serving generation
+    * carries `compactEvery` append segments, the lane folds the whole
+    * index to a FRESH generation path (phase one, an action), commits
+    * the `_gen_<g+1>` marker (the swap), and prunes the old
+    * generation (phase two) — all after the serve marker and outside
+    * the replay guard, so a crash anywhere in the fold self-heals at
+    * the next batch ([[graft.operators.Pq.foldPqServingIfDue]]'s
+    * sweep prunes every stale generation, not just the newest).
+    * Appends land on whatever generation the `_gen_` markers name, so
+    * a stateless foreachBatch — and a restarted stream — resolves the
+    * serving tree from disk alone.
+    *
+    * Fold exactness: anchors, codebooks and codes are rewritten
+    * verbatim (the n105 contract), so a folded generation answers
+    * bit-identically to the segment tree it replaced — which is
+    * exactly why correct answers alone cannot attest the fold
+    * (DECISIONS r12 #6). Every served snapshot therefore carries
+    * `n_appends`/`gen` evidence read from the real generation tree at
+    * serve time, and the twin's oracle pins the values the cadence
+    * predicts: a fold that never fires (unbounded per-serve segment
+    * listing at 100 TB), a swap serving a torn generation, or an
+    * append landing on a pruned tree all flip the driver hash.
+    *
+    * StreamingSpec proves the three-batch MemoryStream run serves
+    * exactly the st20 batch twin's rows at every snapshot AND that
+    * the tree went through the swap (old generations pruned, the
+    * serving generation consolidated base-only plus the tail append,
+    * `_gen_` marker naming it). */
+  def pqServingIngestCompacting(vecs: DataFrame, queries: DataFrame,
+      basePath: String, checkpointDir: String, k: Int = 5,
+      compactEvery: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Pq
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(basePath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$basePath/_served_batch_$batchId")
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          val g = Pq.currentPqGen(spark, basePath)
+          val idxPath = Pq.pqGenPath(basePath, g)
+          // the pqServingIngest replay-stable train/append branch,
+          // pointed at the current generation
+          val trained = new org.apache.hadoop.fs.Path(
+            s"$basePath/_trained_batch_$batchId")
+          if (!Pq.hasPqIndex(spark, idxPath)) {
+            fs.create(trained, true).close()
+            Pq.writePqIndex(Pq.buildPqIndex(batch), idxPath)
+          } else if (!fs.exists(trained))
+            Pq.appendToPqIndex(batch, idxPath, label = s"a$batchId")
+          val nApp = Pq.pqAppendCount(spark, idxPath)
+          Pq.searchPqIndex(queries, Pq.readPqIndex(spark, idxPath), k = k)
+            .withColumn("snap", lit(batchId))
+            .withColumn("n_appends", lit(nApp.toLong))
+            .withColumn("gen", lit(g))
+            .select("snap", "n_appends", "gen", "q_id", "nb_id", "adc", "rn")
+            .write.mode("overwrite").parquet(s"$basePath/results/$batchId")
+          fs.create(marker, true).close()
+        }
+        // the fold gate — after the marker, outside the replay guard
+        // (the st19 rule: a redelivery can finish an interrupted fold
+        // but never double-fold)
+        Pq.foldPqServingIfDue(spark, basePath, compactEvery): Unit
+      }
+      .start()
+  }
+
   /** STREAMING EMBEDDING-DRIFT MONITOR (st17): the production form of
     * n103's audit — per micro-batch, accumulate each dimension's
     * EXACT sufficient statistics (DECIMAL sum + count: 64 rows per

@@ -716,6 +716,61 @@ object WindowedAggs {
       .orderBy("snap", "q_id", "rn")
   }
 
+  /** Batch twin of [[StreamingOps.pqServingIngestCompacting]] (st20):
+    * the ANN serving ladder WITH THE FOLD+SWAP CADENCE INSIDE — st16's
+    * three-batch frozen-config ingest where the lane itself folds the
+    * serving generation to a fresh path once it carries an append
+    * (compactEvery = 1), swaps the `_gen_` marker and prunes the old
+    * generation, mid-stream. The twin replays the exact cadence
+    * against a real generation tree: resolve gen → train/append →
+    * serve from [[graft.operators.Pq.readPqIndex]] into `results/<id>`
+    * → gate ([[graft.operators.Pq.foldPqServingIfDue]]) — so
+    * snapshots 1 and 2 are served through trees the previous folds
+    * produced, and every row carries `n_appends`/`gen` read from the
+    * actual layout at serve time. The oracle recomputes each prefix's
+    * IVF-PQ answer from raw embeddings (frozen first-batch config,
+    * candidates restricted to the prefix) AND pins the layout
+    * evidence the cadence predicts ((0,0), (1,0), (1,1)): a fold that
+    * never fired, a swap to a torn generation, a code row lost in the
+    * fold, or an append on a pruned tree all flip the hash. Results
+    * materialize per snapshot BEFORE the gate (the lane's own order);
+    * the returned frame reads the results log, never pruned
+    * generation dirs. State honestly rebuilds from empty per
+    * invocation (the n105 rule). */
+  val pqServingCompactTwin: Q = Q(
+    "st20_ann_serving_compact",
+    graft.operators.Pq.ivfPqCompactSnapshotSql(
+      Seq(("vec_id % 3 = 0", 0L, 0L), ("vec_id % 3 <= 1", 1L, 0L),
+        ("TRUE", 1L, 1L)),
+      trainWhere = "vec_id % 3 = 0")) { (s, dir) =>
+    import graft.operators.{Pq, ServingLoc}
+    val e = Tables(s, dir).embeddings
+    val queries = e.filter(col("vec_id") < 32)
+    val base = ServingLoc.of(s, s"st20:$dir", "graft_pq_stream_compact")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .foreach(st => fs.delete(st.getPath, true))
+    (0 to 2).foreach { i =>
+      val g = Pq.currentPqGen(s, base)
+      val idxPath = Pq.pqGenPath(base, g)
+      val batch = e.filter(col("vec_id") % 3 === i)
+      if (!Pq.hasPqIndex(s, idxPath))
+        Pq.writePqIndex(Pq.buildPqIndex(batch), idxPath)
+      else Pq.appendToPqIndex(batch, idxPath, label = s"a$i")
+      val nApp = Pq.pqAppendCount(s, idxPath)
+      Pq.searchPqIndex(queries, Pq.readPqIndex(s, idxPath))
+        .select(lit(i.toLong).as("snap"), lit(nApp.toLong).as("n_appends"),
+          lit(g).as("gen"),
+          col("q_id"), col("nb_id"), col("adc"), col("rn"))
+        .write.mode("overwrite").parquet(s"$base/results/$i")
+      Pq.foldPqServingIfDue(s, base, compactEvery = 1)
+    }
+    s.read.parquet((0 to 2).map(i => s"$base/results/$i"): _*)
+      .select("snap", "n_appends", "gen", "q_id", "nb_id", "adc", "rn")
+      .orderBy("snap", "q_id", "rn")
+  }
+
   /** Batch twin of [[StreamingOps.embeddingDriftIngest]] (st17): the
     * snapshot-versioned drift ladder — per commit, the per-dimension
     * mean of the ARRIVED corpus vs the first batch's mean. The lane
@@ -809,5 +864,6 @@ object WindowedAggs {
     qualityGateTwin, streamEnrichTwin, classifierGateTwin,
     decontaminateTwin, decontaminateRewriteTwin, streamPackTwin,
     streamTakedownTwin, bm25ServingTwin, streamServingCompactTwin,
-    pqServingTwin, streamDriftTwin, driftGatedServeTwin)
+    pqServingTwin, pqServingCompactTwin, streamDriftTwin,
+    driftGatedServeTwin)
 }

@@ -52,8 +52,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "n106_drift_gated_retrain",
     // streaming drift-gated serving's batch twin (r12)
     "st18_drift_gated_serve",
-    // compacting serving lane's batch twin: served THROUGH the fold (r12)
-    "st19_stream_serving_compact")
+    // compacting serving lanes' batch twins: served THROUGH the fold (r12)
+    "st19_stream_serving_compact", "st20_ann_serving_compact")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

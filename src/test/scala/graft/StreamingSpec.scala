@@ -981,6 +981,53 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(base, "_compacted_upto_1").exists)
   }
 
+  test("compacting pq serving lane serves the st20 twin's rows and swaps generations mid-stream") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq_compact_serve").toString
+    val e = Tables(spark, sf0001).embeddings
+    def third(m: Long) = e.filter(col("vec_id") % 3 === m)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+      .sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.pqServingIngestCompacting(
+      input.toDF().toDF("vec_id", "embedding"),
+      e.filter(col("vec_id") < 32), s"$dir/base", s"$dir/ckpt",
+      compactEvery = 1)
+    try {
+      (0L to 2L).foreach { m =>
+        input.addData(third(m)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "n_appends", "gen", "q_id", "nb_id", "adc", "rn")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getLong(6))).toSet
+    val served = rows(spark.read.parquet(s"$dir/base/results/*"))
+    val twin = rows(Catalog.queries("st20_ann_serving_compact")(spark, sf0001))
+    assert(served == twin && served.nonEmpty,
+      s"served ${served.size} rows vs twin ${twin.size}")
+    // the evidence the cadence predicts: snapshot 2 was served from
+    // generation 1 (the folded tree) carrying exactly one append
+    assert(served.filter(_._1 == 2L).forall(t => t._2 == 1L && t._3 == 1L),
+      "snapshot 2 must serve from the post-fold generation + one append")
+    // the tree really went through the swap: the final fold left
+    // generation 2 as the consolidated serving tree, older gens pruned
+    import graft.operators.Pq
+    assert(Pq.currentPqGen(spark, s"$dir/base") == 2L)
+    assert(Pq.hasPqIndex(spark, Pq.pqGenPath(s"$dir/base", 2L)) &&
+      Pq.pqAppendCount(spark, Pq.pqGenPath(s"$dir/base", 2L)) == 0,
+      "final generation must be a consolidated base with no appends")
+    (0L to 1L).foreach { og =>
+      assert(!Pq.hasPqIndex(spark, Pq.pqGenPath(s"$dir/base", og)),
+        s"generation $og must be pruned after the swap")
+      assert(!new java.io.File(s"$dir/base/_gen_$og").exists,
+        s"superseded _gen_$og marker must be swept")
+    }
+  }
+
   test("pq serving ingest serves the st16 twin's rows at every snapshot") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
