@@ -405,6 +405,77 @@ object Similarity {
     }
   }
 
+  /** n109: metadata-FILTERED ANN serving — the production vector-search
+    * shape the plain top-k entries don't cover: every query wants its
+    * k nearest neighbors AMONG the vectors satisfying a metadata
+    * predicate (here `label % 5 = 2`, ~20% of the corpus — the
+    * "tenant/language/licence filter" of a real deployment). The
+    * filter composes with the n13 IVF path as a PRE-filter: the
+    * predicate lands on the candidate side before any distance work,
+    * so the per-query cost is (selectivity · nprobe / ncells) of brute
+    * force — not a post-filter that computes k-of-unfiltered and then
+    * discards (which under-fills k and wastes every discarded
+    * distance). Assignment under the unfiltered first-16 anchors is
+    * per-vector, so filter-then-assign ≡ assign-then-filter; the entry
+    * uses the cheaper order.
+    *
+    * Scale: at rest the label column lives IN the index rows
+    * (cell-partitioned parquet carries label alongside the code), so
+    * the predicate prunes at scan via row-group zone maps before the
+    * rerank; the query side is a broadcast. The oracle re-derives
+    * assignment + probes + filtered rerank from raw tables.
+    *
+    * Determinism: n13's exactly — round6'd cosines, (cos desc, nb_id)
+    * total order. */
+  val annIvfFiltered: Q = {
+    val nCells = 16
+    val nProbe = 4
+    val filterWhere = "label % 5 = 2"
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, 64), " +
+        s"i -> CAST($a.embedding[i] AS DOUBLE) * $b.embedding[i]))"
+    Q(
+      "n109_filtered_ann",
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |                  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, embedding, nrm FROM e WHERE vec_id < $nCells),
+         |asg AS (SELECT vec_id, cell FROM (
+         |    SELECT f.vec_id, c.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY f.vec_id
+         |             ORDER BY ${round6Sql(s"${dot("f", "c")} / (f.nrm * c.nrm)")} DESC,
+         |                      c.cent_id) AS arn
+         |    FROM (SELECT * FROM e WHERE $filterWhere) f CROSS JOIN c)
+         |    WHERE arn = 1),
+         |probes AS (SELECT q_id, cell FROM (
+         |    SELECT e.vec_id AS q_id, c.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${round6Sql(s"${dot("e", "c")} / (e.nrm * c.nrm)")} DESC,
+         |                      c.cent_id) AS prn
+         |    FROM e CROSS JOIN c WHERE e.vec_id < $NumQueries) WHERE prn <= $nProbe),
+         |pairs AS (SELECT p.q_id, a.vec_id AS nb_id,
+         |                 ${round6Sql(s"${dot("qe", "ne")} / (qe.nrm * ne.nrm)")} AS cos
+         |          FROM probes p
+         |          JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.q_id
+         |          JOIN e ne ON ne.vec_id = a.vec_id
+         |          JOIN e qe ON qe.vec_id = p.q_id),
+         |ranked AS (SELECT q_id, nb_id, cos,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                                     ORDER BY cos DESC, nb_id) AS rn
+         |           FROM pairs)
+         |SELECT q_id, nb_id, cos, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= $TopK
+         |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val cents = e.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      ivfSearch(e.filter(expr(filterWhere)), cents,
+          e.filter(col("vec_id") < NumQueries), nProbe, TopK,
+          useHeap = false)
+        .orderBy("q_id", "rn")
+    }
+  }
+
   /** Lloyd-refined IVF centroids (spherical k-means): deterministic
     * init (first k vectors), then `iters` rounds of assign-by-cosine →
     * element-wise mean per cell. Each round: one broadcast assignment
@@ -866,6 +937,109 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** n107: per-dimension POPULATION-STABILITY-INDEX drift monitor — the
+    * histogram-shaped companion to n103's mean-drift trigger. PSI
+    * (the standard model-monitoring statistic: Σ_bins (p_cur − p_ref) ·
+    * ln(p_cur / p_ref) over a fixed binning, Laplace-smoothed so empty
+    * bins are defined) sees DISTRIBUTION-shape changes a mean can
+    * cancel. The entry computes it for BOTH canonical corpus edits in
+    * one pass — the ≡5 (mod 8) negation re-embed (n100/n102's edit)
+    * and the ≡2 (mod 3) +1.0 covariate shift (st18's edit) — and the
+    * result attests the round-12 trigger-statistic lesson numerically:
+    * the negation edit moves mass between mirror-image bins of a
+    * near-symmetric distribution (small PSI), while the shift relocates
+    * an eighth of the mass four bins to the right (PSI orders of
+    * magnitude larger). A production deployment would alarm on
+    * PSI > 0.2 (the conventional band) per dimension.
+    *
+    * Determinism: bin ids are floor((x+1)/0.25) clamped to [0,11] —
+    * exact IEEE per-row ops, identical in both engines; counts are
+    * integers; smoothed proportions (c+0.5)/(N+6) and the ln-ratio
+    * terms are per-row IEEE math round6'd BEFORE the DECIMAL-exact
+    * distributed sum (the n83 pattern), so the 12-term per-dim sum is
+    * partition-order independent.
+    *
+    * Scale: one posexplode + one 3-way side explode (map-side, no
+    * duplication of the corpus at rest) into a (dim × bin)-sized
+    * aggregation — 64·12 groups regardless of corpus size; the corpus
+    * total is a broadcast 1-row agg. The cheapest always-on audit
+    * shape, same class as n103. */
+  val psiDriftQ: Q = {
+    val NB = 12
+    def binSql(x: String): String =
+      s"LEAST(GREATEST(CAST(floor((($x) + 1.0) / 0.25) AS BIGINT), 0), ${NB - 1})"
+    Q(
+      "n107_psi_drift",
+      s"""WITH ex AS (SELECT e.vec_id, d.i AS pos,
+         |                   CAST(e.embedding[d.i] AS DOUBLE) AS x
+         |            FROM embeddings e
+         |            CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d),
+         |sides AS (
+         |  SELECT pos, 0 AS side, ${binSql("x")} AS bin FROM ex
+         |  UNION ALL
+         |  SELECT pos, 1,
+         |         ${binSql(s"CASE WHEN ${Pq.DriftEditWhere} THEN -x ELSE x END")}
+         |  FROM ex
+         |  UNION ALL
+         |  SELECT pos, 2,
+         |         ${binSql(s"CASE WHEN ${Pq.ShiftEditWhere} THEN x + 1.0 ELSE x END")}
+         |  FROM ex),
+         |cnt AS (SELECT pos, bin,
+         |               count(*) FILTER (WHERE side = 0) AS c0,
+         |               count(*) FILTER (WHERE side = 1) AS c1,
+         |               count(*) FILTER (WHERE side = 2) AS c2
+         |        FROM sides GROUP BY pos, bin),
+         |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+         |pr AS (SELECT pos, bin,
+         |              (c0 + 0.5) / (n + ${NB / 2}.0) AS p0,
+         |              (c1 + 0.5) / (n + ${NB / 2}.0) AS p1,
+         |              (c2 + 0.5) / (n + ${NB / 2}.0) AS p2
+         |       FROM cnt CROSS JOIN nv),
+         |longt AS (
+         |  SELECT pos, 'negate' AS edit,
+         |         ${round6Sql("(p1 - p0) * ln(p1 / p0)")} AS t FROM pr
+         |  UNION ALL
+         |  SELECT pos, 'shift', ${round6Sql("(p2 - p0) * ln(p2 / p0)")} FROM pr)
+         |SELECT edit, CAST(pos AS BIGINT) AS dim, ${dsumSql("t")} AS psi
+         |FROM longt GROUP BY edit, pos
+         |ORDER BY edit, dim""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      def bin(c: Column): Column =
+        least(greatest(floor((c + 1.0) / 0.25).cast("long"), lit(0L)),
+          lit((NB - 1).toLong))
+      val ex = e.select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          col("col").cast("double").as("x"))
+      val sides = ex.select(col("dim"), explode(array(
+          struct(lit(0L).as("side"), bin(col("x")).as("bin")),
+          struct(lit(1L).as("side"),
+            bin(when(Pq.driftEditPred, -col("x")).otherwise(col("x"))).as("bin")),
+          struct(lit(2L).as("side"),
+            bin(when(expr(Pq.ShiftEditWhere), col("x") + 1.0)
+              .otherwise(col("x"))).as("bin")))).as("sb"))
+        .select(col("dim"), col("sb.side").as("side"), col("sb.bin").as("bin"))
+      val cnt = sides.groupBy("dim", "bin").agg(
+        count(when(col("side") === 0, 1)).as("c0"),
+        count(when(col("side") === 1, 1)).as("c1"),
+        count(when(col("side") === 2, 1)).as("c2"))
+      val nv = e.agg(count(lit(1)).cast("double").as("n"))
+      val half = NB / 2.0
+      val pr = cnt.crossJoin(broadcast(nv)).select(col("dim"),
+        ((col("c0") + 0.5) / (col("n") + half)).as("p0"),
+        ((col("c1") + 0.5) / (col("n") + half)).as("p1"),
+        ((col("c2") + 0.5) / (col("n") + half)).as("p2"))
+      pr.select(col("dim"), explode(array(
+          struct(lit("negate").as("edit"),
+            round6((col("p1") - col("p0")) * log(col("p1") / col("p0"))).as("t")),
+          struct(lit("shift").as("edit"),
+            round6((col("p2") - col("p0")) * log(col("p2") / col("p0"))).as("t"))))
+          .as("et"))
+        .select(col("dim"), col("et.edit").as("edit"), col("et.t").as("t"))
+        .groupBy("edit", "dim").agg(dsum(col("t")).as("psi"))
+        .orderBy("edit", "dim")
+    }
+  }
+
   /** Dimension-truncation recall sweep (the Matryoshka serving audit,
     * Kusupati et al. 2022 shape): re-rank the n10 query set using only
     * the FIRST d dimensions and measure top-k overlap against the
@@ -1058,5 +1232,6 @@ object Similarity {
 
   val all: Seq[Q] = Seq(cosineTopK, cosineTopKHeap, annLsh,
     embeddingNearDup, annIvf, annIvfKmeans, vectorQuantize, quantizedTopK,
-    embeddingPool, truncationRecallQ, hybridRrf, embeddingDriftQ)
+    embeddingPool, truncationRecallQ, hybridRrf, embeddingDriftQ,
+    psiDriftQ, annIvfFiltered)
 }

@@ -468,6 +468,109 @@ object TextAnalysis {
     }
   }
 
+  /** n108: GRADED ranking evaluation (nDCG@k, Järvelin & Kekäläinen
+    * 2002) of the n83 BM25 ranking — the eval-harness op that closes
+    * the retrieval family's measurement loop: n70/n88 measure recall
+    * of approximate ANN paths against exact ones; this entry measures
+    * ranking QUALITY against graded relevance. Labels are derived
+    * deterministically from the corpus itself: rel(q, d) =
+    * Σ_{t ∈ q} min(tf(d, t), 3) — a capped-term-frequency grade.
+    * The cap keeps one spammy term from dominating, and the grade
+    * deliberately DIFFERS from BM25's idf/length-normalized objective,
+    * so the measurement discriminates (nDCG < 1) while needing no
+    * external judgment file — the oracle re-derives everything.
+    * DCG@k = Σ_{r≤k} (2^rel − 1)/log2(r+1) over the BM25 top-k; the
+    * ideal ranking sorts ALL labeled documents by (rel desc, doc_id)
+    * — nDCG = DCG/IDCG per query.
+    *
+    * Determinism: rel is an exact integer count; gains 2^rel − 1 are
+    * exact small doubles; each rank term is per-row IEEE math round6'd
+    * before the DECIMAL-exact sum (the n83 pattern); the final ratio
+    * is one IEEE division, round6'd.
+    *
+    * Scale: rides n83's broadcast-semi-filtered token pass (the only
+    * corpus-proportional stage); rel and the ideal ranking live on the
+    * query-vocab-filtered frame (bounded by docs-containing-query-
+    * terms); the ideal-rank window partitions by query. */
+  val ndcgEval: Q = {
+    val k = 10
+    val qVals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    Q(
+      "n108_ndcg_eval",
+      s"""WITH q(q_id, term) AS (VALUES $qVals),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok WHERE term IN (SELECT term FROM q)
+         |       GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |       FROM documents),
+         |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |sc AS (SELECT q.q_id, t.doc_id,
+         |              ${round6Sql(
+                  "ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * " +
+                  "(t.tf * (1.2 + 1.0)) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))")} AS c
+         |       FROM tf t JOIN dfreq USING (term) JOIN dl USING (doc_id)
+         |       CROSS JOIN st JOIN q ON q.term = t.term),
+         |agg AS (SELECT q_id, doc_id, ${dsumSql("c")} AS score
+         |        FROM sc GROUP BY q_id, doc_id),
+         |rk AS (SELECT q_id, doc_id, score,
+         |              row_number() OVER (PARTITION BY q_id
+         |                                 ORDER BY score DESC, doc_id) AS rank
+         |       FROM agg),
+         |rel AS (SELECT q.q_id, t.doc_id,
+         |               CAST(sum(LEAST(t.tf, 3)) AS BIGINT) AS rel
+         |        FROM tf t JOIN q ON q.term = t.term
+         |        GROUP BY q.q_id, t.doc_id),
+         |dcgt AS (SELECT r.q_id,
+         |                ${round6Sql(
+                   "(power(2.0, rel) - 1.0) / log2(r.rank + 1.0)")} AS g
+         |         FROM rk r JOIN rel ON rel.q_id = r.q_id AND rel.doc_id = r.doc_id
+         |         WHERE r.rank <= $k),
+         |ideal AS (SELECT q_id, rel,
+         |                 row_number() OVER (PARTITION BY q_id
+         |                                    ORDER BY rel DESC, doc_id) AS irk
+         |          FROM rel),
+         |idcgt AS (SELECT q_id,
+         |                 ${round6Sql(
+                    "(power(2.0, rel) - 1.0) / log2(irk + 1.0)")} AS g
+         |          FROM ideal WHERE irk <= $k),
+         |dcg AS (SELECT q_id, ${dsumSql("g")} AS dcg FROM dcgt GROUP BY q_id),
+         |idcg AS (SELECT q_id, ${dsumSql("g")} AS idcg FROM idcgt GROUP BY q_id)
+         |SELECT CAST(d.q_id AS BIGINT) AS q_id, d.dcg, i.idcg,
+         |       ${round6Sql("d.dcg / i.idcg")} AS ndcg
+         |FROM dcg d JOIN idcg i ON i.q_id = d.q_id
+         |ORDER BY q_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val queries = Bm25Queries.toDF("q_id", "term")
+      val docs = Tables(s, dir).documents
+      val top = bm25TopK(docs, queries, k).select("q_id", "doc_id", "rank")
+      val terms = queries.select("term").distinct()
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .join(broadcast(terms), Seq("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val rel = tf.join(broadcast(queries), Seq("term"))
+        .groupBy("q_id", "doc_id")
+        .agg(sum(least(col("tf"), lit(3L))).cast("long").as("rel"))
+      def gainTerm(rank: Column): Column =
+        graft.Det.round6((pow(lit(2.0), col("rel")) - 1.0) / log2(rank + 1.0))
+      val dcg = top.join(rel, Seq("q_id", "doc_id"))
+        .select(col("q_id"), gainTerm(col("rank")).as("g"))
+        .groupBy("q_id").agg(graft.Det.dsum(col("g")).as("dcg"))
+      val wI = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("rel").desc, col("doc_id"))
+      val idcg = rel.withColumn("irk", row_number().over(wI).cast("long"))
+        .filter(col("irk") <= k)
+        .select(col("q_id"), gainTerm(col("irk")).as("g"))
+        .groupBy("q_id").agg(graft.Det.dsum(col("g")).as("idcg"))
+      dcg.join(idcg, Seq("q_id"))
+        .select(col("q_id"), col("dcg"), col("idcg"),
+          graft.Det.round6(col("dcg") / col("idcg")).as("ndcg"))
+        .orderBy("q_id")
+    }
+  }
+
   /** Payload redaction — the PII-scrub shape every training pipeline
     * runs before ingest: mask sensitive spans (here: numeric literals
     * in the event props — the corpus stand-in for phone/account
@@ -816,6 +919,6 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(langStats, qualityScore, tokenStats, langId,
     fingerprint, rollingFingerprint, unigramLogProb, bigramLogProb,
-    tfidfTop, bm25, redact, repetition, heavyHitters, cmsHeavyHitters,
-    gopher, zipfFit)
+    tfidfTop, bm25, ndcgEval, redact, repetition, heavyHitters,
+    cmsHeavyHitters, gopher, zipfFit)
 }

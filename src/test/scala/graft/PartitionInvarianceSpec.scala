@@ -53,7 +53,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // streaming drift-gated serving's batch twin (r12)
     "st18_drift_gated_serve",
     // compacting serving lanes' batch twins: served THROUGH the fold (r12)
-    "st19_stream_serving_compact", "st20_ann_serving_compact")
+    "st19_stream_serving_compact", "st20_ann_serving_compact",
+    // PSI histogram trigger (binned counts + smoothed ln-ratio sums),
+    // graded-nDCG eval (windowed ideal rank + DECIMAL term sums), and
+    // metadata-filtered IVF serving (filtered candidate rerank) (r12)
+    "n107_psi_drift", "n108_ndcg_eval", "n109_filtered_ann")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -69,7 +69,10 @@ class PlanLintSpec extends SparkSpec {
     "n73_dsir_select",      // 1-row feature-total broadcast (tn×rn) into the
                             //   1024-row tau table (n28's corpus-total pattern)
     "n74_ccnet_buckets",    // 1-row vocab-size broadcast into the LM scoring join
-    "n60_curation_audit"    // four 1-row stage-count scalars crossed into one row
+    "n60_curation_audit",   // four 1-row stage-count scalars crossed into one row
+    "n107_psi_drift",       // 1-row corpus-count broadcast into the 64×12 bin frame
+    "n108_ndcg_eval",       // n83's 1-row (N, avgdl) corpus-stats broadcast
+    "n109_filtered_ann"     // n13's 16-centroid broadcast, filtered-candidate path
   )
 
   /** A query's executed plan PLUS every cached subtree it scans: the
