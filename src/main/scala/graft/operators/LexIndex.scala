@@ -382,6 +382,80 @@ object LexIndex {
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY snap, q_id, rank")
   }
 
+  // -------------------------------------------------------------------
+  // Takedown-aware serving (st21): the segmented layout plus a per-batch
+  // OPS LOG under `base/ops/<id>` recording (doc_id, op ∈ add|del). The
+  // serving view resolves document liveness CDC-style — last operation
+  // wins, with the add arm winning a same-batch tie (st14's
+  // takedown-first-then-re-insert rule) — and serves each live doc's
+  // postings from its LATEST add segment only (n99's upsert semantics:
+  // a re-inserted doc must not double its term frequencies by
+  // surviving in two segments). Because df/N/avgdl are derived from
+  // the surviving components at probe time (the n97 exactness
+  // argument), the takedown-filtered view scores identically to a
+  // full rebuild over the live corpus.
+
+  /** The serving view of a segmented index with an ops log:
+    * (live index, dead count). Liveness per doc: latest add batch ≥
+    * latest del batch (ties → add). Dead = ever-added docs currently
+    * taken down — the evidence the st21 lane serves per snapshot.
+    *
+    * Scale shape: the ops log is takedown-traffic-sized (tiny next to
+    * the corpus); liveness is a doc-keyed aggregation of it, and the
+    * (doc_id, batch)-keyed join against segment components co-locates
+    * with the doc-bucketed layout — no corpus re-tokenization, no
+    * corpus-proportional driver state. */
+  def readTakedownServing(spark: SparkSession, base: String,
+      extraId: Option[Long] = None): (Bm25Index, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // extraId: the ingest lane's own in-flight batch — components
+    // written but marker not yet (the marker-last torn-batch contract
+    // requires serving BEFORE committing)
+    val ids = (committedBatchIds(fs, base) ++ extraId).distinct.sorted
+    require(ids.nonEmpty, s"no committed segments under $base")
+    def tagged(id: Long): Bm25Index = {
+      val ix = readIndex(spark, s"$base/batches/$id")
+      Bm25Index(ix.postings.withColumn("src", lit(id)),
+        ix.doclens.withColumn("src", lit(id)))
+    }
+    val segs = ids.map(tagged).reduce((a, b) => Bm25Index(
+      a.postings.unionByName(b.postings),
+      a.doclens.unionByName(b.doclens)))
+    val ops = ids.map(id => spark.read.parquet(s"$base/ops/$id")
+        .select(col("doc_id"), col("op"), lit(id).as("batch")))
+      .reduce(_ unionByName _)
+    val lastOps = ops.groupBy("doc_id").agg(
+      max(when(col("op") === "add", col("batch"))).as("last_add"),
+      max(when(col("op") === "del", col("batch"))).as("last_del"))
+    val alive = lastOps.filter(col("last_add").isNotNull &&
+      (col("last_del").isNull || col("last_add") >= col("last_del")))
+      .select(col("doc_id"), col("last_add").as("src"))
+    val nDead = lastOps.filter(col("last_add").isNotNull &&
+      col("last_del").isNotNull && col("last_del") > col("last_add")).count()
+    (Bm25Index(
+      segs.postings.join(alive, Seq("doc_id", "src")).drop("src"),
+      segs.doclens.join(alive, Seq("doc_id", "src")).drop("src")), nDead)
+  }
+
+  /** DuckDB twin for TAKEDOWN-AWARE serving (st21's batch twin): one
+    * BM25 branch per snapshot over the LIVE corpus predicate, plus the
+    * dead-count evidence the lane reads from its ops log — so a
+    * takedown that kept serving, a re-insert that never came back (or
+    * came back double-counted), or a liveness rule drifting from
+    * last-op-wins all flip the driver hash. */
+  private[graft] def bm25TakedownSnapshotSql(
+      k: Int, snaps: Seq[(String, String)]): String = {
+    val branches = snaps.zipWithIndex.map { case ((live, dead), i) =>
+      s"SELECT CAST($i AS BIGINT) AS snap, " +
+        s"CAST((SELECT count(*) FROM documents WHERE $dead) AS BIGINT) AS n_dead," +
+        " * FROM (\n" +
+        bm25SqlCore(k, s"SELECT doc_id, text FROM documents WHERE $live") +
+        "\n)"
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY snap, q_id, rank")
+  }
+
   /** The accumulated (even-build + odd-append) index, shared by n91
     * and n97 — the serving path both score from. */
   private def accumulatedIndex(s: SparkSession, dir: String): Bm25Index = {

@@ -890,6 +890,69 @@ object StreamingOps {
       .start()
   }
 
+  /** CONTINUOUS INGEST WITH IN-BAND TAKEDOWNS (st21): the
+    * right-to-be-forgotten serving lane. The input stream is a
+    * CDC-style ops feed — (doc_id, text, op ∈ add|del) — and every
+    * commit serves the n83 query set from the accumulated index with
+    * document liveness resolved from the ops log: last operation wins,
+    * the add arm winning a same-batch tie (st14's
+    * takedown-first-then-re-insert rule), and a live doc served from
+    * its LATEST add segment only (n99's upsert semantics — a re-insert
+    * must not double its term frequencies). df/N/avgdl derive from the
+    * surviving components at probe time, so every snapshot's answer
+    * equals a full rebuild over the live corpus — which is exactly
+    * what the twin's oracle attests, branch by branch, together with
+    * the `n_dead` evidence column read from the real ops log at serve
+    * time (a takedown that kept serving or a re-insert that never
+    * returned flips the hash, not just a spec).
+    *
+    * Ordering per micro-batch: ops log + segment write → serve →
+    * results/<id> → `_committed_batch_` marker. Replays (marker
+    * present) skip everything — ops/segment dirs are overwritten
+    * idempotently on a torn retry, invisible until their marker.
+    *
+    * StreamingSpec proves the three-batch MemoryStream run (adds,
+    * takedowns mid-stream, partial re-insert) serves exactly the st21
+    * batch twin's rows at every snapshot. */
+  def bm25ServingIngestWithTakedown(ops: DataFrame,
+      queries: Seq[(Long, String)], basePath: String, checkpointDir: String,
+      k: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.LexIndex
+    ops.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val fs = new org.apache.hadoop.fs.Path(basePath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$basePath/_committed_batch_$batchId")
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          batch.select("doc_id", "op")
+            .write.mode("overwrite").parquet(s"$basePath/ops/$batchId")
+          LexIndex.writeIndex(
+            LexIndex.buildIndex(
+              batch.filter(col("op") === "add").select("doc_id", "text")),
+            s"$basePath/batches/$batchId")
+          // serve the committed view PLUS this in-flight batch
+          // (extraId — its components exist, its marker doesn't yet),
+          // then commit marker-LAST: a crash anywhere above leaves the
+          // batch invisible and exactly replayable
+          val (idx, nDead) =
+            LexIndex.readTakedownServing(spark, basePath, Some(batchId))
+          LexIndex.bm25FromIndex(idx,
+              queries.toDF("q_id", "term"), k)
+            .withColumn("snap", lit(batchId))
+            .withColumn("n_dead", lit(nDead))
+            .select("snap", "n_dead", "q_id", "rank", "doc_id", "score")
+            .write.mode("overwrite").parquet(s"$basePath/results/$batchId")
+          fs.create(marker, true).close()
+        }: Unit
+      }
+      .start()
+  }
+
   /** CONTINUOUS INGEST INTO THE ANN SERVING INDEX (st16): stream of
     * embedding vectors → per-micro-batch PQ-encode under a FROZEN
     * configuration → append to the at-rest IVF-PQ index

@@ -859,11 +859,81 @@ object WindowedAggs {
     }.reduce(_ unionByName _).orderBy("snap", "q_id", "rn")
   }
 
+  /** Batch twin of [[StreamingOps.bm25ServingIngestWithTakedown]]
+    * (st21): the right-to-be-forgotten SERVING lane — st15's ladder
+    * where the stream is a CDC-style ops feed and the serving view
+    * resolves liveness from the accumulated ops log. Three acts:
+    * batch 0 adds the ≡0 (mod 3) third; batch 1 TAKES DOWN its
+    * ≡0 (mod 15) slice while adding the ≡1 third; batch 2 adds the
+    * ≡2 third and RE-INSERTS the ≡0 (mod 30) half of the taken-down
+    * slice (original text — the takedown-and-reinstate cycle). The
+    * lane serves each snapshot from live docs only, each from its
+    * latest add segment (n99 upsert semantics: a re-insert must not
+    * double its tf), with df/N/avgdl derived from survivors at probe
+    * time (n97 exactness) — so the twin is three BM25 branches over
+    * the LIVE corpus predicates, plus the `n_dead` ops-log evidence
+    * (0, |≡0 mod 15|, |≡0 mod 15 minus ≡0 mod 30|) the lane reads at
+    * serve time. A takedown that kept serving, a re-insert that never
+    * came back (or came back double-counted), or a liveness rule
+    * drifting from last-op-wins flips the hash. Non-vacuous at every
+    * sf: the mod-15 and mod-30 slices are nonempty from 500 docs up.
+    * State honestly rebuilds from empty per invocation (the n105
+    * rule); StreamingSpec proves the MemoryStream run serves exactly
+    * these rows. */
+  val streamServingTakedownTwin: Q = Q(
+    "st21_stream_serving_takedown",
+    graft.operators.LexIndex.bm25TakedownSnapshotSql(10, Seq(
+      ("doc_id % 3 = 0", "FALSE"),
+      ("(doc_id % 3 = 0 AND doc_id % 15 <> 0) OR doc_id % 3 = 1",
+        "doc_id % 15 = 0"),
+      ("doc_id % 3 = 1 OR doc_id % 3 = 2 OR " +
+        "(doc_id % 3 = 0 AND (doc_id % 15 <> 0 OR doc_id % 30 = 0))",
+        "doc_id % 15 = 0 AND doc_id % 30 <> 0")))) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.{LexIndex, ServingLoc, TextAnalysis}
+    val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    val base = ServingLoc.of(s, s"st21:$dir", "graft_bm25_stream_takedown")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .foreach(st => fs.delete(st.getPath, true))
+    def adds(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("text"), lit("add").as("op"))
+    def dels(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), lit("").as("text"), lit("del").as("op"))
+    val batches = Seq(
+      adds(d.filter(col("doc_id") % 3 === 0)),
+      dels(d.filter(col("doc_id") % 15 === 0))
+        .unionByName(adds(d.filter(col("doc_id") % 3 === 1))),
+      adds(d.filter(col("doc_id") % 3 === 2))
+        .unionByName(adds(d.filter(col("doc_id") % 30 === 0))))
+    val queries = TextAnalysis.bm25QuerySet.toDF("q_id", "term")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.select("doc_id", "op")
+        .write.mode("overwrite").parquet(s"$base/ops/$i")
+      LexIndex.writeIndex(
+        LexIndex.buildIndex(
+          b.filter(col("op") === "add").select("doc_id", "text")),
+        s"$base/batches/$i")
+      val (idx, nDead) =
+        LexIndex.readTakedownServing(s, base, Some(i.toLong))
+      LexIndex.bm25FromIndex(idx, queries, 10)
+        .select(lit(i.toLong).as("snap"), lit(nDead).as("n_dead"),
+          col("q_id"), col("rank"), col("doc_id"), col("score"))
+        .write.mode("overwrite").parquet(s"$base/results/$i")
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$base/_committed_batch_$i"), true).close()
+    }
+    s.read.parquet((0 to 2).map(i => s"$base/results/$i"): _*)
+      .select("snap", "n_dead", "q_id", "rank", "doc_id", "score")
+      .orderBy("snap", "q_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
     streamNearDup, indexedIngestBatch1, indexedIngestBatch2,
     qualityGateTwin, streamEnrichTwin, classifierGateTwin,
     decontaminateTwin, decontaminateRewriteTwin, streamPackTwin,
     streamTakedownTwin, bm25ServingTwin, streamServingCompactTwin,
     pqServingTwin, pqServingCompactTwin, streamDriftTwin,
-    driftGatedServeTwin)
+    driftGatedServeTwin, streamServingTakedownTwin)
 }

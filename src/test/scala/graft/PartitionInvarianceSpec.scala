@@ -57,7 +57,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // PSI histogram trigger (binned counts + smoothed ln-ratio sums),
     // graded-nDCG eval (windowed ideal rank + DECIMAL term sums), and
     // metadata-filtered IVF serving (filtered candidate rerank) (r12)
-    "n107_psi_drift", "n108_ndcg_eval", "n109_filtered_ann")
+    "n107_psi_drift", "n108_ndcg_eval", "n109_filtered_ann",
+    // takedown-aware serving: liveness agg + latest-add-segment join (r12)
+    "st21_stream_serving_takedown")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -72,7 +72,8 @@ class PlanLintSpec extends SparkSpec {
     "n60_curation_audit",   // four 1-row stage-count scalars crossed into one row
     "n107_psi_drift",       // 1-row corpus-count broadcast into the 64×12 bin frame
     "n108_ndcg_eval",       // n83's 1-row (N, avgdl) corpus-stats broadcast
-    "n109_filtered_ann"     // n13's 16-centroid broadcast, filtered-candidate path
+    "n109_filtered_ann",    // n13's 16-centroid broadcast, filtered-candidate path
+    "st21_stream_serving_takedown" // n83's 1-row corpus-stats broadcast, per snapshot
   )
 
   /** A query's executed plan PLUS every cached subtree it scans: the

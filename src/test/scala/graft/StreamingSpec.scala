@@ -1028,6 +1028,173 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("takedown serving lane serves the st21 twin's rows at every snapshot") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25_takedown_serve").toString
+    val d = Tables(spark, sf0001).documents
+    def ops(df: org.apache.spark.sql.DataFrame, op: String) =
+      df.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), if (op == "add") r.getString(1) else "", op))
+        .sortBy(_._1).toSeq
+    val batches = Seq(
+      ops(d.filter(col("doc_id") % 3 === 0), "add"),
+      ops(d.filter(col("doc_id") % 15 === 0), "del") ++
+        ops(d.filter(col("doc_id") % 3 === 1), "add"),
+      ops(d.filter(col("doc_id") % 3 === 2), "add") ++
+        ops(d.filter(col("doc_id") % 30 === 0), "add"))
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.bm25ServingIngestWithTakedown(
+      input.toDF().toDF("doc_id", "text", "op"),
+      graft.operators.TextAnalysis.bm25QuerySet,
+      s"$dir/base", s"$dir/ckpt", k = 10)
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "n_dead", "q_id", "rank", "doc_id", "score")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSet
+    val served = rows(spark.read.parquet(s"$dir/base/results/*"))
+    val twin = rows(Catalog.queries("st21_stream_serving_takedown")(spark, sf0001))
+    assert(served == twin && served.nonEmpty,
+      s"served ${served.size} rows vs twin ${twin.size}")
+    // the takedown trajectory is real: dead counts move 0 → |mod 15|
+    // → |mod 15 \ mod 30|, and a re-inserted doc is serving again
+    val deadBySnap = served.groupBy(_._1).map { case (s0, rs) =>
+      s0 -> rs.map(_._2).head }
+    val n15 = d.filter(col("doc_id") % 15 === 0).count()
+    val n30 = d.filter(col("doc_id") % 30 === 0).count()
+    assert(deadBySnap == Map(0L -> 0L, 1L -> n15, 2L -> (n15 - n30)),
+      s"dead trajectory $deadBySnap vs expected (0, $n15, ${n15 - n30})")
+  }
+
+  test("st19 lane: a missed fold is completed by a replayed batch's gate, answers unchanged") {
+    // The crash window the in-lane cadence docstring claims self-heals:
+    // batches 0-1 commit but the fold never fires (crash between the
+    // marker and the gate). On restart, the REPLAYED batch's gate —
+    // which runs outside the replay guard — sees the over-fan-in tail
+    // and finishes the compaction before any new data arrives; the
+    // post-fold batch then serves THROUGH the healed layout with
+    // exactly the catalog cadence's evidence and answers.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25_fold_crash").toString
+    def third(m: Long) = Tables(spark, sf0001).documents
+      .filter(col("doc_id") % 3 === m)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    def lane(ckpt: String, every: Int) = {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingOps.bm25ServingIngestCompacting(
+        input.toDF().toDF("doc_id", "text"),
+        graft.operators.TextAnalysis.bm25QuerySet,
+        s"$dir/base", s"$dir/$ckpt", k = 10, compactEvery = every)
+      (input, q)
+    }
+    // run 1: fold disabled (the "crashed before the gate" state)
+    val (in1, q1) = lane("ckpt1", every = 0)
+    try {
+      (0L to 1L).foreach { m => in1.addData(third(m)); q1.processAllAvailable() }
+    } finally q1.stop()
+    assert(!new java.io.File(s"$dir/base/compacted/1").exists,
+      "precondition: the fold must NOT have fired in run 1")
+    // restart (fresh checkpoint, markers carry the replay guard): the
+    // replay of batch 0 must fold the {0,1} tail before batch 2 lands
+    val (in2, q2) = lane("ckpt2", every = 2)
+    try {
+      (0L to 2L).foreach { m => in2.addData(third(m)); q2.processAllAvailable() }
+    } finally q2.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "n_segs", "base_upto", "q_id", "rank", "doc_id", "score")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    val served = rows(spark.read.parquet(s"$dir/base/results/*"))
+    val twin = rows(Catalog.queries("st19_stream_serving_compact")(spark, sf0001))
+    assert(served == twin && served.nonEmpty,
+      s"served ${served.size} rows vs twin ${twin.size} after healed fold")
+    val base = new java.io.File(s"$dir/base")
+    assert(new java.io.File(base, "compacted/1").isDirectory,
+      "the replayed gate must have materialized the missed fold")
+    assert(!new java.io.File(base, "batches/0").exists &&
+      !new java.io.File(base, "batches/1").exists,
+      "healed fold must prune the folded segments")
+    assert(new java.io.File(base, "batches/2").isDirectory)
+  }
+
+  test("st20 lane: a torn (markerless) generation is invisible and overwritten by the healing refold") {
+    // The other half of the two-phase swap contract: a crash AFTER the
+    // fold materializes the next generation but BEFORE its _gen_ marker
+    // commits. The torn generation must be invisible (appends and
+    // serves keep riding the marker-named generation) and the next due
+    // fold must overwrite it wholesale — no duplicated codes, answers
+    // exactly the accumulated index's.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Pq
+    val dir = java.nio.file.Files.createTempDirectory("pq_fold_crash").toString
+    val e = Tables(spark, sf0001).embeddings
+    def third(m: Long) = e.filter(col("vec_id") % 3 === m)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+      .sortBy(_._1).toSeq
+    def lane(ckpt: String, every: Int) = {
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = StreamingOps.pqServingIngestCompacting(
+        input.toDF().toDF("vec_id", "embedding"),
+        e.filter(col("vec_id") < 32), s"$dir/base", s"$dir/$ckpt",
+        compactEvery = every)
+      (input, q)
+    }
+    // run 1: fold disabled; gen 0 accumulates base + one append
+    val (in1, q1) = lane("ckpt1", every = 0)
+    try {
+      (0L to 1L).foreach { m => in1.addData(third(m)); q1.processAllAvailable() }
+    } finally q1.stop()
+    // simulate the torn fold: generation 1 fully materialized
+    // (manifest committed) but the _gen_1 marker never written
+    Pq.writePqIndex(Pq.readPqIndex(spark, Pq.pqGenPath(s"$dir/base", 0L)),
+      Pq.pqGenPath(s"$dir/base", 1L))
+    assert(Pq.hasPqIndex(spark, Pq.pqGenPath(s"$dir/base", 1L)),
+      "precondition: the torn generation must look fully committed")
+    assert(Pq.currentPqGen(spark, s"$dir/base") == 0L,
+      "the swap pointer must ignore a markerless generation")
+    // restart: batch 2 must append to gen 0 (evidence (2,0), not the
+    // twin's (1,1) — this trajectory deferred the fold), then the gate
+    // refolds base+a1+a2 OVER the torn dir and prunes gen 0
+    val (in2, q2) = lane("ckpt2", every = 2)
+    try {
+      (0L to 2L).foreach { m => in2.addData(third(m)); q2.processAllAvailable() }
+    } finally q2.stop()
+    def answers(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "q_id", "nb_id", "adc", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).toSet
+    val served = spark.read.parquet(s"$dir/base/results/*")
+    assert(answers(served) ==
+      answers(Catalog.queries("st20_ann_serving_compact")(spark, sf0001)) &&
+      answers(served).nonEmpty,
+      "per-snapshot answers must equal the accumulated-prefix twin's")
+    val ev = served.filter(col("snap") === 2L)
+      .select("n_appends", "gen").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ev == Seq((2L, 0L)),
+      s"snapshot 2 must have served from gen 0 with two appends, got $ev")
+    // the healing refold: gen 1 overwritten wholesale, gen 0 pruned
+    assert(Pq.currentPqGen(spark, s"$dir/base") == 1L)
+    val g1 = Pq.pqGenPath(s"$dir/base", 1L)
+    assert(Pq.pqAppendCount(spark, g1) == 0,
+      "healed generation must be a consolidated base")
+    assert(!Pq.hasPqIndex(spark, Pq.pqGenPath(s"$dir/base", 0L)),
+      "superseded generation must be pruned by the healing fold's sweep")
+    val duped = Pq.readPqIndex(spark, g1).codes
+      .groupBy("vec_id", "m").count().filter(col("count") > 1).count()
+    assert(duped == 0,
+      s"$duped (vec_id, m) cells duplicated — torn dir not overwritten")
+  }
+
   test("pq serving ingest serves the st16 twin's rows at every snapshot") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
