@@ -710,6 +710,25 @@ object Pq {
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY snap, q_id, rn")
   }
 
+  /** DuckDB twin for TAKEDOWN-AWARE ANN serving (st22's batch twin):
+    * [[ivfPqSnapshotSql]] plus per-branch `n_dead` evidence — the
+    * count of ever-added vectors currently tombstoned, read by the
+    * lane from its real ops log at serve time. The survivor predicate
+    * excludes the dead set from CANDIDATES only; training/encoding
+    * stay over the arrived corpus (the n98 frozen-configuration
+    * contract — a delete never narrows the config). */
+  private[graft] def ivfPqTakedownSnapshotSql(
+      snaps: Seq[(String, String)], trainWhere: String): String = {
+    val branches = snaps.zipWithIndex.map { case ((survivors, dead), i) =>
+      s"SELECT CAST($i AS BIGINT) AS snap, " +
+        s"CAST((SELECT count(*) FROM embeddings WHERE $dead) AS BIGINT)" +
+        " AS n_dead, * FROM (\n" +
+        ivfPqIndexSqlCore(survivors, "embeddings", trainWhere, "embeddings") +
+        "\n)"
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY snap, q_id, rn")
+  }
+
   // ---------------------------------------------------------------------
   // st20 serving-generation protocol: generation g's index (an ordinary
   // IndexCommit tree) lives under `base/gens/<g>`; `base/_gen_<g>`

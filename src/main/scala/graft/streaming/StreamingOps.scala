@@ -1028,6 +1028,89 @@ object StreamingOps {
       .start()
   }
 
+  /** CONTINUOUS ANN INGEST WITH IN-BAND TAKEDOWNS (st22): the
+    * vector-side twin of [[bm25ServingIngestWithTakedown]], completing
+    * the takedown axis across all three index families (st14 dedup,
+    * st21 BM25, st22 ANN). The stream is a CDC-style ops feed —
+    * (vec_id, embedding, op ∈ add|del) — riding [[pqServingIngest]]'s
+    * frozen-config ladder: the first batch's ADDS train the
+    * configuration, later adds append one encode/assign segment, and
+    * every serve excludes the currently-tombstoned ids from the
+    * CANDIDATE side only ([[graft.operators.Pq.deletePqIndex]] — the
+    * n98 contract: a delete never narrows the trained config, so
+    * surviving codes stay byte-identical). Liveness is last-op-wins
+    * from the accumulated ops log (same-batch tie → add, st14's
+    * rule). A re-insert of a previously deleted id must come through
+    * the UPSERT path (n100: tombstone + re-encode in one batch) — a
+    * bare re-add would leave the id's stale codes in the older
+    * segment; the liveness rule is still total, the lane just doesn't
+    * deduplicate segments (st21's latest-add-segment join is the BM25
+    * side's answer; the PQ side's is n100).
+    *
+    * Every served snapshot carries `n_dead` evidence read from the
+    * real ops log, and the twin's oracle pins the trajectory — a
+    * takedown that kept serving as a neighbor, or one that silently
+    * narrowed the frozen config, flips the driver hash.
+    *
+    * Ordering per micro-batch: ops log → train/append (replay-stable
+    * via `_trained_batch_` marker, st16's branch) → serve → results →
+    * marker LAST. */
+  def pqServingIngestWithTakedown(ops: DataFrame, queries: DataFrame,
+      basePath: String, checkpointDir: String,
+      k: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Pq
+    ops.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(basePath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$basePath/_served_batch_$batchId")
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          batch.select("vec_id", "op")
+            .write.mode("overwrite").parquet(s"$basePath/ops/$batchId")
+          val adds = batch.filter(col("op") === "add")
+            .select("vec_id", "embedding")
+          val idxPath = s"$basePath/index"
+          val trained = new org.apache.hadoop.fs.Path(
+            s"$basePath/_trained_batch_$batchId")
+          if (!Pq.hasPqIndex(spark, idxPath)) {
+            fs.create(trained, true).close()
+            Pq.writePqIndex(Pq.buildPqIndex(adds), idxPath)
+          } else if (!fs.exists(trained))
+            Pq.appendToPqIndex(adds, idxPath, label = s"a$batchId")
+          // liveness from the ops logs of every batch visible so far
+          // (committed serves + this in-flight one)
+          val ids = (fs.listStatus(new org.apache.hadoop.fs.Path(basePath))
+            .map(_.getPath.getName)
+            .filter(_.startsWith("_served_batch_"))
+            .map(_.stripPrefix("_served_batch_"))
+            .filter(s0 => s0.nonEmpty && s0.forall(_.isDigit))
+            .map(_.toLong).toSeq :+ batchId).distinct.sorted
+          val opsLog = ids.map(id => spark.read.parquet(s"$basePath/ops/$id")
+              .select(col("vec_id"), col("op"), lit(id).as("batch")))
+            .reduce(_ unionByName _)
+          val lastOps = opsLog.groupBy("vec_id").agg(
+            max(when(col("op") === "add", col("batch"))).as("last_add"),
+            max(when(col("op") === "del", col("batch"))).as("last_del"))
+          val deadDf = lastOps.filter(col("last_add").isNotNull &&
+            col("last_del").isNotNull && col("last_del") > col("last_add"))
+            .select("vec_id")
+          val nDead = deadDf.count()
+          Pq.searchPqIndex(queries,
+              Pq.deletePqIndex(Pq.readPqIndex(spark, idxPath), deadDf), k = k)
+            .withColumn("snap", lit(batchId))
+            .withColumn("n_dead", lit(nDead))
+            .select("snap", "n_dead", "q_id", "nb_id", "adc", "rn")
+            .write.mode("overwrite").parquet(s"$basePath/results/$batchId")
+          fs.create(marker, true).close()
+        }: Unit
+      }
+      .start()
+  }
+
   /** CONTINUOUS ANN INGEST WITH THE FOLD+SWAP CADENCE IN THE LANE
     * (st20): [[pqServingIngest]]'s serving ladder plus the compaction
     * policy n105 proved at rest — the vector-side analog of

@@ -929,11 +929,56 @@ object WindowedAggs {
       .orderBy("snap", "q_id", "rank")
   }
 
+  /** Batch twin of [[StreamingOps.pqServingIngestWithTakedown]] (st22):
+    * the vector-side takedown serving ladder, completing the takedown
+    * axis across all three index families (st14 dedup pairs, st21 BM25,
+    * st22 ANN). Three acts on st16's frozen-config ladder: batch 0's
+    * adds (≡0 mod 3) train the configuration; batch 1 adds the ≡1
+    * third and TAKES DOWN the ≡0 (mod 15) non-query slice; batch 2
+    * adds the ≡2 third and takes down the ≡3 (mod 15) non-query slice.
+    * Serving excludes tombstoned ids from the CANDIDATE side only
+    * (n98's contract: the trained config is never narrowed, surviving
+    * codes byte-identical), so each snapshot equals an IVF-PQ search
+    * over the arrived-and-live corpus under the frozen config — which
+    * is what the oracle re-derives branch by branch, plus the `n_dead`
+    * ops-log evidence trajectory (0 → |mod-15≡0| → |mod-15≡{0,3}|).
+    * Tombstones stay ≥ NumQueries (the standing query set is never
+    * deleted — the DriftEditWhere convention). StreamingSpec proves
+    * the MemoryStream run serves exactly these rows. */
+  val pqServingTakedownTwin: Q = Q(
+    "st22_ann_serving_takedown",
+    graft.operators.Pq.ivfPqTakedownSnapshotSql(Seq(
+      ("vec_id % 3 = 0", "FALSE"),
+      ("vec_id % 3 <= 1 AND NOT (vec_id % 15 = 0 AND vec_id >= 32)",
+        "vec_id % 15 = 0 AND vec_id >= 32"),
+      ("NOT (vec_id % 15 IN (0, 3) AND vec_id >= 32)",
+        "vec_id % 15 IN (0, 3) AND vec_id >= 32")),
+      trainWhere = "vec_id % 3 = 0")) { (s, dir) =>
+    import graft.operators.Pq
+    val e = Tables(s, dir).embeddings
+    val queries = e.filter(col("vec_id") < 32)
+    val deadPreds = Seq(
+      lit(false),
+      col("vec_id") % 15 === 0 && col("vec_id") >= 32,
+      (col("vec_id") % 15 === 0 || col("vec_id") % 15 === 3) &&
+        col("vec_id") >= 32)
+    Pq.snapshotPqIndexes(s, dir).zip(deadPreds).zipWithIndex.map {
+      case ((ix, deadPred), i) =>
+        val dead = e.filter(deadPred).select("vec_id")
+        Pq.searchPqIndex(queries, Pq.deletePqIndex(ix, dead))
+          .withColumn("snap", lit(i.toLong))
+          .withColumn("n_dead", lit(dead.count()))
+    }.reduce(_ unionByName _)
+      .select(col("snap"), col("n_dead"), col("q_id"), col("nb_id"),
+        col("adc"), col("rn"))
+      .orderBy("snap", "q_id", "rn")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
     streamNearDup, indexedIngestBatch1, indexedIngestBatch2,
     qualityGateTwin, streamEnrichTwin, classifierGateTwin,
     decontaminateTwin, decontaminateRewriteTwin, streamPackTwin,
     streamTakedownTwin, bm25ServingTwin, streamServingCompactTwin,
     pqServingTwin, pqServingCompactTwin, streamDriftTwin,
-    driftGatedServeTwin, streamServingTakedownTwin)
+    driftGatedServeTwin, streamServingTakedownTwin, pqServingTakedownTwin)
 }

@@ -59,7 +59,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // metadata-filtered IVF serving (filtered candidate rerank) (r12)
     "n107_psi_drift", "n108_ndcg_eval", "n109_filtered_ann",
     // takedown-aware serving: liveness agg + latest-add-segment join (r12)
-    "st21_stream_serving_takedown")
+    "st21_stream_serving_takedown",
+    // vector-side takedown serving: candidate anti-join under frozen config (r12)
+    "st22_ann_serving_takedown")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

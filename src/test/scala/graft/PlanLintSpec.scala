@@ -73,7 +73,8 @@ class PlanLintSpec extends SparkSpec {
     "n107_psi_drift",       // 1-row corpus-count broadcast into the 64×12 bin frame
     "n108_ndcg_eval",       // n83's 1-row (N, avgdl) corpus-stats broadcast
     "n109_filtered_ann",    // n13's 16-centroid broadcast, filtered-candidate path
-    "st21_stream_serving_takedown" // n83's 1-row corpus-stats broadcast, per snapshot
+    "st21_stream_serving_takedown", // n83's 1-row corpus-stats broadcast, per snapshot
+    "st22_ann_serving_takedown" // n64's 8-anchor broadcast, per gated snapshot
   )
 
   /** A query's executed plan PLUS every cached subtree it scans: the

@@ -1070,6 +1070,51 @@ class StreamingSpec extends SparkSpec {
       s"dead trajectory $deadBySnap vs expected (0, $n15, ${n15 - n30})")
   }
 
+  test("ann takedown serving lane serves the st22 twin's rows at every snapshot") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq_takedown_serve").toString
+    val e = Tables(spark, sf0001).embeddings
+    def vecs(pred: org.apache.spark.sql.Column, op: String) =
+      e.filter(pred).select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0),
+          if (op == "add") r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+          else Array.empty[Float], op))
+        .sortBy(_._1).toSeq
+    val batches = Seq(
+      vecs(col("vec_id") % 3 === 0, "add"),
+      vecs(col("vec_id") % 3 === 1, "add") ++
+        vecs(col("vec_id") % 15 === 0 && col("vec_id") >= 32, "del"),
+      vecs(col("vec_id") % 3 === 2, "add") ++
+        vecs(col("vec_id") % 15 === 3 && col("vec_id") >= 32, "del"))
+    val input = MemoryStream[(Long, Array[Float], String)]
+    val q = StreamingOps.pqServingIngestWithTakedown(
+      input.toDF().toDF("vec_id", "embedding", "op"),
+      e.filter(col("vec_id") < 32), s"$dir/base", s"$dir/ckpt")
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "n_dead", "q_id", "nb_id", "adc", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getLong(5))).toSet
+    val served = rows(spark.read.parquet(s"$dir/base/results/*"))
+    val twin = rows(Catalog.queries("st22_ann_serving_takedown")(spark, sf0001))
+    assert(served == twin && served.nonEmpty,
+      s"served ${served.size} rows vs twin ${twin.size}")
+    // the takedown is real: no tombstoned id is ever served as a
+    // neighbor at its snapshot, and the dead trajectory grows
+    val dead1 = e.filter(col("vec_id") % 15 === 0 && col("vec_id") >= 32)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!served.exists(t => t._1 >= 1L && dead1.contains(t._4)),
+      "a taken-down id was served as a neighbor after its takedown")
+    val deadBySnap = served.groupBy(_._1).map { case (s0, rs) =>
+      s0 -> rs.map(_._2).head }
+    assert(deadBySnap(0L) == 0L && deadBySnap(1L) > 0L &&
+      deadBySnap(2L) > deadBySnap(1L),
+      s"dead trajectory must grow: $deadBySnap")
+  }
+
   test("st19 lane: a missed fold is completed by a replayed batch's gate, answers unchanged") {
     // The crash window the in-lane cadence docstring claims self-heals:
     // batches 0-1 commit but the fold never fires (crash between the
