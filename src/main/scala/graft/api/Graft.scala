@@ -292,6 +292,15 @@ object Graft {
       * pass. */
     def ivfCellSkew(anchors: DataFrame): DataFrame =
       graft.operators.Pq.cellSkew(df, anchors)
+
+    /** Per-dimension Population Stability Index of a `current`
+      * snapshot vs THIS corpus (base): (dim, psi) — the
+      * histogram-shaped retrain trigger (n107), which sees
+      * distribution-shape changes a mean can cancel. Conventional
+      * alarm band: psi > 0.2. One union-tagged pass, 12 fixed bins,
+      * Laplace-smoothed. */
+    def psiDrift(current: DataFrame): DataFrame =
+      Similarity.psiDrift(df, current)
   }
 
   /** Media ops over a (doc_id, media: binary) frame — encoded images
@@ -397,5 +406,17 @@ object Graft {
     def temperatureMix(total: Long, alpha: Double = 0.3,
         seed: String = "mix-epoch0"): DataFrame =
       graft.operators.Selection.temperatureMix(df, total, alpha, seed)
+
+    /** Graded nDCG@k of THIS corpus's BM25 ranking against the
+      * capped-term-frequency relevance grade (the n108 eval in one
+      * call): (q_id, dcg, idcg, ndcg). Pass a custom `rel` frame
+      * ((q_id, doc_id, rel)) to grade against external judgments. */
+    def bm25Ndcg(queries: DataFrame, k: Int = 10,
+        rel: Option[DataFrame] = None): DataFrame = {
+      val t = graft.operators.TextAnalysis
+      t.ndcgAtK(
+        t.bm25TopK(df, queries, k).select("q_id", "doc_id", "rank"),
+        rel.getOrElse(t.cappedTfRelevance(df, queries)), k)
+    }
   }
 }

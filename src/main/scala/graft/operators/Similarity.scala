@@ -937,6 +937,40 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Per-dimension PSI between two embedding corpora (the general
+    * two-frame form of n107, exposed on the API facade — the same
+    * relationship [[embeddingDrift]] has to n103): one union-tagged
+    * explode + one (dim × bin) aggregation + one 12-term fold per
+    * dimension — a single shuffle regardless of corpus sizes. Bins,
+    * smoothing and rounding are identical to the catalog entry's
+    * (SimilaritySpec pins the two forms equal on the canonical
+    * edits). Returns (dim, psi) ordered by dim. */
+  def psiDrift(base: DataFrame, current: DataFrame): DataFrame = {
+    val NB = 12
+    def bin(c: Column): Column =
+      least(greatest(floor((c + 1.0) / 0.25).cast("long"), lit(0L)),
+        lit((NB - 1).toLong))
+    def sided(df: DataFrame, side: Int) =
+      df.select(posexplode(col("embedding")))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          bin(col("col").cast("double")).as("bin"), lit(side).as("side"))
+    val cnt = sided(base, 0).unionByName(sided(current, 1))
+      .groupBy("dim", "bin").agg(
+        count(when(col("side") === 0, 1)).as("c0"),
+        count(when(col("side") === 1, 1)).as("c1"))
+    val n0 = base.agg(count(lit(1)).cast("double").as("n0"))
+    val n1 = current.agg(count(lit(1)).cast("double").as("n1"))
+    val half = NB / 2.0
+    cnt.crossJoin(broadcast(n0)).crossJoin(broadcast(n1))
+      .select(col("dim"),
+        ((col("c0") + 0.5) / (col("n0") + half)).as("p0"),
+        ((col("c1") + 0.5) / (col("n1") + half)).as("p1"))
+      .select(col("dim"),
+        round6((col("p1") - col("p0")) * log(col("p1") / col("p0"))).as("t"))
+      .groupBy("dim").agg(dsum(col("t")).as("psi"))
+      .orderBy("dim")
+  }
+
   /** n107: per-dimension POPULATION-STABILITY-INDEX drift monitor — the
     * histogram-shaped companion to n103's mean-drift trigger. PSI
     * (the standard model-monitoring statistic: Σ_bins (p_cur − p_ref) ·

@@ -468,6 +468,47 @@ object TextAnalysis {
     }
   }
 
+  /** Graded nDCG@k of an arbitrary ranking against arbitrary relevance
+    * labels (the general form of n108, exposed on the API facade).
+    * `ranking`: (q_id, doc_id, rank); `rel`: (q_id, doc_id, rel) —
+    * docs absent from `rel` count as grade 0 (zero gain, dropped by
+    * the join). Returns (q_id, dcg, idcg, ndcg). Determinism: gains
+    * 2^rel − 1 are exact; each rank term is round6'd before the
+    * DECIMAL-exact sum; the ideal ranking ties on doc_id (the tiebreak
+    * never changes IDCG's value — equal grades contribute equal
+    * terms — it only makes the plan deterministic). */
+  def ndcgAtK(ranking: DataFrame, rel: DataFrame, k: Int): DataFrame = {
+    def gainTerm(rank: Column): Column =
+      graft.Det.round6((pow(lit(2.0), col("rel")) - 1.0) / log2(rank + 1.0))
+    val dcg = ranking.filter(col("rank") <= k)
+      .join(rel, Seq("q_id", "doc_id"))
+      .select(col("q_id"), gainTerm(col("rank")).as("g"))
+      .groupBy("q_id").agg(graft.Det.dsum(col("g")).as("dcg"))
+    val wI = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("rel").desc, col("doc_id"))
+    val idcg = rel.withColumn("irk", row_number().over(wI).cast("long"))
+      .filter(col("irk") <= k)
+      .select(col("q_id"), gainTerm(col("irk")).as("g"))
+      .groupBy("q_id").agg(graft.Det.dsum(col("g")).as("idcg"))
+    dcg.join(idcg, Seq("q_id"))
+      .select(col("q_id"), col("dcg"), col("idcg"),
+        graft.Det.round6(col("dcg") / col("idcg")).as("ndcg"))
+  }
+
+  /** Capped-term-frequency graded relevance (n108's label rule):
+    * rel(q, d) = Σ_{t ∈ q} min(tf(d, t), 3) over docs containing at
+    * least one query term. */
+  def cappedTfRelevance(docs: DataFrame, queries: DataFrame,
+      cap: Int = 3): DataFrame = {
+    val terms = queries.select("term").distinct()
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(broadcast(queries), Seq("term"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(least(col("tf"), lit(cap.toLong))).cast("long").as("rel"))
+  }
+
   /** n108: GRADED ranking evaluation (nDCG@k, Järvelin & Kekäläinen
     * 2002) of the n83 BM25 ranking — the eval-harness op that closes
     * the retrieval family's measurement loop: n70/n88 measure recall
@@ -545,29 +586,7 @@ object TextAnalysis {
       val queries = Bm25Queries.toDF("q_id", "term")
       val docs = Tables(s, dir).documents
       val top = bm25TopK(docs, queries, k).select("q_id", "doc_id", "rank")
-      val terms = queries.select("term").distinct()
-      val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .join(broadcast(terms), Seq("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val rel = tf.join(broadcast(queries), Seq("term"))
-        .groupBy("q_id", "doc_id")
-        .agg(sum(least(col("tf"), lit(3L))).cast("long").as("rel"))
-      def gainTerm(rank: Column): Column =
-        graft.Det.round6((pow(lit(2.0), col("rel")) - 1.0) / log2(rank + 1.0))
-      val dcg = top.join(rel, Seq("q_id", "doc_id"))
-        .select(col("q_id"), gainTerm(col("rank")).as("g"))
-        .groupBy("q_id").agg(graft.Det.dsum(col("g")).as("dcg"))
-      val wI = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(col("rel").desc, col("doc_id"))
-      val idcg = rel.withColumn("irk", row_number().over(wI).cast("long"))
-        .filter(col("irk") <= k)
-        .select(col("q_id"), gainTerm(col("irk")).as("g"))
-        .groupBy("q_id").agg(graft.Det.dsum(col("g")).as("idcg"))
-      dcg.join(idcg, Seq("q_id"))
-        .select(col("q_id"), col("dcg"), col("idcg"),
-          graft.Det.round6(col("dcg") / col("idcg")).as("ndcg"))
-        .orderBy("q_id")
+      ndcgAtK(top, cappedTfRelevance(docs, queries), k).orderBy("q_id")
     }
   }
 

@@ -93,6 +93,51 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(meanSkew - 1.0) < 0.01)
   }
 
+  test("psi + ndcg facades match the n107/n108 catalog entries") {
+    import org.apache.spark.sql.functions.{transform => atransform, when => fwhen}
+    val e = Tables(spark, sf0001).embeddings
+    // the general two-frame PSI form equals n107's one-pass three-side
+    // form on its row-aligned edits (bins/smoothing/rounding shared)
+    def edit(pred: org.apache.spark.sql.Column,
+        f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      e.withColumn("embedding",
+        fwhen(pred, atransform(col("embedding"), f)).otherwise(col("embedding")))
+    val negated = edit(col("vec_id") % 8 === 5 && col("vec_id") >= 32, x => -x)
+    val shifted = edit(col("vec_id") % 3 === 2 && col("vec_id") >= 32,
+      x => x + lit(1.0f))
+    val entry = Catalog.queries("n107_psi_drift")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def facadeOf(cur: org.apache.spark.sql.DataFrame) =
+      e.psiDrift(cur).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val (negF, shiftF) = (facadeOf(negated), facadeOf(shifted))
+    entry.foreach { case (ed, dim, psi) =>
+      val got = if (ed == "negate") negF(dim) else shiftF(dim)
+      // the shift edit adds 1.0 in FLOAT in the lane's convention but
+      // the entry bins the DOUBLE sum; both land in the same 0.25-wide
+      // bin for every representable float, so the counts — and the
+      // PSI — are identical
+      assert(got == psi, s"$ed dim $dim: facade $got vs entry $psi")
+    }
+    // ndcg facade == n108, and a ranking equal to the ideal scores 1.0
+    import spark.implicits._
+    val docs = Tables(spark, sf0001).documents
+    val queries = graft.operators.TextAnalysis.bm25QuerySet.toDF("q_id", "term")
+    val api = docs.bm25Ndcg(queries, 10).collect().map(_.toSeq).toSet
+    val n108 = Catalog.queries("n108_ndcg_eval")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(api == n108 && api.nonEmpty)
+    val rel = graft.operators.TextAnalysis.cappedTfRelevance(docs, queries)
+    val wI = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("rel").desc, col("doc_id"))
+    val ideal = rel.withColumn("rank",
+      org.apache.spark.sql.functions.row_number().over(wI).cast("long"))
+      .select("q_id", "doc_id", "rank")
+    graft.operators.TextAnalysis.ndcgAtK(ideal, rel, 10).collect()
+      .foreach(r => assert(r.getAs[Double]("ndcg") == 1.0,
+        s"ideal ranking must score exactly 1.0, got $r"))
+  }
+
   test("GraftExtensions: custom functions resolve in a fresh session via SQL") {
     val active = SparkSession.getActiveSession
     try {
