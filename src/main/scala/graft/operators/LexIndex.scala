@@ -313,7 +313,7 @@ object LexIndex {
     * The core form omits the final ORDER BY so [[bm25SnapshotSql]]
     * can UNION snapshot branches (DuckDB accepts a WITH chain inside
     * each derived-table branch). */
-  private def bm25SqlCore(k: Int, corpusSelect: String): String = {
+  private[graft] def bm25SqlCore(k: Int, corpusSelect: String): String = {
     val qVals = TextAnalysis.bm25QuerySet
       .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
     s"""WITH q(q_id, term) AS (VALUES $qVals),
@@ -422,20 +422,191 @@ object LexIndex {
     val segs = ids.map(tagged).reduce((a, b) => Bm25Index(
       a.postings.unionByName(b.postings),
       a.doclens.unionByName(b.doclens)))
-    val ops = ids.map(id => spark.read.parquet(s"$base/ops/$id")
-        .select(col("doc_id"), col("op"), lit(id).as("batch")))
-      .reduce(_ unionByName _)
-    val lastOps = ops.groupBy("doc_id").agg(
-      max(when(col("op") === "add", col("batch"))).as("last_add"),
-      max(when(col("op") === "del", col("batch"))).as("last_del"))
+    val lastOps = opsLogLiveness(spark, base, ids)
     val alive = lastOps.filter(col("last_add").isNotNull &&
       (col("last_del").isNull || col("last_add") >= col("last_del")))
       .select(col("doc_id"), col("last_add").as("src"))
-    val nDead = lastOps.filter(col("last_add").isNotNull &&
-      col("last_del").isNotNull && col("last_del") > col("last_add")).count()
+    val nDead = deadDocs(lastOps).count()
     (Bm25Index(
       segs.postings.join(alive, Seq("doc_id", "src")).drop("src"),
       segs.doclens.join(alive, Seq("doc_id", "src")).drop("src")), nDead)
+  }
+
+  /** Last-op-wins liveness resolution of an ops frame
+    * ((doc_id, op, batch)): (doc_id, last_add, last_del). THE single
+    * derivation every consumer of an ops log must share — the BM25
+    * serving view above, the hybrid lane's ANN arm (st23) and the
+    * compacting-takedown view (st24) all fold this frame, so no two
+    * consumers can disagree about which documents are alive. */
+  def livenessOf(ops: DataFrame): DataFrame =
+    ops.groupBy("doc_id").agg(
+      max(when(col("op") === "add", col("batch"))).as("last_add"),
+      max(when(col("op") === "del", col("batch"))).as("last_del"))
+
+  /** [[livenessOf]] over the `base/ops/<id>` log for the given batch
+    * ids. */
+  def opsLogLiveness(spark: SparkSession, base: String,
+      ids: Seq[Long]): DataFrame = {
+    require(ids.nonEmpty, s"no ops batches under $base")
+    livenessOf(ids.map(id => spark.read.parquet(s"$base/ops/$id")
+        .select(col("doc_id"), col("op"), lit(id).as("batch")))
+      .reduce(_ unionByName _))
+  }
+
+  /** The dead set of a liveness frame: ever-added docs currently taken
+    * down — the `n_dead` evidence and the ANN arm's tombstone input. */
+  def deadDocs(lastOps: DataFrame): DataFrame =
+    lastOps.filter(col("last_add").isNotNull &&
+      col("last_del").isNotNull && col("last_del") > col("last_add"))
+      .select("doc_id")
+
+  /** Committed (and optionally one in-flight) batch ids of a takedown
+    * serving tree — the id list [[opsLogLiveness]] folds. */
+  def takedownBatchIds(spark: SparkSession, base: String,
+      extraId: Option[Long] = None): Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (committedBatchIds(fs, base) ++ extraId).distinct.sorted
+  }
+
+  // -------------------------------------------------------------------
+  // Takedown-aware COMPACTION (st24): the fold that makes the right to
+  // be forgotten PHYSICAL. The takedown serving view above is exact but
+  // conservative on disk — a tombstoned doc's postings stay in their
+  // segment, and the tombstone itself lives in the ops log forever,
+  // which at 100 TB is both a read-amplification tail AND a compliance
+  // leak (the retained doc_id of a deletion request is itself data to
+  // forget). The LSM fold is where both die: it materializes the
+  // liveness-resolved view (live docs only, each from its latest add
+  // segment) as the new base at `base/compacted/<maxId>`, re-stamps the
+  // survivors' liveness as `base/ops_base/<maxId>` (doc_id only — adds
+  // at the watermark), and the two-phase prune then drops the folded
+  // segment dirs, the folded ops logs (tombstones included) and the
+  // superseded base. Replay markers are kept (the at-least-once skip
+  // guard never references doc content).
+
+  /** The serving view of a compacting takedown tree: newest compacted
+    * base (live-only by construction, stamped at the watermark) plus
+    * tail batches and tail ops, liveness re-resolved across both —
+    * exactly [[readTakedownServing]]'s contract on the folded layout.
+    * Returns (live index, n_dead, n_dead_on_disk): `n_dead` counts
+    * docs the CURRENT view knows to be dead (tombstones the fold has
+    * GC'd no longer count — the forget, hash-attested as the evidence
+    * trajectory dropping); `n_dead_on_disk` counts dead docs whose
+    * rows still physically sit in a surviving segment dir — the
+    * quantity the next fold will zero. */
+  def readTakedownCompactServing(spark: SparkSession, base: String,
+      extraId: Option[Long] = None): (Bm25Index, Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val upto = compactionUpto(fs, base)
+    val tail = (committedBatchIds(fs, base) ++ extraId).distinct.sorted
+      .filter(id => upto.forall(id > _))
+    val ops = (upto.map(u => spark.read.parquet(s"$base/ops_base/$u")
+        .select(col("doc_id"), lit("add").as("op"), lit(u).as("batch"))).toSeq ++
+      tail.map(id => spark.read.parquet(s"$base/ops/$id")
+        .select(col("doc_id"), col("op"), lit(id).as("batch"))))
+      .reduce(_ unionByName _)
+    val lastOps = livenessOf(ops)
+    val alive = lastOps.filter(col("last_add").isNotNull &&
+      (col("last_del").isNull || col("last_add") >= col("last_del")))
+      .select(col("doc_id"), col("last_add").as("src"))
+    val dead = deadDocs(lastOps)
+    def tagged(path: String, src: Long): Bm25Index = {
+      val ix = readIndex(spark, path)
+      Bm25Index(ix.postings.withColumn("src", lit(src)),
+        ix.doclens.withColumn("src", lit(src)))
+    }
+    val segList = upto.map(u => tagged(s"$base/compacted/$u", u)).toSeq ++
+      tail.map(id => tagged(s"$base/batches/$id", id))
+    require(segList.nonEmpty, s"no committed segments under $base")
+    val segs = segList.reduce((a, b) => Bm25Index(
+      a.postings.unionByName(b.postings),
+      a.doclens.unionByName(b.doclens)))
+    val nDeadOnDisk = segs.doclens.select("doc_id").distinct()
+      .join(dead, Seq("doc_id"), "left_semi").count()
+    (Bm25Index(
+      segs.postings.join(alive, Seq("doc_id", "src")).drop("src"),
+      segs.doclens.join(alive, Seq("doc_id", "src")).drop("src")),
+      dead.count(), nDeadOnDisk)
+  }
+
+  /** Fold a compacting takedown tree: materialize the liveness-resolved
+    * view as the new base (dead docs' rows are NOT copied — this is
+    * the physical removal), write the survivors' liveness summary to
+    * `ops_base/<maxId>`, publish marker-last. The folded batch dirs,
+    * their ops logs (the tombstone GC) and the superseded base stay on
+    * disk for in-flight readers until [[pruneTakedownCompacted]] — the
+    * same two-phase delete [[compactServing]] runs. Returns the new
+    * watermark, or the prior one when there is nothing to fold. */
+  def compactTakedownServing(spark: SparkSession,
+      base: String): Option[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = compactionUpto(fs, base)
+    val fold = committedBatchIds(fs, base).filter(id => prior.forall(id > _))
+    if (fold.isEmpty) prior
+    else {
+      val maxId = fold.max
+      val (live, _, _) = readTakedownCompactServing(spark, base)
+      // fresh path (never the prior base: its frames are being read
+      // right here — the writeIndex swap rule)
+      writeIndex(live, s"$base/compacted/$maxId")
+      live.doclens.select("doc_id")
+        .write.mode("overwrite").parquet(s"$base/ops_base/$maxId")
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$base/_compacted_upto_$maxId"), true).close()
+      Some(maxId)
+    }
+  }
+
+  /** Second phase of the takedown fold's two-phase delete:
+    * [[pruneCompacted]]'s sweep plus the ops GC — folded `ops/<id>`
+    * logs (tombstoned doc_ids included) and superseded `ops_base`
+    * summaries are dropped. `_committed_batch_` markers are kept: the
+    * at-least-once replay guard carries batch ids only, never doc
+    * content, so it is not a compliance surface. */
+  def pruneTakedownCompacted(spark: SparkSession, base: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    pruneCompacted(spark, base)
+    compactionUpto(fs, base).foreach { upto =>
+      committedBatchIds(fs, base).filter(_ <= upto).foreach { id =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/ops/$id"), true)
+      }
+      val ob = new org.apache.hadoop.fs.Path(s"$base/ops_base")
+      if (fs.exists(ob))
+        fs.listStatus(ob).map(_.getPath.getName)
+          .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+          .filter(_ < upto)
+          .foreach(u => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$base/ops_base/$u"), true))
+    }
+  }
+
+  /** DuckDB twin for COMPACTING TAKEDOWN serving (st24's batch twin):
+    * one BM25 branch per snapshot over the LIVE corpus predicate, plus
+    * FOUR evidence columns — the layout the LSM cadence predicts
+    * (n_segs, base_upto) and the two dead counts (n_dead: what the
+    * post-GC view still knows to be dead; n_dead_disk: dead rows
+    * physically surviving in segment dirs). The forget is the
+    * trajectory: a tombstone the fold ate stops counting, and a fold
+    * that silently kept dead rows (or never ran) flips the hash. */
+  private[graft] def bm25TakedownCompactSnapshotSql(k: Int,
+      snaps: Seq[(String, String, String, Long, Long)]): String = {
+    val branches = snaps.zipWithIndex.map {
+      case ((live, dead, deadDisk, nSegs, upto), i) =>
+        s"SELECT CAST($i AS BIGINT) AS snap," +
+          s" CAST($nSegs AS BIGINT) AS n_segs," +
+          s" CAST($upto AS BIGINT) AS base_upto," +
+          s" CAST((SELECT count(*) FROM documents WHERE $dead) AS BIGINT)" +
+          " AS n_dead," +
+          s" CAST((SELECT count(*) FROM documents WHERE $deadDisk) AS BIGINT)" +
+          " AS n_dead_disk, * FROM (\n" +
+          bm25SqlCore(k, s"SELECT doc_id, text FROM documents WHERE $live") +
+          "\n)"
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY snap, q_id, rank")
   }
 
   /** DuckDB twin for TAKEDOWN-AWARE serving (st21's batch twin): one

@@ -648,7 +648,7 @@ object Pq {
     * predicates never change ids); n102 points it at the edited source
     * so the retrained twin derives every artifact from the drifted
     * corpus. Defaults emit byte-identical SQL to the historical text. */
-  private def ivfPqIndexSqlCore(survivors: String = "TRUE",
+  private[graft] def ivfPqIndexSqlCore(survivors: String = "TRUE",
       embSrc: String = "embeddings",
       trainWhere: String = "vec_id % 2 = 0",
       anchorSrc: String = "embeddings"): String = {
@@ -979,7 +979,7 @@ object Pq {
     * search, so drift between the two flips a hash, not just a spec.
     * Shared by n64 and n98 (train once; bench cold mode clears the
     * memoizer for both). */
-  private def accumulatedPqIndex(s: org.apache.spark.sql.SparkSession,
+  private[graft] def accumulatedPqIndex(s: org.apache.spark.sql.SparkSession,
       dir: String): PqIndex = {
     val e = Tables(s, dir).embeddings
     val prior = e.filter(col("vec_id") % 2 === 0)

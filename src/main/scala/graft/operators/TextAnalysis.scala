@@ -472,7 +472,11 @@ object TextAnalysis {
     * labels (the general form of n108, exposed on the API facade).
     * `ranking`: (q_id, doc_id, rank); `rel`: (q_id, doc_id, rel) —
     * docs absent from `rel` count as grade 0 (zero gain, dropped by
-    * the join). Returns (q_id, dcg, idcg, ndcg). Determinism: gains
+    * the join), and a ranking whose top-k holds NO relevant doc
+    * scores an honest 0.0 rather than losing its row (the n110
+    * hybrid-arm eval hits this; idcg drives the output keys since
+    * every judged query has an ideal). Returns (q_id, dcg, idcg,
+    * ndcg). Determinism: gains
     * 2^rel − 1 are exact; each rank term is round6'd before the
     * DECIMAL-exact sum; the ideal ranking ties on doc_id (the tiebreak
     * never changes IDCG's value — equal grades contribute equal
@@ -490,9 +494,11 @@ object TextAnalysis {
       .filter(col("irk") <= k)
       .select(col("q_id"), gainTerm(col("irk")).as("g"))
       .groupBy("q_id").agg(graft.Det.dsum(col("g")).as("idcg"))
-    dcg.join(idcg, Seq("q_id"))
-      .select(col("q_id"), col("dcg"), col("idcg"),
-        graft.Det.round6(col("dcg") / col("idcg")).as("ndcg"))
+    idcg.join(dcg, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        col("idcg"),
+        graft.Det.round6(
+          coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
   }
 
   /** Capped-term-frequency graded relevance (n108's label rule):
@@ -588,6 +594,43 @@ object TextAnalysis {
       val top = bm25TopK(docs, queries, k).select("q_id", "doc_id", "rank")
       ndcgAtK(top, cappedTfRelevance(docs, queries), k).orderBy("q_id")
     }
+  }
+
+  /** DuckDB nDCG@k body over an arbitrary ranking subquery (yielding
+    * (q_id, doc_id, r)) graded by the capped-tf relevance rule — the
+    * SQL form of [[ndcgAtK]] ∘ [[cappedTfRelevance]], shared by
+    * n110's three system branches. A ranking whose top-k holds no
+    * relevant doc reads an honest 0.0 (idcg drives the keys), matching
+    * [[ndcgAtK]]'s left-join convention. */
+  private[graft] def ndcgSqlOver(rankingSql: String, k: Int): String = {
+    val qVals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH q(q_id, term) AS (VALUES $qVals),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |        FROM tok WHERE term IN (SELECT term FROM q)
+       |        GROUP BY doc_id, term),
+       |rel AS (SELECT q.q_id, t.doc_id, CAST(sum(LEAST(t.tf, 3)) AS BIGINT) AS rel
+       |        FROM tfq t JOIN q ON q.term = t.term
+       |        GROUP BY q.q_id, t.doc_id),
+       |rk AS (SELECT q_id, doc_id, r FROM (
+       |$rankingSql
+       |)),
+       |dcgt AS (SELECT r.q_id,
+       |                ${round6Sql("(power(2.0, rel) - 1.0) / log2(r.r + 1.0)")} AS g
+       |         FROM rk r JOIN rel ON rel.q_id = r.q_id AND rel.doc_id = r.doc_id
+       |         WHERE r.r <= $k),
+       |ideal AS (SELECT q_id, rel,
+       |                 row_number() OVER (PARTITION BY q_id
+       |                                    ORDER BY rel DESC, doc_id) AS irk
+       |          FROM rel),
+       |idcgt AS (SELECT q_id,
+       |                 ${round6Sql("(power(2.0, rel) - 1.0) / log2(irk + 1.0)")} AS g
+       |          FROM ideal WHERE irk <= $k),
+       |dcg AS (SELECT q_id, ${dsumSql("g")} AS dcg FROM dcgt GROUP BY q_id),
+       |idcg AS (SELECT q_id, ${dsumSql("g")} AS idcg FROM idcgt GROUP BY q_id)
+       |SELECT CAST(i.q_id AS BIGINT) AS q_id, COALESCE(d.dcg, 0.0) AS dcg,
+       |       i.idcg, ${round6Sql("COALESCE(d.dcg, 0.0) / i.idcg")} AS ndcg
+       |FROM idcg i LEFT JOIN dcg d ON d.q_id = i.q_id""".stripMargin
   }
 
   /** Payload redaction — the PII-scrub shape every training pipeline

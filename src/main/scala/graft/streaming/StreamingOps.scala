@@ -1028,6 +1028,87 @@ object StreamingOps {
       .start()
   }
 
+  /** CONTINUOUS TAKEDOWN INGEST WITH PHYSICAL FORGETTING (st24):
+    * [[bm25ServingIngestWithTakedown]]'s CDC serving plus
+    * [[bm25ServingIngestCompacting]]'s in-lane LSM cadence, composed so
+    * the fold is where the right to be forgotten becomes PHYSICAL. The
+    * serve path never rewrites the index on a takedown (st21's
+    * contract — liveness is an ops-log fold); the compaction gate,
+    * after the serve marker and outside the replay guard, then
+    * materializes the liveness-resolved view as the new base — dead
+    * docs' postings are NOT copied — re-stamps the survivors as
+    * `ops_base/<watermark>`, and the two-phase prune drops the folded
+    * segments AND the folded ops logs, tombstones included (the
+    * retained doc_id of a deletion request is itself data to forget).
+    *
+    * Every snapshot carries four evidence columns read from the real
+    * layout at serve time: `n_segs`/`base_upto` (the LSM cadence,
+    * st19's shape) and `n_dead`/`n_dead_disk` — the forget's
+    * signature is the trajectory: after the fold, GC'd tombstones stop
+    * counting in n_dead, and n_dead_disk returns to the NEW takedowns
+    * only. A fold that silently kept dead rows, skipped the ops GC, or
+    * never ran flips the driver hash, not just a spec.
+    *
+    * Crash windows self-heal exactly like st19: before the
+    * `_compacted_upto_` marker the next gate refolds (fresh-path
+    * writes, idempotent); after the marker but before the prune, stale
+    * dirs linger harmlessly until the next gate's prune sweeps
+    * everything ≤ the watermark. */
+  def bm25ServingIngestTakedownCompacting(ops: DataFrame,
+      queries: Seq[(Long, String)], basePath: String, checkpointDir: String,
+      k: Int = 10, compactEvery: Int = 2):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.LexIndex
+    ops.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val fs = new org.apache.hadoop.fs.Path(basePath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$basePath/_committed_batch_$batchId")
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          batch.select("doc_id", "op")
+            .write.mode("overwrite").parquet(s"$basePath/ops/$batchId")
+          LexIndex.writeIndex(
+            LexIndex.buildIndex(
+              batch.filter(col("op") === "add").select("doc_id", "text")),
+            s"$basePath/batches/$batchId")
+          // layout BEFORE this batch's marker (the committed view the
+          // serve unions with the in-flight segment) — st19's evidence
+          val (committedSegs, baseUpto) =
+            LexIndex.servingLayout(spark, basePath)
+          val (idx, nDead, nDeadDisk) = LexIndex
+            .readTakedownCompactServing(spark, basePath, Some(batchId))
+          LexIndex.bm25FromIndex(idx, queries.toDF("q_id", "term"), k)
+            .withColumn("snap", lit(batchId))
+            .withColumn("n_segs", lit(committedSegs + 1L))
+            .withColumn("base_upto", lit(baseUpto))
+            .withColumn("n_dead", lit(nDead))
+            .withColumn("n_dead_disk", lit(nDeadDisk))
+            .select("snap", "n_segs", "base_upto", "n_dead", "n_dead_disk",
+              "q_id", "rank", "doc_id", "score")
+            .write.mode("overwrite").parquet(s"$basePath/results/$batchId")
+          fs.create(marker, true).close()
+        }
+        // the LSM gate — after the marker, outside the replay guard.
+        // The PRUNE runs on every batch (not only after a fold): it is
+        // idempotent and listing-cheap, and it is the compliance half
+        // of the cadence — a crash between the fold's marker and its
+        // prune must not leave the dead docs' bytes on disk until the
+        // NEXT fold (two more batches away); the very next batch's
+        // gate sweeps them, bounding the linger to one micro-batch.
+        if (compactEvery > 0) {
+          if (LexIndex.tailSegmentCount(spark, basePath) >= compactEvery)
+            LexIndex.compactTakedownServing(spark, basePath)
+          LexIndex.pruneTakedownCompacted(spark, basePath)
+        }: Unit
+      }
+      .start()
+  }
+
   /** CONTINUOUS ANN INGEST WITH IN-BAND TAKEDOWNS (st22): the
     * vector-side twin of [[bm25ServingIngestWithTakedown]], completing
     * the takedown axis across all three index families (st14 dedup,
@@ -1104,6 +1185,99 @@ object StreamingOps {
             .withColumn("snap", lit(batchId))
             .withColumn("n_dead", lit(nDead))
             .select("snap", "n_dead", "q_id", "nb_id", "adc", "rn")
+            .write.mode("overwrite").parquet(s"$basePath/results/$batchId")
+          fs.create(marker, true).close()
+        }: Unit
+      }
+      .start()
+  }
+
+  /** CONTINUOUS HYBRID INGEST WITH IN-BAND TAKEDOWNS (st23): ONE
+    * CDC-style ops feed — (doc_id, text, embedding, op ∈ add|del) —
+    * maintaining BOTH retrieval index families at once, with every
+    * snapshot served as the RRF fusion (n90/n95's rank-level fusion)
+    * of the two arms' answers:
+    *
+    *   - lexical arm: per-batch BM25 segments + the shared ops log,
+    *     served through [[graft.operators.LexIndex.readTakedownServing]]
+    *     (st21's exactness: df/N/avgdl from survivors at probe time);
+    *   - semantic arm: the frozen-config IVF-PQ ladder (first batch
+    *     trains, later batches append one encode/assign segment, the
+    *     [[graft.operators.Pq]] n98 contract on delete), candidates
+    *     anti-joined against the dead set;
+    *   - fusion: [[graft.operators.Similarity.rrfFuse]] — RRF k=60,
+    *     absent-system convention, deterministic id ties.
+    *
+    * The lane's reason to exist beyond st21 ∘ st22: CROSS-INDEX
+    * LIVENESS CONSISTENCY. Both arms resolve document liveness from
+    * the SAME [[graft.operators.LexIndex.opsLogLiveness]] fold of the
+    * single ops log (last op wins, same-batch tie → add), so a
+    * right-to-be-forgotten request cannot be honored by one index and
+    * leaked by the other — the fused twin's oracle re-derives both
+    * arms over the live corpus and any one-sided leak moves the fused
+    * ranking and flips the hash. `n_dead` evidence is read from the
+    * real ops log at serve time.
+    *
+    * Ordering per micro-batch: ops log + lex segment → PQ train/append
+    * (replay-stable via `_trained_batch_`, st16's branch) → one
+    * liveness fold → both arms + fusion → results/<id> →
+    * `_committed_batch_` marker LAST (a crash anywhere leaves the
+    * batch invisible and exactly replayable).
+    *
+    * Scale shape: per-batch work is batch-sized (segment build, one
+    * encode/assign pass) plus query-bounded serving (term-semi-filtered
+    * postings, probed-cell ADC); the ops log is takedown-traffic-sized
+    * and its liveness fold is doc-keyed — nothing is
+    * corpus-proportional at serve time. */
+  def hybridServingIngestWithTakedown(ops: DataFrame,
+      terms: Seq[(Long, String)], queryVecs: DataFrame, basePath: String,
+      checkpointDir: String, lexK: Int = 10,
+      out: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{LexIndex, Pq, Similarity}
+    ops.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val fs = new org.apache.hadoop.fs.Path(basePath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$basePath/_committed_batch_$batchId")
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          batch.select("doc_id", "op")
+            .write.mode("overwrite").parquet(s"$basePath/ops/$batchId")
+          val adds = batch.filter(col("op") === "add")
+          LexIndex.writeIndex(
+            LexIndex.buildIndex(adds.select("doc_id", "text")),
+            s"$basePath/batches/$batchId")
+          val idxPath = s"$basePath/index"
+          val trained = new org.apache.hadoop.fs.Path(
+            s"$basePath/_trained_batch_$batchId")
+          val vecs = adds.select(col("doc_id").as("vec_id"), col("embedding"))
+          if (!Pq.hasPqIndex(spark, idxPath)) {
+            fs.create(trained, true).close()
+            Pq.writePqIndex(Pq.buildPqIndex(vecs), idxPath)
+          } else if (!fs.exists(trained))
+            Pq.appendToPqIndex(vecs, idxPath, label = s"a$batchId")
+          // ONE liveness fold drives BOTH arms (the lane's contract)
+          val (lexIdx, nDead) =
+            LexIndex.readTakedownServing(spark, basePath, Some(batchId))
+          val dead = LexIndex.deadDocs(LexIndex.opsLogLiveness(spark,
+              basePath,
+              LexIndex.takedownBatchIds(spark, basePath, Some(batchId))))
+            .select(col("doc_id").as("vec_id"))
+          val lex = LexIndex
+            .bm25FromIndex(lexIdx, terms.toDF("q_id", "term"), lexK)
+            .select(col("q_id"), col("doc_id").as("cand"),
+              col("rank").as("r"))
+          val sem = Pq.searchPqIndex(queryVecs,
+              Pq.deletePqIndex(Pq.readPqIndex(spark, idxPath), dead))
+            .select(col("q_id"), col("nb_id").as("cand"), col("rn").as("r"))
+          Similarity.rrfFuse(lex, sem, out)
+            .withColumn("snap", lit(batchId))
+            .withColumn("n_dead", lit(nDead))
+            .select("snap", "n_dead", "q_id", "cand", "rrf", "rrf_rank")
             .write.mode("overwrite").parquet(s"$basePath/results/$batchId")
           fs.create(marker, true).close()
         }: Unit

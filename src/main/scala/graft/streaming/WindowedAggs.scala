@@ -974,11 +974,173 @@ object WindowedAggs {
       .orderBy("snap", "q_id", "rn")
   }
 
+  /** Batch twin of [[StreamingOps.hybridServingIngestWithTakedown]]
+    * (st23): takedown-aware HYBRID serving — ONE CDC ops feed over the
+    * joined (documents ⨝ embeddings) corpus maintaining BOTH index
+    * families, every snapshot served as the RRF fusion of the BM25 arm
+    * (st21's segmented serving view) and the frozen-config IVF-PQ arm
+    * (st22's candidate anti-join). The scenario is st22's: batch 0
+    * adds the ≡0 (mod 3) third (and trains the PQ configuration);
+    * batch 1 adds ≡1 and TAKES DOWN the ≡0 (mod 15) non-query slice;
+    * batch 2 adds ≡2 and takes down ≡3 (mod 15). Both arms resolve
+    * liveness from the SAME ops-log fold, which is the lane's claim:
+    * a takedown honored by one index and leaked by the other moves the
+    * fused ranking — the oracle re-derives BM25 over live docs, IVF-PQ
+    * over live candidates, and the fusion, so a one-sided leak flips
+    * the hash. `n_dead` is read from the real ops log at serve time.
+    * Lexical segments + ops log rebuild honestly from empty per
+    * invocation (the n105 rule) on a ServingLoc-keyed dir; the PQ arm
+    * rides the memoized st16 snapshot ladder (identical training:
+    * batch-0 adds). StreamingSpec proves the MemoryStream run serves
+    * exactly these rows. */
+  val hybridServingTakedownTwin: Q = Q(
+    "st23_hybrid_serving_takedown",
+    graft.operators.Similarity.hybridTakedownSnapshotSql(Seq(
+      ("vec_id % 3 = 0", "FALSE"),
+      ("vec_id % 3 <= 1 AND NOT (vec_id % 15 = 0 AND vec_id >= 32)",
+        "vec_id % 15 = 0 AND vec_id >= 32"),
+      ("NOT (vec_id % 15 IN (0, 3) AND vec_id >= 32)",
+        "vec_id % 15 IN (0, 3) AND vec_id >= 32")),
+      trainWhere = "vec_id % 3 = 0", lexK = 10, out = 10)) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.{LexIndex, Pq, ServingLoc, Similarity, TextAnalysis}
+    val t = Tables(s, dir)
+    val corpus = t.documents
+      .join(t.embeddings, t.documents("doc_id") === t.embeddings("vec_id"))
+      .select(t.documents("doc_id"), col("text"))
+    val base = ServingLoc.of(s, s"st23:$dir", "graft_hybrid_stream_takedown")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .foreach(st => fs.delete(st.getPath, true))
+    def adds(pred: org.apache.spark.sql.Column) =
+      corpus.filter(pred)
+        .select(col("doc_id"), col("text"), lit("add").as("op"))
+    def dels(pred: org.apache.spark.sql.Column) =
+      corpus.filter(pred)
+        .select(col("doc_id"), lit("").as("text"), lit("del").as("op"))
+    val batches = Seq(
+      adds(col("doc_id") % 3 === 0),
+      adds(col("doc_id") % 3 === 1)
+        .unionByName(dels(col("doc_id") % 15 === 0 && col("doc_id") >= 32)),
+      adds(col("doc_id") % 3 === 2)
+        .unionByName(dels(col("doc_id") % 15 === 3 && col("doc_id") >= 32)))
+    val terms = TextAnalysis.bm25QuerySet.toDF("q_id", "term")
+    val qIds = TextAnalysis.bm25QuerySet.map(_._1).distinct
+    val queryVecs = t.embeddings.filter(col("vec_id").isin(qIds: _*))
+    val pqLadder = Pq.snapshotPqIndexes(s, dir)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.select("doc_id", "op")
+        .write.mode("overwrite").parquet(s"$base/ops/$i")
+      LexIndex.writeIndex(
+        LexIndex.buildIndex(
+          b.filter(col("op") === "add").select("doc_id", "text")),
+        s"$base/batches/$i")
+      val (lexIdx, nDead) =
+        LexIndex.readTakedownServing(s, base, Some(i.toLong))
+      val dead = LexIndex.deadDocs(LexIndex.opsLogLiveness(s, base,
+          LexIndex.takedownBatchIds(s, base, Some(i.toLong))))
+        .select(col("doc_id").as("vec_id"))
+      val lex = LexIndex.bm25FromIndex(lexIdx, terms, 10)
+        .select(col("q_id"), col("doc_id").as("cand"), col("rank").as("r"))
+      val sem = Pq.searchPqIndex(queryVecs,
+          Pq.deletePqIndex(pqLadder(i), dead))
+        .select(col("q_id"), col("nb_id").as("cand"), col("rn").as("r"))
+      Similarity.rrfFuse(lex, sem, 10)
+        .select(lit(i.toLong).as("snap"), lit(nDead).as("n_dead"),
+          col("q_id"), col("cand"), col("rrf"), col("rrf_rank"))
+        .write.mode("overwrite").parquet(s"$base/results/$i")
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$base/_committed_batch_$i"), true).close()
+    }
+    s.read.parquet((0 to 2).map(i => s"$base/results/$i"): _*)
+      .select("snap", "n_dead", "q_id", "cand", "rrf", "rrf_rank")
+      .orderBy("snap", "q_id", "rrf_rank")
+  }
+
+  /** Batch twin of [[StreamingOps.bm25ServingIngestTakedownCompacting]]
+    * (st24): takedown serving WITH PHYSICAL FORGETTING — st21's
+    * CDC liveness plus st19's in-lane LSM cadence (compactEvery = 2),
+    * composed so the fold is where dead docs' rows leave the disk and
+    * their tombstones leave the ops log. Three acts: batch 0 adds the
+    * ≡0 (mod 3) third; batch 1 adds ≡1 and TAKES DOWN the ≡0 (mod 15)
+    * slice — after its serve the gate folds (2 tail segments): the new
+    * base holds live docs only, the survivors re-stamp as ops_base,
+    * and the prune drops the folded segments and ops logs; batch 2
+    * adds ≡2 and takes down ≡3 (mod 15). The evidence trajectory IS
+    * the forget: n_dead reads |mod15≡0| at snap 1 but only |mod15≡3|
+    * at snap 2 (the GC'd tombstones no longer exist to count), and
+    * n_dead_disk tracks rows physically awaiting the next fold. The
+    * oracle pins all four evidence columns plus each snapshot's
+    * live-corpus BM25 rebuild; state honestly rebuilds from empty per
+    * invocation (the n105 rule); StreamingSpec proves stream == twin
+    * AND that the taken-down docs' rows are bytes-off-disk after the
+    * run. */
+  val takedownCompactTwin: Q = Q(
+    "st24_takedown_compaction",
+    graft.operators.LexIndex.bm25TakedownCompactSnapshotSql(10, Seq(
+      ("doc_id % 3 = 0", "FALSE", "FALSE", 1L, -1L),
+      ("doc_id % 3 <= 1 AND NOT (doc_id % 15 = 0 AND doc_id >= 32)",
+        "doc_id % 15 = 0 AND doc_id >= 32",
+        "doc_id % 15 = 0 AND doc_id >= 32", 2L, -1L),
+      ("doc_id % 3 <= 2 AND NOT (doc_id % 15 IN (0, 3) AND doc_id >= 32)",
+        "doc_id % 15 = 3 AND doc_id >= 32",
+        "doc_id % 15 = 3 AND doc_id >= 32", 2L, 1L)))) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.{LexIndex, ServingLoc, TextAnalysis}
+    val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    val base = ServingLoc.of(s, s"st24:$dir", "graft_bm25_takedown_compact")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .foreach(st => fs.delete(st.getPath, true))
+    def adds(pred: org.apache.spark.sql.Column) =
+      d.filter(pred).select(col("doc_id"), col("text"), lit("add").as("op"))
+    def dels(pred: org.apache.spark.sql.Column) =
+      d.filter(pred).select(col("doc_id"), lit("").as("text"),
+        lit("del").as("op"))
+    val batches = Seq(
+      adds(col("doc_id") % 3 === 0),
+      adds(col("doc_id") % 3 === 1)
+        .unionByName(dels(col("doc_id") % 15 === 0 && col("doc_id") >= 32)),
+      adds(col("doc_id") % 3 === 2)
+        .unionByName(dels(col("doc_id") % 15 === 3 && col("doc_id") >= 32)))
+    val queries = TextAnalysis.bm25QuerySet.toDF("q_id", "term")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.select("doc_id", "op")
+        .write.mode("overwrite").parquet(s"$base/ops/$i")
+      LexIndex.writeIndex(
+        LexIndex.buildIndex(
+          b.filter(col("op") === "add").select("doc_id", "text")),
+        s"$base/batches/$i")
+      val (committedSegs, baseUpto) = LexIndex.servingLayout(s, base)
+      val (idx, nDead, nDeadDisk) =
+        LexIndex.readTakedownCompactServing(s, base, Some(i.toLong))
+      LexIndex.bm25FromIndex(idx, queries, 10)
+        .select(lit(i.toLong).as("snap"),
+          lit(committedSegs + 1L).as("n_segs"),
+          lit(baseUpto).as("base_upto"), lit(nDead).as("n_dead"),
+          lit(nDeadDisk).as("n_dead_disk"),
+          col("q_id"), col("rank"), col("doc_id"), col("score"))
+        .write.mode("overwrite").parquet(s"$base/results/$i")
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$base/_committed_batch_$i"), true).close()
+      if (LexIndex.tailSegmentCount(s, base) >= 2)
+        LexIndex.compactTakedownServing(s, base)
+      LexIndex.pruneTakedownCompacted(s, base)
+    }
+    s.read.parquet((0 to 2).map(i => s"$base/results/$i"): _*)
+      .select("snap", "n_segs", "base_upto", "n_dead", "n_dead_disk",
+        "q_id", "rank", "doc_id", "score")
+      .orderBy("snap", "q_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
     streamNearDup, indexedIngestBatch1, indexedIngestBatch2,
     qualityGateTwin, streamEnrichTwin, classifierGateTwin,
     decontaminateTwin, decontaminateRewriteTwin, streamPackTwin,
     streamTakedownTwin, bm25ServingTwin, streamServingCompactTwin,
     pqServingTwin, pqServingCompactTwin, streamDriftTwin,
-    driftGatedServeTwin, streamServingTakedownTwin, pqServingTakedownTwin)
+    driftGatedServeTwin, streamServingTakedownTwin, pqServingTakedownTwin,
+    hybridServingTakedownTwin, takedownCompactTwin)
 }

@@ -61,7 +61,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // takedown-aware serving: liveness agg + latest-add-segment join (r12)
     "st21_stream_serving_takedown",
     // vector-side takedown serving: candidate anti-join under frozen config (r12)
-    "st22_ann_serving_takedown")
+    "st22_ann_serving_takedown",
+    // hybrid takedown serving: one liveness fold, two arms, RRF fusion (r12)
+    "st23_hybrid_serving_takedown",
+    // takedown compaction: liveness-filtered fold + ops GC, served through (r12)
+    "st24_takedown_compaction",
+    // per-system fusion eval: three rankings graded on one rel frame (r12)
+    "n110_hybrid_ndcg")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

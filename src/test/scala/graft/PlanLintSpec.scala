@@ -74,7 +74,12 @@ class PlanLintSpec extends SparkSpec {
     "n108_ndcg_eval",       // n83's 1-row (N, avgdl) corpus-stats broadcast
     "n109_filtered_ann",    // n13's 16-centroid broadcast, filtered-candidate path
     "st21_stream_serving_takedown", // n83's 1-row corpus-stats broadcast, per snapshot
-    "st22_ann_serving_takedown" // n64's 8-anchor broadcast, per gated snapshot
+    "st22_ann_serving_takedown", // n64's 8-anchor broadcast, per gated snapshot
+    "st23_hybrid_serving_takedown", // n83's 1-row stats broadcast (lexical arm) +
+                            //   n64's 8-anchor broadcast (semantic arm), per snapshot
+    "st24_takedown_compaction", // n83's 1-row corpus-stats broadcast, per snapshot
+    "n110_hybrid_ndcg"      // n83's 1-row stats broadcast (lex arm) + n64's
+                            //   8-anchor broadcast (sem arm), graded once
   )
 
   /** A query's executed plan PLUS every cached subtree it scans: the

@@ -1115,6 +1115,208 @@ class StreamingSpec extends SparkSpec {
       s"dead trajectory must grow: $deadBySnap")
   }
 
+  test("hybrid takedown serving lane serves the st23 twin's rows at every snapshot") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hybrid_takedown_serve")
+      .toString
+    val t = Tables(spark, sf0001)
+    val corpus = t.documents
+      .join(t.embeddings, t.documents("doc_id") === t.embeddings("vec_id"))
+      .select(t.documents("doc_id"), col("text"), col("embedding"))
+    def ops(pred: org.apache.spark.sql.Column, op: String) =
+      corpus.filter(pred).collect()
+        .map(r => (r.getLong(0),
+          if (op == "add") r.getString(1) else "",
+          if (op == "add")
+            r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+          else Array.empty[Float],
+          op))
+        .sortBy(_._1).toSeq
+    val batches = Seq(
+      ops(col("doc_id") % 3 === 0, "add"),
+      ops(col("doc_id") % 3 === 1, "add") ++
+        ops(col("doc_id") % 15 === 0 && col("doc_id") >= 32, "del"),
+      ops(col("doc_id") % 3 === 2, "add") ++
+        ops(col("doc_id") % 15 === 3 && col("doc_id") >= 32, "del"))
+    val qIds = graft.operators.TextAnalysis.bm25QuerySet.map(_._1).distinct
+    val input = MemoryStream[(Long, String, Array[Float], String)]
+    val q = StreamingOps.hybridServingIngestWithTakedown(
+      input.toDF().toDF("doc_id", "text", "embedding", "op"),
+      graft.operators.TextAnalysis.bm25QuerySet,
+      t.embeddings.filter(col("vec_id").isin(qIds: _*)),
+      s"$dir/base", s"$dir/ckpt")
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "n_dead", "q_id", "cand", "rrf", "rrf_rank")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getLong(5))).toSet
+    val served = rows(spark.read.parquet(s"$dir/base/results/*"))
+    val twin = rows(Catalog.queries("st23_hybrid_serving_takedown")(
+      spark, sf0001))
+    assert(served == twin && served.nonEmpty,
+      s"served ${served.size} rows vs twin ${twin.size}")
+    // cross-index consistency is real: after a takedown, the dead id
+    // surfaces through NEITHER arm — it never appears in the fused
+    // list again — and the shared dead-count evidence grows
+    val dead1 = corpus
+      .filter(col("doc_id") % 15 === 0 && col("doc_id") >= 32)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!served.exists(t0 => t0._1 >= 1L && dead1.contains(t0._4)),
+      "a taken-down doc surfaced in the fused serving after its takedown")
+    assert(served.exists(t0 => t0._1 == 0L && dead1.contains(t0._4)),
+      "vacuous scenario: no to-be-taken-down doc ever ranked at snap 0")
+    val deadBySnap = served.groupBy(_._1).map { case (s0, rs) =>
+      s0 -> rs.map(_._2).head }
+    assert(deadBySnap(0L) == 0L && deadBySnap(1L) > 0L &&
+      deadBySnap(2L) > deadBySnap(1L),
+      s"dead trajectory must grow: $deadBySnap")
+  }
+
+  test("takedown-compacting lane: stream == st24 twin, dead rows physically leave disk") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("takedown_compact")
+      .toString
+    val d = Tables(spark, sf0001).documents
+    def ops(df: org.apache.spark.sql.DataFrame, op: String) =
+      df.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), if (op == "add") r.getString(1) else "", op))
+        .sortBy(_._1).toSeq
+    val batches = Seq(
+      ops(d.filter(col("doc_id") % 3 === 0), "add"),
+      ops(d.filter(col("doc_id") % 3 === 1), "add") ++
+        ops(d.filter(col("doc_id") % 15 === 0 && col("doc_id") >= 32), "del"),
+      ops(d.filter(col("doc_id") % 3 === 2), "add") ++
+        ops(d.filter(col("doc_id") % 15 === 3 && col("doc_id") >= 32), "del"))
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.bm25ServingIngestTakedownCompacting(
+      input.toDF().toDF("doc_id", "text", "op"),
+      graft.operators.TextAnalysis.bm25QuerySet,
+      s"$dir/base", s"$dir/ckpt", k = 10, compactEvery = 2)
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "n_segs", "base_upto", "n_dead", "n_dead_disk",
+          "q_id", "rank", "doc_id", "score")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getDouble(8))).toSet
+    val served = rows(spark.read.parquet(s"$dir/base/results/*"))
+    val twin = rows(Catalog.queries("st24_takedown_compaction")(spark, sf0001))
+    assert(served == twin && served.nonEmpty,
+      s"served ${served.size} rows vs twin ${twin.size}")
+    // THE claim: after the fold, the taken-down docs' rows are
+    // bytes-off-disk — absent from every surviving segment dir — and
+    // their tombstones are gone from the ops log
+    val fsPath = new org.apache.hadoop.fs.Path(s"$dir/base")
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def names(sub: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/base/$sub")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName).toSet
+    }
+    assert(names("batches") == Set("2") && names("ops") == Set("2") &&
+      names("compacted") == Set("1") && names("ops_base") == Set("1"),
+      s"layout after the run: batches=${names("batches")} ops=${names("ops")}" +
+        s" compacted=${names("compacted")} ops_base=${names("ops_base")}")
+    val dead1 = d.filter(col("doc_id") % 15 === 0 && col("doc_id") >= 32)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val surviving = spark.read.parquet(
+        s"$dir/base/compacted/1/doclens", s"$dir/base/batches/2/doclens")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dead1.nonEmpty && dead1.forall(!surviving.contains(_)),
+      "a taken-down doc's rows survived the fold on disk")
+    val opsDocs = spark.read.parquet(
+        s"$dir/base/ops_base/1", s"$dir/base/ops/2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dead1.forall(!opsDocs.contains(_)),
+      "a GC'd tombstone's doc_id still sits in the surviving ops log")
+    // and the forget is visible in the evidence: n_dead at snap 2
+    // counts only the NEW takedowns, not the GC'd ones
+    val n15_0 = dead1.size.toLong
+    val n15_3 = d.filter(col("doc_id") % 15 === 3 && col("doc_id") >= 32)
+      .count()
+    val deadBySnap = served.groupBy(_._1).map { case (s0, rs) =>
+      s0 -> rs.map(_._4).head }
+    assert(deadBySnap == Map(0L -> 0L, 1L -> n15_0, 2L -> n15_3),
+      s"dead trajectory $deadBySnap vs expected (0, $n15_0, $n15_3)")
+  }
+
+  test("st24 lane: a crashed prune is swept by the next gate; dead bytes leave disk") {
+    // The takedown-specific crash window: the fold committed its
+    // marker (the dead docs are out of the SERVING view) but the prune
+    // crashed — the dead docs' bytes and their tombstones still sit in
+    // the folded dirs. The gate runs the idempotent prune on EVERY
+    // batch, so the next replayed batch sweeps them: the linger window
+    // is one micro-batch, not "until the next fold".
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("takedown_prune_crash")
+      .toString
+    val d = Tables(spark, sf0001).documents
+    def ops(df: org.apache.spark.sql.DataFrame, op: String) =
+      df.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), if (op == "add") r.getString(1) else "", op))
+        .sortBy(_._1).toSeq
+    val batches = Seq(
+      ops(d.filter(col("doc_id") % 3 === 0), "add"),
+      ops(d.filter(col("doc_id") % 3 === 1), "add") ++
+        ops(d.filter(col("doc_id") % 15 === 0 && col("doc_id") >= 32), "del"),
+      ops(d.filter(col("doc_id") % 3 === 2), "add") ++
+        ops(d.filter(col("doc_id") % 15 === 3 && col("doc_id") >= 32), "del"))
+    def lane(ckpt: String, every: Int) = {
+      val input = MemoryStream[(Long, String, String)]
+      val q = StreamingOps.bm25ServingIngestTakedownCompacting(
+        input.toDF().toDF("doc_id", "text", "op"),
+        graft.operators.TextAnalysis.bm25QuerySet,
+        s"$dir/base", s"$dir/$ckpt", k = 10, compactEvery = every)
+      (input, q)
+    }
+    // run 1: gate disabled — batches 0,1 commit, no fold/prune
+    val (in1, q1) = lane("ckpt1", every = 0)
+    try {
+      batches.take(2).foreach { b => in1.addData(b); q1.processAllAvailable() }
+    } finally q1.stop()
+    // the fold fires and "crashes" right after its marker, before the
+    // prune — the exact window under test
+    graft.operators.LexIndex.compactTakedownServing(spark, s"$dir/base")
+    assert(new java.io.File(s"$dir/base/batches/0").isDirectory &&
+      new java.io.File(s"$dir/base/ops/0").isDirectory,
+      "precondition: the folded dirs must still be on disk (prune crashed)")
+    // restart: batch 0's replay is marker-skipped but its gate's prune
+    // sweeps the folded segments AND ops logs before batch 2 arrives
+    val (in2, q2) = lane("ckpt2", every = 2)
+    try {
+      batches.foreach { b => in2.addData(b); q2.processAllAvailable() }
+    } finally q2.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "n_segs", "base_upto", "n_dead", "n_dead_disk",
+          "q_id", "rank", "doc_id", "score")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getDouble(8))).toSet
+    val served = rows(spark.read.parquet(s"$dir/base/results/*"))
+    val twin = rows(Catalog.queries("st24_takedown_compaction")(spark, sf0001))
+    assert(served == twin && served.nonEmpty,
+      s"served ${served.size} rows vs twin ${twin.size} after healed prune")
+    val base = new java.io.File(s"$dir/base")
+    assert(!new java.io.File(base, "batches/0").exists &&
+      !new java.io.File(base, "batches/1").exists &&
+      !new java.io.File(base, "ops/0").exists &&
+      !new java.io.File(base, "ops/1").exists,
+      "the healed prune must drop folded segments and their ops logs")
+    assert(new java.io.File(base, "compacted/1").isDirectory &&
+      new java.io.File(base, "ops_base/1").isDirectory &&
+      new java.io.File(base, "batches/2").isDirectory)
+  }
+
   test("st19 lane: a missed fold is completed by a replayed batch's gate, answers unchanged") {
     // The crash window the in-lane cadence docstring claims self-heals:
     // batches 0-1 commit but the fold never fires (crash between the
