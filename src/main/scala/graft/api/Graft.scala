@@ -418,5 +418,26 @@ object Graft {
         t.bm25TopK(df, queries, k).select("q_id", "doc_id", "rank"),
         rel.getOrElse(t.cappedTfRelevance(df, queries)), k)
     }
+
+    /** Hybrid (lexical + semantic) top-k in one call: BM25 over THIS
+      * corpus against the (q_id, term) query bags, IVF-PQ over
+      * `embeddings` (vec_id ↔ doc_id, the id bridge; trained on the
+      * even half, the n64 frozen configuration) against each q_id's
+      * own embedding, RRF-fused (k = 60, n90's rank-level rule).
+      * Returns (q_id, cand, rrf, rrf_rank) — the n110 `rrf` system's
+      * ranking, which ApiSpec pins. */
+    def hybridTopK(queries: DataFrame, embeddings: DataFrame,
+        k: Int = 10): DataFrame = {
+      val t = graft.operators.TextAnalysis
+      val qIds = queries.select("q_id").distinct()
+      val lex = t.bm25TopK(df, queries, k)
+        .select(col("q_id"), col("doc_id").as("cand"), col("rank").as("r"))
+      val sem = graft.operators.Pq.searchPqIndex(
+          embeddings.join(broadcast(qIds),
+            embeddings("vec_id") === qIds("q_id"), "left_semi"),
+          graft.operators.Pq.buildAccumulatedIndex(embeddings))
+        .select(col("q_id"), col("nb_id").as("cand"), col("rn").as("r"))
+      graft.operators.Similarity.rrfFuse(lex, sem, k)
+    }
   }
 }

@@ -979,6 +979,14 @@ object Pq {
     * search, so drift between the two flips a hash, not just a spec.
     * Shared by n64 and n98 (train once; bench cold mode clears the
     * memoizer for both). */
+  /** The even-train + odd-append composition over an arbitrary
+    * embeddings frame — the unmemoized public form of
+    * [[accumulatedPqIndex]] (the API facade's hybrid entry point;
+    * PqSpec pins the memoized twin equal to this composition). */
+  def buildAccumulatedIndex(e: DataFrame): PqIndex =
+    appendPqIndex(buildPqIndex(e.filter(col("vec_id") % 2 === 0)),
+      e.filter(col("vec_id") % 2 === 1))
+
   private[graft] def accumulatedPqIndex(s: org.apache.spark.sql.SparkSession,
       dir: String): PqIndex = {
     val e = Tables(s, dir).embeddings

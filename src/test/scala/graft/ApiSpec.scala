@@ -138,6 +138,32 @@ class ApiSpec extends SparkSpec {
         s"ideal ranking must score exactly 1.0, got $r"))
   }
 
+  test("hybridTopK facade fuses exactly the n110 rrf system's ranking") {
+    import spark.implicits._
+    val t = Tables(spark, sf0001)
+    val queries = graft.operators.TextAnalysis.bm25QuerySet.toDF("q_id", "term")
+    val qIds = graft.operators.TextAnalysis.bm25QuerySet.map(_._1).distinct
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "cand", "rrf", "rrf_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    val api = rows(t.documents.hybridTopK(queries, t.embeddings))
+    // reference: n110's rrf system rebuilt from the catalog operators
+    val lex = graft.operators.TextAnalysis.bm25TopK(t.documents, queries, 10)
+      .select(col("q_id"), col("doc_id").as("cand"), col("rank").as("r"))
+    val sem = graft.operators.Pq.searchPqIndex(
+        t.embeddings.filter(col("vec_id").isin(qIds: _*)),
+        graft.operators.Pq.buildAccumulatedIndex(t.embeddings))
+      .select(col("q_id"), col("nb_id").as("cand"), col("rn").as("r"))
+    val ref = rows(graft.operators.Similarity.rrfFuse(lex, sem, 10))
+    assert(api == ref && api.nonEmpty, s"api ${api.size} vs ref ${ref.size}")
+    // non-vacuity: the semantic arm actually moved the fused ranking
+    val lexOrder = lex.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(api.map(r => (r._1, r._2, r._4)) != lexOrder,
+      "fused ranking must differ from the lexical arm alone")
+  }
+
   test("GraftExtensions: custom functions resolve in a fresh session via SQL") {
     val active = SparkSession.getActiveSession
     try {
