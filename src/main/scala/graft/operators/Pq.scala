@@ -792,6 +792,147 @@ object Pq {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // st25: takedown-aware generation folds — the ANN side of st24's
+  // physical forget. The serve path never narrows the trained config on
+  // a takedown (n98); the generation fold is where dead vectors' CODES
+  // leave the disk (they are not copied into the next generation) and
+  // where their tombstones are GC'd from the ops log (ops_base/<w>
+  // re-stamps the survivors at the fold watermark). Layout: st20's
+  // gens/<g> + _gen_<g> markers for the index, st24's ops/<id> +
+  // ops_base/<w> for liveness.
+  // ---------------------------------------------------------------------
+
+  /** The ops watermark: the newest survivors summary's batch id. */
+  def pqOpsWatermark(spark: org.apache.spark.sql.SparkSession,
+      base: String): Option[Long] = {
+    val fs = IndexCommit.fsOf(spark, base)
+    val p = new org.apache.hadoop.fs.Path(s"$base/ops_base")
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).maxOption
+  }
+
+  /** Liveness of a compacting-takedown ANN tree: the SAME last-op-wins
+    * fold every ops-log consumer shares
+    * ([[graft.operators.LexIndex.livenessOf]] — DECISIONS r12 #9),
+    * over the survivors summary plus the tail ops logs. Returns
+    * (dead vec_ids frame, n_dead). `servedIds`: committed serve batch
+    * ids plus the in-flight one. */
+  def readPqTakedownLiveness(spark: org.apache.spark.sql.SparkSession,
+      base: String, servedIds: Seq[Long]): (DataFrame, Long) = {
+    val upto = pqOpsWatermark(spark, base)
+    val tail = servedIds.distinct.sorted.filter(id => upto.forall(id > _))
+    val ops = (upto.map(u => spark.read.parquet(s"$base/ops_base/$u")
+        .select(col("vec_id").as("doc_id"), lit("add").as("op"),
+          lit(u).as("batch"))).toSeq ++
+      tail.map(id => spark.read.parquet(s"$base/ops/$id")
+        .select(col("vec_id").as("doc_id"), col("op"),
+          lit(id).as("batch"))))
+      .reduce(_ unionByName _)
+    val lastOps = graft.operators.LexIndex.livenessOf(ops)
+    val dead = graft.operators.LexIndex.deadDocs(lastOps)
+      .select(col("doc_id").as("vec_id"))
+    (dead, dead.count())
+  }
+
+  /** The takedown-aware generation fold: when the serving generation
+    * carries `compactEvery` appends, materialize the
+    * TOMBSTONE-FILTERED index to the next generation (dead codes are
+    * not copied — the physical removal; anchors/books rewritten
+    * verbatim, the n98/n105 exactness), commit the `_gen_` marker,
+    * THEN write the survivors summary to `ops_base/<maxServed>`.
+    * Ordering is load-bearing: the marker must land BEFORE the
+    * watermark advance — a crash between ops_base and a trailing
+    * marker would leave serving on the UNFOLDED generation while the
+    * liveness fold (which reads only ops newer than the watermark)
+    * had already forgotten the old tombstones, i.e. dead codes would
+    * serve. With marker-first, every window is conservative: before
+    * the marker the fold is invisible (rewritten idempotently next
+    * gate); between marker and ops_base the folded generation serves
+    * (dead codes physically gone) while the un-GC'd ops logs keep the
+    * tombstones counted — honest evidence, healed by the next fold;
+    * after ops_base, [[prunePqTakedownFolded]] (every batch) sweeps. */
+  def foldPqTakedownIfDue(spark: org.apache.spark.sql.SparkSession,
+      base: String, compactEvery: Int, servedIds: Seq[Long]): Unit = {
+    val g = currentPqGen(spark, base)
+    val cur = pqGenPath(base, g)
+    if (compactEvery > 0 && hasPqIndex(spark, cur) &&
+        pqAppendCount(spark, cur) >= compactEvery && servedIds.nonEmpty) {
+      val (dead, _) = readPqTakedownLiveness(spark, base, servedIds)
+      val live = deletePqIndex(readPqIndex(spark, cur), dead)
+      writePqIndex(live, pqGenPath(base, g + 1))
+      val fs = IndexCommit.fsOf(spark, base)
+      fs.create(new org.apache.hadoop.fs.Path(s"$base/_gen_${g + 1}"),
+        true).close()
+      live.codes.select("vec_id").distinct()
+        .write.mode("overwrite").parquet(s"$base/ops_base/${servedIds.max}")
+    }
+  }
+
+  /** Two-phase-delete sweep for the takedown fold, safe to run every
+    * batch (st24's rule — the linger window after a post-marker crash
+    * must be one micro-batch, not one fold cadence): drop generations
+    * below the serving one, ops logs at or below the watermark, and
+    * superseded survivors summaries. Serve replay markers are kept. */
+  def prunePqTakedownFolded(spark: org.apache.spark.sql.SparkSession,
+      base: String, servedIds: Seq[Long]): Unit = {
+    val fs = IndexCommit.fsOf(spark, base)
+    val g = currentPqGen(spark, base)
+    val gensDir = new org.apache.hadoop.fs.Path(s"$base/gens")
+    if (fs.exists(gensDir))
+      fs.listStatus(gensDir).map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+        .filter(_ < g).foreach { og =>
+          IndexCommit.clear(spark, pqGenPath(base, og))
+          fs.delete(new org.apache.hadoop.fs.Path(s"$base/_gen_$og"),
+            false): Unit
+        }
+    pqOpsWatermark(spark, base).foreach { upto =>
+      servedIds.filter(_ <= upto).foreach { id =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/ops/$id"), true)
+      }
+      val ob = new org.apache.hadoop.fs.Path(s"$base/ops_base")
+      if (fs.exists(ob))
+        fs.listStatus(ob).map(_.getPath.getName)
+          .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+          .filter(_ < upto)
+          .foreach(u => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$base/ops_base/$u"), true))
+    }
+  }
+
+  /** Dead ids whose code rows still physically sit in the serving
+    * generation — the `n_dead_disk` evidence the next fold zeroes. */
+  def pqDeadCodesOnDisk(index: PqIndex, dead: DataFrame): Long =
+    index.codes.select("vec_id").distinct()
+      .join(broadcast(dead.select("vec_id").distinct()),
+        Seq("vec_id"), "left_semi").count()
+
+  /** DuckDB twin for the TAKEDOWN-COMPACTING ANN ladder (st25's batch
+    * twin): [[ivfPqTakedownSnapshotSql]]'s branch body plus the four
+    * evidence columns — st20's layout pair (n_appends, gen) and
+    * st24's dead pair (n_dead from the post-GC view, n_dead_disk in
+    * the serving generation's codes). The forget's signature is the
+    * trajectory: tombstones the fold ate stop counting. */
+  private[graft] def ivfPqTakedownCompactSnapshotSql(
+      snaps: Seq[(String, String, String, Long, Long)],
+      trainWhere: String): String = {
+    val branches = snaps.zipWithIndex.map {
+      case ((survivors, dead, deadDisk, nApp, gen), i) =>
+        s"SELECT CAST($i AS BIGINT) AS snap," +
+          s" CAST($nApp AS BIGINT) AS n_appends," +
+          s" CAST($gen AS BIGINT) AS gen," +
+          s" CAST((SELECT count(*) FROM embeddings WHERE $dead) AS BIGINT)" +
+          " AS n_dead," +
+          s" CAST((SELECT count(*) FROM embeddings WHERE $deadDisk) AS BIGINT)" +
+          " AS n_dead_disk, * FROM (\n" +
+          ivfPqIndexSqlCore(survivors, "embeddings", trainWhere, "embeddings") +
+          "\n)"
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY snap, q_id, rn")
+  }
+
   /** DuckDB twin for the COMPACTING ANN serving ladder (st20's batch
     * twin): [[ivfPqSnapshotSql]] plus per-branch layout evidence —
     * `(survivors, n_appends, gen)` per snapshot, the values the

@@ -1358,6 +1358,94 @@ object StreamingOps {
       .start()
   }
 
+  /** CONTINUOUS ANN TAKEDOWN INGEST WITH PHYSICAL FORGETTING (st25):
+    * the vector-side [[bm25ServingIngestTakedownCompacting]],
+    * completing the physical-forget axis across both retrieval
+    * families. [[pqServingIngestWithTakedown]]'s CDC serving (adds
+    * append under the frozen config, takedowns anti-join candidates —
+    * n98 never narrows the trained configuration) rides
+    * [[pqServingIngestCompacting]]'s generation cadence, and the FOLD
+    * is where the forget becomes physical: the next generation is the
+    * tombstone-FILTERED index (dead codes are not copied; surviving
+    * codes byte-identical — the fold answers exactly like the
+    * anti-joined view it replaces), the survivors re-stamp as
+    * `ops_base/<watermark>`, and the per-batch sweep drops old
+    * generations AND the folded ops logs, tombstones included.
+    *
+    * Both liveness resolutions (serve-time anti-join, fold-time
+    * filter) are the one shared last-op-wins fold
+    * ([[graft.operators.LexIndex.livenessOf]], DECISIONS r12 #9).
+    * Every snapshot carries st20's layout evidence (`n_appends`,
+    * `gen`) plus st24's dead pair (`n_dead`, `n_dead_disk`), all read
+    * from the real tree at serve time; the forget's signature is the
+    * trajectory — after a fold, GC'd tombstones stop counting and
+    * `n_dead_disk` returns to the new takedowns only. */
+  def pqServingIngestTakedownCompacting(ops: DataFrame, queries: DataFrame,
+      basePath: String, checkpointDir: String, k: Int = 5,
+      compactEvery: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Pq
+    ops.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(basePath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$basePath/_served_batch_$batchId")
+        def servedIds(extra: Option[Long]): Seq[Long] = {
+          val p = new org.apache.hadoop.fs.Path(basePath)
+          val committed =
+            if (!fs.exists(p)) Seq.empty[Long]
+            else fs.listStatus(p).map(_.getPath.getName)
+              .filter(_.startsWith("_served_batch_"))
+              .map(_.stripPrefix("_served_batch_"))
+              .filter(s0 => s0.nonEmpty && s0.forall(_.isDigit))
+              .map(_.toLong).toSeq
+          (committed ++ extra).distinct.sorted
+        }
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          batch.select("vec_id", "op")
+            .write.mode("overwrite").parquet(s"$basePath/ops/$batchId")
+          val adds = batch.filter(col("op") === "add")
+            .select("vec_id", "embedding")
+          val g = Pq.currentPqGen(spark, basePath)
+          val idxPath = Pq.pqGenPath(basePath, g)
+          val trained = new org.apache.hadoop.fs.Path(
+            s"$basePath/_trained_batch_$batchId")
+          if (!Pq.hasPqIndex(spark, idxPath)) {
+            fs.create(trained, true).close()
+            Pq.writePqIndex(Pq.buildPqIndex(adds), idxPath)
+          } else if (!fs.exists(trained))
+            Pq.appendToPqIndex(adds, idxPath, label = s"a$batchId")
+          val ids = servedIds(Some(batchId))
+          val (dead, nDead) =
+            Pq.readPqTakedownLiveness(spark, basePath, ids)
+          val idx = Pq.readPqIndex(spark, idxPath)
+          val nDeadDisk = Pq.pqDeadCodesOnDisk(idx, dead)
+          Pq.searchPqIndex(queries, Pq.deletePqIndex(idx, dead), k = k)
+            .withColumn("snap", lit(batchId))
+            .withColumn("n_appends", lit(Pq.pqAppendCount(spark, idxPath).toLong))
+            .withColumn("gen", lit(g))
+            .withColumn("n_dead", lit(nDead))
+            .withColumn("n_dead_disk", lit(nDeadDisk))
+            .select("snap", "n_appends", "gen", "n_dead", "n_dead_disk",
+              "q_id", "nb_id", "adc", "rn")
+            .write.mode("overwrite").parquet(s"$basePath/results/$batchId")
+          fs.create(marker, true).close()
+        }
+        // fold gate + per-batch sweep — after the marker, outside the
+        // replay guard (the st24 rule: the sweep is the compliance
+        // half, its linger window must be one micro-batch)
+        if (compactEvery > 0) {
+          Pq.foldPqTakedownIfDue(spark, basePath, compactEvery,
+            servedIds(None))
+          Pq.prunePqTakedownFolded(spark, basePath, servedIds(None))
+        }: Unit
+      }
+      .start()
+  }
+
   /** STREAMING EMBEDDING-DRIFT MONITOR (st17): the production form of
     * n103's audit — per micro-batch, accumulate each dimension's
     * EXACT sufficient statistics (DECIMAL sum + count: 64 rows per

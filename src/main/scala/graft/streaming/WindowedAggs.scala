@@ -1135,6 +1135,89 @@ object WindowedAggs {
       .orderBy("snap", "q_id", "rank")
   }
 
+  /** Batch twin of [[StreamingOps.pqServingIngestTakedownCompacting]]
+    * (st25): the ANN side of st24's physical forget — st22's CDC
+    * takedown serving riding st20's generation cadence
+    * (compactEvery = 1), where each fold materializes the
+    * tombstone-FILTERED index to the next generation (dead codes not
+    * copied), re-stamps survivors as ops_base, and the per-batch sweep
+    * drops old generations and folded ops logs. st22's scenario:
+    * batch 0 trains on ≡0 (mod 3); batch 1 adds ≡1 and takes down the
+    * ≡0 (mod 15) non-query slice (post-serve fold → gen 1 without
+    * those codes); batch 2 adds ≡2 and takes down ≡3 (mod 15).
+    * Answers per snapshot equal st22's exactly (the fold is
+    * byte-identical on survivors — n98/n105); what changes is the
+    * hash-attested evidence: (n_appends, gen) follow st20's cadence
+    * ((0,0),(1,0),(1,1)) and n_dead/n_dead_disk show the forget
+    * (|mod15≡0| at snap 1, only |mod15≡3| at snap 2 — the GC'd
+    * tombstones no longer exist to count). The twin replays the
+    * lifecycle with the real fold/prune machinery on a
+    * ServingLoc("st25:") tree (self-cleared — the n105 determinism
+    * rule), with the serve itself on the memoized st16 PQ ladder
+    * logic via the same public ops the lane uses. StreamingSpec
+    * proves stream == twin AND dead codes bytes-off-disk. */
+  val pqTakedownCompactTwin: Q = Q(
+    "st25_ann_takedown_compaction",
+    graft.operators.Pq.ivfPqTakedownCompactSnapshotSql(Seq(
+      ("vec_id % 3 = 0", "FALSE", "FALSE", 0L, 0L),
+      ("vec_id % 3 <= 1 AND NOT (vec_id % 15 = 0 AND vec_id >= 32)",
+        "vec_id % 15 = 0 AND vec_id >= 32",
+        "vec_id % 15 = 0 AND vec_id >= 32", 1L, 0L),
+      ("NOT (vec_id % 15 IN (0, 3) AND vec_id >= 32)",
+        "vec_id % 15 = 3 AND vec_id >= 32",
+        "vec_id % 15 = 3 AND vec_id >= 32", 1L, 1L)),
+      trainWhere = "vec_id % 3 = 0")) { (s, dir) =>
+    import graft.operators.{Pq, ServingLoc}
+    val e = Tables(s, dir).embeddings
+    val queries = e.filter(col("vec_id") < 32)
+    val base = ServingLoc.of(s, s"st25:$dir", "graft_pq_takedown_compact")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .foreach(st => fs.delete(st.getPath, true))
+    def adds(pred: org.apache.spark.sql.Column) =
+      e.filter(pred).select(col("vec_id"), col("embedding"),
+        lit("add").as("op"))
+    def dels(pred: org.apache.spark.sql.Column) =
+      e.filter(pred).select(col("vec_id"),
+        col("embedding").as("embedding"), lit("del").as("op"))
+    val batches = Seq(
+      adds(col("vec_id") % 3 === 0),
+      adds(col("vec_id") % 3 === 1)
+        .unionByName(dels(col("vec_id") % 15 === 0 && col("vec_id") >= 32)),
+      adds(col("vec_id") % 3 === 2)
+        .unionByName(dels(col("vec_id") % 15 === 3 && col("vec_id") >= 32)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.select("vec_id", "op")
+        .write.mode("overwrite").parquet(s"$base/ops/$i")
+      val addVecs = b.filter(col("op") === "add").select("vec_id", "embedding")
+      val g = Pq.currentPqGen(s, base)
+      val idxPath = Pq.pqGenPath(base, g)
+      if (!Pq.hasPqIndex(s, idxPath))
+        Pq.writePqIndex(Pq.buildPqIndex(addVecs), idxPath)
+      else Pq.appendToPqIndex(addVecs, idxPath, label = s"a$i")
+      val ids = (0L to i.toLong).toSeq
+      val (dead, nDead) = Pq.readPqTakedownLiveness(s, base, ids)
+      val idx = Pq.readPqIndex(s, idxPath)
+      val nDeadDisk = Pq.pqDeadCodesOnDisk(idx, dead)
+      Pq.searchPqIndex(queries, Pq.deletePqIndex(idx, dead))
+        .select(lit(i.toLong).as("snap"),
+          lit(Pq.pqAppendCount(s, idxPath).toLong).as("n_appends"),
+          lit(g).as("gen"), lit(nDead).as("n_dead"),
+          lit(nDeadDisk).as("n_dead_disk"),
+          col("q_id"), col("nb_id"), col("adc"), col("rn"))
+        .write.mode("overwrite").parquet(s"$base/results/$i")
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$base/_served_batch_$i"), true).close()
+      Pq.foldPqTakedownIfDue(s, base, 1, ids)
+      Pq.prunePqTakedownFolded(s, base, ids)
+    }
+    s.read.parquet((0 to 2).map(i => s"$base/results/$i"): _*)
+      .select("snap", "n_appends", "gen", "n_dead", "n_dead_disk",
+        "q_id", "nb_id", "adc", "rn")
+      .orderBy("snap", "q_id", "rn")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
     streamNearDup, indexedIngestBatch1, indexedIngestBatch2,
     qualityGateTwin, streamEnrichTwin, classifierGateTwin,
@@ -1142,5 +1225,5 @@ object WindowedAggs {
     streamTakedownTwin, bm25ServingTwin, streamServingCompactTwin,
     pqServingTwin, pqServingCompactTwin, streamDriftTwin,
     driftGatedServeTwin, streamServingTakedownTwin, pqServingTakedownTwin,
-    hybridServingTakedownTwin, takedownCompactTwin)
+    hybridServingTakedownTwin, takedownCompactTwin, pqTakedownCompactTwin)
 }

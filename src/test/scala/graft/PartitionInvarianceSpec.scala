@@ -67,7 +67,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // takedown compaction: liveness-filtered fold + ops GC, served through (r12)
     "st24_takedown_compaction",
     // per-system fusion eval: three rankings graded on one rel frame (r12)
-    "n110_hybrid_ndcg")
+    "n110_hybrid_ndcg",
+    // ANN takedown compaction: tombstone-filtered gen fold + ops GC (r12)
+    "st25_ann_takedown_compaction")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

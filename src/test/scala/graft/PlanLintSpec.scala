@@ -78,8 +78,9 @@ class PlanLintSpec extends SparkSpec {
     "st23_hybrid_serving_takedown", // n83's 1-row stats broadcast (lexical arm) +
                             //   n64's 8-anchor broadcast (semantic arm), per snapshot
     "st24_takedown_compaction", // n83's 1-row corpus-stats broadcast, per snapshot
-    "n110_hybrid_ndcg"      // n83's 1-row stats broadcast (lex arm) + n64's
+    "n110_hybrid_ndcg",     // n83's 1-row stats broadcast (lex arm) + n64's
                             //   8-anchor broadcast (sem arm), graded once
+    "st25_ann_takedown_compaction" // n64's 8-anchor broadcast, per snapshot
   )
 
   /** A query's executed plan PLUS every cached subtree it scans: the

@@ -1317,6 +1317,143 @@ class StreamingSpec extends SparkSpec {
       new java.io.File(base, "batches/2").isDirectory)
   }
 
+  test("ann takedown-compacting lane: stream == st25 twin, dead codes physically leave disk") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq_takedown_compact")
+      .toString
+    val e = Tables(spark, sf0001).embeddings
+    def vecs(pred: org.apache.spark.sql.Column, op: String) =
+      e.filter(pred).select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0),
+          if (op == "add")
+            r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+          else Array.empty[Float], op))
+        .sortBy(_._1).toSeq
+    val batches = Seq(
+      vecs(col("vec_id") % 3 === 0, "add"),
+      vecs(col("vec_id") % 3 === 1, "add") ++
+        vecs(col("vec_id") % 15 === 0 && col("vec_id") >= 32, "del"),
+      vecs(col("vec_id") % 3 === 2, "add") ++
+        vecs(col("vec_id") % 15 === 3 && col("vec_id") >= 32, "del"))
+    val input = MemoryStream[(Long, Array[Float], String)]
+    val q = StreamingOps.pqServingIngestTakedownCompacting(
+      input.toDF().toDF("vec_id", "embedding", "op"),
+      e.filter(col("vec_id") < 32), s"$dir/base", s"$dir/ckpt",
+      compactEvery = 1)
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "n_appends", "gen", "n_dead", "n_dead_disk",
+          "q_id", "nb_id", "adc", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7),
+          r.getLong(8))).toSet
+    val served = rows(spark.read.parquet(s"$dir/base/results/*"))
+    val twin = rows(Catalog.queries("st25_ann_takedown_compaction")(
+      spark, sf0001))
+    assert(served == twin && served.nonEmpty,
+      s"served ${served.size} rows vs twin ${twin.size}")
+    // the forget is physical: after the final fold, NO taken-down id
+    // has a code row in any surviving generation dir, and the folded
+    // ops logs (tombstones included) are gone
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/base")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def names(sub: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/base/$sub")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName).toSet
+    }
+    assert(names("gens") == Set("2") && names("ops").isEmpty &&
+      names("ops_base") == Set("2"),
+      s"layout after the run: gens=${names("gens")} ops=${names("ops")}" +
+        s" ops_base=${names("ops_base")}")
+    val deadAll = e.filter((col("vec_id") % 15 === 0 ||
+        col("vec_id") % 15 === 3) && col("vec_id") >= 32)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val survivingCodes = graft.operators.Pq.readPqIndex(spark,
+        graft.operators.Pq.pqGenPath(s"$dir/base", 2))
+      .codes.select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(deadAll.nonEmpty && deadAll.forall(!survivingCodes.contains(_)),
+      "a taken-down vector's codes survived the fold on disk")
+    val opsBaseIds = spark.read.parquet(s"$dir/base/ops_base/2")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(deadAll.forall(!opsBaseIds.contains(_)),
+      "a GC'd tombstone's vec_id still sits in the survivors summary")
+    // evidence trajectory: the GC'd tombstones stop counting
+    val n15_0 = e.filter(col("vec_id") % 15 === 0 && col("vec_id") >= 32)
+      .count()
+    val n15_3 = e.filter(col("vec_id") % 15 === 3 && col("vec_id") >= 32)
+      .count()
+    val deadBySnap = served.groupBy(_._1).map { case (s0, rs) =>
+      s0 -> rs.map(_._4).head }
+    assert(deadBySnap == Map(0L -> 0L, 1L -> n15_0, 2L -> n15_3),
+      s"dead trajectory $deadBySnap vs expected (0, $n15_0, $n15_3)")
+  }
+
+  test("st25 lane: a crashed prune is swept by the next gate; dead codes leave disk") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq_prune_crash")
+      .toString
+    val e = Tables(spark, sf0001).embeddings
+    def vecs(pred: org.apache.spark.sql.Column, op: String) =
+      e.filter(pred).select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0),
+          if (op == "add")
+            r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+          else Array.empty[Float], op))
+        .sortBy(_._1).toSeq
+    val batches = Seq(
+      vecs(col("vec_id") % 3 === 0, "add"),
+      vecs(col("vec_id") % 3 === 1, "add") ++
+        vecs(col("vec_id") % 15 === 0 && col("vec_id") >= 32, "del"),
+      vecs(col("vec_id") % 3 === 2, "add") ++
+        vecs(col("vec_id") % 15 === 3 && col("vec_id") >= 32, "del"))
+    def lane(ckpt: String, every: Int) = {
+      val input = MemoryStream[(Long, Array[Float], String)]
+      val q = StreamingOps.pqServingIngestTakedownCompacting(
+        input.toDF().toDF("vec_id", "embedding", "op"),
+        e.filter(col("vec_id") < 32), s"$dir/base", s"$dir/$ckpt",
+        compactEvery = every)
+      (input, q)
+    }
+    val (in1, q1) = lane("ckpt1", every = 0)
+    try {
+      batches.take(2).foreach { b => in1.addData(b); q1.processAllAvailable() }
+    } finally q1.stop()
+    // the fold fires (marker + ops_base land) and "crashes" before the
+    // sweep — the dead codes' bytes linger in the old generation
+    graft.operators.Pq.foldPqTakedownIfDue(spark, s"$dir/base", 1, Seq(0L, 1L))
+    assert(new java.io.File(s"$dir/base/gens/0").isDirectory &&
+      new java.io.File(s"$dir/base/ops/0").isDirectory,
+      "precondition: the folded dirs must still be on disk (prune crashed)")
+    val (in2, q2) = lane("ckpt2", every = 1)
+    try {
+      batches.foreach { b => in2.addData(b); q2.processAllAvailable() }
+    } finally q2.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "n_appends", "gen", "n_dead", "n_dead_disk",
+          "q_id", "nb_id", "adc", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7),
+          r.getLong(8))).toSet
+    val served = rows(spark.read.parquet(s"$dir/base/results/*"))
+    val twin = rows(Catalog.queries("st25_ann_takedown_compaction")(
+      spark, sf0001))
+    assert(served == twin && served.nonEmpty,
+      s"served ${served.size} rows vs twin ${twin.size} after healed prune")
+    val base = new java.io.File(s"$dir/base")
+    assert(!new java.io.File(base, "gens/0").exists &&
+      !new java.io.File(base, "gens/1").exists &&
+      !new java.io.File(base, "ops/0").exists &&
+      !new java.io.File(base, "ops/1").exists,
+      "the healed sweep must drop folded generations and their ops logs")
+    assert(new java.io.File(base, "gens/2").isDirectory &&
+      new java.io.File(base, "ops_base/2").isDirectory)
+  }
+
   test("st19 lane: a missed fold is completed by a replayed batch's gate, answers unchanged") {
     // The crash window the in-lane cadence docstring claims self-heals:
     // batches 0-1 commit but the fold never fires (crash between the
