@@ -17,6 +17,34 @@ class LexIndexSpec extends SparkSpec {
     i.postings.collect().map(r => (r.getAs[String]("term"),
       r.getAs[Long]("doc_id"), r.getAs[Long]("tf"))).toSet
 
+  test("livenessOf edge cases: same-batch tie goes to the add, del-only docs are neither alive nor dead") {
+    import spark.implicits._
+    // the shared last-op-wins derivation (DECISIONS r12 #9) at its
+    // corners: every takedown consumer inherits exactly these rules
+    val ops = Seq(
+      (1L, "add", 0L), (1L, "del", 0L),   // same-batch tie → add wins
+      (2L, "del", 0L), (2L, "add", 0L),   // same tie, reversed op order
+      (3L, "add", 0L), (3L, "del", 1L),   // plain takedown → dead
+      (4L, "del", 0L),                    // del of a never-added doc
+      (5L, "add", 0L), (5L, "del", 1L), (5L, "add", 2L), // re-insert
+      (6L, "add", 2L)                     // plain add
+    ).toDF("doc_id", "op", "batch")
+    val last = LexIndex.livenessOf(ops)
+    val alive = last.filter(col("last_add").isNotNull &&
+      (col("last_del").isNull || col("last_add") >= col("last_del")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dead = LexIndex.deadDocs(last).collect().map(_.getLong(0)).toSet
+    assert(alive == Set(1L, 2L, 5L, 6L), s"alive = $alive")
+    assert(dead == Set(3L), s"dead = $dead")
+    // doc 4 (del-only) is in neither set: it never contributes a
+    // served row, and it must not inflate the n_dead evidence
+    assert(!alive.contains(4L) && !dead.contains(4L))
+    // the re-inserted doc serves from its LATEST add segment
+    val src5 = last.filter(col("doc_id") === 5L)
+      .select("last_add").collect()(0).getLong(0)
+    assert(src5 == 2L, s"re-insert must re-home to its newest segment, got $src5")
+  }
+
   test("append == full rebuild, component for component") {
     val appended = LexIndex.appendIndex(
       LexIndex.buildIndex(docs.filter(col("doc_id") % 2 === 0)),

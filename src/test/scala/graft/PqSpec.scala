@@ -166,6 +166,9 @@ class PqSpec extends SparkSpec {
 
     val inMem = Pq.appendPqIndex(Pq.buildPqIndex(prior), fresh)
     val expected = key(Pq.searchPqIndex(queries, inMem))
+    // the facade's one-call form IS this composition
+    assert(key(Pq.searchPqIndex(queries, Pq.buildAccumulatedIndex(e)))
+      == expected, "buildAccumulatedIndex drifted from the composition")
 
     // disk lifecycle: base write (cell-partitioned codes, manifest),
     // a SEPARATE append batch, then search from the reopened index
