@@ -1176,6 +1176,79 @@ class StreamingSpec extends SparkSpec {
       s"dead trajectory must grow: $deadBySnap")
   }
 
+  test("st23 lane: a torn batch (all four artifacts, no marker) replays to identical serving") {
+    // The hybrid lane writes FOUR artifacts per batch (ops log, lex
+    // segment, PQ append, results) before its marker — the widest
+    // pre-marker crash window of any lane. Simulate the crash: run two
+    // batches, erase batch 1's marker and results (the state after a
+    // crash mid-serve: components down, marker not), restart on a
+    // fresh checkpoint. The replay must overwrite every component
+    // idempotently (same ops dir, same segment, same a1 append label)
+    // and the final serving must equal the twin exactly.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hybrid_torn").toString
+    val t = Tables(spark, sf0001)
+    val corpus = t.documents
+      .join(t.embeddings, t.documents("doc_id") === t.embeddings("vec_id"))
+      .select(t.documents("doc_id"), col("text"), col("embedding"))
+    def ops(pred: org.apache.spark.sql.Column, op: String) =
+      corpus.filter(pred).collect()
+        .map(r => (r.getLong(0),
+          if (op == "add") r.getString(1) else "",
+          if (op == "add")
+            r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+          else Array.empty[Float],
+          op))
+        .sortBy(_._1).toSeq
+    val batches = Seq(
+      ops(col("doc_id") % 3 === 0, "add"),
+      ops(col("doc_id") % 3 === 1, "add") ++
+        ops(col("doc_id") % 15 === 0 && col("doc_id") >= 32, "del"),
+      ops(col("doc_id") % 3 === 2, "add") ++
+        ops(col("doc_id") % 15 === 3 && col("doc_id") >= 32, "del"))
+    val qIds = graft.operators.TextAnalysis.bm25QuerySet.map(_._1).distinct
+    def lane(ckpt: String) = {
+      val input = MemoryStream[(Long, String, Array[Float], String)]
+      val q = StreamingOps.hybridServingIngestWithTakedown(
+        input.toDF().toDF("doc_id", "text", "embedding", "op"),
+        graft.operators.TextAnalysis.bm25QuerySet,
+        t.embeddings.filter(col("vec_id").isin(qIds: _*)),
+        s"$dir/base", s"$dir/$ckpt")
+      (input, q)
+    }
+    val (in1, q1) = lane("ckpt1")
+    try {
+      batches.take(2).foreach { b => in1.addData(b); q1.processAllAvailable() }
+    } finally q1.stop()
+    // the crash: batch 1's components are down, its marker is not
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/base")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/base/_committed_batch_1"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/base/results/1"), true)
+    val (in2, q2) = lane("ckpt2")
+    try {
+      batches.foreach { b => in2.addData(b); q2.processAllAvailable() }
+    } finally q2.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "n_dead", "q_id", "cand", "rrf", "rrf_rank")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getLong(5))).toSet
+    val served = rows(spark.read.parquet(s"$dir/base/results/*"))
+    val twin = rows(Catalog.queries("st23_hybrid_serving_takedown")(
+      spark, sf0001))
+    assert(served == twin && served.nonEmpty,
+      s"served ${served.size} rows vs twin ${twin.size} after torn replay")
+    // the PQ side did not duplicate the replayed append: one base +
+    // exactly the a1/a2 labels
+    val labels = graft.operators.IndexCommit
+      .committedLabels(spark, s"$dir/base/index").sorted
+    assert(labels == Seq("a1", "a2", "base"),
+      s"replay must not duplicate append segments: $labels")
+  }
+
   test("takedown-compacting lane: stream == st24 twin, dead rows physically leave disk") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
