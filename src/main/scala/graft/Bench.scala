@@ -402,17 +402,50 @@ object Bench {
     val runId = java.time.Instant.now().toString
     val measuredNow: Map[String, Double] =
       results.filter(_._4).map { case (n, b, _, _) => n -> b }.toMap
+    // Seed/rebase sanity (ADVICE r12): canary-quiet is exactly the
+    // signal known to false-negative under the r10 throughput-
+    // contention pattern (co-tenant saturating cores inflates wide
+    // stages while the single-thread canary threads between bursts) —
+    // a contended-but-canary-quiet run adopted as the yardstick would
+    // make quietByEvidence read true on equally-contended later runs.
+    // A run may become the quiet denominator only if it ALSO sits
+    // within a loose band of the accumulated per-query minima (the
+    // min-sum composite is downward-biased — calibration: a known-
+    // quiet close reads ~1.22-1.25x it, the r10 contended pattern
+    // 1.5x+ — so 1.35x separates them with margin). When the ref
+    // section covers less than half of this run's queries (a brand-new
+    // sf), fall back to the 1-min load gauge: the bench's own threads
+    // push load toward the host's cores, a saturating co-tenant pushes
+    // it well past.
+    val seedRefBand =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED_REF_BAND", "1.35").toDouble
+    val seedLoadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED_LOAD_MAX",
+      (Runtime.getRuntime.availableProcessors * 1.25).toString).toDouble
+    val seedSane: Boolean = {
+      val refCovered = results.filter { case (n, _, _, ok) =>
+        ok && refs.contains(n)
+      }
+      val okCount = results.count(_._4)
+      val storedSum = refCovered.map { case (n, _, _, _) => refs(n) }.sum
+      if (storedSum > 0 && okCount > 0 && refCovered.size * 2 >= okCount)
+        refCovered.map(_._2).sum / storedSum <= seedRefBand
+      else loadStart >= 0 && loadStart <= seedLoadMax
+    }
     // Rolling-quiet state transition (see quietByEvidence above). Only
     // a canary-quiet run may touch the record: accepted runs refresh
     // it (replace when strictly faster over the intersection, or when
     // the catalog grew past the stored run's coverage; otherwise just
     // clear the stale counter), misses bump the counter until
-    // QUIET_STALE_MAX rebases. A contended run leaves it untouched.
+    // QUIET_STALE_MAX rebases — and the seed/rebase adoptions
+    // additionally require `seedSane`. A contended run leaves it
+    // untouched; a canary-quiet-but-insane run keeps bumping the stale
+    // counter so the next sane quiet run rebases.
     val quietTransition: Option[(QuietRec, String)] =
       if (!canaryQuiet) None
-      else if (quietStored.isEmpty)
-        Some((QuietRec(runId, drift, 0, measuredNow), "seed"))
-      else if (quietByEvidence) {
+      else if (quietStored.isEmpty) {
+        if (seedSane) Some((QuietRec(runId, drift, 0, measuredNow), "seed"))
+        else None
+      } else if (quietByEvidence) {
         val covered = measuredNow.keys.count(quietStored.contains)
         if (quietRatio <= 1.0)
           Some((QuietRec(runId, drift, 0, measuredNow), "accept_faster"))
@@ -421,7 +454,7 @@ object Bench {
         else if (quietRec.exists(_.stale != 0))
           Some((quietRec.get.copy(stale = 0), "stale_clear"))
         else None
-      } else if (quietRec.exists(_.stale + 1 >= quietStaleMax))
+      } else if (quietRec.exists(_.stale + 1 >= quietStaleMax) && seedSane)
         Some((QuietRec(runId, drift, 0, measuredNow), "stale_rebase"))
       else
         Some((quietRec.get.copy(stale = quietRec.get.stale + 1), "stale_bump"))
@@ -519,7 +552,7 @@ object Bench {
       .filter { case (n, _, _, ok) => ok && refs.contains(n) }
       .map { case (n, _, _, _) => refs(n) }.sum
     val refJson =
-      s"""{"path":"$refPath","n_refs":${refs.size},"ref_total":${fmt(refTotal)},"ratio_max":${fmt(refRatio)},"ratio_heavy":${fmt(refRatioHeavy)},"heavy_ref_sec":${fmt(heavyRefSec)},"quiet_by_evidence":$quietByEvidence,"quiet_ratio":${fmt(quietRatio)},"quiet_n":${quietCovered.size},"quiet_stale":${quietRec.map(_.stale).getOrElse(-1)},"quiet_transition":"${quietTransition.map(_._2).getOrElse("none")}","retimed":${refRetimed.map("\"" + _ + "\"").mkString("[", ",", "]")},"still_over":${stillOver.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s"""{"path":"$refPath","n_refs":${refs.size},"ref_total":${fmt(refTotal)},"ratio_max":${fmt(refRatio)},"ratio_heavy":${fmt(refRatioHeavy)},"heavy_ref_sec":${fmt(heavyRefSec)},"quiet_by_evidence":$quietByEvidence,"quiet_ratio":${fmt(quietRatio)},"quiet_n":${quietCovered.size},"quiet_stale":${quietRec.map(_.stale).getOrElse(-1)},"quiet_transition":"${quietTransition.map(_._2).getOrElse("none")}","seed_sane":$seedSane,"retimed":${refRetimed.map("\"" + _ + "\"").mkString("[", ",", "]")},"still_over":${stillOver.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val hostJson =
       s"""{"cpus":${Runtime.getRuntime.availableProcessors},"load":[${fmt(loadStart)},${fmt(loadMid)},${fmt(loadNow())}]}"""
     val line =

@@ -439,5 +439,36 @@ object Graft {
         .select(col("q_id"), col("nb_id").as("cand"), col("rn").as("r"))
       graft.operators.Similarity.rrfFuse(lex, sem, k)
     }
+
+    /** Tenant-scoped hybrid top-k (n111's production shape): `allowed`
+      * is an id-keyed metadata/ACL frame (`doc_id` column — tenant,
+      * language, licence); BOTH arms pre-filter to it before any
+      * scoring. Lexical: BM25 over the allowed slice of THIS corpus
+      * (tenant-scoped df/N/avgdl — the per-tenant-index semantics).
+      * Semantic: the shared frozen PQ configuration with its code rows
+      * semi-filtered to the allowed ids
+      * ([[graft.operators.Pq.filterPqIndex]] — the config never
+      * narrows, n98's rule, so answers equal re-encoding the tenant
+      * under the same anchors/books). Queries are NOT filtered — a
+      * query comes from anywhere; its ANSWERS must be in-tenant.
+      * Returns (q_id, cand, rrf, rrf_rank); ApiSpec pins the form
+      * against the public ops. */
+    def hybridTopK(queries: DataFrame, embeddings: DataFrame,
+        allowed: DataFrame, k: Int): DataFrame = {
+      val t = graft.operators.TextAnalysis
+      val qIds = queries.select("q_id").distinct()
+      val keep = allowed.select("doc_id").distinct()
+      val lex = t.bm25TopK(df.join(keep, Seq("doc_id"), "left_semi"),
+          queries, k)
+        .select(col("q_id"), col("doc_id").as("cand"), col("rank").as("r"))
+      val sem = graft.operators.Pq.searchPqIndex(
+          embeddings.join(broadcast(qIds),
+            embeddings("vec_id") === qIds("q_id"), "left_semi"),
+          graft.operators.Pq.filterPqIndex(
+            graft.operators.Pq.buildAccumulatedIndex(embeddings),
+            keep.select(col("doc_id").as("vec_id"))))
+        .select(col("q_id"), col("nb_id").as("cand"), col("rn").as("r"))
+      graft.operators.Similarity.rrfFuse(lex, sem, k)
+    }
   }
 }

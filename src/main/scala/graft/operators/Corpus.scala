@@ -350,7 +350,7 @@ object Corpus {
     * two shuffles total, and the md5 block fingerprint makes the
     * examples content-addressable for resume/dedup downstream. */
   def tokenBlocks(docs: DataFrame, blockLen: Long, eos: String = "<eos>",
-      shardCol: String = "source"): DataFrame = {
+      shardCol: String = "source", withText: Boolean = false): DataFrame = {
     require(blockLen > 0, s"block length must be positive, got $blockLen")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(shardCol).orderBy("doc_id")
@@ -375,11 +375,17 @@ object Corpus {
       .agg(
         sum(col("s.n_tok")).cast("long").as("n_tokens"),
         count_distinct(col("doc_id")).as("n_docs"),
-        md5(array_join(
+        // the exact example text a trainer consumes; `withText = false`
+        // (the audit entries) keeps only its fingerprint
+        array_join(
           transform(
             array_sort(collect_list(struct(col("s.gstart"), col("s.piece")))),
             x => x.getField("piece")),
-          " ").cast("binary")).as("block_fp"))
+          " ").as("block_text"))
+      .withColumn("block_fp", md5(col("block_text").cast("binary")))
+      .select(col(shardCol) +: col("example_idx") +: col("n_tokens") +:
+        col("n_docs") +: col("block_fp") +:
+        (if (withText) Seq(col("block_text")) else Nil): _*)
   }
 
   /** Corpus card (round 9) — the one-row dataset summary a pipeline
@@ -464,28 +470,177 @@ object Corpus {
     corpusCard(Tables(s, dir).documents)
   }
 
+  /** Shared DuckDB twin body for [[tokenBlocks]] over a filtered
+    * corpus — one definition so n82 (full corpus) and n112's
+    * post-takedown snapshots cannot drift. No final ORDER BY so
+    * snapshot branches can union. */
+  private[graft] def tokenBlocksSqlCore(L: Long, corpusWhere: String): String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+       |           FROM documents WHERE $corpusWhere),
+       |c AS (SELECT doc_id, source, tk, CAST(len(tk) + 1 AS BIGINT) AS n,
+       |             coalesce(sum(len(tk) + 1) OVER (PARTITION BY source ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |      FROM t),
+       |tok AS (SELECT source, doc_id, prior + p - 1 AS gpos,
+       |               CASE WHEN p <= len(tk) THEN tk[p] ELSE '<eos>' END AS tokn
+       |        FROM c, unnest(generate_series(1, CAST(n AS INT))) AS u(p))
+       |SELECT source,
+       |       CAST(gpos // $L AS BIGINT) AS example_idx,
+       |       CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       md5(string_agg(tokn, ' ' ORDER BY gpos)) AS block_fp
+       |FROM tok
+       |GROUP BY source, gpos // $L""".stripMargin
+
   val tokenBlocksQ: Q = {
     val L = 512
     Q(
       "n82_token_blocks",
-      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
-         |c AS (SELECT doc_id, source, tk, CAST(len(tk) + 1 AS BIGINT) AS n,
-         |             coalesce(sum(len(tk) + 1) OVER (PARTITION BY source ORDER BY doc_id
-         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
-         |      FROM t),
-         |tok AS (SELECT source, doc_id, prior + p - 1 AS gpos,
-         |               CASE WHEN p <= len(tk) THEN tk[p] ELSE '<eos>' END AS tokn
-         |        FROM c, unnest(generate_series(1, CAST(n AS INT))) AS u(p))
-         |SELECT source,
-         |       CAST(gpos // $L AS BIGINT) AS example_idx,
-         |       CAST(count(*) AS BIGINT) AS n_tokens,
-         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-         |       md5(string_agg(tokn, ' ' ORDER BY gpos)) AS block_fp
-         |FROM tok
-         |GROUP BY source, gpos // $L
-         |ORDER BY source, example_idx""".stripMargin) { (ss, dir) =>
-      tokenBlocks(Tables(ss, dir).documents, L)
-        .orderBy("source", "example_idx")
+      tokenBlocksSqlCore(L, "TRUE") + "\nORDER BY source, example_idx") {
+      (ss, dir) =>
+        tokenBlocks(Tables(ss, dir).documents, L)
+          .orderBy("source", "example_idx")
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // n112: PACKED-ARTIFACT TAKEDOWN PROPAGATION (VERDICT r12 #1) — the
+  // last place a right-to-be-forgotten request must reach: the packed
+  // training shards a trainer actually consumes. The index families
+  // forget via tombstone + fold (st24/st25); packed blocks CROSS
+  // document boundaries ([[tokenBlocks]]), so a takedown cannot be a
+  // row filter — the affected SHARDS must repack. The shard is the
+  // rewrite quantum: packing is per-shard independent (the prefix sum
+  // partitions by `source`), so a takedown rewrites exactly the shards
+  // holding the dead docs and no others — takedown-traffic-sized, not
+  // corpus-sized, at 100 TB.
+  // ---------------------------------------------------------------------
+
+  /** Materialize the packed training store: [[tokenBlocks]] examples
+    * laid out one partition per shard (`blocks/source=<shard>/`) — the
+    * layout that makes [[takedownPackedShards]]'s partial rewrite a
+    * native partition overwrite. */
+  def writePackedShards(docs: DataFrame, base: String, blockLen: Long,
+      eos: String = "<eos>", shardCol: String = "source"): Unit =
+    tokenBlocks(docs, blockLen, eos, shardCol, withText = true)
+      .write.mode("overwrite")
+      .partitionBy(shardCol)
+      .parquet(s"$base/blocks")
+
+  /** The packed store's current state. The shard column is the
+    * partition directory, restored to its position by name. */
+  def readPackedShards(spark: SparkSession, base: String): DataFrame =
+    spark.read.parquet(s"$base/blocks")
+
+  /** Propagate takedowns into the packed store: repack ONLY the shards
+    * holding tombstoned docs from the LIVE corpus (the caller's
+    * current at-rest view, dead docs excluded here by anti-join), via
+    * Spark's DYNAMIC partition overwrite — partitions absent from the
+    * written frame are untouched, so unaffected shards keep their
+    * exact bytes on disk (CorpusSpec pins file-level identity).
+    * Within an affected shard the survivors' tokens re-pack (block
+    * boundaries shift — packing crosses doc boundaries, that is the
+    * point), and the dead docs' tokens leave the disk with the
+    * overwritten partition files.
+    *
+    * A shard whose EVERY doc died needs explicit deletion: dynamic
+    * overwrite only replaces partitions present in the write, and an
+    * all-dead shard writes nothing — its stale blocks would linger.
+    *
+    * Scale: `tombstones` and the affected-shard list are
+    * takedown-traffic-sized (the st14/n93 broadcast-tombstone budget;
+    * the driver-side shard list is the same capped shape), the
+    * survivors scan is affected-shards-only (partition pruning on the
+    * corpus' own source layout), and the repack is the per-shard
+    * [[tokenBlocks]] plan. Returns the number of shards rewritten or
+    * deleted — the n_affected evidence n112's oracle pins. */
+  def takedownPackedShards(spark: SparkSession, base: String,
+      corpus: DataFrame, tombstones: DataFrame, blockLen: Long,
+      eos: String = "<eos>", shardCol: String = "source"): Long = {
+    val dead = tombstones.select("doc_id").distinct()
+    val affected = corpus
+      .join(broadcast(dead), Seq("doc_id"), "left_semi")
+      .select(shardCol).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (affected.nonEmpty) {
+      val survivors = corpus
+        .filter(col(shardCol).isin(affected.toSeq: _*))
+        .join(broadcast(dead), Seq("doc_id"), "left_anti")
+      tokenBlocks(survivors, blockLen, eos, shardCol, withText = true)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(shardCol)
+        .parquet(s"$base/blocks")
+      val still = survivors.select(shardCol).distinct()
+        .collect().map(_.getString(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      (affected.toSet -- still).foreach { src =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$base/blocks/$shardCol=$src"), true): Unit
+      }
+    }
+    affected.length.toLong
+  }
+
+  /** n112: the takedown lifecycle over the packed store, every
+    * snapshot hash-attested. Three acts on a ServingLoc tree
+    * (self-cleared — the n105 determinism rule): pack the full corpus;
+    * take down doc_id ≡ 0 (mod 97) and propagate; take down ≡ 0
+    * (mod 101) from the survivors and propagate again. Each snapshot
+    * reads the REAL store back (results/<i>, materialized before the
+    * next rewrite) with `n_affected` evidence — the shard-rewrite
+    * count the takedown-traffic-sized contract predicts, re-derived
+    * independently by the oracle from the dead docs' shard spread.
+    * The oracle's per-snapshot branch is the full [[tokenBlocksSqlCore]]
+    * over the live corpus, so a dead doc's tokens surviving in ANY
+    * block (or a stale block in an untouched shard leaking forward)
+    * flips the hash. Byte-identity of unaffected shards and
+    * dead-bytes-off-disk are spec-pinned (CorpusSpec — file-level
+    * checks DuckDB cannot express). */
+  val packedTakedownQ: Q = {
+    val L = 512
+    val d1 = "doc_id % 97 = 0"
+    val d2 = "doc_id % 101 = 0"
+    val snaps = Seq(
+      ("TRUE", "TRUE"),
+      (s"NOT ($d1)", d1),
+      (s"NOT ($d1) AND NOT ($d2)", s"($d2) AND NOT ($d1)"))
+    val branches = snaps.zipWithIndex.map { case ((live, affectedW), i) =>
+      s"""SELECT CAST($i AS BIGINT) AS snap,
+         |  CAST((SELECT count(DISTINCT source) FROM documents
+         |        WHERE $affectedW) AS BIGINT) AS n_affected,
+         |  * FROM (
+         |${tokenBlocksSqlCore(L, live)}
+         |)""".stripMargin
+    }
+    Q(
+      "n112_packed_takedown",
+      branches.mkString("", "\nUNION ALL\n",
+        "\nORDER BY snap, source, example_idx")) { (s, dir) =>
+      val docs = Tables(s, dir).documents.select("doc_id", "source", "text")
+      val base = ServingLoc.of(s, s"n112:$dir", "graft_packed_takedown")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(base))
+        .foreach(st => fs.delete(st.getPath, true))
+      val dead1 = docs.filter(expr(d1)).select("doc_id")
+      val dead2 = docs.filter(expr(d2)).select("doc_id")
+      val live1 = docs.join(broadcast(dead1), Seq("doc_id"), "left_anti")
+      def snapshot(i: Int, nAffected: Long): Unit =
+        readPackedShards(s, base)
+          .select(lit(i.toLong).as("snap"), lit(nAffected).as("n_affected"),
+            col("source"), col("example_idx"), col("n_tokens"),
+            col("n_docs"), col("block_fp"))
+          .write.mode("overwrite").parquet(s"$base/results/$i")
+      writePackedShards(docs, base, L)
+      snapshot(0, docs.select("source").distinct().count())
+      snapshot(1, takedownPackedShards(s, base, docs, dead1, L))
+      snapshot(2, takedownPackedShards(s, base, live1, dead2, L))
+      s.read.parquet((0 to 2).map(i => s"$base/results/$i"): _*)
+        .select("snap", "n_affected", "source", "example_idx",
+          "n_tokens", "n_docs", "block_fp")
+        .orderBy("snap", "source", "example_idx")
     }
   }
 
@@ -737,6 +892,6 @@ object Corpus {
   }
 
   val all: Seq[Q] = Seq(dupClusters, contamination, stratifiedSample,
-    seqPack, chunkQ, tokenBlocksQ, corpusCardQ, clusterReps,
-    incrementalClusters, mixture, sourceCap)
+    seqPack, chunkQ, tokenBlocksQ, packedTakedownQ, corpusCardQ,
+    clusterReps, incrementalClusters, mixture, sourceCap)
 }

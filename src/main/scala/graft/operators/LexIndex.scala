@@ -73,6 +73,27 @@ object LexIndex {
       doclens = index.doclens.join(dead, Seq("doc_id"), "left_anti"))
   }
 
+  /** Metadata PRE-filter of a serving index — n109's tenant/language/
+    * licence scope applied to the LEXICAL family: keep only the docs
+    * in `allowed` (an id-keyed metadata/ACL frame). Both components
+    * are doc-keyed and df/N/avgdl derive at probe time, so the
+    * filtered index scores identically to one built from the filtered
+    * corpus — TENANT-SCOPED BM25 stats (the per-tenant-index
+    * semantics), not shared-corpus stats; n111 oracles exactly that.
+    * The left_semi dual of [[deleteFromIndex]] — but unlike a
+    * tombstone set, an `allowed` set is corpus-proportional (a 20%
+    * tenant of 100 TB), so NO broadcast hint: the join keys on
+    * doc_id, the components' own bucketing ([[publishBucketed]])
+    * co-locates it, and at rest the label belongs IN the index rows
+    * where a pushed predicate prunes at scan (the n109 zone-map
+    * note). */
+  def filterIndex(index: Bm25Index, allowed: DataFrame): Bm25Index = {
+    val keep = allowed.select("doc_id").distinct()
+    Bm25Index(
+      postings = index.postings.join(keep, Seq("doc_id"), "left_semi"),
+      doclens = index.doclens.join(keep, Seq("doc_id"), "left_semi"))
+  }
+
   /** Upsert a batch (insert-or-replace, keyed by doc_id) — the U in
     * the index's CRUD axis: re-ingestion of EDITED documents (a
     * re-crawl that found changed pages, a takedown-and-redact cycle
@@ -819,6 +840,109 @@ object LexIndex {
     }
   }
 
+  /** n111: metadata-FILTERED hybrid serving (VERDICT r12 #5) — the
+    * tenant-scoped production query: n109's metadata pre-filter on
+    * BOTH of n95's fusion arms, then RRF. The filter is an id-keyed
+    * metadata frame (embeddings.label % 5 = 2, ~20% of the corpus;
+    * vec_id == doc_id, the n90 id bridge — the ACL-table shape).
+    *
+    *   - Lexical arm: [[filterIndex]] over the n91/n95 accumulated
+    *     serving index, then [[bm25FromIndex]] — a PRE-filter, so
+    *     df/N/avgdl are the TENANT corpus's stats (the per-tenant-
+    *     index semantics; a post-filter of shared-corpus ranks would
+    *     both under-fill the depth and score against the wrong N).
+    *   - Semantic arm: n109's filtered IVF path — the predicate lands
+    *     on the candidate side BEFORE any distance work (selectivity ·
+    *     nprobe/ncells of brute force), assignment under the
+    *     unfiltered first-16 anchors (filter-then-assign ≡
+    *     assign-then-filter, per-vector). Queries are NOT filtered —
+    *     a query comes from anywhere; its answers must be in-tenant.
+    *   - Fusion: [[Similarity.rrfFuse]], n95's depths.
+    *
+    * The oracle re-derives both FILTERED arms and the fusion from raw
+    * tables, so a one-sided filter (tenant honored lexically, leaked
+    * semantically — the production bug this entry exists to catch)
+    * moves the fused ranking and flips the hash. */
+  val filteredHybridQ: Q = {
+    val depth = Similarity.HybridDepth
+    val out = Similarity.HybridOut
+    val nCells = 16
+    val nProbe = 4
+    val filterWhere = "label % 5 = 2"
+    val qIds = TextAnalysis.bm25QuerySet.map(_._1).distinct.sorted
+    val qIdsCsv = qIds.mkString(", ")
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, 64), " +
+        s"i -> CAST($a.embedding[i] AS DOUBLE) * $b.embedding[i]))"
+    Q(
+      "n111_filtered_hybrid",
+      s"""WITH lexk AS (SELECT q_id, doc_id AS cand, rank AS r FROM (
+         |${bm25SqlCore(depth,
+           "SELECT d.doc_id, d.text FROM documents d " +
+             s"JOIN embeddings em ON em.vec_id = d.doc_id WHERE em.$filterWhere")}
+         |)),
+         |e AS (SELECT vec_id, label, embedding,
+         |             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+         |      FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, embedding, nrm FROM e WHERE vec_id < $nCells),
+         |asg AS (SELECT vec_id, cell FROM (
+         |    SELECT f.vec_id, c.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY f.vec_id
+         |             ORDER BY ${round6Sql(s"${dot("f", "c")} / (f.nrm * c.nrm)")} DESC,
+         |                      c.cent_id) AS arn
+         |    FROM (SELECT * FROM e WHERE $filterWhere) f CROSS JOIN c)
+         |    WHERE arn = 1),
+         |probes AS (SELECT q_id, cell FROM (
+         |    SELECT e.vec_id AS q_id, c.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${round6Sql(s"${dot("e", "c")} / (e.nrm * c.nrm)")} DESC,
+         |                      c.cent_id) AS prn
+         |    FROM e CROSS JOIN c WHERE e.vec_id IN ($qIdsCsv)) WHERE prn <= $nProbe),
+         |pairs AS (SELECT p.q_id, a.vec_id AS nb_id,
+         |                 ${round6Sql(s"${dot("qe", "ne")} / (qe.nrm * ne.nrm)")} AS cos
+         |          FROM probes p
+         |          JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.q_id
+         |          JOIN e ne ON ne.vec_id = a.vec_id
+         |          JOIN e qe ON qe.vec_id = p.q_id),
+         |semk AS (SELECT q_id, nb_id AS cand, r FROM (
+         |           SELECT q_id, nb_id,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                                     ORDER BY cos DESC, nb_id) AS r
+         |           FROM pairs) WHERE r <= $depth),
+         |fused AS (SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+         |                 COALESCE(l.cand, s.cand) AS cand,
+         |                 ${round6Sql(
+           s"COALESCE(1.0 / (${Similarity.RrfK} + l.r), 0) + " +
+             s"COALESCE(1.0 / (${Similarity.RrfK} + s.r), 0)")} AS rrf
+         |          FROM lexk l FULL JOIN semk s
+         |            ON s.q_id = l.q_id AND s.cand = l.cand)
+         |SELECT CAST(q_id AS BIGINT) AS q_id, cand, rrf,
+         |       CAST(rrf_rank AS BIGINT) AS rrf_rank FROM (
+         |  SELECT q_id, cand, rrf,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY rrf DESC, cand) AS rrf_rank
+         |  FROM fused) WHERE rrf_rank <= $out
+         |ORDER BY q_id, rrf_rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val queries = TextAnalysis.bm25QuerySet.toDF("q_id", "term")
+      val emb = Tables(s, dir).embeddings
+      val allowed = emb.filter(expr(filterWhere))
+        .select(col("vec_id").as("doc_id"))
+      val lexk = bm25FromIndex(
+          filterIndex(accumulatedIndex(s, dir), allowed), queries, depth)
+        .select(col("q_id"), col("doc_id").as("cand"), col("rank").as("r"))
+      val cents = emb.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val semk = Similarity.ivfSearch(emb.filter(expr(filterWhere)), cents,
+          emb.filter(col("vec_id").isin(qIds: _*)), nProbe, depth,
+          useHeap = false)
+        .select(col("q_id"), col("nb_id").as("cand"), col("rn").as("r"))
+      Similarity.rrfFuse(lexk, semk, out)
+        .select("q_id", "cand", "rrf", "rrf_rank")
+        .orderBy("q_id", "rrf_rank")
+    }
+  }
+
   /** Test hook: the n101 serving root for this (session, corpus dir),
     * if the entry has run. */
   private[graft] def servingBase(s: SparkSession, dir: String): Option[String] =
@@ -877,5 +1001,6 @@ object LexIndex {
     }
 
   val all: Seq[Q] =
-    Seq(bm25IndexQ, fusedServingQ, bm25DeleteQ, bm25UpsertQ, servingCompactQ)
+    Seq(bm25IndexQ, fusedServingQ, filteredHybridQ, bm25DeleteQ,
+      bm25UpsertQ, servingCompactQ)
 }

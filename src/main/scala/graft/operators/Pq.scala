@@ -554,6 +554,19 @@ object Pq {
       broadcast(tombstones.select(col("vec_id")).distinct()),
       Seq("vec_id"), "left_anti"))
 
+  /** Keep only the vectors in `allowed` — the metadata pre-filter
+    * (n109/n111's tenant scope) under the FROZEN configuration: codes
+    * are the only per-vector component, so the filtered index answers
+    * identically to re-encoding the allowed vectors under the same
+    * anchors/books (the n98 exactness, delete's left_semi dual).
+    * Unlike a tombstone set, an allowed set is corpus-proportional
+    * (a 20% tenant of 100 TB) — NO broadcast hint; the join keys on
+    * vec_id and at rest the label lives in the cell-partitioned code
+    * rows where a pushed predicate prunes at scan. */
+  def filterPqIndex(index: PqIndex, allowed: DataFrame): PqIndex =
+    index.copy(codes = index.codes.join(
+      allowed.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi"))
+
   /** Upsert a batch (insert-or-replace by vec_id) — the U axis for
     * the ANN index: re-embedded documents (an embedding-model refresh
     * over a slice, an edited doc re-encoded) land as one batch.
@@ -803,14 +816,29 @@ object Pq {
   // ops_base/<w> for liveness.
   // ---------------------------------------------------------------------
 
-  /** The ops watermark: the newest survivors summary's batch id. */
+  /** The ops watermark: the newest COMMITTED survivors summary's batch
+    * id. "Committed" means the dir carries the `_SUCCESS` marker the
+    * parquet job committer writes after all task files land — the
+    * survivors write in [[foldPqTakedownIfDue]] is a plain Spark
+    * overwrite, which creates the destination dir before job commit, so
+    * a crash mid-write leaves a torn `ops_base/<w>`. Trusting the bare
+    * dir name would make the torn (possibly empty) summary the
+    * watermark: older ops logs stop being read, a vector absent from
+    * the partial summary loses its add record, and a later del for it
+    * is silently dropped — a permanent forget leak. Gating on
+    * `_SUCCESS` makes the torn dir invisible; it is swept by
+    * [[prunePqTakedownFolded]] once a later fold commits a higher
+    * watermark (served batch ids only grow). */
   def pqOpsWatermark(spark: org.apache.spark.sql.SparkSession,
       base: String): Option[Long] = {
     val fs = IndexCommit.fsOf(spark, base)
     val p = new org.apache.hadoop.fs.Path(s"$base/ops_base")
     if (!fs.exists(p)) None
     else fs.listStatus(p).map(_.getPath.getName)
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).maxOption
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .filter(w => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$base/ops_base/$w/_SUCCESS")))
+      .maxOption
   }
 
   /** Liveness of a compacting-takedown ANN tree: the SAME last-op-wins
@@ -852,7 +880,10 @@ object Pq {
     * gate); between marker and ops_base the folded generation serves
     * (dead codes physically gone) while the un-GC'd ops logs keep the
     * tombstones counted — honest evidence, healed by the next fold;
-    * after ops_base, [[prunePqTakedownFolded]] (every batch) sweeps. */
+    * after ops_base COMMITS (the `_SUCCESS` gate in
+    * [[pqOpsWatermark]] — the parquet write itself is NOT atomic, a
+    * torn dir is invisible), [[prunePqTakedownFolded]] (every batch)
+    * sweeps. */
   def foldPqTakedownIfDue(spark: org.apache.spark.sql.SparkSession,
       base: String, compactEvery: Int, servedIds: Seq[Long]): Unit = {
     val g = currentPqGen(spark, base)

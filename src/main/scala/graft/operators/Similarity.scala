@@ -1196,36 +1196,78 @@ object Similarity {
     * same predicate over `doc_id` (the id bridge) restricted to ids
     * present in `embeddings` — the joined corpus both indexes
     * ingest. */
-  private[graft] def hybridTakedownSnapshotSql(
-      snaps: Seq[(String, String)], trainWhere: String,
+  /** The fused-serving SQL body shared by the hybrid-takedown twins
+    * (st23 and st26): BM25 top-`lexK` over the LIVE joined corpus
+    * RRF-fused with the frozen-config IVF-PQ top-k over the live
+    * candidates. One definition so the two lanes' oracles cannot
+    * drift. */
+  private def hybridFusedSqlBody(live: String, trainWhere: String,
       lexK: Int, out: Int): String = {
     val qIds = TextAnalysis.bm25QuerySet.map(_._1).distinct.sorted
       .mkString(", ")
+    val liveDoc = live.replace("vec_id", "doc_id")
+    s"""WITH lexk AS (SELECT q_id, doc_id AS cand, rank AS r FROM (
+       |${LexIndex.bm25SqlCore(lexK,
+          "SELECT doc_id, text FROM documents WHERE doc_id IN " +
+            s"(SELECT vec_id FROM embeddings) AND ($liveDoc)")}
+       |)),
+       |semk AS (SELECT q_id, nb_id AS cand, rn AS r FROM (
+       |${Pq.ivfPqIndexSqlCore(live, "embeddings", trainWhere, "embeddings")}
+       |) WHERE q_id IN ($qIds)),
+       |fused AS (SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+       |                 COALESCE(l.cand, s.cand) AS cand,
+       |                 ${round6Sql(
+          s"COALESCE(1.0 / ($RrfK + l.r), 0) + COALESCE(1.0 / ($RrfK + s.r), 0)")} AS rrf
+       |          FROM lexk l FULL JOIN semk s
+       |            ON s.q_id = l.q_id AND s.cand = l.cand)
+       |SELECT q_id, cand, rrf, CAST(rrf_rank AS BIGINT) AS rrf_rank FROM (
+       |  SELECT q_id, cand, rrf,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY rrf DESC, cand) AS rrf_rank
+       |  FROM fused) WHERE rrf_rank <= $out""".stripMargin
+  }
+
+  private[graft] def hybridTakedownSnapshotSql(
+      snaps: Seq[(String, String)], trainWhere: String,
+      lexK: Int, out: Int): String = {
     val branches = snaps.zipWithIndex.map { case ((live, dead), i) =>
-      val liveDoc = live.replace("vec_id", "doc_id")
       s"""SELECT CAST($i AS BIGINT) AS snap,
          |  CAST((SELECT count(*) FROM embeddings WHERE $dead) AS BIGINT) AS n_dead,
          |  * FROM (
-         |WITH lexk AS (SELECT q_id, doc_id AS cand, rank AS r FROM (
-         |${LexIndex.bm25SqlCore(lexK,
-            "SELECT doc_id, text FROM documents WHERE doc_id IN " +
-              s"(SELECT vec_id FROM embeddings) AND ($liveDoc)")}
-         |)),
-         |semk AS (SELECT q_id, nb_id AS cand, rn AS r FROM (
-         |${Pq.ivfPqIndexSqlCore(live, "embeddings", trainWhere, "embeddings")}
-         |) WHERE q_id IN ($qIds)),
-         |fused AS (SELECT COALESCE(l.q_id, s.q_id) AS q_id,
-         |                 COALESCE(l.cand, s.cand) AS cand,
-         |                 ${round6Sql(
-            s"COALESCE(1.0 / ($RrfK + l.r), 0) + COALESCE(1.0 / ($RrfK + s.r), 0)")} AS rrf
-         |          FROM lexk l FULL JOIN semk s
-         |            ON s.q_id = l.q_id AND s.cand = l.cand)
-         |SELECT q_id, cand, rrf, CAST(rrf_rank AS BIGINT) AS rrf_rank FROM (
-         |  SELECT q_id, cand, rrf,
-         |         row_number() OVER (PARTITION BY q_id
-         |                            ORDER BY rrf DESC, cand) AS rrf_rank
-         |  FROM fused) WHERE rrf_rank <= $out
+         |${hybridFusedSqlBody(live, trainWhere, lexK, out)}
          |)""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY snap, q_id, rrf_rank")
+  }
+
+  /** DuckDB twin for HYBRID TAKEDOWN-COMPACTING serving (st26's batch
+    * twin): st23's fused branches plus BOTH arms' physical-forget
+    * evidence — the lex LSM layout pair (n_segs, base_upto — st24),
+    * the ANN generation pair (n_appends, gen — st25), and the two
+    * arms' SEPARATE dead counts. The dead counts are the cross-arm
+    * honesty: each arm GCs its own tombstone copy at its own fold
+    * cadence, so after one arm folds and the other hasn't,
+    * n_dead_lex ≠ n_dead_ann while the ANSWERS stay identical (both
+    * arms resolve liveness from complete per-arm ops copies of the
+    * same feed) — exactly the window a one-sided crash opens, pinned
+    * here as a first-class hash-attested state rather than an
+    * accident. `snaps`: (live, deadLex, deadAnn, nSegs, baseUpto,
+    * nAppends, gen) per snapshot, predicates over `vec_id`. */
+  private[graft] def hybridTakedownCompactSnapshotSql(
+      snaps: Seq[(String, String, String, Long, Long, Long, Long)],
+      trainWhere: String, lexK: Int, out: Int): String = {
+    val branches = snaps.zipWithIndex.map {
+      case ((live, deadLex, deadAnn, nSegs, upto, nApp, gen), i) =>
+        s"""SELECT CAST($i AS BIGINT) AS snap,
+           |  CAST($nSegs AS BIGINT) AS n_segs,
+           |  CAST($upto AS BIGINT) AS base_upto,
+           |  CAST($nApp AS BIGINT) AS n_appends,
+           |  CAST($gen AS BIGINT) AS gen,
+           |  CAST((SELECT count(*) FROM embeddings WHERE $deadLex) AS BIGINT) AS n_dead_lex,
+           |  CAST((SELECT count(*) FROM embeddings WHERE $deadAnn) AS BIGINT) AS n_dead_ann,
+           |  * FROM (
+           |${hybridFusedSqlBody(live, trainWhere, lexK, out)}
+           |)""".stripMargin
     }
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY snap, q_id, rrf_rank")
   }

@@ -319,7 +319,14 @@ object StreamingOps {
       hashes: Array[Long], sigs: Array[Long], ts: Timestamp = null)
   final case class BucketEntry(doc_id: Long, hashes: Array[Long],
       sigs: Array[Long])
-  final case class BucketState(entries: List[BucketEntry])
+  /** `maxTs`: the bucket's HISTORICAL max event time (ms), persisted so
+    * the retention re-arm counts from the bucket's true last touch. A
+    * late-but-in-watermark arrival must not pull the timeout below an
+    * earlier, newer arrival's ts + retention — in the takedown lane
+    * that early eviction would drop a tombstone inside the redelivery
+    * horizon and let a redelivered insert resurrect a taken-down doc
+    * (ADVICE r12). 0 when retention is off. */
+  final case class BucketState(entries: List[BucketEntry], maxTs: Long)
   final case class NearDupPair(d1: Long, d2: Long, jac: Double)
 
   /** INCREMENTAL STREAMING NEAR-DUP (VERDICT r03 #4): MinHash+LSH as a
@@ -432,7 +439,10 @@ object StreamingOps {
           } else {
             var entries = state.getOption.map(_.entries).getOrElse(Nil)
             val out = List.newBuilder[NearDupPair]
-            var lastTs = 0L
+            // seed from the bucket's historical max: a late arrival in
+            // this batch must not re-arm the timeout EARLIER than a
+            // previous batch's newer arrival already did
+            var lastTs = state.getOption.map(_.maxTs).getOrElse(0L)
             // doc_id order makes same-batch arrivals deterministic
             rows.toSeq.sortBy(_.doc_id).foreach { p =>
               if (p.ts != null && p.ts.getTime > lastTs) lastTs = p.ts.getTime
@@ -456,11 +466,11 @@ object StreamingOps {
                 entries = BucketEntry(p.doc_id, p.hashes, p.sigs) :: entries
               }
             }
-            state.update(BucketState(entries))
-            // re-arm from this batch's newest arrival; the +1 guard keeps
-            // the timestamp legal (strictly past the current watermark)
-            // when a late-but-in-watermark row's ts + retention has
-            // already been overtaken
+            state.update(BucketState(entries, lastTs))
+            // re-arm from the bucket's last touch (historical max event
+            // time, not just this batch's); the +1 guard keeps the
+            // timestamp legal (strictly past the current watermark) when
+            // last touch + retention has already been overtaken
             if (withRet) state.setTimeoutTimestamp(
               math.max(lastTs + retMs, state.getCurrentWatermarkMs + 1))
             out.result().iterator
@@ -470,7 +480,10 @@ object StreamingOps {
 
   final case class TkProbe(band: Int, sig: Long, doc_id: Long,
       hashes: Array[Long], sigs: Array[Long], dead: Boolean, ts: Timestamp)
-  final case class TkBucketState(entries: List[BucketEntry], dead: List[Long])
+  /** `maxTs`: see [[BucketState]] — load-bearing here, where an early
+    * eviction drops tombstones, not just pairs. */
+  final case class TkBucketState(entries: List[BucketEntry],
+      dead: List[Long], maxTs: Long)
 
   /** STREAMING TAKEDOWN (st14, VERDICT r10 #6): [[streamingNearDupPairs]]
     * with a second stream of mid-stream tombstones. A takedown for doc
@@ -547,6 +560,13 @@ object StreamingOps {
     implicit val outEnc = Encoders.product[NearDupPair]
     val withRet = retention.isDefined
     val retMs = retention.map(durationMs).getOrElse(0L)
+    // the resurrection guard's safety argument: a tombstone may expire
+    // only once the at-least-once redelivery horizon (≤ the watermark
+    // delay) has passed, so retention must cover that horizon
+    require(!withRet || retMs >= durationMs(watermark),
+      s"retention ($retention) must be >= the watermark delay " +
+        s"($watermark): a tombstone evicted inside the redelivery " +
+        "horizon lets a redelivered insert resurrect a taken-down doc")
 
     def side(df: DataFrame, dead: Boolean) = {
       val ts = if (withRet) col("ts") else lit(null).cast("timestamp").as("ts")
@@ -587,13 +607,17 @@ object StreamingOps {
             state.remove()
             Iterator.empty
           } else {
-            val prev = state.getOption.getOrElse(TkBucketState(Nil, Nil))
+            val prev = state.getOption.getOrElse(TkBucketState(Nil, Nil, 0L))
             var entries = prev.entries
             // LinkedHashSet: O(1) membership with the stored List's
             // order preserved, so state bytes stay deterministic
             val dead = scala.collection.mutable.LinkedHashSet(prev.dead: _*)
             val out = List.newBuilder[NearDupPair]
-            var lastTs = 0L
+            // historical max: a late probe must never pull the timeout
+            // below a stored tombstone's own ts + retention (the
+            // resurrection guard depends on the tombstone outliving the
+            // redelivery horizon)
+            var lastTs = prev.maxTs
             // takedowns first (batch-start effectiveness), then inserts in
             // doc_id order — same-batch arrivals stay deterministic
             rows.toSeq.sortBy(p => (!p.dead, p.doc_id)).foreach { p =>
@@ -622,7 +646,7 @@ object StreamingOps {
                 entries = BucketEntry(p.doc_id, p.hashes, p.sigs) :: entries
               }
             }
-            state.update(TkBucketState(entries, dead.toList))
+            state.update(TkBucketState(entries, dead.toList, lastTs))
             if (withRet) state.setTimeoutTimestamp(
               math.max(lastTs + retMs, state.getCurrentWatermarkMs + 1))
             out.result().iterator
@@ -1136,6 +1160,38 @@ object StreamingOps {
     * Ordering per micro-batch: ops log → train/append (replay-stable
     * via `_trained_batch_` marker, st16's branch) → serve → results →
     * marker LAST. */
+  /** Replay-stable PQ train-or-append for the CDC ops lanes, guarded
+    * against del-only prefixes (ADVICE r12): training
+    * [[graft.operators.Pq.buildPqIndex]] on an EMPTY adds frame would
+    * still commit a manifest — `hasPqIndex` flips true and every later
+    * batch appends under empty anchors/books, serving empty results
+    * permanently with no error. st16's pure-vector input could never
+    * hit it; a CDC feed whose first batch carries only `del` ops can.
+    * Training (and its `_trained_batch_` replay marker) is therefore
+    * DEFERRED to the first batch that actually carries adds; del-only
+    * batches still land in the ops log, so their tombstones are
+    * honored the moment the index exists. Empty appends are skipped
+    * for the same reason — zero rows encode to zero code rows, and an
+    * empty segment would only distort the `n_appends` fold-cadence
+    * evidence. Returns whether an index exists after the call (false
+    * only on an all-del prefix — the caller serves the empty top-k). */
+  private def trainOrAppendPq(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, adds: DataFrame,
+      idxPath: String, trained: org.apache.hadoop.fs.Path,
+      label: String): Boolean = {
+    import graft.operators.Pq
+    val hasIdx = Pq.hasPqIndex(spark, idxPath)
+    if (adds.isEmpty) hasIdx
+    else {
+      if (!hasIdx) {
+        fs.create(trained, true).close()
+        Pq.writePqIndex(Pq.buildPqIndex(adds), idxPath)
+      } else if (!fs.exists(trained))
+        Pq.appendToPqIndex(adds, idxPath, label = label)
+      true
+    }
+  }
+
   def pqServingIngestWithTakedown(ops: DataFrame, queries: DataFrame,
       basePath: String, checkpointDir: String,
       k: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -1157,11 +1213,8 @@ object StreamingOps {
           val idxPath = s"$basePath/index"
           val trained = new org.apache.hadoop.fs.Path(
             s"$basePath/_trained_batch_$batchId")
-          if (!Pq.hasPqIndex(spark, idxPath)) {
-            fs.create(trained, true).close()
-            Pq.writePqIndex(Pq.buildPqIndex(adds), idxPath)
-          } else if (!fs.exists(trained))
-            Pq.appendToPqIndex(adds, idxPath, label = s"a$batchId")
+          val hasIdx = trainOrAppendPq(spark, fs, adds, idxPath, trained,
+            label = s"a$batchId")
           // liveness from the ops logs of every batch visible so far
           // (committed serves + this in-flight one)
           val ids = (fs.listStatus(new org.apache.hadoop.fs.Path(basePath))
@@ -1180,8 +1233,15 @@ object StreamingOps {
             col("last_del").isNotNull && col("last_del") > col("last_add"))
             .select("vec_id")
           val nDead = deadDf.count()
-          Pq.searchPqIndex(queries,
+          // all-del prefix: no index yet — serve the empty top-k (same
+          // schema) rather than failing the lane or training on nothing
+          val res =
+            if (hasIdx) Pq.searchPqIndex(queries,
               Pq.deletePqIndex(Pq.readPqIndex(spark, idxPath), deadDf), k = k)
+            else queries.select(col("vec_id").as("q_id")).limit(0)
+              .select(col("q_id"), lit(0L).as("nb_id"),
+                lit(0.0).as("adc"), lit(0L).as("rn"))
+          res
             .withColumn("snap", lit(batchId))
             .withColumn("n_dead", lit(nDead))
             .select("snap", "n_dead", "q_id", "nb_id", "adc", "rn")
@@ -1255,11 +1315,8 @@ object StreamingOps {
           val trained = new org.apache.hadoop.fs.Path(
             s"$basePath/_trained_batch_$batchId")
           val vecs = adds.select(col("doc_id").as("vec_id"), col("embedding"))
-          if (!Pq.hasPqIndex(spark, idxPath)) {
-            fs.create(trained, true).close()
-            Pq.writePqIndex(Pq.buildPqIndex(vecs), idxPath)
-          } else if (!fs.exists(trained))
-            Pq.appendToPqIndex(vecs, idxPath, label = s"a$batchId")
+          val hasIdx = trainOrAppendPq(spark, fs, vecs, idxPath, trained,
+            label = s"a$batchId")
           // ONE liveness fold drives BOTH arms (the lane's contract)
           val (lexIdx, nDead) =
             LexIndex.readTakedownServing(spark, basePath, Some(batchId))
@@ -1271,9 +1328,15 @@ object StreamingOps {
             .bm25FromIndex(lexIdx, terms.toDF("q_id", "term"), lexK)
             .select(col("q_id"), col("doc_id").as("cand"),
               col("rank").as("r"))
-          val sem = Pq.searchPqIndex(queryVecs,
-              Pq.deletePqIndex(Pq.readPqIndex(spark, idxPath), dead))
-            .select(col("q_id"), col("nb_id").as("cand"), col("rn").as("r"))
+          // all-del prefix: the lex arm still serves (its per-batch
+          // segments exist, empty); the semantic arm is the empty
+          // system — rrfFuse's absent-system convention handles it
+          val sem =
+            if (hasIdx) Pq.searchPqIndex(queryVecs,
+                Pq.deletePqIndex(Pq.readPqIndex(spark, idxPath), dead))
+              .select(col("q_id"), col("nb_id").as("cand"), col("rn").as("r"))
+            else queryVecs.select(col("vec_id").as("q_id")).limit(0)
+              .select(col("q_id"), lit(0L).as("cand"), lit(0L).as("r"))
           Similarity.rrfFuse(lex, sem, out)
             .withColumn("snap", lit(batchId))
             .withColumn("n_dead", lit(nDead))
@@ -1413,22 +1476,28 @@ object StreamingOps {
           val idxPath = Pq.pqGenPath(basePath, g)
           val trained = new org.apache.hadoop.fs.Path(
             s"$basePath/_trained_batch_$batchId")
-          if (!Pq.hasPqIndex(spark, idxPath)) {
-            fs.create(trained, true).close()
-            Pq.writePqIndex(Pq.buildPqIndex(adds), idxPath)
-          } else if (!fs.exists(trained))
-            Pq.appendToPqIndex(adds, idxPath, label = s"a$batchId")
+          val hasIdx = trainOrAppendPq(spark, fs, adds, idxPath, trained,
+            label = s"a$batchId")
           val ids = servedIds(Some(batchId))
           val (dead, nDead) =
             Pq.readPqTakedownLiveness(spark, basePath, ids)
-          val idx = Pq.readPqIndex(spark, idxPath)
-          val nDeadDisk = Pq.pqDeadCodesOnDisk(idx, dead)
-          Pq.searchPqIndex(queries, Pq.deletePqIndex(idx, dead), k = k)
+          // all-del prefix: no index yet — empty top-k, zero layout
+          val res =
+            if (hasIdx) {
+              val idx = Pq.readPqIndex(spark, idxPath)
+              val nDeadDisk = Pq.pqDeadCodesOnDisk(idx, dead)
+              Pq.searchPqIndex(queries, Pq.deletePqIndex(idx, dead), k = k)
+                .withColumn("n_appends",
+                  lit(Pq.pqAppendCount(spark, idxPath).toLong))
+                .withColumn("n_dead_disk", lit(nDeadDisk))
+            } else queries.select(col("vec_id").as("q_id")).limit(0)
+              .select(col("q_id"), lit(0L).as("nb_id"),
+                lit(0.0).as("adc"), lit(0L).as("rn"),
+                lit(0L).as("n_appends"), lit(0L).as("n_dead_disk"))
+          res
             .withColumn("snap", lit(batchId))
-            .withColumn("n_appends", lit(Pq.pqAppendCount(spark, idxPath).toLong))
             .withColumn("gen", lit(g))
             .withColumn("n_dead", lit(nDead))
-            .withColumn("n_dead_disk", lit(nDeadDisk))
             .select("snap", "n_appends", "gen", "n_dead", "n_dead_disk",
               "q_id", "nb_id", "adc", "rn")
             .write.mode("overwrite").parquet(s"$basePath/results/$batchId")
@@ -1441,6 +1510,139 @@ object StreamingOps {
           Pq.foldPqTakedownIfDue(spark, basePath, compactEvery,
             servedIds(None))
           Pq.prunePqTakedownFolded(spark, basePath, servedIds(None))
+        }: Unit
+      }
+      .start()
+  }
+
+  /** CONTINUOUS HYBRID INGEST WITH PHYSICAL FORGET ON BOTH ARMS (st26
+    * — VERDICT r12 #2): st23's one-CDC-feed hybrid serving composed
+    * with st24's lex LSM takedown fold AND st25's ANN generation
+    * takedown fold, one per arm, each at its own cadence. The lane's
+    * reason to exist beyond st23 ∘ st24 ∘ st25 is the CROSS-ARM CRASH
+    * WINDOW: with physical forgetting on both arms, one arm's fold can
+    * commit while the other's crashes — do the two ops watermarks
+    * diverging leak a dead doc one-sidedly?
+    *
+    * The design answer is structural: each arm owns a COMPLETE copy of
+    * the ops feed (`lex/ops/<id>` and `ann/ops/<id>`, two projections
+    * of the same batch frame), and each arm resolves liveness from its
+    * OWN copy through the one shared fold
+    * ([[graft.operators.LexIndex.livenessOf]]). An arm GCs tombstones
+    * only in the same fold that physically removes the dead rows from
+    * ITS index (the st24/st25 invariant, unchanged by composition), so
+    * arbitrary fold-cadence divergence — including the crash window
+    * where the lex fold committed and the ANN fold tore, or vice
+    * versa — cannot make either arm serve a dead doc. The twin makes
+    * the divergence a first-class hash-attested state: per-arm dead
+    * counts (n_dead_lex, n_dead_ann) legitimately differ after one
+    * arm's fold while the fused ANSWERS stay equal; StreamingSpec
+    * additionally injects the torn-fold crashes and proves no
+    * one-sided leak plus next-gate heal.
+    *
+    * Layout: `base/lex` = the st24 tree, `base/ann` = the st25 tree,
+    * `base/results/<id>` the fused snapshots. Ordering per micro-batch:
+    * both ops copies + lex segment → PQ train/append (del-only-prefix
+    * guarded) → both arms' serve + fusion → results → lex marker → ann
+    * marker LAST (the replay guard); fold gates + every-batch prunes
+    * run after the markers, outside the replay guard, per arm. */
+  def hybridServingIngestTakedownCompacting(ops: DataFrame,
+      terms: Seq[(Long, String)], queryVecs: DataFrame, basePath: String,
+      checkpointDir: String, lexK: Int = 10, out: Int = 10,
+      lexCompactEvery: Int = 3,
+      annCompactEvery: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{LexIndex, Pq, Similarity}
+    val lexBase = s"$basePath/lex"
+    val annBase = s"$basePath/ann"
+    ops.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val fs = new org.apache.hadoop.fs.Path(basePath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        def annServedIds(extra: Option[Long]): Seq[Long] = {
+          val p = new org.apache.hadoop.fs.Path(annBase)
+          val committed =
+            if (!fs.exists(p)) Seq.empty[Long]
+            else fs.listStatus(p).map(_.getPath.getName)
+              .filter(_.startsWith("_served_batch_"))
+              .map(_.stripPrefix("_served_batch_"))
+              .filter(s0 => s0.nonEmpty && s0.forall(_.isDigit))
+              .map(_.toLong).toSeq
+          (committed ++ extra).distinct.sorted
+        }
+        // the ANN marker is written LAST, so it is the batch's replay
+        // guard — a crash between the lex and ann markers replays the
+        // whole batch idempotently (overwrites of identical content)
+        val annMarker = new org.apache.hadoop.fs.Path(
+          s"$annBase/_served_batch_$batchId")
+        if (!fs.exists(annMarker) && !batch.isEmpty) {
+          batch.select("doc_id", "op")
+            .write.mode("overwrite").parquet(s"$lexBase/ops/$batchId")
+          batch.select(col("doc_id").as("vec_id"), col("op"))
+            .write.mode("overwrite").parquet(s"$annBase/ops/$batchId")
+          val adds = batch.filter(col("op") === "add")
+          LexIndex.writeIndex(
+            LexIndex.buildIndex(adds.select("doc_id", "text")),
+            s"$lexBase/batches/$batchId")
+          val g = Pq.currentPqGen(spark, annBase)
+          val idxPath = Pq.pqGenPath(annBase, g)
+          val trained = new org.apache.hadoop.fs.Path(
+            s"$annBase/_trained_batch_$batchId")
+          val vecs = adds.select(col("doc_id").as("vec_id"), col("embedding"))
+          val hasIdx = trainOrAppendPq(spark, fs, vecs, idxPath, trained,
+            label = s"a$batchId")
+          // lex arm: the st24 serving view over ITS ops copy
+          val (nSegsCommitted, baseUpto) = LexIndex.servingLayout(spark, lexBase)
+          val (lexIdx, nDeadLex, _) =
+            LexIndex.readTakedownCompactServing(spark, lexBase, Some(batchId))
+          val lex = LexIndex
+            .bm25FromIndex(lexIdx, terms.toDF("q_id", "term"), lexK)
+            .select(col("q_id"), col("doc_id").as("cand"),
+              col("rank").as("r"))
+          // ann arm: the st25 liveness over ITS ops copy
+          val ids = annServedIds(Some(batchId))
+          val (deadAnn, nDeadAnn) =
+            Pq.readPqTakedownLiveness(spark, annBase, ids)
+          val sem =
+            if (hasIdx) Pq.searchPqIndex(queryVecs,
+                Pq.deletePqIndex(Pq.readPqIndex(spark, idxPath), deadAnn))
+              .select(col("q_id"), col("nb_id").as("cand"), col("rn").as("r"))
+            else queryVecs.select(col("vec_id").as("q_id")).limit(0)
+              .select(col("q_id"), lit(0L).as("cand"), lit(0L).as("r"))
+          Similarity.rrfFuse(lex, sem, out)
+            .withColumn("snap", lit(batchId))
+            .withColumn("n_segs", lit(nSegsCommitted + 1L))
+            .withColumn("base_upto", lit(baseUpto))
+            .withColumn("n_appends",
+              lit(if (hasIdx) Pq.pqAppendCount(spark, idxPath).toLong else 0L))
+            .withColumn("gen", lit(g))
+            .withColumn("n_dead_lex", lit(nDeadLex))
+            .withColumn("n_dead_ann", lit(nDeadAnn))
+            .select("snap", "n_segs", "base_upto", "n_appends", "gen",
+              "n_dead_lex", "n_dead_ann", "q_id", "cand", "rrf", "rrf_rank")
+            .write.mode("overwrite").parquet(s"$basePath/results/$batchId")
+          fs.create(new org.apache.hadoop.fs.Path(
+            s"$lexBase/_committed_batch_$batchId"), true).close()
+          fs.create(annMarker, true).close()
+        }
+        // per-arm fold gates + EVERY-BATCH prunes — after the markers,
+        // outside the replay guard (the st24/st25 rule: a crashed
+        // prune's linger window is one micro-batch). The cadences are
+        // independent by design; any interleaving of their crash
+        // windows is per-arm self-healing.
+        if (lexCompactEvery > 0 &&
+            LexIndex.hasCommittedSegments(spark, lexBase)) {
+          if (LexIndex.tailSegmentCount(spark, lexBase) >= lexCompactEvery)
+            LexIndex.compactTakedownServing(spark, lexBase)
+          LexIndex.pruneTakedownCompacted(spark, lexBase)
+        }
+        if (annCompactEvery > 0) {
+          Pq.foldPqTakedownIfDue(spark, annBase, annCompactEvery,
+            annServedIds(None))
+          Pq.prunePqTakedownFolded(spark, annBase, annServedIds(None))
         }: Unit
       }
       .start()

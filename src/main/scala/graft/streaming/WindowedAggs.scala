@@ -1218,6 +1218,117 @@ object WindowedAggs {
       .orderBy("snap", "q_id", "rn")
   }
 
+  /** Batch twin of [[StreamingOps.hybridServingIngestTakedownCompacting]]
+    * (st26): st23's one-feed hybrid serving with PHYSICAL FORGET on
+    * BOTH arms — the lex LSM takedown fold (st24, compactEvery = 3:
+    * folds only after batch 2's serve) and the ANN generation takedown
+    * fold (st25, compactEvery = 1: folds after batch 1's serve). The
+    * cadences are deliberately DIVERGENT so the twin hash-attests the
+    * cross-arm window the lane exists for: at snap 2 the ANN arm has
+    * already folded (its batch-1 tombstones GC'd — n_dead_ann counts
+    * only the new mod-15≡3 takedowns) while the lex arm has not
+    * (n_dead_lex still counts BOTH takedown sets), yet the fused
+    * ANSWERS are the same live-corpus fusion — each arm resolves
+    * liveness from its own complete ops copy, so watermark divergence
+    * is evidence-visible but answer-invisible. The st24/st25 layout
+    * evidence (n_segs/base_upto, n_appends/gen) rides along, read from
+    * the real trees at serve time; the twin replays the lifecycle with
+    * the real fold/prune machinery on a ServingLoc tree (self-cleared,
+    * the n105 rule). StreamingSpec proves stream == twin and injects
+    * the one-arm-fold-crash windows. */
+  val hybridTakedownCompactTwin: Q = Q(
+    "st26_hybrid_takedown_compaction",
+    graft.operators.Similarity.hybridTakedownCompactSnapshotSql(Seq(
+      ("vec_id % 3 = 0", "FALSE", "FALSE", 1L, -1L, 0L, 0L),
+      ("vec_id % 3 <= 1 AND NOT (vec_id % 15 = 0 AND vec_id >= 32)",
+        "vec_id % 15 = 0 AND vec_id >= 32",
+        "vec_id % 15 = 0 AND vec_id >= 32", 2L, -1L, 1L, 0L),
+      ("NOT (vec_id % 15 IN (0, 3) AND vec_id >= 32)",
+        "vec_id % 15 IN (0, 3) AND vec_id >= 32",
+        "vec_id % 15 = 3 AND vec_id >= 32", 3L, -1L, 1L, 1L)),
+      trainWhere = "vec_id % 3 = 0", lexK = 10, out = 10)) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.{LexIndex, Pq, ServingLoc, Similarity, TextAnalysis}
+    val t = Tables(s, dir)
+    val corpus = t.documents
+      .join(t.embeddings, t.documents("doc_id") === t.embeddings("vec_id"))
+      .select(t.documents("doc_id"), col("text"), col("embedding"))
+    val base = ServingLoc.of(s, s"st26:$dir", "graft_hybrid_takedown_compact")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .foreach(st => fs.delete(st.getPath, true))
+    val lexBase = s"$base/lex"
+    val annBase = s"$base/ann"
+    def adds(pred: org.apache.spark.sql.Column) =
+      corpus.filter(pred).select(col("doc_id"), col("text"),
+        col("embedding"), lit("add").as("op"))
+    // dels carry only the id; the payload columns are typed empties
+    // (the r12 verdict's st25 nit: a full payload on a tombstone row is
+    // misleading even when projected away)
+    def dels(pred: org.apache.spark.sql.Column) =
+      corpus.filter(pred).select(col("doc_id"), lit("").as("text"),
+        array().cast("array<float>").as("embedding"), lit("del").as("op"))
+    val batches = Seq(
+      adds(col("doc_id") % 3 === 0),
+      adds(col("doc_id") % 3 === 1)
+        .unionByName(dels(col("doc_id") % 15 === 0 && col("doc_id") >= 32)),
+      adds(col("doc_id") % 3 === 2)
+        .unionByName(dels(col("doc_id") % 15 === 3 && col("doc_id") >= 32)))
+    val terms = TextAnalysis.bm25QuerySet.toDF("q_id", "term")
+    val qIds = TextAnalysis.bm25QuerySet.map(_._1).distinct
+    val queryVecs = t.embeddings.filter(col("vec_id").isin(qIds: _*))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.select("doc_id", "op")
+        .write.mode("overwrite").parquet(s"$lexBase/ops/$i")
+      b.select(col("doc_id").as("vec_id"), col("op"))
+        .write.mode("overwrite").parquet(s"$annBase/ops/$i")
+      val addRows = b.filter(col("op") === "add")
+      LexIndex.writeIndex(
+        LexIndex.buildIndex(addRows.select("doc_id", "text")),
+        s"$lexBase/batches/$i")
+      val g = Pq.currentPqGen(s, annBase)
+      val idxPath = Pq.pqGenPath(annBase, g)
+      val addVecs = addRows
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      if (!Pq.hasPqIndex(s, idxPath))
+        Pq.writePqIndex(Pq.buildPqIndex(addVecs), idxPath)
+      else Pq.appendToPqIndex(addVecs, idxPath, label = s"a$i")
+      val (nSegsCommitted, baseUpto) = LexIndex.servingLayout(s, lexBase)
+      val (lexIdx, nDeadLex, _) =
+        LexIndex.readTakedownCompactServing(s, lexBase, Some(i.toLong))
+      val lex = LexIndex.bm25FromIndex(lexIdx, terms, 10)
+        .select(col("q_id"), col("doc_id").as("cand"), col("rank").as("r"))
+      val ids = (0L to i.toLong).toSeq
+      val (deadAnn, nDeadAnn) = Pq.readPqTakedownLiveness(s, annBase, ids)
+      val sem = Pq.searchPqIndex(queryVecs,
+          Pq.deletePqIndex(Pq.readPqIndex(s, idxPath), deadAnn))
+        .select(col("q_id"), col("nb_id").as("cand"), col("rn").as("r"))
+      Similarity.rrfFuse(lex, sem, 10)
+        .select(lit(i.toLong).as("snap"),
+          lit(nSegsCommitted + 1L).as("n_segs"),
+          lit(baseUpto).as("base_upto"),
+          lit(Pq.pqAppendCount(s, idxPath).toLong).as("n_appends"),
+          lit(g).as("gen"), lit(nDeadLex).as("n_dead_lex"),
+          lit(nDeadAnn).as("n_dead_ann"),
+          col("q_id"), col("cand"), col("rrf"), col("rrf_rank"))
+        .write.mode("overwrite").parquet(s"$base/results/$i")
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$lexBase/_committed_batch_$i"), true).close()
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$annBase/_served_batch_$i"), true).close()
+      if (LexIndex.tailSegmentCount(s, lexBase) >= 3)
+        LexIndex.compactTakedownServing(s, lexBase)
+      LexIndex.pruneTakedownCompacted(s, lexBase)
+      Pq.foldPqTakedownIfDue(s, annBase, 1, ids)
+      Pq.prunePqTakedownFolded(s, annBase, ids)
+    }
+    s.read.parquet((0 to 2).map(i => s"$base/results/$i"): _*)
+      .select("snap", "n_segs", "base_upto", "n_appends", "gen",
+        "n_dead_lex", "n_dead_ann", "q_id", "cand", "rrf", "rrf_rank")
+      .orderBy("snap", "q_id", "rrf_rank")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
     streamNearDup, indexedIngestBatch1, indexedIngestBatch2,
     qualityGateTwin, streamEnrichTwin, classifierGateTwin,
@@ -1225,5 +1336,6 @@ object WindowedAggs {
     streamTakedownTwin, bm25ServingTwin, streamServingCompactTwin,
     pqServingTwin, pqServingCompactTwin, streamDriftTwin,
     driftGatedServeTwin, streamServingTakedownTwin, pqServingTakedownTwin,
-    hybridServingTakedownTwin, takedownCompactTwin, pqTakedownCompactTwin)
+    hybridServingTakedownTwin, takedownCompactTwin, pqTakedownCompactTwin,
+    hybridTakedownCompactTwin)
 }

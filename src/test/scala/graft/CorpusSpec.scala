@@ -402,4 +402,60 @@ class CorpusSpec extends SparkSpec {
     val b = blockRows(Corpus.tokenBlocks(docs.orderBy(col("doc_id").desc), blockLen = 3L))
     assert(a.toSeq == b.toSeq, "input order must not change the packing")
   }
+
+  test("packed takedown: untouched shards byte-identical, dead tokens off disk, emptied shard deleted") {
+    // the file-level half of n112's contract — what DuckDB cannot
+    // attest: the rewrite touches ONLY the affected shards' files (no
+    // corpus-sized rewrite hiding behind a correct answer), the dead
+    // doc's tokens are gone from every surviving block_text on disk,
+    // and a shard whose every doc died is deleted (dynamic partition
+    // overwrite alone would leave its stale blocks lingering)
+    val base = java.nio.file.Files.createTempDirectory("packed_tk").toString
+    val docs = Seq(
+      (1L, "sA", "alpha beta gamma delta"),
+      (2L, "sA", "epsilon zeta"),
+      (3L, "sB", "SECRETTOKEN leaks here"),
+      (4L, "sB", "ordinary words only"),
+      (5L, "sC", "doomedshard single doc")).toDF("doc_id", "source", "text")
+    Corpus.writePackedShards(docs, base, 4L)
+    def shardFiles(src: String): Map[String, (Long, Long, Int)] = {
+      val d = new java.io.File(s"$base/blocks/source=$src")
+      if (!d.isDirectory) Map.empty
+      else d.listFiles().filter(_.isFile).map { f =>
+        f.getName -> (f.length(), f.lastModified(),
+          java.util.Arrays.hashCode(
+            java.nio.file.Files.readAllBytes(f.toPath)))
+      }.toMap
+    }
+    val beforeA = shardFiles("sA")
+    assert(beforeA.nonEmpty)
+    // one takedown hits sB (partial) and sC (whole shard dies)
+    val n = Corpus.takedownPackedShards(spark, base, docs,
+      Seq(3L, 5L).toDF("doc_id"), 4L)
+    assert(n == 2L, s"two shards affected, got $n")
+    assert(shardFiles("sA") == beforeA,
+      "an untouched shard's files must be byte- and mtime-identical")
+    assert(!new java.io.File(s"$base/blocks/source=sC").exists(),
+      "a fully-emptied shard's partition must be deleted")
+    val store = Corpus.readPackedShards(spark, base)
+    val texts = store.select("block_text").collect().map(_.getString(0))
+    assert(texts.nonEmpty &&
+      !texts.exists(t => t.contains("SECRETTOKEN") || t.contains("doomedshard")),
+      "a taken-down doc's tokens survived in a packed block on disk")
+    // the surviving store equals a fresh pack of the live corpus
+    val live = docs.filter(!col("doc_id").isin(3L, 5L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "example_idx", "n_tokens", "n_docs", "block_fp",
+          "block_text")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getString(5))).toSet
+    assert(rows(store) ==
+      rows(Corpus.tokenBlocks(live, 4L, withText = true)))
+    // idempotent redelivery: the same takedown again affects the dead
+    // docs' shards no more (they are gone from the live corpus view)
+    assert(Corpus.takedownPackedShards(spark, base, live,
+      Seq(3L, 5L).toDF("doc_id"), 4L) == 0L)
+    assert(rows(Corpus.readPackedShards(spark, base)) ==
+      rows(Corpus.tokenBlocks(live, 4L, withText = true)))
+  }
 }

@@ -1811,4 +1811,215 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("MaxBenchHashes"))
   }
+
+  /** The st26 hybrid-forget batch feed: the st23 scenario's three CDC
+    * batches over the documents⋈embeddings corpus. */
+  private def hybridForgetBatches(): Seq[Seq[(Long, String, Array[Float], String)]] = {
+    val t = Tables(spark, sf0001)
+    val corpus = t.documents
+      .join(t.embeddings, t.documents("doc_id") === t.embeddings("vec_id"))
+      .select(t.documents("doc_id"), col("text"), col("embedding"))
+    def ops(pred: org.apache.spark.sql.Column, op: String) =
+      corpus.filter(pred).collect()
+        .map(r => (r.getLong(0),
+          if (op == "add") r.getString(1) else "",
+          if (op == "add")
+            r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+          else Array.empty[Float],
+          op))
+        .sortBy(_._1).toSeq
+    Seq(
+      ops(col("doc_id") % 3 === 0, "add"),
+      ops(col("doc_id") % 3 === 1, "add") ++
+        ops(col("doc_id") % 15 === 0 && col("doc_id") >= 32, "del"),
+      ops(col("doc_id") % 3 === 2, "add") ++
+        ops(col("doc_id") % 15 === 3 && col("doc_id") >= 32, "del"))
+  }
+
+  test("hybrid forget lane: stream == st26 twin, both arms' dead bytes leave disk") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hybrid_forget").toString
+    val qIds = graft.operators.TextAnalysis.bm25QuerySet.map(_._1).distinct
+    val input = MemoryStream[(Long, String, Array[Float], String)]
+    val q = StreamingOps.hybridServingIngestTakedownCompacting(
+      input.toDF().toDF("doc_id", "text", "embedding", "op"),
+      graft.operators.TextAnalysis.bm25QuerySet,
+      Tables(spark, sf0001).embeddings.filter(col("vec_id").isin(qIds: _*)),
+      s"$dir/base", s"$dir/ckpt", lexCompactEvery = 3, annCompactEvery = 1)
+    try {
+      hybridForgetBatches().foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "n_segs", "base_upto", "n_appends", "gen",
+          "n_dead_lex", "n_dead_ann", "q_id", "cand", "rrf", "rrf_rank")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getLong(8), r.getDouble(9), r.getLong(10))).toSet
+    val served = rows(spark.read.parquet(s"$dir/base/results/*"))
+    val twin = rows(
+      Catalog.queries("st26_hybrid_takedown_compaction")(spark, sf0001))
+    assert(served == twin && served.nonEmpty,
+      s"served ${served.size} rows vs twin ${twin.size}")
+    // the cross-arm divergence is evidence-visible, answer-invisible:
+    // at snap 2 the ANN arm has folded (n_dead_ann = |mod15≡3| only)
+    // while the lex arm still counts both takedown sets
+    val corpus = Tables(spark, sf0001).documents
+      .join(Tables(spark, sf0001).embeddings,
+        Tables(spark, sf0001).documents("doc_id") ===
+          Tables(spark, sf0001).embeddings("vec_id"))
+      .select(Tables(spark, sf0001).documents("doc_id"))
+    val d1 = corpus.filter(col("doc_id") % 15 === 0 && col("doc_id") >= 32)
+      .count()
+    val d2 = corpus.filter(col("doc_id") % 15 === 3 && col("doc_id") >= 32)
+      .count()
+    val snap2 = served.filter(_._1 == 2L)
+    assert(snap2.map(t => (t._6, t._7)).toSet == Set((d1 + d2, d2)),
+      s"snap-2 dead pair must diverge: lex ${d1 + d2}, ann $d2")
+    // physical forget on both arms after the final gates: lex folded
+    // (segments + ops GC'd into compacted/2 + ops_base/2), ann on a
+    // consolidated generation, no dead row/code on disk in either tree
+    val lexBase = s"$dir/base/lex"
+    val annBase = s"$dir/base/ann"
+    val deadSet = corpus
+      .filter((col("doc_id") % 15 === 0 || col("doc_id") % 15 === 3) &&
+        col("doc_id") >= 32)
+      .collect().map(_.getLong(0)).toSet
+    val lexSurvivors = spark.read.parquet(s"$lexBase/compacted/2/doclens")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(deadSet.nonEmpty && deadSet.forall(!lexSurvivors.contains(_)),
+      "a dead doc's rows survived the lex fold on disk")
+    val annGen = graft.operators.Pq.currentPqGen(spark, annBase)
+    val annSurvivors = graft.operators.Pq
+      .readPqIndex(spark, graft.operators.Pq.pqGenPath(annBase, annGen))
+      .codes.select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(deadSet.forall(!annSurvivors.contains(_)),
+      "a dead vec's codes survived the ann fold on disk")
+    // tombstones themselves GC'd from both arms' surviving ops state
+    val lexOps = spark.read.parquet(s"$lexBase/ops_base/2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val annOps = spark.read.parquet(s"$annBase/ops_base/2")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(deadSet.forall(id => !lexOps.contains(id) && !annOps.contains(id)),
+      "a GC'd tombstone's id still sits in a surviving ops summary")
+  }
+
+  test("hybrid forget lane: lex-folded/ann-torn cross-arm crash window leaks nothing and heals") {
+    // THE cross-arm window (VERDICT r12 #2): the lex arm's fold
+    // committed (its tombstones GC'd, dead rows off its disk) while the
+    // ANN arm's fold crashed mid-flight — torn next generation (no
+    // _gen_ marker) AND torn ops_base survivors summary (no _SUCCESS).
+    // The claim: no one-sided leak in ANY window (each arm resolves
+    // liveness from its own complete ops copy), the torn artifacts are
+    // invisible, and the next gate heals them.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Pq
+    val dir = java.nio.file.Files.createTempDirectory("hybrid_forget_crash")
+      .toString
+    val qIds = graft.operators.TextAnalysis.bm25QuerySet.map(_._1).distinct
+    val queryVecs = Tables(spark, sf0001).embeddings
+      .filter(col("vec_id").isin(qIds: _*))
+    val batches = hybridForgetBatches()
+    def lane(ckpt: String, annEvery: Int) = {
+      val input = MemoryStream[(Long, String, Array[Float], String)]
+      val q = StreamingOps.hybridServingIngestTakedownCompacting(
+        input.toDF().toDF("doc_id", "text", "embedding", "op"),
+        graft.operators.TextAnalysis.bm25QuerySet, queryVecs,
+        s"$dir/base", s"$dir/ckpt-$ckpt",
+        lexCompactEvery = 2, annCompactEvery = annEvery)
+      (input, q)
+    }
+    // run 1: batches 0-1 with the ANN gate disabled — the lex arm
+    // folds after batch 1 (2 tail segments), the ANN arm never does:
+    // the maximal watermark divergence
+    val (in1, q1) = lane("a", annEvery = 0)
+    try {
+      batches.take(2).foreach { b => in1.addData(b); q1.processAllAvailable() }
+    } finally q1.stop()
+    val annBase = s"$dir/base/ann"
+    assert(new java.io.File(s"$dir/base/lex/compacted/1").isDirectory,
+      "precondition: the lex fold must have committed")
+    // inject the torn ANN fold: generation 1 fully materialized but
+    // markerless, survivors summary dir present but uncommitted
+    Pq.writePqIndex(Pq.readPqIndex(spark, Pq.pqGenPath(annBase, 0L)),
+      Pq.pqGenPath(annBase, 1L))
+    val obDir = new java.io.File(s"$annBase/ops_base/1")
+    assert(obDir.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(obDir, "part-torn.parquet").toPath, "torn")
+    assert(Pq.currentPqGen(spark, annBase) == 0L,
+      "a markerless generation must be invisible to the swap pointer")
+    assert(Pq.pqOpsWatermark(spark, annBase).isEmpty,
+      "an uncommitted (_SUCCESS-less) ops_base must not become the watermark")
+    // the would-be leak, checked AT the crash moment: if the torn
+    // ops_base were trusted as the watermark, batch-1's tombstones
+    // would stop being read (their adds lost from the garbage summary)
+    // — the permanent forget leak ADVICE r12 named. The liveness fold
+    // over the torn state must still count them.
+    val tD1 = Tables(spark, sf0001).documents
+      .join(Tables(spark, sf0001).embeddings,
+        Tables(spark, sf0001).documents("doc_id") ===
+          Tables(spark, sf0001).embeddings("vec_id"))
+      .select(Tables(spark, sf0001).documents("doc_id"))
+      .filter(col("doc_id") % 15 === 0 && col("doc_id") >= 32).count()
+    val (_, nBefore) = Pq.readPqTakedownLiveness(spark, annBase, Seq(0L, 1L))
+    assert(nBefore == tD1,
+      s"torn ops_base must not eat batch-1 tombstones: $nBefore vs $tD1")
+    // run 2 (restart, fresh checkpoint): the replayed batches' GATES
+    // still run (they sit outside the replay guard), so the very first
+    // gate heals the torn fold — the linger window is one micro-batch
+    // even across a restart; batch 2 then serves post-heal
+    val (in2, q2) = lane("b", annEvery = 1)
+    try {
+      batches.foreach { b => in2.addData(b); q2.processAllAvailable() }
+    } finally q2.stop()
+    // in the divergence window the ANSWERS never moved: every snapshot's
+    // fused ranking equals the st23 twin's (same scenario, no folds) —
+    // fold cadence and crash windows are answer-invisible
+    def answers(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "q_id", "cand", "rrf", "rrf_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).toSet
+    val served = spark.read.parquet(s"$dir/base/results/*")
+    assert(answers(served) == answers(
+      Catalog.queries("st23_hybrid_serving_takedown")(spark, sf0001)) &&
+      answers(served).nonEmpty,
+      "fused answers must equal the fold-free twin's in every crash window")
+    // by snap 2's serve BOTH arms have healed and folded (the lex fold
+    // in run 1, the ann fold at the first replayed batch's gate), so
+    // each counts only the new takedowns — the watermarks reconverged
+    val t = Tables(spark, sf0001)
+    val corpus = t.documents.join(t.embeddings,
+        t.documents("doc_id") === t.embeddings("vec_id"))
+      .select(t.documents("doc_id"))
+    val d2 = corpus.filter(col("doc_id") % 15 === 3 && col("doc_id") >= 32)
+      .count()
+    val ev = served.filter(col("snap") === 2L)
+      .select("n_dead_lex", "n_dead_ann").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ev == Seq((d2, d2)),
+      s"snap-2 dead pair after the heal must be ($d2, $d2), got $ev")
+    // healed: the gate refolded over the torn generation, committed a
+    // real survivors summary, and swept the torn ops_base
+    val g = Pq.currentPqGen(spark, annBase)
+    assert(g >= 1L, "the healing fold must have committed a generation")
+    val deadSet = corpus
+      .filter((col("doc_id") % 15 === 0 || col("doc_id") % 15 === 3) &&
+        col("doc_id") >= 32)
+      .collect().map(_.getLong(0)).toSet
+    val annSurvivors = Pq.readPqIndex(spark, Pq.pqGenPath(annBase, g))
+      .codes.select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(deadSet.nonEmpty && deadSet.forall(!annSurvivors.contains(_)),
+      "a dead vec's codes survived the healing ann fold")
+    assert(!new java.io.File(s"$annBase/ops_base/1").exists(),
+      "the torn ops_base must be swept once a real watermark commits")
+    assert(Pq.pqOpsWatermark(spark, annBase).contains(2L),
+      "the healed watermark must be the committed survivors summary")
+  }
 }
