@@ -1178,9 +1178,12 @@ object WindowedAggs {
     def adds(pred: org.apache.spark.sql.Column) =
       e.filter(pred).select(col("vec_id"), col("embedding"),
         lit("add").as("op"))
+    // dels carry only the id — a tombstone row with a full embedding
+    // payload would be misleading even though it is projected away
+    // before the ops-log write (the r12 verdict's nit)
     def dels(pred: org.apache.spark.sql.Column) =
       e.filter(pred).select(col("vec_id"),
-        col("embedding").as("embedding"), lit("del").as("op"))
+        array().cast("array<float>").as("embedding"), lit("del").as("op"))
     val batches = Seq(
       adds(col("vec_id") % 3 === 0),
       adds(col("vec_id") % 3 === 1)

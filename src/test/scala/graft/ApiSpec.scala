@@ -164,6 +164,43 @@ class ApiSpec extends SparkSpec {
       "fused ranking must differ from the lexical arm alone")
   }
 
+  test("tenant-scoped hybridTopK pre-filters BOTH arms (n111's facade form)") {
+    import spark.implicits._
+    val t = Tables(spark, sf0001)
+    val queries = graft.operators.TextAnalysis.bm25QuerySet.toDF("q_id", "term")
+    val qIds = graft.operators.TextAnalysis.bm25QuerySet.map(_._1).distinct
+    val allowed = t.embeddings.filter(col("label") % 5 === 2)
+      .select(col("vec_id").as("doc_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "cand", "rrf", "rrf_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    val api = rows(t.documents.hybridTopK(queries, t.embeddings, allowed, 10))
+    // reference from the public ops: tenant-filtered corpus BM25
+    // (tenant-scoped stats by construction) + shared-config PQ with
+    // codes semi-filtered to the tenant
+    val lex = graft.operators.TextAnalysis.bm25TopK(
+        t.documents.join(allowed, Seq("doc_id"), "left_semi"), queries, 10)
+      .select(col("q_id"), col("doc_id").as("cand"), col("rank").as("r"))
+    val sem = graft.operators.Pq.searchPqIndex(
+        t.embeddings.filter(col("vec_id").isin(qIds: _*)),
+        graft.operators.Pq.filterPqIndex(
+          graft.operators.Pq.buildAccumulatedIndex(t.embeddings),
+          allowed.select(col("doc_id").as("vec_id"))))
+      .select(col("q_id"), col("nb_id").as("cand"), col("rn").as("r"))
+    val ref = rows(graft.operators.Similarity.rrfFuse(lex, sem, 10))
+    assert(api == ref && api.nonEmpty, s"api ${api.size} vs ref ${ref.size}")
+    // the filter is real: every fused candidate is in-tenant
+    val tenant = allowed.collect().map(_.getLong(0)).toSet
+    assert(api.forall(r => tenant.contains(r._2)),
+      "an out-of-tenant candidate leaked through a fusion arm")
+    // and the unfiltered facade would have served out-of-tenant
+    // candidates (non-vacuity of the leak check)
+    val unfiltered = rows(t.documents.hybridTopK(queries, t.embeddings))
+    assert(unfiltered.exists(r => !tenant.contains(r._2)),
+      "non-vacuity: the unfiltered ranking must contain out-of-tenant ids")
+  }
+
   test("GraftExtensions: custom functions resolve in a fresh session via SQL") {
     val active = SparkSession.getActiveSession
     try {

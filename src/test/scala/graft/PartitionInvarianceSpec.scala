@@ -69,7 +69,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     // per-system fusion eval: three rankings graded on one rel frame (r12)
     "n110_hybrid_ndcg",
     // ANN takedown compaction: tombstone-filtered gen fold + ops GC (r12)
-    "st25_ann_takedown_compaction")
+    "st25_ann_takedown_compaction",
+    // tenant-filtered hybrid: semi-filtered index stats + filtered IVF
+    // rerank under RRF (r13)
+    "n111_filtered_hybrid",
+    // packed-shard takedown: per-shard prefix-sum repack + block md5 (r13)
+    "n112_packed_takedown",
+    // hybrid physical forget: both arms' folds + per-arm liveness (r13)
+    "st26_hybrid_takedown_compaction")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

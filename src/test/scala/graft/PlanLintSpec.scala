@@ -80,7 +80,11 @@ class PlanLintSpec extends SparkSpec {
     "st24_takedown_compaction", // n83's 1-row corpus-stats broadcast, per snapshot
     "n110_hybrid_ndcg",     // n83's 1-row stats broadcast (lex arm) + n64's
                             //   8-anchor broadcast (sem arm), graded once
-    "st25_ann_takedown_compaction" // n64's 8-anchor broadcast, per snapshot
+    "st25_ann_takedown_compaction", // n64's 8-anchor broadcast, per snapshot
+    "n111_filtered_hybrid", // n83's 1-row stats broadcast (filtered lex arm)
+                            //   + n13's 16-centroid broadcast (filtered sem arm)
+    "st26_hybrid_takedown_compaction" // n83's 1-row stats broadcast (lex arm) +
+                            //   n64's 8-anchor broadcast (sem arm), per snapshot
   )
 
   /** A query's executed plan PLUS every cached subtree it scans: the

@@ -21,6 +21,27 @@ Scaling recipe (PERF.md "scale slopes"):
   distinct-cardinality grow with the corpus.
 
 Other tables are symlinked from the source dir unchanged.
+
+SKEW MODE (4th arg "skew" — VERDICT r12 #3): the uniform replication
+above deliberately preserves distribution SHAPE; the 100 TB risks it
+cannot see are Zipfian. Skew mode builds the same 10x row counts with
+three planted heavy tails (all deterministic):
+- hot query term: in copies >= 1, ~11% of words (hash-chosen) become
+  'table' — a term IN the n83 query set, so its document frequency
+  grows toward the whole corpus and the BM25 probe's semi-filtered
+  posting list is corpus-sized for that term (the hot-term regime for
+  n83/n91/st19 and every shingle containing it);
+- hot near-dup cluster: base doc_id % 499 == 0 keeps its copy-0 text
+  across ALL copies (one prepended mutant token per copy) — a
+  ~10x-sized true near-dup cluster, i.e. one hot LSH bucket whose
+  candidate pairs grow quadratically in the copy count (what the
+  df-cap exists for);
+- heavy-tailed lengths: base doc_id % 997 == 0 repeats its text 25x,
+  base doc 42 repeats 200x — the giant-document axis (per-doc shingle
+  and token blowup inside single tasks).
+Embeddings get the vector analog: vec_id % 499 == 0 copies collapse to
+tiny perturbations of the base vector (one hot IVF cell + a true
+embedding near-dup cluster); the rest sign-flip as in uniform mode.
 """
 import duckdb
 import os
@@ -29,12 +50,45 @@ import sys
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10x"
 copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+skew = len(sys.argv) > 4 and sys.argv[4] == "skew"
 
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
 
 dstride = con.sql(f"SELECT max(doc_id)+1 FROM '{src}/documents.parquet'").fetchone()[0]
-con.sql(f"""
+if skew:
+    con.sql(f"""
+COPY (
+  WITH t AS (
+    SELECT d.doc_id + c.copy * {dstride} AS doc_id,
+           d.doc_id AS base_id, d.lang, d.source,
+           CASE
+             WHEN d.doc_id % 499 = 0 THEN
+               CASE WHEN c.copy = 0 THEN d.text
+                    ELSE 'mutzz' || c.copy || ' ' || d.text END
+             WHEN c.copy = 0 THEN d.text
+             ELSE array_to_string(
+                    list_transform(string_split(d.text, ' '),
+                      w -> CASE WHEN hash(w) % 9 = 0 THEN 'table'
+                                ELSE w || 'x' || c.copy END), ' ')
+           END AS text0
+    FROM '{src}/documents.parquet' d
+    CROSS JOIN (SELECT unnest(generate_series(0, {copies - 1})) AS copy) c
+  )
+  SELECT doc_id,
+         CASE WHEN base_id = 42 THEN trim(repeat(text0 || ' ', 200))
+              WHEN base_id % 997 = 0 THEN trim(repeat(text0 || ' ', 25))
+              ELSE text0 END AS text,
+         lang, source,
+         length(CASE WHEN base_id = 42 THEN trim(repeat(text0 || ' ', 200))
+                     WHEN base_id % 997 = 0 THEN trim(repeat(text0 || ' ', 25))
+                     ELSE text0 END) AS n_chars
+  FROM t
+  ORDER BY doc_id
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""")
+else:
+    con.sql(f"""
 COPY (
   SELECT d.doc_id + c.copy * {dstride} AS doc_id,
          CASE WHEN c.copy = 0 THEN d.text
@@ -55,15 +109,21 @@ COPY (
 """)
 
 vstride = con.sql(f"SELECT max(vec_id)+1 FROM '{src}/embeddings.parquet'").fetchone()[0]
+hotvec = ("CASE WHEN e.vec_id % 499 = 0 AND c.copy > 0 THEN "
+          "CAST(list_transform(generate_series(1, len(e.embedding)), "
+          "i -> e.embedding[i] + (CASE WHEN i = 1 THEN 0.001 * c.copy "
+          "ELSE 0 END)) AS FLOAT[]) ELSE ") if skew else ""
+hotvec_end = "END" if skew else ""
 con.sql(f"""
 COPY (
   SELECT e.vec_id + c.copy * {vstride} AS vec_id,
+         {hotvec}
          CASE WHEN c.copy = 0 THEN e.embedding
               ELSE CAST(list_transform(generate_series(1, len(e.embedding)),
                      i -> e.embedding[i] *
                           (CASE WHEN hash(c.copy * 1000 + i) % 2 = 0
                                 THEN 1 ELSE -1 END)) AS FLOAT[])
-         END AS embedding,
+         END {hotvec_end} AS embedding,
          e.label
   FROM '{src}/embeddings.parquet' e
   CROSS JOIN (SELECT unnest(generate_series(0, {copies - 1})) AS copy) c
