@@ -562,10 +562,25 @@ object Corpus {
       .join(broadcast(dead), Seq("doc_id"), "left_semi")
       .select(shardCol).distinct()
       .collect().map(_.getString(0)).sorted
+    if (affected.nonEmpty)
+      repackShards(spark, base,
+        corpus.join(broadcast(dead), Seq("doc_id"), "left_anti"),
+        affected.toSeq, blockLen, eos, shardCol)
+    affected.length.toLong
+  }
+
+  /** Repack an explicit shard set from the LIVE corpus view — the
+    * shared core of [[takedownPackedShards]] (shards touched by dels)
+    * and the st27 CDC lane (adds AND dels both change a shard's
+    * packing, so the lane repacks every shard its batch touches).
+    * Dynamic partition overwrite rewrites exactly the listed shards;
+    * a listed shard with NO surviving docs writes nothing and is
+    * deleted explicitly (the lingering-stale-blocks corner). */
+  def repackShards(spark: SparkSession, base: String, liveCorpus: DataFrame,
+      affected: Seq[String], blockLen: Long, eos: String = "<eos>",
+      shardCol: String = "source"): Unit = {
     if (affected.nonEmpty) {
-      val survivors = corpus
-        .filter(col(shardCol).isin(affected.toSeq: _*))
-        .join(broadcast(dead), Seq("doc_id"), "left_anti")
+      val survivors = liveCorpus.filter(col(shardCol).isin(affected: _*))
       tokenBlocks(survivors, blockLen, eos, shardCol, withText = true)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -580,7 +595,6 @@ object Corpus {
           s"$base/blocks/$shardCol=$src"), true): Unit
       }
     }
-    affected.length.toLong
   }
 
   /** n112: the takedown lifecycle over the packed store, every

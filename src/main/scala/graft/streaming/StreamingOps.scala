@@ -1648,6 +1648,85 @@ object StreamingOps {
       .start()
   }
 
+  /** CONTINUOUS PACKED-STORE MAINTENANCE WITH IN-BAND TAKEDOWNS
+    * (st27): n112's packed-training-shard store kept current by a
+    * CDC feed — (doc_id, source, text, op ∈ add|del) — so a takedown
+    * request flows from the stream to the training artifact with no
+    * batch job in between (the last mile of the RTBF axis, in lane
+    * form). Dels carry their shard (`source`): the feed is emitted by
+    * the corpus system, which knows it — an id-only takedown goes
+    * through [[graft.operators.Corpus.takedownPackedShards]]'s corpus
+    * lookup instead.
+    *
+    * Per micro-batch: adds land in the doc store (`docs/<id>`) and
+    * ALL ops in the log (`ops/<id>`); the batch's TOUCHED shards
+    * (distinct `source` over adds ∪ dels — packing crosses doc
+    * boundaries, so any membership change repacks the whole shard)
+    * are rebuilt from the liveness-resolved corpus view (last-op-wins
+    * over the accumulated ops log, each live doc's text from its
+    * latest add batch — a re-add/edit is an upsert) via
+    * [[graft.operators.Corpus.repackShards]]'s dynamic partition
+    * overwrite; untouched shards keep their exact bytes. Snapshot
+    * results (the full store listing + `n_affected` evidence) write
+    * to `results/<id>`, marker LAST — a crash anywhere leaves the
+    * batch invisible and exactly replayable (the repack is
+    * content-idempotent).
+    *
+    * Scale: the repack is touched-shards-only — takedown/ingest-
+    * traffic-sized, never corpus-sized (n112's 0.08 ladder exponent
+    * is this claim in number form); the liveness fold is the shared
+    * [[graft.operators.LexIndex.livenessOf]] over id-keyed ops; at
+    * rest the doc store would be partitioned by shard so the
+    * affected-shard scan partition-prunes. */
+  def packedIngestWithTakedown(ops: DataFrame, basePath: String,
+      checkpointDir: String,
+      blockLen: Long = 512L): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Corpus, LexIndex}
+    ops.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(basePath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$basePath/_committed_batch_$batchId")
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          batch.filter(col("op") === "add")
+            .select("doc_id", "source", "text")
+            .write.mode("overwrite").parquet(s"$basePath/docs/$batchId")
+          batch.select("doc_id", "op")
+            .write.mode("overwrite").parquet(s"$basePath/ops/$batchId")
+          val ids = (fs.listStatus(new org.apache.hadoop.fs.Path(basePath))
+            .map(_.getPath.getName)
+            .filter(_.startsWith("_committed_batch_"))
+            .map(_.stripPrefix("_committed_batch_"))
+            .filter(s0 => s0.nonEmpty && s0.forall(_.isDigit))
+            .map(_.toLong).toSeq :+ batchId).distinct.sorted
+          val docsAll = ids.map(i => spark.read.parquet(s"$basePath/docs/$i")
+              .withColumn("batch", lit(i)))
+            .reduce(_ unionByName _)
+          val alive = LexIndex.opsLogLiveness(spark, basePath, ids)
+            .filter(col("last_add").isNotNull &&
+              (col("last_del").isNull || col("last_add") >= col("last_del")))
+            .select(col("doc_id"), col("last_add").as("batch"))
+          val live = docsAll.join(alive, Seq("doc_id", "batch"))
+            .select("doc_id", "source", "text")
+          val affected = batch.select("source").distinct()
+            .collect().map(_.getString(0)).sorted
+          Corpus.repackShards(spark, basePath, live, affected.toSeq, blockLen)
+          Corpus.readPackedShards(spark, basePath)
+            .select(lit(batchId).as("snap"),
+              lit(affected.length.toLong).as("n_affected"),
+              col("source"), col("example_idx"), col("n_tokens"),
+              col("n_docs"), col("block_fp"))
+            .write.mode("overwrite").parquet(s"$basePath/results/$batchId")
+          fs.create(marker, true).close()
+        }: Unit
+      }
+      .start()
+  }
+
   /** STREAMING EMBEDDING-DRIFT MONITOR (st17): the production form of
     * n103's audit — per micro-batch, accumulate each dimension's
     * EXACT sufficient statistics (DECIMAL sum + count: 64 rows per

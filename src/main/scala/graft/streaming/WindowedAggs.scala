@@ -1332,6 +1332,96 @@ object WindowedAggs {
       .orderBy("snap", "q_id", "rrf_rank")
   }
 
+  /** Batch twin of [[StreamingOps.packedIngestWithTakedown]] (st27):
+    * the packed-training-shard store maintained by the CDC feed —
+    * n112's takedown propagation in lane form, every snapshot
+    * hash-attested. The st24 scenario over `documents`: batch 0 adds
+    * the ≡0 (mod 3) third; batch 1 adds ≡1 and takes down the
+    * mod-15≡0 slice; batch 2 adds ≡2 and takes down mod-15≡3. Each
+    * snapshot's oracle branch is the full [[graft.operators.Corpus
+    * .tokenBlocksSqlCore]] over the live corpus plus `n_affected` —
+    * the touched-shard count (distinct sources over the batch's adds
+    * AND dels) the shard-quantum rewrite contract predicts. A stale
+    * block in an untouched shard leaking forward, a dead doc's tokens
+    * surviving a repack, or a corpus-sized rewrite masquerading as
+    * touched-shards-only (the evidence count would differ) all flip
+    * the driver hash. The twin replays the lifecycle with the real
+    * repack machinery on a ServingLoc tree (self-cleared);
+    * StreamingSpec proves stream == twin and replay invisibility. */
+  val packedTakedownLaneTwin: Q = {
+    val L = 512L
+    val d1 = "doc_id % 15 = 0 AND doc_id >= 32"
+    val d2 = "doc_id % 15 = 3 AND doc_id >= 32"
+    val snaps = Seq(
+      ("doc_id % 3 = 0", "doc_id % 3 = 0"),
+      (s"doc_id % 3 <= 1 AND NOT ($d1)", s"doc_id % 3 = 1 OR ($d1)"),
+      (s"NOT (doc_id % 15 IN (0, 3) AND doc_id >= 32)",
+        s"doc_id % 3 = 2 OR ($d2)"))
+    val branches = snaps.zipWithIndex.map { case ((live, touched), i) =>
+      s"""SELECT CAST($i AS BIGINT) AS snap,
+         |  CAST((SELECT count(DISTINCT source) FROM documents
+         |        WHERE $touched) AS BIGINT) AS n_affected,
+         |  * FROM (
+         |${graft.operators.Corpus.tokenBlocksSqlCore(L, live)}
+         |)""".stripMargin
+    }
+    Q(
+      "st27_stream_packed_takedown",
+      branches.mkString("", "\nUNION ALL\n",
+        "\nORDER BY snap, source, example_idx")) { (s, dir) =>
+      import graft.operators.{Corpus, LexIndex, ServingLoc}
+      val d = Tables(s, dir).documents.select("doc_id", "source", "text")
+      val base = ServingLoc.of(s, s"st27:$dir", "graft_packed_lane")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(base))
+        .foreach(st => fs.delete(st.getPath, true))
+      def adds(pred: org.apache.spark.sql.Column) =
+        d.filter(pred).select(col("doc_id"), col("source"), col("text"),
+          lit("add").as("op"))
+      def dels(pred: org.apache.spark.sql.Column) =
+        d.filter(pred).select(col("doc_id"), col("source"),
+          lit("").as("text"), lit("del").as("op"))
+      val batches = Seq(
+        adds(col("doc_id") % 3 === 0),
+        adds(col("doc_id") % 3 === 1)
+          .unionByName(dels(col("doc_id") % 15 === 0 && col("doc_id") >= 32)),
+        adds(col("doc_id") % 3 === 2)
+          .unionByName(dels(col("doc_id") % 15 === 3 && col("doc_id") >= 32)))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        b.filter(col("op") === "add").select("doc_id", "source", "text")
+          .write.mode("overwrite").parquet(s"$base/docs/$i")
+        b.select("doc_id", "op")
+          .write.mode("overwrite").parquet(s"$base/ops/$i")
+        val ids = (0L to i.toLong).toSeq
+        val docsAll = ids.map(j => s.read.parquet(s"$base/docs/$j")
+            .withColumn("batch", lit(j)))
+          .reduce(_ unionByName _)
+        val alive = LexIndex.opsLogLiveness(s, base, ids)
+          .filter(col("last_add").isNotNull &&
+            (col("last_del").isNull || col("last_add") >= col("last_del")))
+          .select(col("doc_id"), col("last_add").as("batch"))
+        val live = docsAll.join(alive, Seq("doc_id", "batch"))
+          .select("doc_id", "source", "text")
+        val affected = b.select("source").distinct()
+          .collect().map(_.getString(0)).sorted
+        Corpus.repackShards(s, base, live, affected.toSeq, L)
+        Corpus.readPackedShards(s, base)
+          .select(lit(i.toLong).as("snap"),
+            lit(affected.length.toLong).as("n_affected"),
+            col("source"), col("example_idx"), col("n_tokens"),
+            col("n_docs"), col("block_fp"))
+          .write.mode("overwrite").parquet(s"$base/results/$i")
+        fs.create(new org.apache.hadoop.fs.Path(
+          s"$base/_committed_batch_$i"), true).close()
+      }
+      s.read.parquet((0 to 2).map(i => s"$base/results/$i"): _*)
+        .select("snap", "n_affected", "source", "example_idx",
+          "n_tokens", "n_docs", "block_fp")
+        .orderBy("snap", "source", "example_idx")
+    }
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
     streamNearDup, indexedIngestBatch1, indexedIngestBatch2,
     qualityGateTwin, streamEnrichTwin, classifierGateTwin,
@@ -1340,5 +1430,5 @@ object WindowedAggs {
     pqServingTwin, pqServingCompactTwin, streamDriftTwin,
     driftGatedServeTwin, streamServingTakedownTwin, pqServingTakedownTwin,
     hybridServingTakedownTwin, takedownCompactTwin, pqTakedownCompactTwin,
-    hybridTakedownCompactTwin)
+    hybridTakedownCompactTwin, packedTakedownLaneTwin)
 }

@@ -76,7 +76,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // packed-shard takedown: per-shard prefix-sum repack + block md5 (r13)
     "n112_packed_takedown",
     // hybrid physical forget: both arms' folds + per-arm liveness (r13)
-    "st26_hybrid_takedown_compaction")
+    "st26_hybrid_takedown_compaction",
+    // packed-store CDC lane: liveness-resolved repack per batch (r13)
+    "st27_stream_packed_takedown")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
