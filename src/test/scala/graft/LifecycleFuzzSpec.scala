@@ -128,9 +128,19 @@ class LifecycleFuzzSpec extends SparkSpec {
 
       def tornBaseDir(): Unit = if (nextId > 0) {
         // a fold that crashed before its marker: the materialized view
-        // sits at the id the next real fold will use, markerless
-        val (idx, _, _) = LexIndex.readTakedownCompactServing(spark, base)
-        LexIndex.writeIndex(idx, s"$base/compacted/${nextId - 1}")
+        // sits at the id the next real fold will use, markerless. A
+        // REAL fold only targets ids ABOVE the committed watermark
+        // (compactTakedownServing folds committed ids > upto), so the
+        // injection must too — targeting the current base id would
+        // overwrite compacted/<upto> while reading it, a state the
+        // machinery can never produce (and the writeIndex fresh-path
+        // rule exists to forbid). The fuzz caught this in its own
+        // injector at 100 seeds (seed-dependent fold/commit orders).
+        val (_, baseUpto) = LexIndex.servingLayout(spark, base)
+        if (nextId - 1 > baseUpto) {
+          val (idx, _, _) = LexIndex.readTakedownCompactServing(spark, base)
+          LexIndex.writeIndex(idx, s"$base/compacted/${nextId - 1}")
+        }
       }
 
       def tornOpsBase(): Unit = {
