@@ -706,6 +706,89 @@ object Dedup {
       .orderBy("contained", "container")
   }
 
+  /** STOP-SHINGLE containment (the unscreened-pair-family skew guard):
+    * counts AND set sizes over the df-capped vocabulary — the IR
+    * stopword treatment applied to shingles. Hot shingles (df > cap:
+    * boilerplate and mega-cluster content by definition at 100 TB)
+    * carry no discriminative signal; measuring containment over the
+    * informative vocabulary is the standard production configuration.
+    *
+    * Why NOT [[commonCounts]]'s capped verify here: that form (pair
+    * generation on the capped index, exact counts re-derived over the
+    * FULL sets per candidate) is designed for LSH-BOUNDED candidate
+    * sets, where the explode-by-full-shingle-list stage is small. An
+    * unscreened pair family's candidate set is corpus-sized, and the
+    * explode multiplies it by the per-doc shingle count — measured on
+    * the 100× Zipfian corpus it filled 79 GB of shuffle and died,
+    * while this one-pass bounded form completes (PERF.md round-13
+    * skew ladders). With df ≤ cap the per-shingle pair fan-out is
+    * bounded, so Σdf² is capped per key — no hot bucket exists. */
+  def containmentPairsStopShingle(docs: DataFrame, threshold: Double,
+      dfCap: Long): DataFrame = {
+    val lite = dropHotShingles(shingles(docs), dfCap)
+    val sizes = lite.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = lite.select(col("doc_id").as("d1"), col("sh"))
+    val b = lite.select(col("doc_id").as("d2"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("containment",
+        col("c").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= threshold)
+      .select(
+        when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2")).as("contained"),
+        when(col("n1") <= col("n2"), col("d2")).otherwise(col("d1")).as("container"),
+        least(col("n1"), col("n2")).as("n_contained"),
+        greatest(col("n1"), col("n2")).as("n_container"),
+        col("containment"))
+  }
+
+  /** n113: df-capped (stop-shingle) containment — n08 under the
+    * configuration a 100 TB corpus actually runs (cap = 256). The
+    * round-13 100× SKEW ladder is why this is a first-class entry:
+    * uncapped n08 read exponent 0.94 over two decades on the Zipfian
+    * corpus (the planted 1100-doc near-dup cluster's shingles carry
+    * df = cluster size, so the Σdf² inverted-index self-join pays
+    * cluster² pair rows per shared shingle type). The twin encodes
+    * the SAME stop-shingle semantics, so the driver hash attests the
+    * exact capped answer, never an approximation; at the harness SFs
+    * no shingle exceeds the cap, lite ≡ full and n113 ≡ n08 — the
+    * equality is itself evidence the capped PLAN computes the same
+    * thing where no skew exists. Intra-mega-cluster pairs are the
+    * dropped class under skew — exactly what cluster-rep dedup
+    * (n07/n19) removes BEFORE any pairwise stage in a tiered
+    * pipeline. */
+  val containmentCapped: Q = {
+    val cap = 256
+    Q(
+      "n113_containment_capped",
+      s"""WITH $shinglesSql,
+         |hot AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+         |        WHERE df > $cap),
+         |lite AS (SELECT doc_id, sh FROM sh
+         |         WHERE sh NOT IN (SELECT sh FROM hot)),
+         |lsizes AS (SELECT doc_id, count(*) AS n FROM lite GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+         |           FROM lite a JOIN lite b
+         |             ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |           GROUP BY a.doc_id, b.doc_id)
+         |SELECT CASE WHEN s1.n <= s2.n THEN d1 ELSE d2 END AS contained,
+         |       CASE WHEN s1.n <= s2.n THEN d2 ELSE d1 END AS container,
+         |       CAST(least(s1.n, s2.n) AS BIGINT) AS n_contained,
+         |       CAST(greatest(s1.n, s2.n) AS BIGINT) AS n_container,
+         |       CAST(c AS DOUBLE) / least(s1.n, s2.n) AS containment
+         |FROM common
+         |JOIN lsizes s1 ON s1.doc_id = d1
+         |JOIN lsizes s2 ON s2.doc_id = d2
+         |WHERE CAST(c AS DOUBLE) / least(s1.n, s2.n) >= 0.5
+         |ORDER BY contained, container""".stripMargin) { (s, dir) =>
+      containmentPairsStopShingle(Tables(s, dir).documents,
+          threshold = 0.5, dfCap = cap.toLong)
+        .orderBy("contained", "container")
+    }
+  }
+
   /** MinHash estimate calibration: for every pair sharing enough
     * content to matter (exact Jaccard ≥ 0.05 via the inverted index),
     * the signature-only Jaccard ESTIMATE (matching components / 16)
@@ -777,6 +860,6 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(exactDedup, normDedup, minhashSignature,
-    lshNearDup, ngramJaccard, simhash, containment, lshBanded,
-    minhashEstimate)
+    lshNearDup, ngramJaccard, simhash, containment, containmentCapped,
+    lshBanded, minhashEstimate)
 }

@@ -78,7 +78,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // hybrid physical forget: both arms' folds + per-arm liveness (r13)
     "st26_hybrid_takedown_compaction",
     // packed-store CDC lane: liveness-resolved repack per batch (r13)
-    "st27_stream_packed_takedown")
+    "st27_stream_packed_takedown",
+    // stop-shingle containment: capped inverted-index self-join (r13)
+    "n113_containment_capped")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
