@@ -393,6 +393,23 @@ object Graft {
       * source_entropy). */
     def corpusCard(): DataFrame = graft.operators.Corpus.corpusCard(df)
 
+    /** Materialize THIS corpus as the packed training-shard store
+      * (n112's layout): exact-`blockLen` token blocks with text +
+      * fingerprint, one partition per shard — the layout whose
+      * takedown rewrite is a native partition overwrite. */
+    def packShards(base: String, blockLen: Long = 512L): Unit =
+      graft.operators.Corpus.writePackedShards(df, base, blockLen)
+
+    /** Propagate takedowns into a packed store built from THIS (live)
+      * corpus: repack exactly the shards holding the tombstoned docs,
+      * delete fully-emptied shards, leave every other shard's bytes
+      * untouched. Returns the number of shards rewritten or deleted —
+      * the takedown-traffic-sized contract (n112). */
+    def takedownPackedShards(base: String, tombstones: DataFrame,
+        blockLen: Long = 512L): Long =
+      graft.operators.Corpus.takedownPackedShards(df.sparkSession, base,
+        df, tombstones, blockLen)
+
     /** BM25 top-k retrieval against a bounded (q_id, term) query set
       * — decontamination lookup / corpus audit. Returns (q_id, rank,
       * doc_id, score). */

@@ -201,6 +201,30 @@ class ApiSpec extends SparkSpec {
       "non-vacuity: the unfiltered ranking must contain out-of-tenant ids")
   }
 
+  test("packShards/takedownPackedShards facade drives the n112 store end-to-end") {
+    import spark.implicits._
+    import graft.api.Graft._
+    val base = java.nio.file.Files.createTempDirectory("api_packed").toString
+    val docs = Seq(
+      (1L, "sA", "alpha beta gamma"),
+      (2L, "sA", "delta epsilon zeta"),
+      (3L, "sB", "to be forgotten")).toDF("doc_id", "source", "text")
+    docs.packShards(base, blockLen = 4L)
+    val n = docs.takedownPackedShards(base, Seq(3L).toDF("doc_id"), 4L)
+    assert(n == 1L, s"one shard affected, got $n")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "example_idx", "block_fp", "block_text")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getString(3))).toSet
+    val store = rows(graft.operators.Corpus.readPackedShards(spark, base))
+    assert(store == rows(graft.operators.Corpus.tokenBlocks(
+      docs.filter(col("doc_id") =!= 3L), 4L, withText = true)) &&
+      store.nonEmpty,
+      "facade store must equal a fresh pack of the live corpus")
+    assert(!store.exists(_._4.contains("forgotten")),
+      "the taken-down doc's tokens must be gone")
+  }
+
   test("GraftExtensions: custom functions resolve in a fresh session via SQL") {
     val active = SparkSession.getActiveSession
     try {
