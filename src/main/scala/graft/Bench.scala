@@ -429,7 +429,11 @@ object Bench {
       val storedSum = refCovered.map { case (n, _, _, _) => refs(n) }.sum
       if (storedSum > 0 && okCount > 0 && refCovered.size * 2 >= okCount)
         refCovered.map(_._2).sum / storedSum <= seedRefBand
-      else loadStart >= 0 && loadStart <= seedLoadMax
+      // -1 = JVM has no load average (e.g. some container runtimes):
+      // inconclusive-pass, not fail — otherwise such hosts can never
+      // seed or stale-rebase and the stale counter bumps forever
+      // (ADVICE r13 #2)
+      else loadStart < 0 || loadStart <= seedLoadMax
     }
     // Rolling-quiet state transition (see quietByEvidence above). Only
     // a canary-quiet run may touch the record: accepted runs refresh

@@ -905,7 +905,77 @@ object Corpus {
     }
   }
 
+  /** TIERED dedup composition (n114 — VERDICT r13 #2): n07/n19's
+    * cluster-representative stage feeding n08's pairwise containment on
+    * the REPRESENTATIVES only — the production pipeline shape whose
+    * effect PERF.md had argued but never hash-attested. The round-13
+    * skew ladder measured WHY the tier exists: uncapped all-pairs
+    * containment reads exponent 0.94 over two decades on the Zipfian
+    * corpus because the planted mega-cluster's shingles carry
+    * df = cluster size (Σdf² pays cluster² pair rows per shared type);
+    * the tier collapses that cluster to ONE witness before any pairwise
+    * stage, so the containment join never sees the hot bucket — the
+    * intra-mega-cluster pairs n113's df-cap DROPS are here removed by
+    * construction, with the containment stage still exact over the
+    * survivors. The oracle recomputes the same tiering (clusters →
+    * best-witness rep per cluster + all unclustered docs → containment
+    * over that corpus) plus `n_survivors` evidence, so a tier that
+    * silently failed to collapse a cluster (survivor count too high)
+    * or dropped a singleton flips the hash, not just a number in
+    * PERF.md. Scale: stage 1 reuses n07's memoized cluster labels (at
+    * true scale the graph itself runs LSH-banded + df-capped — n04's
+    * measured 0.72 configuration); stage 2's Σdf² is over the DEDUPED
+    * corpus. Measured on the 100× skew corpus in PERF.md round 14. */
+  val tieredContainment: Q = Q(
+    "n114_tiered_containment",
+    s"""$clustersSql,
+       |r AS (SELECT c.cluster_id, c.doc_id,
+       |             row_number() OVER (PARTITION BY c.cluster_id
+       |                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+       |      FROM clusters c JOIN documents d USING (doc_id)),
+       |survivors AS (SELECT doc_id FROM r WHERE rn = 1
+       |              UNION ALL
+       |              SELECT doc_id FROM documents
+       |              WHERE doc_id NOT IN (SELECT doc_id FROM clusters)),
+       |sh2 AS (SELECT s.doc_id, s.sh FROM sh s JOIN survivors USING (doc_id)),
+       |sizes2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+       |common2 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |            FROM sh2 a JOIN sh2 b
+       |              ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |            GROUP BY a.doc_id, b.doc_id)
+       |SELECT CASE WHEN s1.n <= s2.n THEN d1 ELSE d2 END AS contained,
+       |       CASE WHEN s1.n <= s2.n THEN d2 ELSE d1 END AS container,
+       |       CAST(least(s1.n, s2.n) AS BIGINT) AS n_contained,
+       |       CAST(greatest(s1.n, s2.n) AS BIGINT) AS n_container,
+       |       CAST(c AS DOUBLE) / least(s1.n, s2.n) AS containment,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM survivors) AS n_survivors
+       |FROM common2
+       |JOIN sizes2 s1 ON s1.doc_id = d1
+       |JOIN sizes2 s2 ON s2.doc_id = d2
+       |WHERE CAST(c AS DOUBLE) / least(s1.n, s2.n) >= 0.2
+       |ORDER BY contained, container""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val clusters = buildClusters(docs)
+    val reps = clusters
+      .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), -col("doc_id"))).as("doc_id"))
+      .select("doc_id")
+    val singletons = docs.select("doc_id")
+      .join(clusters.select("doc_id"), Seq("doc_id"), "left_anti")
+    val survivors = reps.unionByName(singletons)
+    val tiered = docs.join(survivors, Seq("doc_id"), "left_semi")
+    // single-row scalar attach (the documented no-collect broadcast
+    // shape, Relational.scala) — the tier-size evidence column
+    val nSurv = survivors.agg(count(lit(1)).as("n_survivors"))
+    Dedup.containmentPairs(tiered, threshold = 0.2)
+      .crossJoin(broadcast(nSurv))
+      .orderBy("contained", "container")
+  }
+
   val all: Seq[Q] = Seq(dupClusters, contamination, stratifiedSample,
     seqPack, chunkQ, tokenBlocksQ, packedTakedownQ, corpusCardQ,
-    clusterReps, incrementalClusters, mixture, sourceCap)
+    clusterReps, incrementalClusters, mixture, sourceCap,
+    tieredContainment)
 }

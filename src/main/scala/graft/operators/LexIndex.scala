@@ -191,12 +191,23 @@ object LexIndex {
     * st19 lane serves these as evidence columns — the oracle pins the
     * values the LSM cadence predicts, so a fold that silently never
     * ran (n_segs too high) or a prune that broke the view flips the
-    * driver hash, not just a spec. */
-  def servingLayout(spark: SparkSession, base: String): (Long, Long) = {
+    * driver hash, not just a spec.
+    *
+    * `excluding` removes the IN-FLIGHT batch id from the committed
+    * set before counting: a lane that serves `n_segs = layout + 1`
+    * (committed + the batch it is serving) and writes its own
+    * `_committed_batch_` marker before its replay guard would
+    * otherwise double-count that batch when a crash between the two
+    * markers replays it (ADVICE r13 #1 — the st26 cross-arm window).
+    * Callers whose single marker IS the replay guard never see their
+    * own id committed, so the default is a no-op for them. */
+  def servingLayout(spark: SparkSession, base: String,
+      excluding: Option[Long] = None): (Long, Long) = {
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val upto = compactionUpto(fs, base)
-    val tail = committedBatchIds(fs, base).filter(id => upto.forall(id > _))
+    val tail = committedBatchIds(fs, base)
+      .filter(id => upto.forall(id > _) && !excluding.contains(id))
     ((if (upto.isDefined) 1L else 0L) + tail.size, upto.getOrElse(-1L))
   }
 

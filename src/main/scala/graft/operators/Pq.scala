@@ -817,27 +817,35 @@ object Pq {
   // ---------------------------------------------------------------------
 
   /** The ops watermark: the newest COMMITTED survivors summary's batch
-    * id. "Committed" means the dir carries the `_SUCCESS` marker the
-    * parquet job committer writes after all task files land — the
-    * survivors write in [[foldPqTakedownIfDue]] is a plain Spark
+    * id. "Committed" means the machinery's OWN `_opsbase_<w>` marker
+    * (written by [[foldPqTakedownIfDue]] strictly AFTER the summary's
+    * parquet job returns — the same marker-last protocol as `_gen_` /
+    * `_compacted_upto_`). The survivors write is a plain Spark
     * overwrite, which creates the destination dir before job commit, so
     * a crash mid-write leaves a torn `ops_base/<w>`. Trusting the bare
     * dir name would make the torn (possibly empty) summary the
     * watermark: older ops logs stop being read, a vector absent from
     * the partial summary loses its add record, and a later del for it
-    * is silently dropped — a permanent forget leak. Gating on
-    * `_SUCCESS` makes the torn dir invisible; it is swept by
-    * [[prunePqTakedownFolded]] once a later fold commits a higher
-    * watermark (served batch ids only grow). */
+    * is silently dropped — a permanent forget leak. Earlier rounds
+    * gated on the job committer's `_SUCCESS` artifact instead; that is
+    * absent under `mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    * false` and most object-store committers, where no summary would
+    * ever become the watermark — safe direction, but ops logs never GC
+    * and torn dirs accumulate unboundedly (ADVICE r13 #4). The own
+    * marker makes commitment independent of committer configuration; a
+    * markerless dir (torn write, or a pre-marker legacy tree) is
+    * invisible and swept by [[prunePqTakedownFolded]] once a later
+    * fold commits a higher watermark (served batch ids only grow). */
   def pqOpsWatermark(spark: org.apache.spark.sql.SparkSession,
       base: String): Option[Long] = {
     val fs = IndexCommit.fsOf(spark, base)
-    val p = new org.apache.hadoop.fs.Path(s"$base/ops_base")
-    if (!fs.exists(p)) None
-    else fs.listStatus(p).map(_.getPath.getName)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    if (!fs.exists(bp)) None
+    else fs.listStatus(bp).map(_.getPath.getName)
+      .filter(_.startsWith("_opsbase_")).map(_.stripPrefix("_opsbase_"))
       .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
       .filter(w => fs.exists(new org.apache.hadoop.fs.Path(
-        s"$base/ops_base/$w/_SUCCESS")))
+        s"$base/ops_base/$w")))
       .maxOption
   }
 
@@ -880,10 +888,10 @@ object Pq {
     * gate); between marker and ops_base the folded generation serves
     * (dead codes physically gone) while the un-GC'd ops logs keep the
     * tombstones counted — honest evidence, healed by the next fold;
-    * after ops_base COMMITS (the `_SUCCESS` gate in
+    * after ops_base COMMITS (the marker-last `_opsbase_` gate in
     * [[pqOpsWatermark]] — the parquet write itself is NOT atomic, a
-    * torn dir is invisible), [[prunePqTakedownFolded]] (every batch)
-    * sweeps. */
+    * markerless dir is invisible), [[prunePqTakedownFolded]] (every
+    * batch) sweeps. */
   def foldPqTakedownIfDue(spark: org.apache.spark.sql.SparkSession,
       base: String, compactEvery: Int, servedIds: Seq[Long]): Unit = {
     val g = currentPqGen(spark, base)
@@ -898,6 +906,11 @@ object Pq {
         true).close()
       live.codes.select("vec_id").distinct()
         .write.mode("overwrite").parquet(s"$base/ops_base/${servedIds.max}")
+      // marker-last: the summary becomes the watermark only once its
+      // parquet job has fully returned (ADVICE r13 #4 — the committer's
+      // _SUCCESS artifact is configuration-dependent; this marker isn't)
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$base/_opsbase_${servedIds.max}"), true).close()
     }
   }
 
@@ -928,8 +941,12 @@ object Pq {
         fs.listStatus(ob).map(_.getPath.getName)
           .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
           .filter(_ < upto)
-          .foreach(u => fs.delete(
-            new org.apache.hadoop.fs.Path(s"$base/ops_base/$u"), true))
+          .foreach { u =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$base/ops_base/$u"),
+              true)
+            fs.delete(new org.apache.hadoop.fs.Path(s"$base/_opsbase_$u"),
+              false): Unit
+          }
     }
   }
 

@@ -1594,8 +1594,15 @@ object StreamingOps {
           val vecs = adds.select(col("doc_id").as("vec_id"), col("embedding"))
           val hasIdx = trainOrAppendPq(spark, fs, vecs, idxPath, trained,
             label = s"a$batchId")
-          // lex arm: the st24 serving view over ITS ops copy
-          val (nSegsCommitted, baseUpto) = LexIndex.servingLayout(spark, lexBase)
+          // lex arm: the st24 serving view over ITS ops copy. The
+          // layout EXCLUDES this batch id: the lex marker is written
+          // before the ann replay guard, so a crash between them
+          // replays with the lex marker already committed — counting
+          // it in the layout AND adding +1 below would overcount
+          // n_segs by one and rewrite results/<id> with different
+          // evidence (ADVICE r13 #1).
+          val (nSegsCommitted, baseUpto) =
+            LexIndex.servingLayout(spark, lexBase, excluding = Some(batchId))
           val (lexIdx, nDeadLex, _) =
             LexIndex.readTakedownCompactServing(spark, lexBase, Some(batchId))
           val lex = LexIndex

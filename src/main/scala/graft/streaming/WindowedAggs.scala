@@ -109,6 +109,58 @@ object WindowedAggs {
       .orderBy("l_id", "r_id")
   }
 
+  /** LAST-CLICK attribution — the bounded PRODUCTION configuration of
+    * st04's all-pairs window join (the n113 pattern applied to the
+    * events hot-key axis, VERDICT r13 #1). st04 emits EVERY
+    * (click, purchase) pair inside the forward hour, which is
+    * output-quadratic in one user's event density: the skew corpus's
+    * hot user (~9% of all traffic, with a burst hour putting all its
+    * clicks inside all its purchases' windows) makes the pair count —
+    * and the equi-join's per-key buffer — grow with the square of the
+    * key's density (measured in PERF.md round 14). Real attribution
+    * models don't want the cross product: LAST-CLICK assigns each
+    * purchase to the single latest click within the window, so output
+    * is purchase-proportional and the operator is the native as-of
+    * merge join ([[graft.plans.AsOfJoin]] — hash-partition by user,
+    * sort by ts, ONE remembered click per key while streaming the
+    * merge: O(1) per-key state beyond the sort, no pair
+    * materialization). The same semantics in a streaming deployment is
+    * one (ts, value) register per user in mapGroupsWithState versus
+    * the stream-stream join's window-buffered candidate sets. Only
+    * click_ts is emitted (not the click id), the j10 rule: same-
+    * timestamp click ties must not make the answer nondeterministic.
+    * Oracle: DuckDB's native ASOF join plus the window residual. */
+  val attributionLastClick: Q = Q(
+    "st28_attribution_lastclick",
+    """WITH a AS MATERIALIZED (
+      |  SELECT p.event_id, p.user_id, p.ts AS p_ts, c.ts AS c_ts,
+      |         p.value AS p_value
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON p.user_id = c.user_id AND p.ts >= c.ts)
+      |SELECT event_id, user_id,
+      |       CAST(p_ts AS TIMESTAMP) AS purchase_ts,
+      |       CAST(c_ts AS TIMESTAMP) AS click_ts,
+      |       p_value
+      |FROM a
+      |WHERE c_ts IS NOT NULL AND p_ts <= c_ts + INTERVAL 60 MINUTE
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir).events
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("p_value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+      "user_id", "c_user", "ts", "c_ts")
+      .filter(col("c_ts").isNotNull &&
+        col("ts") <= col("c_ts") + expr("INTERVAL 60 MINUTES"))
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("c_ts").as("click_ts"),
+        col("p_value"))
+      .orderBy("event_id")
+  }
+
   /** Streaming near-dup slice, batch twin (same pattern as st04): the
     * slice is tier-1 normalized-fingerprint dedup (first arrival = min
     * doc_id in arrival order) feeding batch MinHash+LSH over the
@@ -1297,7 +1349,8 @@ object WindowedAggs {
       if (!Pq.hasPqIndex(s, idxPath))
         Pq.writePqIndex(Pq.buildPqIndex(addVecs), idxPath)
       else Pq.appendToPqIndex(addVecs, idxPath, label = s"a$i")
-      val (nSegsCommitted, baseUpto) = LexIndex.servingLayout(s, lexBase)
+      val (nSegsCommitted, baseUpto) =
+        LexIndex.servingLayout(s, lexBase, excluding = Some(i.toLong))
       val (lexIdx, nDeadLex, _) =
         LexIndex.readTakedownCompactServing(s, lexBase, Some(i.toLong))
       val lex = LexIndex.bm25FromIndex(lexIdx, terms, 10)
@@ -1423,6 +1476,7 @@ object WindowedAggs {
   }
 
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
+    attributionLastClick,
     streamNearDup, indexedIngestBatch1, indexedIngestBatch2,
     qualityGateTwin, streamEnrichTwin, classifierGateTwin,
     decontaminateTwin, decontaminateRewriteTwin, streamPackTwin,

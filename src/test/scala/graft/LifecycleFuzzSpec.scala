@@ -30,7 +30,7 @@ import graft.operators.{LexIndex, Pq}
   * skipped or torn arbitrarily (the gates are self-healing across
   * batches). Injections are constructed from the public primitives
   * exactly as the machinery's own crash windows would leave them:
-  * markerless segment/generation/base dirs, `_SUCCESS`-less ops_base
+  * markerless segment/generation/base dirs, uncommitted ops_base
   * dirs, fold-without-prune.
   *
   * GRAFT_FUZZ_SEEDS scales the run (default 100 interleavings: 60 lex
@@ -281,7 +281,7 @@ class LifecycleFuzzSpec extends SparkSpec {
 
       def tornOpsBase(): Unit = if (nextId > 0) {
         // the real crash shape: a fold died mid-ops_base-write — task
-        // files present, no _SUCCESS. A real fold only ever targets an
+        // files present, no commit marker. A real fold only ever targets an
         // id with no committed summary (the gate needs a fresh append,
         // so servedIds.max has grown past every committed watermark),
         // so the injection must not corrupt an already-committed dir.

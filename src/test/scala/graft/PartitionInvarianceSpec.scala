@@ -80,7 +80,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // packed-store CDC lane: liveness-resolved repack per batch (r13)
     "st27_stream_packed_takedown",
     // stop-shingle containment: capped inverted-index self-join (r13)
-    "n113_containment_capped")
+    "n113_containment_capped",
+    // last-click attribution: native as-of merge join + residual (r14)
+    "st28_attribution_lastclick",
+    // tiered dedup: CC reps tier feeding containment on survivors (r14)
+    "n114_tiered_containment")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -83,8 +83,10 @@ class PlanLintSpec extends SparkSpec {
     "st25_ann_takedown_compaction", // n64's 8-anchor broadcast, per snapshot
     "n111_filtered_hybrid", // n83's 1-row stats broadcast (filtered lex arm)
                             //   + n13's 16-centroid broadcast (filtered sem arm)
-    "st26_hybrid_takedown_compaction" // n83's 1-row stats broadcast (lex arm) +
+    "st26_hybrid_takedown_compaction", // n83's 1-row stats broadcast (lex arm) +
                             //   n64's 8-anchor broadcast (sem arm), per snapshot
+    "n114_tiered_containment" // 1-row survivor-count scalar broadcast (the
+                            //   tier-size evidence column, p02's pattern)
   )
 
   /** A query's executed plan PLUS every cached subtree it scans: the

@@ -1969,11 +1969,70 @@ class StreamingSpec extends SparkSpec {
       "an at-least-once replay must be invisible")
   }
 
+  test("hybrid forget lane: replay between the lex and ann markers rewrites identical evidence") {
+    // ADVICE r13 #1: the lex `_committed_batch_` marker is written
+    // before the ann replay guard, so a crash between them replays the
+    // batch with its own lex marker already committed. The serving
+    // layout must EXCLUDE the in-flight id or n_segs overcounts by one
+    // and the rewritten results/<id> breaks stream == twin and the
+    // documented replay invisibility.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hybrid_marker_window")
+      .toString
+    val qIds = graft.operators.TextAnalysis.bm25QuerySet.map(_._1).distinct
+    val queryVecs = Tables(spark, sf0001).embeddings
+      .filter(col("vec_id").isin(qIds: _*))
+    val batches = hybridForgetBatches()
+    def lane(ckpt: String) = {
+      val input = MemoryStream[(Long, String, Array[Float], String)]
+      // folds disabled: the window under test is the marker pair, and
+      // a deterministic no-fold layout makes the n_segs prediction
+      // exact (batch 1's serve must report 2 = committed {0} + itself)
+      val q = StreamingOps.hybridServingIngestTakedownCompacting(
+        input.toDF().toDF("doc_id", "text", "embedding", "op"),
+        graft.operators.TextAnalysis.bm25QuerySet, queryVecs,
+        s"$dir/base", s"$dir/ckpt-$ckpt",
+        lexCompactEvery = 0, annCompactEvery = 0)
+      (input, q)
+    }
+    val (in1, q1) = lane("a")
+    try {
+      batches.take(2).foreach { b => in1.addData(b); q1.processAllAvailable() }
+    } finally q1.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("snap", "n_segs", "base_upto", "n_appends", "gen",
+          "n_dead_lex", "n_dead_ann", "q_id", "cand", "rrf", "rrf_rank")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getLong(8), r.getDouble(9), r.getLong(10))).toSet
+    val before = rows(spark.read.parquet(s"$dir/base/results/1"))
+    assert(before.nonEmpty && before.forall(_._2 == 2L),
+      "precondition: batch 1 serves n_segs = 2 (committed {0} + itself)")
+    // the crash: batch 1's ann marker (the replay guard) never landed;
+    // its lex marker and results did
+    assert(new java.io.File(s"$dir/base/ann/_served_batch_1").delete(),
+      "precondition: batch 1's ann marker must exist to delete")
+    assert(new java.io.File(s"$dir/base/lex/_committed_batch_1").exists(),
+      "precondition: batch 1's lex marker survives the crash")
+    // restart with a fresh checkpoint: batch 0 skips (guard present),
+    // batch 1 REPLAYS with its lex marker already committed
+    val (in2, q2) = lane("b")
+    try {
+      batches.take(2).foreach { b => in2.addData(b); q2.processAllAvailable() }
+    } finally q2.stop()
+    val after = rows(spark.read.parquet(s"$dir/base/results/1"))
+    assert(after == before,
+      "a replay inside the lex/ann marker window must rewrite identical " +
+        s"evidence; n_segs before=${before.map(_._2)} after=${after.map(_._2)}")
+  }
+
   test("hybrid forget lane: lex-folded/ann-torn cross-arm crash window leaks nothing and heals") {
     // THE cross-arm window (VERDICT r12 #2): the lex arm's fold
     // committed (its tombstones GC'd, dead rows off its disk) while the
     // ANN arm's fold crashed mid-flight — torn next generation (no
-    // _gen_ marker) AND torn ops_base survivors summary (no _SUCCESS).
+    // _gen_ marker) AND torn ops_base survivors summary (markerless).
     // The claim: no one-sided leak in ANY window (each arm resolves
     // liveness from its own complete ops copy), the torn artifacts are
     // invisible, and the next gate heals them.
@@ -2016,7 +2075,7 @@ class StreamingSpec extends SparkSpec {
     assert(Pq.currentPqGen(spark, annBase) == 0L,
       "a markerless generation must be invisible to the swap pointer")
     assert(Pq.pqOpsWatermark(spark, annBase).isEmpty,
-      "an uncommitted (_SUCCESS-less) ops_base must not become the watermark")
+      "an uncommitted (markerless) ops_base must not become the watermark")
     // the would-be leak, checked AT the crash moment: if the torn
     // ops_base were trusted as the watermark, batch-1's tombstones
     // would stop being read (their adds lost from the garbage summary)

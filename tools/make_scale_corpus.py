@@ -42,6 +42,28 @@ three planted heavy tails (all deterministic):
 Embeddings get the vector analog: vec_id % 499 == 0 copies collapse to
 tiny perturbations of the base vector (one hot IVF cell + a true
 embedding near-dup cluster); the rest sign-flip as in uniform mode.
+
+EVENTS SKEW (round 14 — VERDICT r13 #1): the stateful-streaming hot-KEY
+axis the document tails cannot exercise. Same N x row count, three
+deterministic tails:
+- hot user: in copies >= 1, a hash-chosen ~10% of events remap to
+  user_id 0 — one user carrying ~9% of ALL traffic (the bot/service
+  account). Grows one key's session state (st03), one side of every
+  per-user join (st04 pairs quadratically in this key's density, x11),
+  and one group's cardinality (x14).
+- burst window: an independent hash-chosen ~10% of copy >= 1 events
+  collapse their timestamps into ONE mid-timeline hour (spread
+  deterministically across its 3600 seconds) — one tumbling/sliding
+  window key holding ~9% of the corpus (st01/st02), that day's
+  distinct-user set ~= all users (x14), and a dense one-hour session
+  per participating user (st03).
+- mega-session / attribution hot spot: the intersection (~0.9% of all
+  events: the hot user inside the burst hour) chains the hot user's
+  burst events into a single session and puts ALL the hot user's
+  burst clicks within the attribution window of ALL its burst
+  purchases — the per-key quadratic-pair regime st04's all-pairs
+  semantics cannot bound (measured in PERF.md; the bounded production
+  configuration is st28's last-click as-of form).
 """
 import duckdb
 import os
@@ -133,7 +155,30 @@ COPY (
 
 estride = con.sql(f"SELECT max(event_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
 ustride = con.sql(f"SELECT max(user_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
-con.sql(f"""
+if skew:
+    # burst hour: mid-timeline, so windows before and after it survive
+    burst = con.sql(
+        f"SELECT min(ts) + INTERVAL 15 DAY FROM '{src}/events.parquet'"
+    ).fetchone()[0]
+    con.sql(f"""
+COPY (
+  SELECT e.event_id + c.copy * {estride} AS event_id,
+         CASE WHEN c.copy > 0 AND hash(e.event_id * 7919 + 13) % 10 = 5
+              THEN TIMESTAMP '{burst}'
+                   + to_seconds(CAST(hash(e.event_id) % 3600 AS BIGINT))
+                   + to_microseconds(CAST(e.event_id % 1000 AS BIGINT))
+              ELSE e.ts + c.copy * INTERVAL 1 MILLISECOND END AS ts,
+         CASE WHEN c.copy > 0 AND hash(e.event_id * 104729 + 7) % 10 = 0
+              THEN 0
+              ELSE e.user_id + c.copy * {ustride} END AS user_id,
+         e.event_type, e.value, e.props
+  FROM '{src}/events.parquet' e
+  CROSS JOIN (SELECT unnest(generate_series(0, {copies - 1})) AS copy) c
+  ORDER BY event_id
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+""")
+else:
+    con.sql(f"""
 COPY (
   SELECT e.event_id + c.copy * {estride} AS event_id,
          e.ts + c.copy * INTERVAL 1 MILLISECOND AS ts,
