@@ -965,11 +965,10 @@ object Corpus {
     val singletons = docs.select("doc_id")
       .join(clusters.select("doc_id"), Seq("doc_id"), "left_anti")
     val survivors = reps.unionByName(singletons)
-    val tiered = docs.join(survivors, Seq("doc_id"), "left_semi")
     // single-row scalar attach (the documented no-collect broadcast
     // shape, Relational.scala) — the tier-size evidence column
     val nSurv = survivors.agg(count(lit(1)).as("n_survivors"))
-    Dedup.containmentPairs(tiered, threshold = 0.2)
+    Dedup.containmentPairsTiered(docs, survivors, threshold = 0.2)
       .crossJoin(broadcast(nSurv))
       .orderBy("contained", "container")
   }

@@ -706,6 +706,38 @@ object Dedup {
       .orderBy("contained", "container")
   }
 
+  /** Containment pairs over an explicit SURVIVOR subset of `docs` —
+    * the tier-2 stage of a tiered dedup pipeline (n114). Reuses the
+    * memoized corpus shingle index semi-filtered by the survivor ids
+    * instead of re-shingling the subset corpus: the tier-1 stage
+    * (cluster reps) already built that index for its pair graph, and
+    * an ad-hoc `shingles(subset)` would re-scan and re-explode the
+    * corpus once per consumer of the shingle frame (three in this
+    * plan) — measured 18 s vs ~6 s at sf0.1 for the same answer. At
+    * rest the survivor set is corpus-proportional (most docs survive
+    * dedup), so it is a shuffled semi-join, not a broadcast. */
+  def containmentPairsTiered(docs: DataFrame, survivors: DataFrame,
+      threshold: Double): DataFrame = {
+    val sh2 = shingles(docs).join(survivors.select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val sizes = sh2.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh2.select(col("doc_id").as("d1"), col("sh"))
+    val b = sh2.select(col("doc_id").as("d2"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("containment",
+        col("c").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= threshold)
+      .select(
+        when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2")).as("contained"),
+        when(col("n1") <= col("n2"), col("d2")).otherwise(col("d1")).as("container"),
+        least(col("n1"), col("n2")).as("n_contained"),
+        greatest(col("n1"), col("n2")).as("n_container"),
+        col("containment"))
+  }
+
   /** STOP-SHINGLE containment (the unscreened-pair-family skew guard):
     * counts AND set sizes over the df-capped vocabulary — the IR
     * stopword treatment applied to shingles. Hot shingles (df > cap:

@@ -683,7 +683,8 @@ object Pq {
        |cand AS (SELECT p.q_id, a.vec_id FROM probes p
        |         JOIN asg a ON a.cell = p.cell
        |         WHERE a.vec_id <> p.q_id
-       |           AND (${survivors.replace("vec_id", "a.vec_id")})),
+       |           AND a.vec_id IN (SELECT vec_id FROM embeddings
+       |                            WHERE $survivors)),
        |adc AS (SELECT cn.q_id, cd.vec_id, $adcSumSql AS adc
        |        FROM cand cn
        |        JOIN codes cd ON cd.vec_id = cn.vec_id

@@ -1433,8 +1433,212 @@ object Similarity {
     }
   }
 
+  /** Fused hybrid body with a TENANT-AWARE lexical corpus: identical
+    * to [[hybridFusedSqlBody]] except the BM25 corpus joins embeddings
+    * for the tenant metadata (`label` lives there, n111's ACL-table
+    * shape), so `liveVec` may reference both vec_id and label. Stats
+    * (df/N/avgdl) are computed over the FILTERED corpus — the
+    * per-tenant-index semantics [[LexIndex.filterIndex]] implements on
+    * the Spark side. */
+  private def tenantHybridFusedSqlBody(liveVec: String, trainWhere: String,
+      lexK: Int, out: Int): String = {
+    val qIds = TextAnalysis.bm25QuerySet.map(_._1).distinct.sorted
+      .mkString(", ")
+    val liveEm = liveVec.replace("vec_id", "em.vec_id")
+      .replace("label", "em.label")
+    s"""WITH lexk AS (SELECT q_id, doc_id AS cand, rank AS r FROM (
+       |${LexIndex.bm25SqlCore(lexK,
+          "SELECT d.doc_id, d.text FROM documents d " +
+            s"JOIN embeddings em ON em.vec_id = d.doc_id WHERE ($liveEm)")}
+       |)),
+       |semk AS (SELECT q_id, nb_id AS cand, rn AS r FROM (
+       |${Pq.ivfPqIndexSqlCore(liveVec, "embeddings", trainWhere, "embeddings")}
+       |) WHERE q_id IN ($qIds)),
+       |fused AS (SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+       |                 COALESCE(l.cand, s.cand) AS cand,
+       |                 ${round6Sql(
+        s"COALESCE(1.0 / ($RrfK + l.r), 0) + COALESCE(1.0 / ($RrfK + s.r), 0)")} AS rrf
+       |          FROM lexk l FULL JOIN semk s
+       |            ON s.q_id = l.q_id AND s.cand = l.cand)
+       |SELECT q_id, cand, rrf, CAST(rrf_rank AS BIGINT) AS rrf_rank FROM (
+       |  SELECT q_id, cand, rrf,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY rrf DESC, cand) AS rrf_rank
+       |  FROM fused) WHERE rrf_rank <= $out""".stripMargin
+  }
+
+  /** DuckDB twin for TENANT-SCOPED FORGET (n115): one fused branch per
+    * (snapshot, tenant) — the tenant predicate conjoined into the live
+    * predicate on BOTH arms, per-snapshot dead-count evidence from the
+    * dead predicate. `snaps`: (snap, tenant, liveVec, tenantWhere,
+    * deadWhere), predicates over bare embeddings columns. */
+  private[graft] def tenantTakedownSnapshotSql(
+      snaps: Seq[(Long, Long, String, String, String)],
+      trainWhere: String, lexK: Int, out: Int): String = {
+    // dead counts scope to the SERVED corpus (documents ⋈ embeddings):
+    // takedowns are emitted from the joined corpus, and the id bridge
+    // is not total at every sf
+    def deadCount(dead: String): String =
+      "(SELECT CAST(count(*) AS BIGINT) FROM embeddings em " +
+        s"JOIN documents d ON d.doc_id = em.vec_id WHERE $dead)"
+    val branches = snaps.map { case (snap, tenant, live, tw, dead) =>
+      s"""SELECT CAST($snap AS BIGINT) AS snap,
+         |  CAST($tenant AS BIGINT) AS tenant,
+         |  ${deadCount(dead)} AS n_dead_lex,
+         |  ${deadCount(dead)} AS n_dead_ann,
+         |  * FROM (
+         |${tenantHybridFusedSqlBody(s"($live) AND ($tw)", trainWhere, lexK, out)}
+         |)""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n",
+      "\nORDER BY snap, tenant, q_id, rrf_rank")
+  }
+
+  /** TENANT-SCOPED FORGET (n115 — VERDICT r13 #3): n111's tenant
+    * pre-filter composed with the st26 physical-forget tree — the
+    * production RTBF query on a MULTI-TENANT serving system: "forget
+    * everything tenant T ever gave us, and prove the other tenants'
+    * serving didn't move."
+    *
+    * Lifecycle on a real two-arm takedown tree (lex LSM + PQ
+    * generations, the st24/st25 machinery): batch 0 ingests the even
+    * half of the corpus (all tenants); batch 1 ingests fresh non-T,
+    * non-O docs (ongoing ingest — it drives the ANN fold gate) and
+    * takes down EVERY tenant-T doc, including ids that never arrived
+    * (a del with no add is dead, not alive — the last-op-wins fold).
+    * Each snapshot serves TWO tenant-scoped hybrid queries through the
+    * REAL serving state: tenant pre-filter on both arms
+    * ([[LexIndex.filterIndex]] for tenant-corpus BM25 stats; the
+    * non-tenant codes dropped from the PQ index before any ADC work —
+    * n111's one-sided-leak guard), queries unfiltered, answers
+    * in-tenant. After the snap-1 serve both arms fold: T's rows
+    * physically leave both indexes and its tombstones GC.
+    *
+    * The hash attests the two compliance claims AT ONCE: tenant T's
+    * snap-1 branch is EMPTY (absence — a single leaked doc from either
+    * arm materializes rows where the oracle has none), and tenant O's
+    * snap-1 rows are byte-identical to its snap-0 rows (invariance —
+    * O's branch predicates differ across snaps, `evens` vs `all minus
+    * T`, yet select the same O corpus; per-tenant stats make the
+    * equality exact, which is precisely what a shared-corpus-stats
+    * post-filter could not deliver). Batch-1's non-tenant adds reach
+    * the tree but NOT tenant O's results — tenant isolation under
+    * ongoing ingest.
+    *
+    * Scale: the st26 audit carries over (index-bounded serves,
+    * survivor-only folds); the tenant allowed-set is corpus-
+    * proportional, deliberately NOT broadcast (DECISIONS r13 #6). */
+  val tenantTakedownQ: Q = {
+    val lexK = 10
+    val out = 10
+    val tenantT = 2L
+    val tenantO = 1L
+    val live0 = "vec_id % 2 = 0"
+    val live1 = s"(vec_id % 2 = 0 AND label % 5 <> $tenantT) OR " +
+      s"(vec_id % 2 = 1 AND label % 5 NOT IN ($tenantO, $tenantT))"
+    // the dead-count evidence is "ever-added vectors currently
+    // tombstoned" (st22's contract — deadDocs needs an add to count a
+    // tombstone as an index removal); the takedown itself targets ALL
+    // tenant-T ids, including never-arrived ones (dead for serving
+    // either way — the last-op-wins fold)
+    val deadT = s"label % 5 = $tenantT AND vec_id % 2 = 0"
+    Q(
+      "n115_tenant_takedown",
+      tenantTakedownSnapshotSql(Seq(
+        (0L, tenantO, live0, s"label % 5 = $tenantO", "FALSE"),
+        (0L, tenantT, live0, s"label % 5 = $tenantT", "FALSE"),
+        (1L, tenantO, live1, s"label % 5 = $tenantO", deadT),
+        (1L, tenantT, live1, s"label % 5 = $tenantT", deadT)),
+        trainWhere = "vec_id % 2 = 0", lexK = lexK, out = out)) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{LexIndex, Pq, ServingLoc, TextAnalysis}
+      val t = Tables(s, dir)
+      val corpus = t.documents
+        .join(t.embeddings, t.documents("doc_id") === t.embeddings("vec_id"))
+        .select(t.documents("doc_id"), col("text"), col("embedding"),
+          col("label"))
+      val base = ServingLoc.of(s, s"n115:$dir", "graft_tenant_takedown")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(base))
+        .foreach(st => fs.delete(st.getPath, true))
+      val lexBase = s"$base/lex"
+      val annBase = s"$base/ann"
+      def adds(pred: org.apache.spark.sql.Column) =
+        corpus.filter(pred).select(col("doc_id"), col("text"),
+          col("embedding"), lit("add").as("op"))
+      def dels(pred: org.apache.spark.sql.Column) =
+        corpus.filter(pred).select(col("doc_id"), lit("").as("text"),
+          array().cast("array<float>").as("embedding"), lit("del").as("op"))
+      val batches = Seq(
+        adds(col("doc_id") % 2 === 0),
+        adds(col("doc_id") % 2 === 1 &&
+            !(col("label") % 5).isin(tenantO, tenantT))
+          .unionByName(dels(col("label") % 5 === tenantT)))
+      val terms = TextAnalysis.bm25QuerySet.toDF("q_id", "term")
+      val qIds = TextAnalysis.bm25QuerySet.map(_._1).distinct
+      val queryVecs = t.embeddings.filter(col("vec_id").isin(qIds: _*))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        b.select("doc_id", "op")
+          .write.mode("overwrite").parquet(s"$lexBase/ops/$i")
+        b.select(col("doc_id").as("vec_id"), col("op"))
+          .write.mode("overwrite").parquet(s"$annBase/ops/$i")
+        val addRows = b.filter(col("op") === "add")
+        LexIndex.writeIndex(
+          LexIndex.buildIndex(addRows.select("doc_id", "text")),
+          s"$lexBase/batches/$i")
+        val g = Pq.currentPqGen(s, annBase)
+        val idxPath = Pq.pqGenPath(annBase, g)
+        val addVecs = addRows
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        if (!Pq.hasPqIndex(s, idxPath))
+          Pq.writePqIndex(Pq.buildPqIndex(addVecs), idxPath)
+        else Pq.appendToPqIndex(addVecs, idxPath, label = s"a$i")
+        val (lexIdx, nDeadLex, _) =
+          LexIndex.readTakedownCompactServing(s, lexBase, Some(i.toLong))
+        val ids = (0L to i.toLong).toSeq
+        val (deadAnn, nDeadAnn) = Pq.readPqTakedownLiveness(s, annBase, ids)
+        // the LIVE index is tenant-independent — resolve it once per
+        // snapshot; each tenant serve then pays only its own filter
+        val liveAnnIdx =
+          Pq.deletePqIndex(Pq.readPqIndex(s, idxPath), deadAnn)
+        val served = Seq(tenantO, tenantT).map { tenant =>
+          val allowed = t.embeddings.filter(col("label") % 5 === tenant)
+            .select(col("vec_id").as("doc_id"))
+          val lex = LexIndex
+            .bm25FromIndex(LexIndex.filterIndex(lexIdx, allowed), terms, lexK)
+            .select(col("q_id"), col("doc_id").as("cand"),
+              col("rank").as("r"))
+          val notTenant = t.embeddings.filter(col("label") % 5 =!= tenant)
+            .select("vec_id")
+          val sem = Pq.searchPqIndex(queryVecs,
+              Pq.deletePqIndex(liveAnnIdx, notTenant))
+            .select(col("q_id"), col("nb_id").as("cand"), col("rn").as("r"))
+          rrfFuse(lex, sem, out).withColumn("tenant", lit(tenant))
+        }.reduce(_ unionByName _)
+        served
+          .select(lit(i.toLong).as("snap"), col("tenant"),
+            lit(nDeadLex).as("n_dead_lex"), lit(nDeadAnn).as("n_dead_ann"),
+            col("q_id"), col("cand"), col("rrf"), col("rrf_rank"))
+          .write.mode("overwrite").parquet(s"$base/results/$i")
+        fs.create(new org.apache.hadoop.fs.Path(
+          s"$lexBase/_committed_batch_$i"), true).close()
+        fs.create(new org.apache.hadoop.fs.Path(
+          s"$annBase/_served_batch_$i"), true).close()
+        LexIndex.compactTakedownServing(s, lexBase)
+        LexIndex.pruneTakedownCompacted(s, lexBase)
+        Pq.foldPqTakedownIfDue(s, annBase, 1, ids)
+        Pq.prunePqTakedownFolded(s, annBase, ids)
+      }
+      s.read.parquet((0 to 1).map(i => s"$base/results/$i"): _*)
+        .select("snap", "tenant", "n_dead_lex", "n_dead_ann",
+          "q_id", "cand", "rrf", "rrf_rank")
+        .orderBy("snap", "tenant", "q_id", "rrf_rank")
+    }
+  }
+
   val all: Seq[Q] = Seq(cosineTopK, cosineTopKHeap, annLsh,
     embeddingNearDup, annIvf, annIvfKmeans, vectorQuantize, quantizedTopK,
     embeddingPool, truncationRecallQ, hybridRrf, embeddingDriftQ,
-    psiDriftQ, annIvfFiltered, hybridNdcgQ)
+    psiDriftQ, annIvfFiltered, hybridNdcgQ, tenantTakedownQ)
 }

@@ -2009,6 +2009,67 @@ object StreamingOps {
     * watermarks a stream-stream join would buffer forever; with them,
     * state older than the watermark horizon is evicted (the only
     * memory-safe shape at 100 TB/day ingest). */
+  final case class LastClick(ts: Timestamp, value: Double)
+  final case class AttributionOut(event_id: Long, user_id: Long,
+      purchase_ts: Timestamp, click_ts: Timestamp, p_value: Double)
+
+  /** LAST-CLICK attribution as a streaming operator with O(1) per-key
+    * state — st28's lane form, and the state-bounding answer to the
+    * measured st04 skew-killer (PERF.md round 14: the all-pairs
+    * window join reads exponent 1.42 at one skew decade because a hot
+    * user's clicks×purchases pair set — and the join's per-key
+    * buffer — grows with the square of the key's density). Here the
+    * per-user state is exactly ONE (latest click ts, value) register:
+    * each purchase is assigned to the single latest click within the
+    * backward `windowMinutes`, so output is purchase-proportional and
+    * state is constant per key no matter how hot the key runs.
+    *
+    * Delivery contract: per-user event-time order ACROSS micro-batches
+    * (the compacted-CDC / per-key-ordered-log shape; time-split
+    * batches of a replayed log satisfy it); WITHIN a batch the group
+    * is sorted by event time here, so intra-batch arrival order is
+    * free — the bounded quantity is the key's per-batch volume, not
+    * its history. Same-timestamp click-then-purchase resolves click
+    * first (ASOF `>=`, j10's tie rule); only click_ts is emitted, so
+    * same-timestamp click ties cannot make the answer
+    * nondeterministic. StreamingSpec proves the MemoryStream run
+    * equals the st28 batch twin (the DuckDB-oracled ASOF form) with
+    * cross-batch attributions present. */
+  def lastClickAttribution(events: DataFrame,
+      windowMinutes: Int = 60): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val stEnc = Encoders.product[LastClick]
+    implicit val outEnc = Encoders.product[AttributionOut]
+    val src = events
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"),
+        col("value"))
+      .as(Encoders.product[(Long, Long, Timestamp, String, Double)])
+    val winMs = windowMinutes * 60000L
+    src.groupByKey(_._2)
+      .flatMapGroupsWithState[LastClick, AttributionOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Timestamp, String, Double)],
+            state: GroupState[LastClick]) =>
+          var last = state.getOption.orNull
+          val out = List.newBuilder[AttributionOut]
+          // event-time order; clicks before purchases at equal ts
+          // (sort key: purchases rank 1), event_id tiebreak
+          rows.toSeq.sortBy(e =>
+            (e._3.getTime, if (e._4 == "purchase") 1 else 0, e._1))
+            .foreach { case (id, _, ts, kind, value) =>
+              if (kind == "click") last = LastClick(ts, value)
+              else if (kind == "purchase" && last != null &&
+                  ts.getTime >= last.ts.getTime &&
+                  ts.getTime <= last.ts.getTime + winMs)
+                out += AttributionOut(id, user, ts, last.ts, value)
+            }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }.toDF()
+  }
+
   def attributionJoin(left: DataFrame, right: DataFrame,
       watermark: String = "10 minutes",
       windowMinutes: Int = 10): DataFrame = {

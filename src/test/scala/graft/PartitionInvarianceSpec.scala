@@ -84,7 +84,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // last-click attribution: native as-of merge join + residual (r14)
     "st28_attribution_lastclick",
     // tiered dedup: CC reps tier feeding containment on survivors (r14)
-    "n114_tiered_containment")
+    "n114_tiered_containment",
+    // tenant-scoped forget: per-tenant filtered serve through both
+    // takedown arms (r14)
+    "n115_tenant_takedown")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

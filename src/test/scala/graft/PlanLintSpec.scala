@@ -85,8 +85,10 @@ class PlanLintSpec extends SparkSpec {
                             //   + n13's 16-centroid broadcast (filtered sem arm)
     "st26_hybrid_takedown_compaction", // n83's 1-row stats broadcast (lex arm) +
                             //   n64's 8-anchor broadcast (sem arm), per snapshot
-    "n114_tiered_containment" // 1-row survivor-count scalar broadcast (the
+    "n114_tiered_containment", // 1-row survivor-count scalar broadcast (the
                             //   tier-size evidence column, p02's pattern)
+    "n115_tenant_takedown"  // n83's 1-row stats broadcast (tenant-filtered
+                            //   lex arm), per snapshot × tenant
   )
 
   /** A query's executed plan PLUS every cached subtree it scans: the

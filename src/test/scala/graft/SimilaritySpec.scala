@@ -317,4 +317,56 @@ class SimilaritySpec extends SparkSpec {
     assert(rec(8L) == 1.0, "full width must reproduce its own ranking")
     assert(rec(4L) > 0.8, s"signal-bearing prefix should rank nearly identically, got ${rec(4L)}")
   }
+
+  test("n115: tenant takedown — other tenant byte-identical, T's bytes off both arms' disks") {
+    // the file-level half of n115's contract (the oracle attests the
+    // served ANSWERS; this attests the forget is physical on both
+    // arms after the final gates, and re-states the invariance claim
+    // directly on the served rows)
+    import graft.operators.{LexIndex, Pq, ServingLoc}
+    val served = Catalog.queries("n115_tenant_takedown")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getDouble(6), r.getLong(7)))
+    val snap0O = served.filter(t => t._1 == 0L && t._2 == 1L)
+      .map(t => (t._3, t._4, t._5, t._6)).toSet
+    val snap1O = served.filter(t => t._1 == 1L && t._2 == 1L)
+      .map(t => (t._3, t._4, t._5, t._6)).toSet
+    assert(snap0O.nonEmpty && snap0O == snap1O,
+      "tenant O's ranking must not move across tenant T's takedown")
+    assert(!served.exists(t => t._1 == 1L && t._2 == 2L),
+      "tenant T must be absent from its post-takedown serve")
+    val base = ServingLoc.get(spark, s"n115:$sf0001").get
+    val t = Tables(spark, sf0001)
+    val deadSet = t.documents
+      .join(t.embeddings, t.documents("doc_id") === t.embeddings("vec_id"))
+      .filter(col("label") % 5 === 2)
+      .select(t.documents("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(deadSet.nonEmpty)
+    // lex arm: T's rows are out of the folded base and its ops summary
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val upto = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/lex"))
+      .map(_.getPath.getName).filter(_.startsWith("_compacted_upto_"))
+      .map(_.stripPrefix("_compacted_upto_").toLong).max
+    val lexSurvivors = spark.read
+      .parquet(s"$base/lex/compacted/$upto/doclens")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(deadSet.forall(!lexSurvivors.contains(_)),
+      "a tenant-T doc's rows survived the lex fold on disk")
+    val lexOps = spark.read.parquet(s"$base/lex/ops_base/$upto")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(deadSet.forall(!lexOps.contains(_)),
+      "a tenant-T tombstone id still sits in the lex ops summary")
+    // ann arm: T's codes are out of the folded generation
+    val annBase = s"$base/ann"
+    val g = Pq.currentPqGen(spark, annBase)
+    assert(g >= 1L, "the ann takedown fold must have committed")
+    val annSurvivors = Pq.readPqIndex(spark, Pq.pqGenPath(annBase, g))
+      .codes.select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(deadSet.forall(!annSurvivors.contains(_)),
+      "a tenant-T vec's codes survived the ann fold on disk")
+  }
 }

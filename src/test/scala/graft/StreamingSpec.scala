@@ -1969,6 +1969,66 @@ class StreamingSpec extends SparkSpec {
       "an at-least-once replay must be invisible")
   }
 
+  test("last-click lane: stream == st28 twin with cross-batch attributions, O(1) state") {
+    // the state-bounding answer to st04's measured skew blowup
+    // (PERF.md r14): one (ts, value) register per user instead of the
+    // stream-stream join's window-buffered candidate sets. Events
+    // arrive in three TIME-SPLIT micro-batches (the per-key-ordered
+    // log shape the lane's contract names), so clicks from batch N
+    // attribute purchases in batch N+1 through the retained register.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val e = Tables(spark, sf0001).events
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"),
+        col("value"))
+    val bounds = e.agg(
+      org.apache.spark.sql.functions.min("ts"),
+      org.apache.spark.sql.functions.max("ts")).head()
+    val lo = bounds.getTimestamp(0).getTime
+    val hi = bounds.getTimestamp(1).getTime
+    val cut1 = new java.sql.Timestamp(lo + (hi - lo) / 3)
+    val cut2 = new java.sql.Timestamp(lo + 2 * (hi - lo) / 3)
+    def slice(pred: org.apache.spark.sql.Column) =
+      e.filter(pred).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getString(3), r.getDouble(4))).toSeq
+    val batches = Seq(
+      slice(col("ts") < cut1),
+      slice(col("ts") >= cut1 && col("ts") < cut2),
+      slice(col("ts") >= cut2))
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    val q = StreamingOps.lastClickAttribution(
+      input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value"),
+      windowMinutes = 60)
+      .writeStream.format("memory").queryName("last_click")
+      .outputMode(OutputMode.Update).start()
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      batches.foreach { b =>
+        input.addData(b); q.processAllAvailable()
+        perBatch += spark.table("last_click").count()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime,
+        r.getDouble(4))).toSet
+    val streamed = spark.table("last_click")
+      .select("event_id", "user_id", "purchase_ts", "click_ts", "p_value")
+    val twin = Catalog.queries("st28_attribution_lastclick")(spark, sf0001)
+      .select(col("event_id"), col("user_id"),
+        col("purchase_ts").cast("timestamp"),
+        col("click_ts").cast("timestamp"), col("p_value"))
+    assert(rows(streamed) == rows(twin) && rows(twin).nonEmpty,
+      s"lane ${rows(streamed).size} rows vs st28 twin ${rows(twin).size}")
+    // attributions arrived incrementally — some in every batch, so
+    // cross-batch register retention is actually exercised
+    assert(perBatch.head > 0 && perBatch.last > perBatch(1) &&
+      perBatch(1) > perBatch.head,
+      s"emission not incremental: $perBatch")
+  }
+
   test("hybrid forget lane: replay between the lex and ann markers rewrites identical evidence") {
     // ADVICE r13 #1: the lex `_committed_batch_` marker is written
     // before the ann replay guard, so a crash between them replays the
