@@ -488,4 +488,25 @@ object Graft {
       graft.operators.Similarity.rrfFuse(lex, sem, k)
     }
   }
+
+  /** Event-stream analytics over an (event_id, user_id, ts, event_type,
+    * value) frame. */
+  implicit class EventOps(df: DataFrame) {
+
+    /** Last-click attribution (st28's production shape): each
+      * `purchaseType` event assigned to the single LATEST `clickType`
+      * event by the same user within the backward window — the native
+      * as-of merge join, so output is purchase-proportional and the
+      * per-key cost is a sort, never the all-pairs window join's
+      * quadratic candidate set (the measured hot-user skew-killer,
+      * PERF.md round 14). Streaming deployments use the O(1)-per-key
+      * register form,
+      * [[graft.streaming.StreamingOps.lastClickAttribution]]. Returns
+      * (event_id, user_id, purchase_ts, click_ts, p_value). */
+    def lastClickAttribution(windowMinutes: Int = 60,
+        clickType: String = "click",
+        purchaseType: String = "purchase"): DataFrame =
+      graft.streaming.WindowedAggs.lastClickAttribution(
+        df, windowMinutes, clickType, purchaseType)
+  }
 }

@@ -130,6 +130,28 @@ object WindowedAggs {
     * click_ts is emitted (not the click id), the j10 rule: same-
     * timestamp click ties must not make the answer nondeterministic.
     * Oracle: DuckDB's native ASOF join plus the window residual. */
+  /** Library form of st28 (shared with the `events.lastClickAttribution`
+    * facade): each `purchaseType` event assigned to the single latest
+    * `clickType` event by the same user within the backward window,
+    * via the native as-of merge join. Output is purchase-proportional;
+    * only the click's timestamp is emitted (j10's tie rule). */
+  def lastClickAttribution(events: DataFrame, windowMinutes: Int = 60,
+      clickType: String = "click",
+      purchaseType: String = "purchase"): DataFrame = {
+    val purchases = events.filter(col("event_type") === purchaseType)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("p_value"))
+    val clicks = events.filter(col("event_type") === clickType)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+      "user_id", "c_user", "ts", "c_ts")
+      .filter(col("c_ts").isNotNull &&
+        col("ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("c_ts").as("click_ts"),
+        col("p_value"))
+  }
+
   val attributionLastClick: Q = Q(
     "st28_attribution_lastclick",
     """WITH a AS MATERIALIZED (
@@ -145,19 +167,7 @@ object WindowedAggs {
       |FROM a
       |WHERE c_ts IS NOT NULL AND p_ts <= c_ts + INTERVAL 60 MINUTE
       |ORDER BY event_id""".stripMargin) { (s, dir) =>
-    val e = Tables(s, dir).events
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"),
-        col("value").as("p_value"))
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-    graft.plans.AsOfJoin.asof(purchases, clicks,
-      "user_id", "c_user", "ts", "c_ts")
-      .filter(col("c_ts").isNotNull &&
-        col("ts") <= col("c_ts") + expr("INTERVAL 60 MINUTES"))
-      .select(col("event_id"), col("user_id"),
-        col("ts").as("purchase_ts"), col("c_ts").as("click_ts"),
-        col("p_value"))
+    lastClickAttribution(Tables(s, dir).events, windowMinutes = 60)
       .orderBy("event_id")
   }
 

@@ -164,6 +164,19 @@ class ApiSpec extends SparkSpec {
       "fused ranking must differ from the lexical arm alone")
   }
 
+  test("lastClickAttribution facade equals the st28 oracled entry") {
+    import graft.api.Graft._
+    val t = Tables(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "purchase_ts", "click_ts", "p_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString,
+          r.get(3).toString, r.getDouble(4))).toSet
+    val api = rows(t.events.lastClickAttribution())
+    val ref = rows(Catalog.queries("st28_attribution_lastclick")(spark, sf0001))
+    assert(api == ref && api.nonEmpty, s"api ${api.size} vs st28 ${ref.size}")
+  }
+
   test("tenant-scoped hybridTopK pre-filters BOTH arms (n111's facade form)") {
     import spark.implicits._
     val t = Tables(spark, sf0001)
