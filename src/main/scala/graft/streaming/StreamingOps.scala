@@ -382,9 +382,28 @@ object StreamingOps {
     * — [[dedupNormalizedWithWatermark]] — is their screen, same as
     * batch). Returns a streaming (d1, d2, jac) frame, d1 < d2, each
     * qualifying pair exactly once across the whole stream. */
+  /** `maxBucket` (round 14 — n113's stop-shingle reasoning applied to
+    * the STREAMING state axis): a (band, sig) bucket that reaches the
+    * cap is SATURATED — only near-identical content collides on a full
+    * band signature in volume, so a hot bucket is by definition a
+    * mega-cluster (the skew corpus's planted 1,100-copy cluster is one
+    * bucket here). A saturated bucket stops accumulating entries AND
+    * stops verifying arrivals, which bounds both the per-bucket state
+    * (the cap × per-doc hashes) and the per-arrival verify cost (O(cap),
+    * not O(cluster)) — without the cap both grow linearly and the
+    * emitted-pair work quadratically in the hot cluster's size, the
+    * exact blowup n08 measured on the batch side. The dropped class is
+    * intra-mega-cluster pairs past the cap — what tier-1 cluster-rep
+    * dedup removes before any pairwise stage; the drop is conservative
+    * under the first-colliding-band rule (a pair whose first band is
+    * saturated is dropped, never double-emitted elsewhere). With a cap
+    * wider than every bucket the output is IDENTICAL to the uncapped
+    * lane (StreamingSpec pins it — the n113 ≡ n08 pattern). Default
+    * None preserves the original semantics and state layout. */
   def streamingNearDupPairs(docs: DataFrame, threshold: Double = 0.6,
       retention: Option[String] = None,
-      watermark: String = "0 seconds"): DataFrame = {
+      watermark: String = "0 seconds",
+      maxBucket: Option[Int] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     implicit val probeEnc = Encoders.product[BandProbe]
@@ -446,7 +465,12 @@ object StreamingOps {
             // doc_id order makes same-batch arrivals deterministic
             rows.toSeq.sortBy(_.doc_id).foreach { p =>
               if (p.ts != null && p.ts.getTime > lastTs) lastTs = p.ts.getTime
-              if (!entries.exists(_.doc_id == p.doc_id)) {
+              // saturation gate BEFORE the dup-check: a saturated
+              // bucket does no per-arrival work at all (the bound is
+              // the point); size-based, so a takedown-shrunk bucket
+              // would naturally resume
+              if (!maxBucket.exists(entries.sizeIs >= _) &&
+                  !entries.exists(_.doc_id == p.doc_id)) {
                 entries.foreach { e =>
                   // emit from the pair's FIRST colliding band only
                   var first = -1

@@ -1969,6 +1969,51 @@ class StreamingSpec extends SparkSpec {
       "an at-least-once replay must be invisible")
   }
 
+  test("streaming LSH: bucket saturation cap bounds the hot cluster, cold buckets exact") {
+    // n113's reasoning on the streaming-state axis: a planted
+    // mega-cluster (one (band, sig) bucket) saturates at the cap —
+    // per-bucket state and per-arrival verify stay O(cap) — while
+    // every cold bucket's answer is untouched; with a cap wider than
+    // any bucket the output is IDENTICAL to the uncapped lane.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val hot = (100L until 120L).map(id =>
+      (id, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val cold = Seq(
+      (1L, "red orange yellow green blue indigo violet pink brown black"),
+      (2L, "red orange yellow green blue indigo violet pink brown white"))
+    val batches = Seq(hot.take(8) ++ cold, hot.drop(8))
+    def run(cap: Option[Int]): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, String)]
+      val name = s"sat_${cap.getOrElse(0)}"
+      val q = StreamingOps.streamingNearDupPairs(
+        input.toDF().toDF("doc_id", "text"), threshold = 0.6,
+        maxBucket = cap)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val capped = run(Some(5))
+    val uncapped = run(None)
+    val wide = run(Some(1000))
+    val hotIds = hot.map(_._1).toSet
+    def hotPairs(s: Set[(Long, Long)]) =
+      s.count(p => hotIds(p._1) && hotIds(p._2))
+    // identical docs: every pair's first colliding band is band 0, so
+    // the uncapped cluster emits C(20,2) and the capped one C(5,2) —
+    // the bucket stopped at 5 members
+    assert(hotPairs(uncapped) == 190, s"uncapped: ${hotPairs(uncapped)}")
+    assert(hotPairs(capped) == 10, s"capped: ${hotPairs(capped)}")
+    // the cold pair survives identically in all three runs
+    assert(capped((1L, 2L)) && uncapped((1L, 2L)) && wide((1L, 2L)))
+    // a cap wider than every bucket changes nothing (n113 ≡ n08)
+    assert(wide == uncapped,
+      s"wide-cap run must equal uncapped: ${wide.size} vs ${uncapped.size}")
+  }
+
   test("last-click lane: stream == st28 twin with cross-batch attributions, O(1) state") {
     // the state-bounding answer to st04's measured skew blowup
     // (PERF.md r14): one (ts, value) register per user instead of the
