@@ -673,8 +673,15 @@ object Dedup {
     * emit mirrored duplicates). Returns (contained, container,
     * n_contained, n_container, containment). */
   def containmentPairs(docs: DataFrame, threshold: Double,
-                       dfCap: Option[Long] = None): DataFrame = {
-    commonCounts(shingles(docs), dfCap)
+                       dfCap: Option[Long] = None): DataFrame =
+    containmentFrom(commonCounts(shingles(docs), dfCap), threshold)
+
+  /** Shared (contained, container, n_contained, n_container,
+    * containment) projection over a [[commonCounts]]-shaped frame —
+    * one implementation for the corpus-wide and tiered forms. */
+  private def containmentFrom(counts: DataFrame,
+      threshold: Double): DataFrame =
+    counts
       .withColumn("containment",
         col("c").cast("double") / least(col("n1"), col("n2")))
       .filter(col("containment") >= threshold)
@@ -684,7 +691,6 @@ object Dedup {
         least(col("n1"), col("n2")).as("n_contained"),
         greatest(col("n1"), col("n2")).as("n_container"),
         col("containment"))
-  }
 
   val containment: Q = Q(
     "n08_containment",
@@ -717,26 +723,11 @@ object Dedup {
     * rest the survivor set is corpus-proportional (most docs survive
     * dedup), so it is a shuffled semi-join, not a broadcast. */
   def containmentPairsTiered(docs: DataFrame, survivors: DataFrame,
-      threshold: Double): DataFrame = {
-    val sh2 = shingles(docs).join(survivors.select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    val sizes = sh2.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh2.select(col("doc_id").as("d1"), col("sh"))
-    val b = sh2.select(col("doc_id").as("d2"), col("sh"))
-    a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
-      .withColumn("containment",
-        col("c").cast("double") / least(col("n1"), col("n2")))
-      .filter(col("containment") >= threshold)
-      .select(
-        when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2")).as("contained"),
-        when(col("n1") <= col("n2"), col("d2")).otherwise(col("d1")).as("container"),
-        least(col("n1"), col("n2")).as("n_contained"),
-        greatest(col("n1"), col("n2")).as("n_container"),
-        col("containment"))
-  }
+      threshold: Double): DataFrame =
+    containmentFrom(
+      commonCounts(shingles(docs).join(survivors.select("doc_id"),
+        Seq("doc_id"), "left_semi"), dfCap = None),
+      threshold)
 
   /** STOP-SHINGLE containment (the unscreened-pair-family skew guard):
     * counts AND set sizes over the df-capped vocabulary — the IR

@@ -834,20 +834,38 @@ object Pq {
     * ever become the watermark — safe direction, but ops logs never GC
     * and torn dirs accumulate unboundedly (ADVICE r13 #4). The own
     * marker makes commitment independent of committer configuration; a
-    * markerless dir (torn write, or a pre-marker legacy tree) is
-    * invisible and swept by [[prunePqTakedownFolded]] once a later
-    * fold commits a higher watermark (served batch ids only grow). */
+    * dir with neither artifact (a torn write) is invisible and swept
+    * by [[prunePqTakedownFolded]] once a later fold commits a higher
+    * watermark (served batch ids only grow).
+    *
+    * Migration: a summary committed by a pre-marker build carries
+    * `_SUCCESS` but no `_opsbase_` marker — and its pre-watermark
+    * `ops/<id>` logs may already be pruned, so treating it as
+    * uncommitted would LOSE its add records (a later del for such a
+    * vector would be silently dropped — the permanent forget leak)
+    * and crash the liveness read on the missing logs. Legacy
+    * summaries therefore still count via their `_SUCCESS`; only
+    * marker-less AND `_SUCCESS`-less dirs are torn. New folds write
+    * the marker, so fresh trees never depend on committer
+    * configuration. */
   def pqOpsWatermark(spark: org.apache.spark.sql.SparkSession,
       base: String): Option[Long] = {
     val fs = IndexCommit.fsOf(spark, base)
     val bp = new org.apache.hadoop.fs.Path(base)
-    if (!fs.exists(bp)) None
-    else fs.listStatus(bp).map(_.getPath.getName)
-      .filter(_.startsWith("_opsbase_")).map(_.stripPrefix("_opsbase_"))
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-      .filter(w => fs.exists(new org.apache.hadoop.fs.Path(
-        s"$base/ops_base/$w")))
-      .maxOption
+    val p = new org.apache.hadoop.fs.Path(s"$base/ops_base")
+    if (!fs.exists(bp) || !fs.exists(p)) None
+    else {
+      val markers = fs.listStatus(bp).map(_.getPath.getName)
+        .filter(_.startsWith("_opsbase_")).map(_.stripPrefix("_opsbase_"))
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+        .filter(w => fs.exists(new org.apache.hadoop.fs.Path(
+          s"$base/ops_base/$w")))
+      val legacy = fs.listStatus(p).map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+        .filter(w => fs.exists(new org.apache.hadoop.fs.Path(
+          s"$base/ops_base/$w/_SUCCESS")))
+      (markers ++ legacy).maxOption
+    }
   }
 
   /** Liveness of a compacting-takedown ANN tree: the SAME last-op-wins

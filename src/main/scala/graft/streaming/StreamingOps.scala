@@ -381,8 +381,9 @@ object StreamingOps {
     * < 3 words have no shingles and never probe (the fingerprint tier
     * — [[dedupNormalizedWithWatermark]] — is their screen, same as
     * batch). Returns a streaming (d1, d2, jac) frame, d1 < d2, each
-    * qualifying pair exactly once across the whole stream. */
-  /** `maxBucket` (round 14 — n113's stop-shingle reasoning applied to
+    * qualifying pair exactly once across the whole stream.
+    *
+    * `maxBucket` (round 14 — n113's stop-shingle reasoning applied to
     * the STREAMING state axis): a (band, sig) bucket that reaches the
     * cap is SATURATED — only near-identical content collides on a full
     * band signature in volume, so a hot bucket is by definition a
@@ -1664,16 +1665,41 @@ object StreamingOps {
         // prune's linger window is one micro-batch). The cadences are
         // independent by design; any interleaving of their crash
         // windows is per-arm self-healing.
-        if (lexCompactEvery > 0 &&
-            LexIndex.hasCommittedSegments(spark, lexBase)) {
-          if (LexIndex.tailSegmentCount(spark, lexBase) >= lexCompactEvery)
-            LexIndex.compactTakedownServing(spark, lexBase)
-          LexIndex.pruneTakedownCompacted(spark, lexBase)
+        //
+        // The gates run only when NO batch is in flight: a batch whose
+        // PQ train/append or lex marker landed but whose ann replay
+        // guard did not (the lex/ann marker crash window) would
+        // otherwise be half-folded by an EARLIER replayed batch's gate
+        // — the fold advances gen / consumes the tail segment, and the
+        // in-flight batch's replay then rewrites results/<id> with
+        // different evidence (gen, n_appends, n_segs, base_upto),
+        // breaking replay invisibility. Deferring extends the fold
+        // linger window by exactly the replayed batch; the next gate
+        // (after its guard lands) folds everything.
+        def markerIds(dir: String, prefix: String): Set[Long] = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          if (!fs.exists(p)) Set.empty[Long]
+          else fs.listStatus(p).map(_.getPath.getName)
+            .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+            .filter(s0 => s0.nonEmpty && s0.forall(_.isDigit))
+            .map(_.toLong).toSet
         }
-        if (annCompactEvery > 0) {
-          Pq.foldPqTakedownIfDue(spark, annBase, annCompactEvery,
-            annServedIds(None))
-          Pq.prunePqTakedownFolded(spark, annBase, annServedIds(None))
+        val guarded = annServedIds(None).toSet
+        val inFlight =
+          (markerIds(lexBase, "_committed_batch_") ++
+            markerIds(annBase, "_trained_batch_")).exists(!guarded(_))
+        if (!inFlight) {
+          if (lexCompactEvery > 0 &&
+              LexIndex.hasCommittedSegments(spark, lexBase)) {
+            if (LexIndex.tailSegmentCount(spark, lexBase) >= lexCompactEvery)
+              LexIndex.compactTakedownServing(spark, lexBase)
+            LexIndex.pruneTakedownCompacted(spark, lexBase)
+          }
+          if (annCompactEvery > 0) {
+            Pq.foldPqTakedownIfDue(spark, annBase, annCompactEvery,
+              annServedIds(None))
+            Pq.prunePqTakedownFolded(spark, annBase, annServedIds(None))
+          }
         }: Unit
       }
       .start()
@@ -2033,67 +2059,6 @@ object StreamingOps {
     * watermarks a stream-stream join would buffer forever; with them,
     * state older than the watermark horizon is evicted (the only
     * memory-safe shape at 100 TB/day ingest). */
-  final case class LastClick(ts: Timestamp, value: Double)
-  final case class AttributionOut(event_id: Long, user_id: Long,
-      purchase_ts: Timestamp, click_ts: Timestamp, p_value: Double)
-
-  /** LAST-CLICK attribution as a streaming operator with O(1) per-key
-    * state — st28's lane form, and the state-bounding answer to the
-    * measured st04 skew-killer (PERF.md round 14: the all-pairs
-    * window join reads exponent 1.42 at one skew decade because a hot
-    * user's clicks×purchases pair set — and the join's per-key
-    * buffer — grows with the square of the key's density). Here the
-    * per-user state is exactly ONE (latest click ts, value) register:
-    * each purchase is assigned to the single latest click within the
-    * backward `windowMinutes`, so output is purchase-proportional and
-    * state is constant per key no matter how hot the key runs.
-    *
-    * Delivery contract: per-user event-time order ACROSS micro-batches
-    * (the compacted-CDC / per-key-ordered-log shape; time-split
-    * batches of a replayed log satisfy it); WITHIN a batch the group
-    * is sorted by event time here, so intra-batch arrival order is
-    * free — the bounded quantity is the key's per-batch volume, not
-    * its history. Same-timestamp click-then-purchase resolves click
-    * first (ASOF `>=`, j10's tie rule); only click_ts is emitted, so
-    * same-timestamp click ties cannot make the answer
-    * nondeterministic. StreamingSpec proves the MemoryStream run
-    * equals the st28 batch twin (the DuckDB-oracled ASOF form) with
-    * cross-batch attributions present. */
-  def lastClickAttribution(events: DataFrame,
-      windowMinutes: Int = 60): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    implicit val stEnc = Encoders.product[LastClick]
-    implicit val outEnc = Encoders.product[AttributionOut]
-    val src = events
-      .select(col("event_id"), col("user_id"),
-        col("ts").cast("timestamp").as("ts"), col("event_type"),
-        col("value"))
-      .as(Encoders.product[(Long, Long, Timestamp, String, Double)])
-    val winMs = windowMinutes * 60000L
-    src.groupByKey(_._2)
-      .flatMapGroupsWithState[LastClick, AttributionOut](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long, Timestamp, String, Double)],
-            state: GroupState[LastClick]) =>
-          var last = state.getOption.orNull
-          val out = List.newBuilder[AttributionOut]
-          // event-time order; clicks before purchases at equal ts
-          // (sort key: purchases rank 1), event_id tiebreak
-          rows.toSeq.sortBy(e =>
-            (e._3.getTime, if (e._4 == "purchase") 1 else 0, e._1))
-            .foreach { case (id, _, ts, kind, value) =>
-              if (kind == "click") last = LastClick(ts, value)
-              else if (kind == "purchase" && last != null &&
-                  ts.getTime >= last.ts.getTime &&
-                  ts.getTime <= last.ts.getTime + winMs)
-                out += AttributionOut(id, user, ts, last.ts, value)
-            }
-          if (last != null) state.update(last)
-          out.result().iterator
-      }.toDF()
-  }
-
   def attributionJoin(left: DataFrame, right: DataFrame,
       watermark: String = "10 minutes",
       windowMinutes: Int = 10): DataFrame = {
@@ -2109,6 +2074,104 @@ object StreamingOps {
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
       .select(col("l_id"), col("r_id"), col("user_id"),
         col("l_ts"), col("r_ts"), col("l_value"), col("r_value"))
+  }
+
+  final case class LastClick(ts: Timestamp)
+  final case class AttributionOut(event_id: Long, user_id: Long,
+      purchase_ts: Timestamp, click_ts: Timestamp, p_value: Double)
+
+  /** LAST-CLICK attribution as a streaming operator with O(1) per-key
+    * state — st28's lane form, and the state-bounding answer to the
+    * measured st04 skew-killer (PERF.md round 14: the all-pairs
+    * window join reads exponent 1.42 at one skew decade because a hot
+    * user's clicks×purchases pair set — and the join's per-key
+    * buffer — grows with the square of the key's density). Here the
+    * per-user state is exactly ONE latest-click-timestamp register:
+    * each purchase is assigned to the single latest click within the
+    * backward `windowMinutes`, so output is purchase-proportional and
+    * state is constant per key no matter how hot the key runs.
+    *
+    * Delivery contract: per-user event-time order ACROSS micro-batches
+    * (the compacted-CDC / per-key-ordered-log shape; time-split
+    * batches of a replayed log satisfy it); WITHIN a batch the group
+    * is sorted by event time here, so intra-batch arrival order is
+    * free — the bounded quantity is the key's per-batch volume, not
+    * its history. Same-timestamp click-then-purchase resolves click
+    * first (ASOF `>=`, j10's tie rule); only click_ts is emitted, so
+    * same-timestamp click ties cannot make the answer
+    * nondeterministic. StreamingSpec proves the MemoryStream run
+    * equals the st28 batch twin (the DuckDB-oracled ASOF form) with
+    * cross-batch attributions present.
+    *
+    * `retention` bounds TOTAL state over the stream's lifetime (the
+    * per-key register is O(1), but without eviction the store grows
+    * with cumulative user cardinality — a register older than the
+    * window can never attribute anything). With retention set, each
+    * register carries an event-time timeout at (click ts + retention);
+    * when the stream's watermark passes it the register is dropped.
+    * `retention` must be ≥ the attribution window (enforced) plus the
+    * source's event-time lateness (the caller's contract, like every
+    * watermarked operator): then a dropped register could only have
+    * attributed purchases whose window had already expired, so the
+    * answer is unchanged — StreamingSpec pins output equality with
+    * and without retention on time-split batches. */
+  def lastClickAttribution(events: DataFrame,
+      windowMinutes: Int = 60,
+      retention: Option[String] = None,
+      watermark: String = "0 seconds"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val stEnc = Encoders.product[LastClick]
+    implicit val outEnc = Encoders.product[AttributionOut]
+    val winMs = windowMinutes * 60000L
+    val withRet = retention.isDefined
+    val retMs = retention.map(durationMs).getOrElse(0L)
+    require(!withRet || retMs >= winMs,
+      s"retention ($retMs ms) must cover the attribution window ($winMs ms): " +
+        "an earlier eviction would drop still-attributable clicks")
+    val srcDf = events
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"),
+        col("value"))
+    val src = (if (withRet) srcDf.withWatermark("ts", watermark) else srcDf)
+      .as(Encoders.product[(Long, Long, Timestamp, String, Double)])
+    src.groupByKey(_._2)
+      .flatMapGroupsWithState[LastClick, AttributionOut](
+        OutputMode.Update,
+        if (withRet) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Timestamp, String, Double)],
+            state: GroupState[LastClick]) =>
+          if (withRet && state.hasTimedOut) {
+            // watermark passed (click ts + retention): the register's
+            // attribution window expired strictly earlier — drop it
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption.orNull
+            val out = List.newBuilder[AttributionOut]
+            // event-time order; clicks before purchases at equal ts
+            // (sort key: purchases rank 1), event_id tiebreak
+            rows.toSeq.sortBy(e =>
+              (e._3.getTime, if (e._4 == "purchase") 1 else 0, e._1))
+              .foreach { case (id, _, ts, kind, value) =>
+                if (kind == "click") last = LastClick(ts)
+                else if (kind == "purchase" && last != null &&
+                    ts.getTime >= last.ts.getTime &&
+                    ts.getTime <= last.ts.getTime + winMs)
+                  out += AttributionOut(id, user, ts, last.ts, value)
+              }
+            if (last != null) {
+              state.update(last)
+              // the +1 guard keeps the timeout legal when click ts +
+              // retention is already behind the current watermark
+              if (withRet) state.setTimeoutTimestamp(
+                math.max(last.ts.getTime + retMs,
+                  state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
+          }
+      }.toDF()
   }
 
   /** The reference's minute-cadence pipeline as a real streaming query

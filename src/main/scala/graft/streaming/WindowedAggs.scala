@@ -109,27 +109,6 @@ object WindowedAggs {
       .orderBy("l_id", "r_id")
   }
 
-  /** LAST-CLICK attribution — the bounded PRODUCTION configuration of
-    * st04's all-pairs window join (the n113 pattern applied to the
-    * events hot-key axis, VERDICT r13 #1). st04 emits EVERY
-    * (click, purchase) pair inside the forward hour, which is
-    * output-quadratic in one user's event density: the skew corpus's
-    * hot user (~9% of all traffic, with a burst hour putting all its
-    * clicks inside all its purchases' windows) makes the pair count —
-    * and the equi-join's per-key buffer — grow with the square of the
-    * key's density (measured in PERF.md round 14). Real attribution
-    * models don't want the cross product: LAST-CLICK assigns each
-    * purchase to the single latest click within the window, so output
-    * is purchase-proportional and the operator is the native as-of
-    * merge join ([[graft.plans.AsOfJoin]] — hash-partition by user,
-    * sort by ts, ONE remembered click per key while streaming the
-    * merge: O(1) per-key state beyond the sort, no pair
-    * materialization). The same semantics in a streaming deployment is
-    * one (ts, value) register per user in mapGroupsWithState versus
-    * the stream-stream join's window-buffered candidate sets. Only
-    * click_ts is emitted (not the click id), the j10 rule: same-
-    * timestamp click ties must not make the answer nondeterministic.
-    * Oracle: DuckDB's native ASOF join plus the window residual. */
   /** Library form of st28 (shared with the `events.lastClickAttribution`
     * facade): each `purchaseType` event assigned to the single latest
     * `clickType` event by the same user within the backward window,
@@ -152,6 +131,27 @@ object WindowedAggs {
         col("p_value"))
   }
 
+  /** LAST-CLICK attribution — the bounded PRODUCTION configuration of
+    * st04's all-pairs window join (the n113 pattern applied to the
+    * events hot-key axis, VERDICT r13 #1). st04 emits EVERY
+    * (click, purchase) pair inside the forward hour, which is
+    * output-quadratic in one user's event density: the skew corpus's
+    * hot user (~9% of all traffic, with a burst hour putting all its
+    * clicks inside all its purchases' windows) makes the pair count —
+    * and the equi-join's per-key buffer — grow with the square of the
+    * key's density (measured in PERF.md round 14). Real attribution
+    * models don't want the cross product: LAST-CLICK assigns each
+    * purchase to the single latest click within the window, so output
+    * is purchase-proportional and the operator is the native as-of
+    * merge join ([[graft.plans.AsOfJoin]] — hash-partition by user,
+    * sort by ts, ONE remembered click per key while streaming the
+    * merge: O(1) per-key state beyond the sort, no pair
+    * materialization). The same semantics in a streaming deployment is
+    * one (ts, value) register per user in mapGroupsWithState versus
+    * the stream-stream join's window-buffered candidate sets. Only
+    * click_ts is emitted (not the click id), the j10 rule: same-
+    * timestamp click ties must not make the answer nondeterministic.
+    * Oracle: DuckDB's native ASOF join plus the window residual. */
   val attributionLastClick: Q = Q(
     "st28_attribution_lastclick",
     """WITH a AS MATERIALIZED (

@@ -2042,19 +2042,22 @@ class StreamingSpec extends SparkSpec {
       slice(col("ts") < cut1),
       slice(col("ts") >= cut1 && col("ts") < cut2),
       slice(col("ts") >= cut2))
-    val input = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
-    val q = StreamingOps.lastClickAttribution(
-      input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value"),
-      windowMinutes = 60)
-      .writeStream.format("memory").queryName("last_click")
-      .outputMode(OutputMode.Update).start()
     val perBatch = scala.collection.mutable.ArrayBuffer.empty[Long]
-    try {
-      batches.foreach { b =>
-        input.addData(b); q.processAllAvailable()
-        perBatch += spark.table("last_click").count()
-      }
-    } finally q.stop()
+    def run(name: String, retention: Option[String]): Unit = {
+      val input = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+      val q = StreamingOps.lastClickAttribution(
+        input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value"),
+        windowMinutes = 60, retention = retention)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try {
+        batches.foreach { b =>
+          input.addData(b); q.processAllAvailable()
+          if (retention.isEmpty) perBatch += spark.table(name).count()
+        }
+      } finally q.stop()
+    }
+    run("last_click", None)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1),
         r.getTimestamp(2).getTime, r.getTimestamp(3).getTime,
@@ -2072,6 +2075,15 @@ class StreamingSpec extends SparkSpec {
     assert(perBatch.head > 0 && perBatch.last > perBatch(1) &&
       perBatch(1) > perBatch.head,
       s"emission not incremental: $perBatch")
+    // state-bounding retention (the register eviction) is answer-
+    // invisible when retention covers the window: a dropped register's
+    // attribution window expired strictly before the watermark reached
+    // it, so no purchase it could still serve can arrive
+    run("last_click_ret", Some("2 hours"))
+    assert(rows(spark.table("last_click_ret")
+        .select("event_id", "user_id", "purchase_ts", "click_ts", "p_value"))
+      == rows(streamed),
+      "retention-evicted run must serve identical attributions")
   }
 
   test("hybrid forget lane: replay between the lex and ann markers rewrites identical evidence") {
@@ -2089,16 +2101,17 @@ class StreamingSpec extends SparkSpec {
     val queryVecs = Tables(spark, sf0001).embeddings
       .filter(col("vec_id").isin(qIds: _*))
     val batches = hybridForgetBatches()
-    def lane(ckpt: String) = {
+    def lane(ckpt: String, lexEvery: Int = 0, annEvery: Int = 0) = {
       val input = MemoryStream[(Long, String, Array[Float], String)]
-      // folds disabled: the window under test is the marker pair, and
-      // a deterministic no-fold layout makes the n_segs prediction
-      // exact (batch 1's serve must report 2 = committed {0} + itself)
+      // run 1 disables the folds: the crash under test happens BEFORE
+      // batch 1's gates ever ran, so the pre-crash tree must hold the
+      // unfolded layout (and the no-fold layout makes the n_segs
+      // prediction exact: batch 1 serves 2 = committed {0} + itself)
       val q = StreamingOps.hybridServingIngestTakedownCompacting(
         input.toDF().toDF("doc_id", "text", "embedding", "op"),
         graft.operators.TextAnalysis.bm25QuerySet, queryVecs,
         s"$dir/base", s"$dir/ckpt-$ckpt",
-        lexCompactEvery = 0, annCompactEvery = 0)
+        lexCompactEvery = lexEvery, annCompactEvery = annEvery)
       (input, q)
     }
     val (in1, q1) = lane("a")
@@ -2121,9 +2134,14 @@ class StreamingSpec extends SparkSpec {
       "precondition: batch 1's ann marker must exist to delete")
     assert(new java.io.File(s"$dir/base/lex/_committed_batch_1").exists(),
       "precondition: batch 1's lex marker survives the crash")
-    // restart with a fresh checkpoint: batch 0 skips (guard present),
-    // batch 1 REPLAYS with its lex marker already committed
-    val (in2, q2) = lane("b")
+    // restart with a fresh checkpoint AND the folds enabled — the
+    // review-found residual window: batch 0 replays first (its guard
+    // present, serve skipped) and runs the gates, which would fold
+    // batch 1's half-committed segment/append (tail = 2, appendCount
+    // = 1) BEFORE batch 1's replay serves — the replay would then
+    // rewrite results/1 with gen+1 / n_appends 0 / base_upto 1. The
+    // in-flight gate defers both folds until batch 1's guard lands.
+    val (in2, q2) = lane("b", lexEvery = 2, annEvery = 1)
     try {
       batches.take(2).foreach { b => in2.addData(b); q2.processAllAvailable() }
     } finally q2.stop()
@@ -2131,6 +2149,12 @@ class StreamingSpec extends SparkSpec {
     assert(after == before,
       "a replay inside the lex/ann marker window must rewrite identical " +
         s"evidence; n_segs before=${before.map(_._2)} after=${after.map(_._2)}")
+    // ...and the deferred folds DID run once the guard landed: the
+    // linger window is the replayed batch, not forever
+    assert(new java.io.File(s"$dir/base/lex/compacted/1").isDirectory,
+      "the deferred lex fold must commit after the in-flight batch's guard")
+    assert(graft.operators.Pq.currentPqGen(spark, s"$dir/base/ann") >= 1L,
+      "the deferred ann fold must commit after the in-flight batch's guard")
   }
 
   test("hybrid forget lane: lex-folded/ann-torn cross-arm crash window leaks nothing and heals") {
