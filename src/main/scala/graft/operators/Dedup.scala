@@ -498,6 +498,72 @@ object Dedup {
       .select("d1", "d2", "jac")
   }
 
+  /** BATCH TWIN of the SATURATION-CAPPED streaming near-dup lane
+    * ([[graft.streaming.StreamingOps.streamingNearDupPairs]] with
+    * `maxBucket` set) — st29's Spark side, and the n113 pattern
+    * finished on the STREAMING state axis (VERDICT r14 #1): the capped
+    * lane's exact-answer equality was previously attested only by one
+    * StreamingSpec test; as a catalog entry the driver hash re-attests
+    * it every round.
+    *
+    * Semantics replicated exactly, with arrival order = doc_id order
+    * (the per-key-ordered-log delivery contract the stream documents;
+    * same-batch ties already sort by doc_id in the lane):
+    *   - a (band, sig) bucket holds only its first `maxBucket`
+    *     arrivals — later colliders neither enter NOR verify (the
+    *     saturation gate runs before any per-arrival work);
+    *   - a pair emits only from its FIRST colliding band over the FULL
+    *     signature vectors, so a pair whose first band is saturated
+    *     for either member is dropped, never re-emitted from a later
+    *     live band (the stream's exactly-once rule, preserved here);
+    *   - the Jaccard value is exact over the full shingle sets
+    *     (verify-on-candidates, the same count the lane's hash-set
+    *     intersection computes barring a 64-bit collision).
+    *
+    * Scale shape: band membership is one shuffle on (band, sig) with a
+    * rank window — the per-bucket sort is bounded by the bucket, and
+    * the self-join fan-out is capped at C(maxBucket, 2) per bucket, so
+    * a 1,100-copy mega-cluster (one bucket here) costs O(cap²) instead
+    * of O(cluster²): the exact blowup the uncapped lane's state and
+    * emission pay (PERF.md round-14 skew ladder). With a cap wider
+    * than every bucket the answer is IDENTICAL to the uncapped lane
+    * and to the exact pair set (16×1 banding recall, n04's argument) —
+    * which is what the DuckDB oracle checks at the harness SFs. */
+  def nearDuplicatePairsCapped(docs: DataFrame, threshold: Double,
+                               maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBands = NumHashes / BandRows
+    val sh = shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // full signature vector per doc — xxhash64 chain, bit-identical to
+    // the lane's rowBandSigs (StreamingSpec pins the chain to SQL
+    // xxhash64); BandRows = 1 ⇒ sig b = mh b
+    val withSigs = minhashWideFast(sh).select(col("doc_id"),
+      array((0 until nBands).map(b => col(s"mh$b")): _*).as("sigs"))
+    val bands = withSigs.select(col("doc_id"), col("sigs"),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
+    val member = bands.withColumn("rk",
+        row_number().over(Window.partitionBy("band", "sig").orderBy("doc_id")))
+      .filter(col("rk") <= maxBucket)
+      .drop("rk")
+    // pairs among capped co-members; first-colliding-band over the FULL
+    // vectors decides which single bucket may emit the pair
+    val cand = member.select(col("band"), col("sig"),
+        col("doc_id").as("d1"), col("sigs").as("sigs1"))
+      .join(member.select(col("band"), col("sig"),
+        col("doc_id").as("d2"), col("sigs").as("sigs2")), Seq("band", "sig"))
+      .filter(col("d1") < col("d2"))
+      .filter(col("band") ===
+        array_position(zip_with(col("sigs1"), col("sigs2"), _ === _), true) - 1)
+      .select("d1", "d2")
+    verifyCommon(sh, cand)
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
+      .filter(col("jac") >= threshold)
+      .select("d1", "d2", "jac")
+  }
+
   /** PRODUCTION-SHAPED LSH banding, hash-oracled (DECISIONS.md #4):
     * unlike n04 (16 bands × 1 row — recall ≈ 1 so the exact answer can
     * be its oracle), this entry runs the configuration a 100 TB corpus

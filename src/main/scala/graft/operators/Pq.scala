@@ -660,7 +660,12 @@ object Pq {
     * VECTORS are read (ids always come from `embeddings` — the edit
     * predicates never change ids); n102 points it at the edited source
     * so the retrained twin derives every artifact from the drifted
-    * corpus. Defaults emit byte-identical SQL to the historical text. */
+    * corpus. The `survivors` predicate resolves over bare `embeddings`
+    * columns inside an `IN (SELECT vec_id FROM embeddings WHERE …)`
+    * subquery (round 14 — enables label-referencing tenant predicates
+    * like n115's), so the emitted SQL is no longer byte-identical to
+    * the historical `a.vec_id`-substituted text; semantics are
+    * unchanged for every pre-existing entry. */
   private[graft] def ivfPqIndexSqlCore(survivors: String = "TRUE",
       embSrc: String = "embeddings",
       trainWhere: String = "vec_id % 2 = 0",
@@ -962,10 +967,23 @@ object Pq {
           .filter(_ < upto)
           .foreach { u =>
             fs.delete(new org.apache.hadoop.fs.Path(s"$base/ops_base/$u"),
-              true)
-            fs.delete(new org.apache.hadoop.fs.Path(s"$base/_opsbase_$u"),
-              false): Unit
+              true): Unit
           }
+      // markers swept INDEPENDENTLY of their dirs (ADVICE r14 #2): the
+      // fold writes dir-then-marker and this sweep deletes dir-then-
+      // marker, so a crash between the two deletes leaves an orphan
+      // _opsbase_<u> whose dir no enumeration of ops_base/ can ever
+      // surface again — a permanent small-file leak. Any marker below
+      // the watermark is superseded by construction (the watermark's
+      // own marker+summary are never below `upto`), so sweep by marker
+      // name, not by surviving dir.
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/_opsbase_*"))
+        .map(_.getPath)
+        .foreach { p =>
+          val id = p.getName.stripPrefix("_opsbase_")
+          if (id.nonEmpty && id.forall(_.isDigit) && id.toLong < upto)
+            fs.delete(p, false): Unit
+        }
     }
   }
 

@@ -208,6 +208,43 @@ object WindowedAggs {
       .orderBy("d1", "d2")
   }
 
+  /** st29 — the SATURATION-CAPPED streaming near-dup lane's batch twin
+    * as a first-class oracled entry (VERDICT r14 #1: the n113 pattern,
+    * finished on the streaming axis). The production configuration of
+    * [[StreamingOps.streamingNearDupPairs]] is `maxBucket` set — the
+    * cap bounds a hot (band, sig) bucket's state at O(cap) and its
+    * per-arrival verify at O(cap), where the uncapped lane's state
+    * grows linearly and its emission quadratically in a mega-cluster's
+    * size (the skew corpus's planted 1,100-copy cluster is ONE bucket
+    * here). This entry runs the REAL capped machinery — per-bucket
+    * rank-and-gate, first-colliding-band emission — over the raw
+    * documents table (no tier-1 screen: the lane's bucket state IS the
+    * dedup in-stream, so the raw corpus is its production input), with
+    * a cap (64) wide at the harness SFs: the exact all-pairs answer is
+    * therefore its oracle, and the driver hash re-attests every round
+    * that the capped plan computes the exact answer where no skew
+    * exists. StreamingSpec proves the MemoryStream run of the capped
+    * lane equals this twin (including a cap-BINDING planted cluster);
+    * the skew ladder carries the capped lane's bounded exponent where
+    * the cap bites (PERF.md round 15). */
+  val streamNearDupCapped: Q = Q(
+    "st29_stream_neardup_capped",
+    s"""WITH ${graft.operators.Dedup.shinglesSqlFor("documents")},
+       |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |           GROUP BY a.doc_id, b.doc_id)
+       |SELECT d1, d2,
+       |       CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jac
+       |FROM common
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.6
+       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    graft.operators.Dedup.nearDuplicatePairsCapped(
+      Tables(s, dir).documents, threshold = 0.6, maxBucket = 64)
+      .orderBy("d1", "d2")
+  }
+
   /** Batch twin of [[StreamingOps.indexedIngest]] (same pattern as
     * st04/st05), SPLIT into st06a + st06b in round 6 (VERDICT_r05 #1):
     * two sequential snapshots (doc_id % 16 == 1 then == 3) pushed
@@ -1487,7 +1524,7 @@ object WindowedAggs {
 
   val all: Seq[Q] = Seq(tumbling, sliding, session, attribution,
     attributionLastClick,
-    streamNearDup, indexedIngestBatch1, indexedIngestBatch2,
+    streamNearDup, streamNearDupCapped, indexedIngestBatch1, indexedIngestBatch2,
     qualityGateTwin, streamEnrichTwin, classifierGateTwin,
     decontaminateTwin, decontaminateRewriteTwin, streamPackTwin,
     streamTakedownTwin, bm25ServingTwin, streamServingCompactTwin,

@@ -87,7 +87,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "n114_tiered_containment",
     // tenant-scoped forget: per-tenant filtered serve through both
     // takedown arms (r14)
-    "n115_tenant_takedown")
+    "n115_tenant_takedown",
+    // capped streaming near-dup's batch twin: per-bucket rank gate +
+    // first-colliding-band emission (r15)
+    "st29_stream_neardup_capped")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

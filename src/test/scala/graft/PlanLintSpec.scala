@@ -110,7 +110,8 @@ class PlanLintSpec extends SparkSpec {
 
   private lazy val plans: Map[String, String] =
     Catalog.all.map { q =>
-      q.name -> fullPlanString(q.build(spark, sf0001))
+      q.name -> PerfGuards.withEntry(q.name)(
+        fullPlanString(q.build(spark, sf0001)))
     }.toMap
 
   test("no CartesianProduct anywhere in the catalog") {
@@ -128,6 +129,22 @@ class PlanLintSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unexpected nested-loop joins in: ${offenders.mkString(", ")} — " +
         "either fix the plan or document the tiny side in PERF.md + allowlist")
+  }
+
+  test("all-pairs attribution join is quarantined to st04 (PERF.md r14 blowup)") {
+    // the measured skew-killer (output-quadratic in a hot key's event
+    // density, exponent 1.42 at one decade): it stays in the catalog
+    // as the exact form with documented limits, but NO other entry may
+    // compose on it — new attribution-shaped entries use the bounded
+    // last-click register (st28). Equality (not ⊆) keeps the guard
+    // non-vacuous: st04 itself must have recorded, proving the hook
+    // still fires.
+    plans: Unit // force every entry to build inside withEntry
+    assert(PerfGuards.usersOf(PerfGuards.AllPairsAttribution) ==
+      Set("st04_attribution"),
+      s"all-pairs attribution used by: ${PerfGuards.usersOf(PerfGuards.AllPairsAttribution).mkString(", ")} — " +
+        "compose on WindowedAggs.lastClickAttribution (st28) instead, " +
+        "or document the bounded-density argument in PERF.md + allowlist")
   }
 
   test("no CodegenFallback expressions in any hot path") {

@@ -2014,6 +2014,51 @@ class StreamingSpec extends SparkSpec {
       s"wide-cap run must equal uncapped: ${wide.size} vs ${uncapped.size}")
   }
 
+  test("capped lane equals the st29 batch twin — cap binding AND cap wide") {
+    // st29's protocol leg (VERDICT r14 #1): the catalog entry is the
+    // batch twin; THIS is the proof the MemoryStream run of the capped
+    // lane computes the same pairs — including where the cap BINDS (a
+    // planted 12-copy cluster under cap 5), which the oracle at the
+    // harness SFs never exercises.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val corpus = Tables(spark, sf0001).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))) ++
+      (10000L until 10012L).map(id =>
+        (id, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val sorted = corpus.sortBy(_._1) // arrival order = doc_id order
+    val chunks = sorted.grouped((sorted.length + 2) / 3).toSeq
+    def runStream(cap: Int): Map[(Long, Long), Double] = {
+      val input = MemoryStream[(Long, String)]
+      val name = s"st29_twin_$cap"
+      val q = StreamingOps.streamingNearDupPairs(
+        input.toDF().toDF("doc_id", "text"), threshold = 0.6,
+        maxBucket = Some(cap))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jac")).toMap
+    }
+    def runTwin(cap: Int): Map[(Long, Long), Double] =
+      graft.operators.Dedup.nearDuplicatePairsCapped(
+        sorted.toSeq.toDF("doc_id", "text"), threshold = 0.6, maxBucket = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jac")).toMap
+    val cappedTwin = runTwin(5)
+    assert(runStream(5) == cappedTwin, "binding-cap stream != twin")
+    // the planted cluster's survivors: C(5,2), not C(12,2)
+    val hotPairs = cappedTwin.keys.count(p => p._1 >= 10000L && p._2 >= 10000L)
+    assert(hotPairs == 10, s"expected C(5,2)=10 planted pairs, got $hotPairs")
+    // st29's shipped configuration: wide at harness SF ⇒ equals the
+    // exact uncapped answer the DuckDB oracle computes
+    val wideTwin = runTwin(64)
+    assert(runStream(64) == wideTwin, "wide-cap stream != twin")
+    assert(hotPairs < wideTwin.keys.count(p => p._1 >= 10000L && p._2 >= 10000L))
+  }
+
   test("last-click lane: stream == st28 twin with cross-batch attributions, O(1) state") {
     // the state-bounding answer to st04's measured skew blowup
     // (PERF.md r14): one (ts, value) register per user instead of the
@@ -2155,6 +2200,53 @@ class StreamingSpec extends SparkSpec {
       "the deferred lex fold must commit after the in-flight batch's guard")
     assert(graft.operators.Pq.currentPqGen(spark, s"$dir/base/ann") >= 1L,
       "the deferred ann fold must commit after the in-flight batch's guard")
+  }
+
+  test("hybrid forget lane: an orphan marker with no replayable batch cannot wedge the folds") {
+    // ADVICE r14 #1: the in-flight fold gate defers around any
+    // _committed_batch_/_trained_batch_ id lacking its replay guard.
+    // A genuine crash-window id is replayed as the recovering run's
+    // FIRST batch; an id from a DEAD batch numbering (fresh checkpoint,
+    // retention-expired source) never re-serves, and before the age-out
+    // it deferred compaction/GC on both arms forever — an unbounded
+    // state-growth liveness hazard. The age-out: still unguarded after
+    // ≥2 further gate evaluations of the same process ⇒ orphan, folds
+    // resume (safe — marker order proves results/<id> is complete).
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hybrid_orphan").toString
+    val qIds = graft.operators.TextAnalysis.bm25QuerySet.map(_._1).distinct
+    val queryVecs = Tables(spark, sf0001).embeddings
+      .filter(col("vec_id").isin(qIds: _*))
+    // debris from a dead numbering: an ann train marker for a batch id
+    // this run's numbering (0, 1, 2) never reaches — the realistic
+    // residue of the train-marker→replay-guard crash window under a
+    // later fresh-checkpoint restart
+    new java.io.File(s"$dir/base/ann").mkdirs()
+    assert(new java.io.File(s"$dir/base/ann/_trained_batch_99")
+      .createNewFile())
+    val input = MemoryStream[(Long, String, Array[Float], String)]
+    val q = StreamingOps.hybridServingIngestTakedownCompacting(
+      input.toDF().toDF("doc_id", "text", "embedding", "op"),
+      graft.operators.TextAnalysis.bm25QuerySet, queryVecs,
+      s"$dir/base", s"$dir/ckpt", lexCompactEvery = 2, annCompactEvery = 1)
+    try {
+      hybridForgetBatches().foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // batch 0/1's gates defer (the orphan looks in-flight for its first
+    // two evaluations — the same-checkpoint crash-window budget); batch
+    // 2's gate ages it out and the folds resume
+    assert(graft.operators.Pq.currentPqGen(spark, s"$dir/base/ann") >= 1L,
+      "ann fold stayed wedged behind the orphan marker")
+    assert(new java.io.File(s"$dir/base/lex/compacted/2").isDirectory,
+      "lex fold stayed wedged behind the orphan marker")
+    // the orphan only stopped GATING — nothing deleted it, and the
+    // served answers are the same three snapshots a clean tree serves
+    assert(new java.io.File(s"$dir/base/ann/_trained_batch_99").exists())
+    assert((0 to 2).forall(i =>
+      new java.io.File(s"$dir/base/results/$i").isDirectory))
   }
 
   test("hybrid forget lane: lex-folded/ann-torn cross-arm crash window leaks nothing and heals") {

@@ -56,7 +56,14 @@ deterministic tails:
   deterministically across its 3600 seconds) — one tumbling/sliding
   window key holding ~9% of the corpus (st01/st02), that day's
   distinct-user set ~= all users (x14), and a dense one-hour session
-  per participating user (st03).
+  per participating user (st03). DELIBERATE: the burst offset hashes
+  the BASE event_id only, so every copy >= 1 of a selected base event
+  lands on the IDENTICAL timestamp (the uniform branch's per-copy 1 ms
+  spread is dropped here) — exact cross-copy ties are the adversarial
+  shape second-granularity logging produces in a real burst, they
+  exercise the windowed entries' tie-break rules under density, and
+  keeping the recipe fixed preserves comparability with the round-13/14
+  ladder rows measured on this corpus (ADVICE r14 #4).
 - mega-session / attribution hot spot: the intersection (~0.9% of all
   events: the hot user inside the burst hour) chains the hot user's
   burst events into a single session and puts ALL the hot user's
