@@ -2131,7 +2131,12 @@ object StreamingOps {
     * batches of a replayed log satisfy it); WITHIN a batch the group
     * is sorted by event time here, so intra-batch arrival order is
     * free — the bounded quantity is the key's per-batch volume, not
-    * its history. Same-timestamp click-then-purchase resolves click
+    * its history: the `rows.toSeq` sort buffers ONE key's ONE batch
+    * slice per task (sized by the micro-batch trigger, the knob the
+    * operator cannot see), while the cross-batch state stays a single
+    * register — GiantInputSpec drives a million-event key through in
+    * 250k-row batches and pins `numRowsTotal == 1` from the state
+    * store. Same-timestamp click-then-purchase resolves click
     * first (ASOF `>=`, j10's tie rule); only click_ts is emitted, so
     * same-timestamp click ties cannot make the answer
     * nondeterministic. StreamingSpec proves the MemoryStream run

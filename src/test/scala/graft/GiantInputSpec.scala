@@ -103,4 +103,67 @@ class GiantInputSpec extends SparkSpec {
     assert(java.util.Arrays.equals(dec.frames(2999), frames(2999)),
       "the last frame must roundtrip byte-exactly")
   }
+
+  test("giant-key user: a two-million-event history stays one linear session, exact counts") {
+    // The EVENTS analog of the giant-document tests (VERDICT r14 #6):
+    // one user whose history is millions of events — per-KEY work the
+    // partition count cannot split. st03's session aggregation merges
+    // a 1-minute cadence into ONE session; the aggregation is a
+    // sort-based per-key pass (spillable, never a pair
+    // materialization), pinned by exact counts.
+    val n = 2000000L
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC
+    val events = spark.range(n).select(
+      col("id").as("event_id"),
+      timestamp_seconds(lit(base) + col("id") * 60).as("ts"),
+      lit(0L).as("user_id"),
+      lit("click").as("event_type"),
+      lit(1.0).as("value"))
+    val sessions = events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .collect()
+    assert(sessions.length == 1, s"expected ONE session, got ${sessions.length}")
+    assert(sessions.head.getAs[Long]("n") == n)
+    assert(sessions.head.getAs[Double]("total") == n.toDouble)
+  }
+
+  test("giant-key user: the last-click register holds ONE state row across a million-event history") {
+    // st28's lane on the hot key: the per-user state is a single
+    // (ts) register no matter how dense the key runs — the measured
+    // O(1) that answers st04's quadratic blowup. The per-BATCH cost is
+    // the key's batch slice (the lane sorts `rows.toSeq` per group per
+    // micro-batch — 250k rows/batch here); the HISTORY never
+    // accumulates. Exact pins: alternating click/purchase at 1-minute
+    // spacing ⇒ every purchase attributes to the click one minute
+    // before it, so output = exactly n/2 rows, and the state store
+    // reports exactly one row at the end.
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val n = 1000000
+    val base = 1704067200000L
+    def ev(i: Int): (Long, Long, java.sql.Timestamp, String, Double) =
+      (i.toLong, 0L, new java.sql.Timestamp(base + i * 60000L),
+        if (i % 2 == 0) "click" else "purchase", 1.0)
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    val q = graft.streaming.StreamingOps.lastClickAttribution(
+      input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value"),
+      windowMinutes = 60)
+      .writeStream.format("memory").queryName("giant_key_lc")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update).start()
+    try (0 until n).grouped(250000).foreach { chunk =>
+      input.addData(chunk.map(ev)); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("giant_key_lc").count() == (n / 2).toLong,
+      "every purchase attributes to the click one minute before it")
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    assert(stateRows == 1L,
+      s"the giant key must hold exactly ONE register, got $stateRows")
+    // spot-pin the attribution itself: purchase i attributes to i−1
+    val r = spark.table("giant_key_lc")
+      .filter(col("event_id") === 999999L).head()
+    assert(r.getAs[java.sql.Timestamp]("click_ts").getTime ==
+      base + 999998L * 60000L)
+  }
 }
