@@ -85,6 +85,33 @@ object Lab {
           }
           sample("cold"); sample("warm"); sample("warm2")
         }
+      case "st26econ" =>
+        // Fixture-economics audit (VERDICT r14 #5): st26's inherent
+        // cost is lifecycle replay; the question is whether the replay
+        // corpus can shrink without losing machinery coverage. The
+        // sliced run must show the SAME fold trajectory — per-snap
+        // (n_segs, base_upto, n_appends, gen) — and non-trivial
+        // takedowns (n_dead_* > 0 where the full run has them).
+        def trajectory(df: DataFrame): Seq[(Long, Long, Long, Long, Long, Long, Long)] =
+          df.select("snap", "n_segs", "base_upto", "n_appends", "gen",
+              "n_dead_lex", "n_dead_ann").distinct().collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+              r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1).toSeq
+        def run(tag: String, slice: Option[org.apache.spark.sql.Column]): Unit = {
+          clearOperatorCaches(spark)
+          val t0 = System.nanoTime()
+          val df = streaming.WindowedAggs
+            .hybridTakedownCompactBuild(spark, sfDir, slice)
+          val n = df.count()
+          println(f"st26 $tag%-8s ${(System.nanoTime() - t0) / 1e9}%7.2f s (n=$n)")
+          trajectory(df).foreach(t => println(s"  $tag traj: $t"))
+        }
+        (1 to 2).foreach { rep =>
+          println(s"--- rep $rep ---")
+          run("full", None)
+          run("half", Some(col("doc_id") % 2 === 0))
+          run("quarter", Some(col("doc_id") % 4 === 0))
+        }
       case "qfull" =>
         // like "q" but forces FULL evaluation of every output column:
         // count() lets Catalyst prune columns and even eliminate

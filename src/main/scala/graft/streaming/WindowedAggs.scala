@@ -1349,13 +1349,29 @@ object WindowedAggs {
         "vec_id % 15 IN (0, 3) AND vec_id >= 32",
         "vec_id % 15 = 3 AND vec_id >= 32", 3L, -1L, 1L, 1L)),
       trainWhere = "vec_id % 3 = 0", lexK = 10, out = 10)) { (s, dir) =>
+    hybridTakedownCompactBuild(s, dir, corpusSlice = None)
+  }
+
+  /** st26's replay body, parameterized by an optional corpus slice —
+    * the fixture-economics knob (VERDICT r14 #5): the lifecycle
+    * invariants the entry attests (divergent fold cadences, cross-arm
+    * liveness, evidence columns) depend on the BATCH structure and the
+    * takedown sets, not the corpus size, so a sliced replay proves the
+    * same machinery for less wall clock. Lab's `st26econ` experiment
+    * measures the slice ladder; the shipped entry's slice is chosen
+    * there and PERF.md records the audit. */
+  private[graft] def hybridTakedownCompactBuild(s: SparkSession, dir: String,
+      corpusSlice: Option[org.apache.spark.sql.Column]): DataFrame = {
     import s.implicits._
     import graft.operators.{LexIndex, Pq, ServingLoc, Similarity, TextAnalysis}
     val t = Tables(s, dir)
-    val corpus = t.documents
+    val corpusFull = t.documents
       .join(t.embeddings, t.documents("doc_id") === t.embeddings("vec_id"))
       .select(t.documents("doc_id"), col("text"), col("embedding"))
-    val base = ServingLoc.of(s, s"st26:$dir", "graft_hybrid_takedown_compact")
+    val corpus = corpusSlice.map(corpusFull.filter).getOrElse(corpusFull)
+    val tag = if (corpusSlice.isDefined) "econ" else "full"
+    val base = ServingLoc.of(s, s"st26:$tag:$dir",
+      "graft_hybrid_takedown_compact")
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sessionState.newHadoopConf())
     fs.listStatus(new org.apache.hadoop.fs.Path(base))
