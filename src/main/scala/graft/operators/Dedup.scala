@@ -448,11 +448,25 @@ object Dedup {
           .select("d1", "d2").distinct()
         verifyCommon(sh, candidates)
     }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    withSizes(common, sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
+  }
+
+  /** Append n1/n2 from a (doc_id, n) sizes frame to a (d1, d2, c)
+    * common-counts frame — the shared join tail of every Jaccard
+    * form in this file. */
+  private def withSizes(common: DataFrame, sizes: DataFrame): DataFrame =
     common
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
-  }
+
+  /** jac = c / (n1 + n2 − c) over a [[withSizes]]-shaped frame,
+    * filtered at `threshold` — THE batch-side Jaccard definition;
+    * every pair form routes through here so the arithmetic can never
+    * drift between the twins that share a DuckDB oracle body. */
+  private def jacAtLeast(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
+      .filter(col("jac") >= threshold)
 
   /** Library form of the MinHash+LSH near-dup pipeline: docs must have
     * (doc_id, text); returns (d1, d2, jac) with jac ≥ threshold.
@@ -490,11 +504,7 @@ object Dedup {
       case Some(cap) =>
         verifyCommon(sh, lshCandidatesFrom(dropHotShingles(sh, cap)))
     }
-    common
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
-      .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
-      .filter(col("jac") >= threshold)
+    jacAtLeast(withSizes(common, sizes), threshold)
       .select("d1", "d2", "jac")
   }
 
@@ -556,11 +566,7 @@ object Dedup {
       .filter(col("band") ===
         array_position(zip_with(col("sigs1"), col("sigs2"), _ === _), true) - 1)
       .select("d1", "d2")
-    verifyCommon(sh, cand)
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
-      .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
-      .filter(col("jac") >= threshold)
+    jacAtLeast(withSizes(verifyCommon(sh, cand), sizes), threshold)
       .select("d1", "d2", "jac")
   }
 
@@ -621,13 +627,10 @@ object Dedup {
         .select("d1", "d2").distinct()
       val s1 = sh.select(col("doc_id").as("d1"), col("sh"))
       val s2 = sh.select(col("doc_id").as("d2"), col("sh"))
-      s1.join(s2, Seq("sh")).filter(col("d1") < col("d2"))
+      val common = s1.join(s2, Seq("sh")).filter(col("d1") < col("d2"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
         .join(cand, Seq("d1", "d2"), "left_semi")
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
-        .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
-        .filter(col("jac") >= 0.6)
+      jacAtLeast(withSizes(common, sizes), 0.6)
         .select("d1", "d2", "jac")
         .orderBy("d1", "d2")
     }
@@ -657,9 +660,7 @@ object Dedup {
     * [[dropHotShingles]] for the preservation argument). */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    dfCap: Option[Long] = None): DataFrame =
-    commonCounts(shingles(docs), dfCap)
-      .withColumn("jac", col("c").cast("double") / (col("n1") + col("n2") - col("c")))
-      .filter(col("jac") >= threshold)
+    jacAtLeast(commonCounts(shingles(docs), dfCap), threshold)
       .select(col("d1"), col("d2"), col("c").as("n_common"), col("jac"))
 
   /** 60-bit token-level SimHash fingerprint per document: one
@@ -926,10 +927,7 @@ object Dedup {
          |FROM jacs JOIN est USING (d1, d2)
          |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
       val sh = shingles(Tables(s, dir).documents)
-      val jacs = commonCounts(sh, None)
-        .withColumn("jac",
-          col("c").cast("double") / (col("n1") + col("n2") - col("c")))
-        .filter(col("jac") >= minJac)
+      val jacs = jacAtLeast(commonCounts(sh, None), minJac)
         .select("d1", "d2", "jac")
       val m = minhashWide(sh)
       val m1 = m.select(col("doc_id").as("d1") +:

@@ -1588,12 +1588,18 @@ object StreamingOps {
     // restart on a fresh checkpoint with different numbering, where the
     // replay-skip guard means the id never re-serves) and would wedge
     // compaction/GC on both arms PERMANENTLY. Aged-out ids stop gating
-    // (safe: the marker order proves results/<id> was fully written, so
-    // nothing half-folds and nothing rewrites) and are logged loudly.
+    // — safe because NO REPLAY IS COMING for them: the gate exists to
+    // keep a fold from racing an in-flight batch's replay, and an id
+    // the current numbering will never re-serve has no replay to race
+    // (its results/<id> may or may not exist — a _trained_batch_
+    // marker lands mid-batch, before results — but nothing will ever
+    // rewrite either way). Logged loudly, once per orphan.
     // Per-process state by design — a restart re-arms full deferral.
     val gateEvals = new java.util.concurrent.atomic.AtomicLong(0L)
     val firstUnguarded =
       new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+    val loggedOrphans =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
     ops.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -1713,10 +1719,15 @@ object StreamingOps {
           evalN - first >= 2
         }
         orphans.foreach { m =>
-          System.err.println(s"[graft] fold gate: marker batch $m has no " +
-            s"replay guard after ${evalN - firstUnguarded.get(m)} further " +
-            "batches — treating as an orphan of a dead batch numbering " +
-            "(folds resume; results/<id> is complete by marker order)")
+          // once per orphan: the marker file is never deleted, so it
+          // re-enters `orphans` every gate evaluation for the life of
+          // the process — re-logging each batch would bury real noise
+          if (loggedOrphans.add(m))
+            System.err.println(s"[graft] fold gate: marker batch $m has no " +
+              s"replay guard after ${evalN - firstUnguarded.get(m)} further " +
+              "batches — treating as an orphan of a dead batch numbering " +
+              "(folds resume; this numbering will never replay the id, so " +
+              "there is no in-flight rewrite for a fold to race)")
         }
         val inFlight = (unguarded -- orphans).nonEmpty
         if (!inFlight) {
