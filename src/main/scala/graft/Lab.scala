@@ -112,6 +112,43 @@ object Lab {
           run("half", Some(col("doc_id") % 2 === 0))
           run("quarter", Some(col("doc_id") % 4 === 0))
         }
+      case "qvol" =>
+        // Query-volume serving ladder (round 15): the corpus ladders
+        // grow the INDEX under a fixed 32-query serve set; this grows
+        // the QUERY SET against a fixed index — the serving-throughput
+        // axis. Claim: per-query cost is index-sliver-bounded, so
+        // total serve cost is ~linear in Q (no cross-query
+        // interference, no plan flip at high fan-out). Both indexes
+        // built once and pinned; only the serve is timed.
+        import graft.operators.{LexIndex, Pq, TextAnalysis}
+        import spark.implicits._
+        val lexIdx = LexIndex.buildIndex(docs.select(col("doc_id"), col("text")))
+        val pqIdx = Pq.buildPqIndex(t.embeddings.select(col("vec_id"), col("embedding")))
+        Seq(lexIdx.postings, lexIdx.doclens,
+            pqIdx.anchors, pqIdx.books, pqIdx.codes)
+          .foreach { f => f.persist(); f.count() }
+        val terms32 = TextAnalysis.bm25QuerySet.toDF("q_id", "term")
+        val qvecs32 = t.embeddings.filter(col("vec_id") < 32)
+        Seq(1, 10, 100).foreach { mult =>
+          // replicate the 32-query set under shifted ids: identical
+          // per-query work, Q× the volume (the distinct TERM set stays
+          // fixed, so the postings sliver is read once and fanned out
+          // per query — the amortization a batched serve relies on)
+          val terms = (0 until mult)
+            .map(c => terms32.withColumn("q_id", col("q_id") + lit(1000L * c)))
+            .reduce(_ unionByName _)
+          val qvecs = (0 until mult)
+            .map(c => qvecs32.withColumn("vec_id", col("vec_id") + lit(100000L * c)))
+            .reduce(_ unionByName _)
+          (1 to 2).foreach { rep =>
+            time(s"bm25 serve Q=${32 * mult} rep$rep")(
+              LexIndex.bm25FromIndex(lexIdx, terms, 10).count())
+          }
+          (1 to 2).foreach { rep =>
+            time(s"pq serve Q=${32 * mult} rep$rep")(
+              Pq.searchPqIndex(qvecs, pqIdx).count())
+          }
+        }
       case "qfull" =>
         // like "q" but forces FULL evaluation of every output column:
         // count() lets Catalyst prune columns and even eliminate

@@ -73,6 +73,20 @@ object Graft {
         dfCap: Option[Long] = None): DataFrame =
       Dedup.nearDuplicatePairs(df, threshold, dfCap)
 
+    /** SATURATION-CAPPED near-duplicate pairs — the batch twin of the
+      * capped streaming lane (st29) as a library call: each (band, sig)
+      * bucket keeps only its first `maxBucket` members in doc_id order
+      * and a pair emits only from its first colliding band, so a
+      * mega-cluster's pair work is C(maxBucket, 2) per bucket instead
+      * of C(cluster, 2). With a cap wider than every bucket the answer
+      * equals [[nearDuplicates]] with no dfCap (the driver-attested
+      * st29 property); where the cap bites, the dropped class is
+      * intra-mega-cluster pairs — the n113/n114 trade, on the bucket
+      * axis. Returns (d1, d2, jac ≥ threshold). */
+    def nearDuplicatesCapped(threshold: Double = 0.8,
+        maxBucket: Int = 64): DataFrame =
+      Dedup.nearDuplicatePairsCapped(df, threshold, maxBucket)
+
     /** Exact n-gram Jaccard similarity join (inverted index).
       * Returns (d1, d2, n_common, jac ≥ threshold). `dfCap`: same
       * trade as [[nearDuplicates]] — exact values, boilerplate-only

@@ -18,6 +18,19 @@ class ApiSpec extends SparkSpec {
     assert(cleaned.nearDuplicates(threshold = 0.6).count() == 0)
   }
 
+  test("nearDuplicatesCapped facade: wide cap equals the st29 entry; a binding cap only drops pairs") {
+    val docs = Tables(spark, sf0001).documents
+    val wide = docs.nearDuplicatesCapped(threshold = 0.6, maxBucket = 64)
+      .orderBy("d1", "d2").collect().toSeq
+    val cat = Catalog.queries("st29_stream_neardup_capped")(spark, sf0001)
+      .collect().toSeq
+    assert(wide == cat)
+    // a binding cap never invents pairs and never changes a jac value
+    val capped = docs.nearDuplicatesCapped(threshold = 0.6, maxBucket = 2)
+      .collect().toSeq
+    assert(capped.toSet.subsetOf(wide.toSet))
+  }
+
   test("distinctDocuments is idempotent") {
     val docs = Tables(spark, sf0001).documents
     val once = docs.distinctDocuments()
