@@ -112,6 +112,84 @@ object Lab {
           run("half", Some(col("doc_id") % 2 === 0))
           run("quarter", Some(col("doc_id") % 4 === 0))
         }
+      case "stskew" =>
+        // Streaming capped-lane wall clock + state-store metrics on a
+        // REAL skew corpus (round 15; the spec's planted-stream numbers,
+        // re-derived from make_scale_corpus's adversarial tails): drive
+        // the whole corpus through streamingNearDupPairs in ~10
+        // micro-batches at several caps and report end-to-end seconds,
+        // emitted pairs, and StateOperatorProgress (rows / bytes). On a
+        // 100x-skew corpus the planted mega-clusters are single hot
+        // (band, sig) buckets: the uncapped lane's per-arrival verify
+        // walks the full bucket (quadratic per cluster) while a binding
+        // cap saturates it at O(cap).
+        implicit val sq = spark.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import org.apache.spark.sql.streaming.OutputMode
+        import spark.implicits._
+        val rows = docs.select(col("doc_id"), col("text"))
+          .as[(Long, String)].collect().sortBy(_._1)
+        println(s"corpus rows=${rows.length}")
+        def runLane(cap: Option[Int], warm: Boolean = false): Unit = {
+          val input = MemoryStream[(Long, String)]
+          val qn = if (warm) "stskew_warm" else s"stskew_${cap.getOrElse(0)}"
+          val q = streaming.StreamingOps.streamingNearDupPairs(
+            input.toDF().toDF("doc_id", "text"),
+            threshold = 0.6, maxBucket = cap)
+            .writeStream.format("memory").queryName(qn)
+            .outputMode(OutputMode.Update).start()
+          val lane = if (warm) rows.take(rows.length / 10) else rows
+          val t0 = System.nanoTime()
+          try lane.grouped(math.max(1, rows.length / 10)).foreach { b =>
+            input.addData(b.toSeq); q.processAllAvailable()
+          } finally q.stop()
+          if (warm) { println("warmed"); return }
+          val sec = (System.nanoTime() - t0) / 1e9
+          val pairs = spark.table(qn).count()
+          val sos = q.recentProgress.flatMap(_.stateOperators)
+          val srows = if (sos.nonEmpty) sos.map(_.numRowsTotal).max else -1L
+          val smb = if (sos.nonEmpty) sos.map(_.memoryUsedBytes).max / 1e6 else -1.0
+          println(f"cap=${cap.map(_.toString).getOrElse("none")}%5s $sec%8.2f s  " +
+            f"pairs=$pairs%7d  state_rows=$srows%7d  state_mb=$smb%7.1f")
+        }
+        // Retention lane: same corpus, synthetic event times advancing
+        // one day per micro-batch; retention bounds the bucket state to
+        // the horizon's slice of history instead of the full corpus —
+        // the unbounded-stream story measured on a real skew corpus.
+        // state_rows reported at the LAST progress (the plateau), not
+        // the max.
+        def runRet(retention: String): Unit = {
+          val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+          val qn = "stskew_ret"
+          val q = streaming.StreamingOps.streamingNearDupPairs(
+            input.toDF().toDF("doc_id", "text", "ts"),
+            threshold = 0.6, retention = Some(retention))
+            .writeStream.format("memory").queryName(qn)
+            .outputMode(OutputMode.Update).start()
+          val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+          val t0 = System.nanoTime()
+          try rows.grouped(math.max(1, rows.length / 10)).zipWithIndex
+            .foreach { case (b, i) =>
+              val ts = new java.sql.Timestamp(base + i * 86400000L)
+              input.addData(b.map(r => (r._1, r._2, ts)).toSeq)
+              q.processAllAvailable()
+            } finally q.stop()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val pairs = spark.table(qn).count()
+          val sos = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+          val srows = if (sos.nonEmpty) sos.map(_.numRowsTotal).max else -1L
+          val smb = if (sos.nonEmpty) sos.map(_.memoryUsedBytes).max / 1e6 else -1.0
+          println(f"ret=$retention%8s $sec%8.2f s  pairs=$pairs%7d  " +
+            f"final_state_rows=$srows%7d  state_mb=$smb%7.1f")
+        }
+        // Warm-up lane first (one tenth of the corpus, discarded):
+        // without it the first measured lane absorbs Janino/codegen
+        // warm-up and reads ~40% slow.
+        runLane(None, warm = true)
+        if (sys.env.get("STSKEW_ORDER").contains("rev")) {
+          runLane(None); runLane(Some(64)); runLane(Some(16))
+        } else { runLane(Some(16)); runLane(Some(64)); runLane(None) }
+        runRet("2 days"); runRet("30 days")
       case "qvol" =>
         // Query-volume serving ladder (round 15): the corpus ladders
         // grow the INDEX under a fixed 32-query serve set; this grows
