@@ -2465,4 +2465,78 @@ class StreamingSpec extends SparkSpec {
     assert(Pq.pqOpsWatermark(spark, annBase).contains(2L),
       "the healed watermark must be the committed survivors summary")
   }
+
+  test("stateful lanes are state-store-provider-agnostic: RocksDB == default provider, and RocksDB actually engages") {
+    // The default HDFSBackedStateStore keeps every store's state on the
+    // executor HEAP — at 100 TB / long-horizon streams the production
+    // provider is RocksDB (state spills to local disk, bounded heap).
+    // Pin that BOTH stateful lanes (the flatMapGroupsWithState near-dup
+    // buckets and the mapGroupsWithState-style last-click register)
+    // produce byte-identical output under RocksDB, i.e. nothing in the
+    // state encoders/timeout handling silently assumes the default
+    // provider. An isolated session scopes the provider conf.
+    val rocks = SparkSpec.session.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    def nearDupPairs(s: org.apache.spark.sql.SparkSession,
+        name: String): (Set[(Long, Long)], Boolean) = {
+      implicit val sq = s.sqlContext
+      import s.implicits._
+      val docRows = Tables(s, sf0001).documents
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1).toSeq
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingOps.streamingNearDupPairs(
+        input.toDF().toDF("doc_id", "text"), threshold = 0.6)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try docRows.grouped(math.max(1, docRows.size / 3)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val usedRocks = q.recentProgress.flatMap(_.stateOperators)
+        .exists(_.customMetrics.keySet.asScala.exists(_.contains("rocksdb")))
+      (s.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        usedRocks)
+    }
+    val (defPairs, defRocks) = nearDupPairs(spark, "prov_default")
+    val (rocksPairs, rocksUsed) = nearDupPairs(rocks, "prov_rocks")
+    assert(!defRocks, "default-provider run unexpectedly reported rocksdb metrics")
+    assert(rocksUsed, "RocksDB provider did not engage — conf not applied")
+    assert(defPairs.nonEmpty && rocksPairs == defPairs,
+      s"near-dup lane: rocksdb ${rocksPairs.size} pairs vs default ${defPairs.size}")
+
+    def lastClicks(s: org.apache.spark.sql.SparkSession,
+        name: String): Set[(Long, Long, Long, Long, Double)] = {
+      implicit val sq = s.sqlContext
+      import s.implicits._
+      val ev = Tables(s, sf0001).events
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"), col("event_type"),
+          col("value"))
+        .orderBy("ts", "event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getString(3), r.getDouble(4))).toSeq
+      val input = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+      val q = StreamingOps.lastClickAttribution(
+        input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value"),
+        windowMinutes = 60)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try ev.grouped(math.max(1, ev.size / 3)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .select("event_id", "user_id", "purchase_ts", "click_ts", "p_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getTimestamp(2).getTime, r.getTimestamp(3).getTime,
+          r.getDouble(4))).toSet
+    }
+    val defAttr = lastClicks(spark, "prov_default_lc")
+    val rocksAttr = lastClicks(rocks, "prov_rocks_lc")
+    assert(defAttr.nonEmpty && rocksAttr == defAttr,
+      s"last-click lane: rocksdb ${rocksAttr.size} rows vs default ${defAttr.size}")
+  }
 }
