@@ -127,6 +127,15 @@ object Lab {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import org.apache.spark.sql.streaming.OutputMode
         import spark.implicits._
+        // STSKEW_PROVIDER=rocksdb measures the production state-store
+        // provider (StreamingSpec pins output identical): state moves
+        // off-heap, memoryUsedBytes then reports rocksdb usage.
+        if (sys.env.get("STSKEW_PROVIDER").contains("rocksdb")) {
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")
+          println("provider=rocksdb")
+        }
         val rows = docs.select(col("doc_id"), col("text"))
           .as[(Long, String)].collect().sortBy(_._1)
         println(s"corpus rows=${rows.length}")
