@@ -85,6 +85,70 @@ object Lab {
           }
           sample("cold"); sample("warm"); sample("warm2")
         }
+      case "prof" =>
+        // Job/task attribution for any catalog query (round 15, guide
+        // §1): wall = Σ(job wall) + driver gap (planning, FS metadata,
+        // collect-side work BETWEEN jobs). Within jobs, the scheduling
+        // overhead is job wall − max-task critical path. Reported per
+        // sample: nJobs, Σ job wall, nTasks, Σ executorRunTime,
+        // driver gap — the split that says whether a lifecycle entry's
+        // cost is compute (optimize the plan) or per-job constants
+        // (optimize the NUMBER of jobs/actions).
+        val coldProf = sys.env.get("SPARK_GRAFT_LAB_COLD").contains("1")
+        val prof = new org.apache.spark.scheduler.SparkListener {
+          val jobs = new java.util.concurrent.atomic.AtomicInteger
+          val jobWallMs = new java.util.concurrent.atomic.AtomicLong
+          val tasks = new java.util.concurrent.atomic.AtomicInteger
+          val taskRunMs = new java.util.concurrent.atomic.AtomicLong
+          private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          val bySite = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(j.jobId, j.time)
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            jobs.incrementAndGet()
+            Option(starts.remove(j.jobId)).foreach(t0 => jobWallMs.addAndGet(j.time - t0))
+          }
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = s.stageInfo
+            val d = (for (a <- si.submissionTime; b <- si.completionTime) yield b - a)
+              .getOrElse(0L)
+            bySite.merge(si.name, (1L, d), (a, b) => (a._1 + b._1, a._2 + b._2))
+          }
+          override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            tasks.incrementAndGet()
+            if (t.taskMetrics != null) taskRunMs.addAndGet(t.taskMetrics.executorRunTime)
+          }
+          def reset(): Unit = { jobs.set(0); jobWallMs.set(0); tasks.set(0); taskRunMs.set(0); bySite.clear() }
+        }
+        spark.sparkContext.addSparkListener(prof)
+        args.drop(1).foreach { name =>
+          val fn = SparkEntry.queries(name)
+          (1 to 3).foreach { rep =>
+            if (coldProf) clearOperatorCaches(spark)
+            // same rule as Bench's between-rep drain: dead checkpoint
+            // blocks from the prior rep must not bill this rep
+            System.gc()
+            prof.reset()
+            val t0 = System.nanoTime()
+            val n = fn(spark, sfDir).count()
+            val wall = (System.nanoTime() - t0) / 1e9
+            // listener bus is async; give it a beat to drain
+            Thread.sleep(300)
+            val jw = prof.jobWallMs.get / 1e3
+            println(f"$name%-34s rep$rep wall=$wall%7.2f s jobs=${prof.jobs.get}%4d " +
+              f"jobWall=$jw%7.2f s driverGap=${wall - jw}%6.2f s " +
+              f"tasks=${prof.tasks.get}%5d taskRun=${prof.taskRunMs.get / 1e3}%7.2f s (n=$n)")
+            if (rep == 3) {
+              import scala.jdk.CollectionConverters._
+              prof.bySite.asScala.toSeq.sortBy(-_._2._2).take(14).foreach {
+                case (site, (cnt, ms)) =>
+                  println(f"    $site%-52s jobs=$cnt%4d wall=${ms / 1e3}%6.2f s")
+              }
+            }
+          }
+        }
+        spark.sparkContext.removeSparkListener(prof)
       case "st26econ" =>
         // Fixture-economics audit (VERDICT r14 #5): st26's inherent
         // cost is lifecycle replay; the question is whether the replay

@@ -580,7 +580,12 @@ object Corpus {
       affected: Seq[String], blockLen: Long, eos: String = "<eos>",
       shardCol: String = "source"): Unit = {
     if (affected.nonEmpty) {
+      // materialized once (round 15, guide §1.2): the affected-shard
+      // survivor slice is takedown-traffic-sized and feeds BOTH the
+      // repack write and the empty-shard sweep's distinct-collect —
+      // it re-executed its corpus join per consumer before
       val survivors = liveCorpus.filter(col(shardCol).isin(affected: _*))
+        .localCheckpoint()
       tokenBlocks(survivors, blockLen, eos, shardCol, withText = true)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -333,7 +333,13 @@ object Extras {
       cols.indices.map(i => s(col(cols(i))).as(sumName(i))) ++
         (for { i <- cols.indices; j <- cols.indices if i <= j }
           yield s(col(cols(i)) * col(cols(j))).as(sumName(i, j)))
-    val stats = df.agg(n.as("n"), aggs: _*)
+    // input-skew guard (round 15, guide §2.5): 14 DECIMAL-cast sums
+    // over every row are the query's whole cost, and a single-row-group
+    // input scans as one task — spread the projected proxy columns so
+    // the partial aggregation parallelizes; exact decimal sums are
+    // partition-order invariant, so the result is bit-identical
+    val stats = graft.plans.Scale.spreadScan(df.select(cols.map(col): _*))
+      .agg(n.as("n"), aggs: _*)
     def corr(i: Int, j: Int) = round6(
       (col("n") * col(sumName(i, j)) - col(sumName(i)) * col(sumName(j))) /
         sqrt((col("n") * col(sumName(i, i)) - col(sumName(i)) * col(sumName(i))) *

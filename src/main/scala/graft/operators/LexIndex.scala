@@ -310,12 +310,39 @@ object LexIndex {
     * queries = (q_id, term) bags. */
   def bm25FromIndex(index: Bm25Index, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val terms = queries.select("term").distinct()
-    val tf = index.postings.join(broadcast(terms), Seq("term"))
+    // Literal query sets (the decontamination-lookup shape: a bounded
+    // in-memory (q_id, term) bag) become a PUSHED-DOWN In() predicate
+    // on the postings scan instead of a broadcast-join stage (round
+    // 15, guide §6): the term filter then prunes at the parquet reader
+    // (PushedFilters: In(term, ...)) — and one fewer broadcast
+    // exchange per probe. Frames that are not literal (a term table
+    // computed by a query) keep the broadcast semi-join; inner-join on
+    // distinct terms ≡ term IN (set) row for row.
+    val literalTerms: Option[Seq[String]] =
+      queries.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          val i = lr.output.indexWhere(_.name == "term")
+          if (i < 0) None
+          else Some(lr.data.map(_.getUTF8String(i))
+            .filter(_ != null).map(_.toString).distinct)
+        case _ => None
+      }
+    val tf = literalTerms match {
+      case Some(ts) => index.postings.filter(col("term").isin(ts: _*))
+      case None =>
+        val terms = queries.select("term").distinct()
+        index.postings.join(broadcast(terms), Seq("term"))
+    }
     val stats = index.doclens.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // df as a window count over the sliver (round 15, guide §2.3/§2.4):
+    // (term, doc_id) is unique in every index's postings (the build
+    // groupBy + the append/serving views' latest-segment resolution),
+    // so count-rows-per-term ≡ count_distinct(doc_id) per term — one
+    // exchange on term instead of the old self-aggregate + join-back,
+    // and the postings sliver is scanned once, not twice.
     val contrib = tf
-      .join(tf.groupBy("term").agg(count_distinct(col("doc_id")).as("df")), Seq("term"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .join(index.doclens, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .join(queries, Seq("term"))
@@ -326,7 +353,13 @@ object LexIndex {
             (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
           .as("c"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
-    contrib.groupBy("q_id", "doc_id")
+    // one exchange for the score aggregate AND the rank window (round
+    // 15, guide §2.4): hash(q_id) satisfies the (q_id, doc_id)
+    // grouping (subset clustering) and the window partitioning — the
+    // old plan exchanged twice; the DECIMAL score sum is
+    // partition-order invariant, so results are bit-identical
+    contrib.repartition(col("q_id"))
+      .groupBy("q_id", "doc_id")
       .agg(dsum(col("c")).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -439,6 +472,16 @@ object LexIndex {
     * corpus-proportional driver state. */
   def readTakedownServing(spark: SparkSession, base: String,
       extraId: Option[Long] = None): (Bm25Index, Long) = {
+    val (idx, _, nDead) = readTakedownServingDetail(spark, base, extraId)
+    (idx, nDead)
+  }
+
+  /** [[readTakedownServing]] plus the resolved DEAD id frame — for
+    * callers (the hybrid lane) that feed the same liveness resolution
+    * to a second index family; pre-round-15 they re-derived the whole
+    * ops fold a third time. */
+  private[graft] def readTakedownServingDetail(spark: SparkSession,
+      base: String, extraId: Option[Long] = None): (Bm25Index, DataFrame, Long) = {
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // extraId: the ingest lane's own in-flight batch — components
@@ -454,14 +497,18 @@ object LexIndex {
     val segs = ids.map(tagged).reduce((a, b) => Bm25Index(
       a.postings.unionByName(b.postings),
       a.doclens.unionByName(b.doclens)))
-    val lastOps = opsLogLiveness(spark, base, ids)
+    // materialized once (round 15): the id-sized liveness proxy feeds
+    // the dead count AND both component joins of the serving view —
+    // see readTakedownCompactServing's note
+    val lastOps = opsLogLiveness(spark, base, ids).localCheckpoint()
     val alive = lastOps.filter(col("last_add").isNotNull &&
       (col("last_del").isNull || col("last_add") >= col("last_del")))
       .select(col("doc_id"), col("last_add").as("src"))
-    val nDead = deadDocs(lastOps).count()
+    val dead = deadDocs(lastOps)
     (Bm25Index(
       segs.postings.join(alive, Seq("doc_id", "src")).drop("src"),
-      segs.doclens.join(alive, Seq("doc_id", "src")).drop("src")), nDead)
+      segs.doclens.join(alive, Seq("doc_id", "src")).drop("src")),
+      dead, dead.count())
   }
 
   /** Last-op-wins liveness resolution of an ops frame
@@ -539,7 +586,14 @@ object LexIndex {
       tail.map(id => spark.read.parquet(s"$base/ops/$id")
         .select(col("doc_id"), col("op"), lit(id).as("batch"))))
       .reduce(_ unionByName _)
-    val lastOps = livenessOf(ops)
+    // round 15 (guide §1.2/§5): the liveness fold is the subtree EVERY
+    // consumer of this view re-derives — the serve's two component
+    // joins, both evidence counts, and (pre-round-15) a second full
+    // view construction inside the fold. Materialize it once: it is
+    // the id-sized PROXY frame (doc_id + two batch longs — the
+    // "decide with small rows" object of guide §8), never the
+    // corpus-sized postings, so pinning it is production-shaped.
+    val lastOps = livenessOf(ops).localCheckpoint()
     val alive = lastOps.filter(col("last_add").isNotNull &&
       (col("last_del").isNull || col("last_add") >= col("last_del")))
       .select(col("doc_id"), col("last_add").as("src"))
@@ -555,12 +609,21 @@ object LexIndex {
     val segs = segList.reduce((a, b) => Bm25Index(
       a.postings.unionByName(b.postings),
       a.doclens.unionByName(b.doclens)))
-    val nDeadOnDisk = segs.doclens.select("doc_id").distinct()
-      .join(dead, Seq("doc_id"), "left_semi").count()
+    // both evidence numbers in ONE job (round 15, guide §1.2 — the old
+    // two counts each re-ran the ops fold and the segment listing):
+    // nDead = |dead|; nDeadOnDisk = |dead ∩ segment doc_ids| — count
+    // of non-null markers after a left join of dead against the
+    // distinct segment ids. dead is distinct by construction (a
+    // groupBy output), so row counts are set sizes.
+    val segDocs = segs.doclens.select("doc_id").distinct()
+      .withColumn("__on_disk", lit(1))
+    val cnt = dead.join(segDocs, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_dead"), count(col("__on_disk")).as("n_disk"))
+      .head()
     (Bm25Index(
       segs.postings.join(alive, Seq("doc_id", "src")).drop("src"),
       segs.doclens.join(alive, Seq("doc_id", "src")).drop("src")),
-      dead.count(), nDeadOnDisk)
+      cnt.getLong(0), cnt.getLong(1))
   }
 
   /** Fold a compacting takedown tree: materialize the liveness-resolved
@@ -572,7 +635,19 @@ object LexIndex {
     * same two-phase delete [[compactServing]] runs. Returns the new
     * watermark, or the prior one when there is nothing to fold. */
   def compactTakedownServing(spark: SparkSession,
-      base: String): Option[Long] = {
+      base: String): Option[Long] =
+    compactTakedownServing(spark, base, None)
+
+  /** `precomputed`: the caller's just-served liveness-resolved view,
+    * reusable when NO ops batch was committed or folded between the
+    * serve's read and this fold (the serving lanes' structure: serve
+    * with the in-flight id as `extraId`, write the replay marker, fold
+    * — the committed set the fold sees is exactly the set the serve
+    * resolved). Passing it skips a second full view construction
+    * (round 15, guide §1.2: the fold re-derived every segment scan +
+    * liveness join the serve had just executed). */
+  private[graft] def compactTakedownServing(spark: SparkSession,
+      base: String, precomputed: Option[Bm25Index]): Option[Long] = {
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val prior = compactionUpto(fs, base)
@@ -580,11 +655,17 @@ object LexIndex {
     if (fold.isEmpty) prior
     else {
       val maxId = fold.max
-      val (live, _, _) = readTakedownCompactServing(spark, base)
+      val live = precomputed
+        .getOrElse(readTakedownCompactServing(spark, base)._1)
       // fresh path (never the prior base: its frames are being read
       // right here — the writeIndex swap rule)
       writeIndex(live, s"$base/compacted/$maxId")
-      live.doclens.select("doc_id")
+      // survivors summary = the doc ids of the base we JUST
+      // materialized — read back from the committed artifact instead
+      // of re-running the live view's segment scans + liveness join a
+      // third time (round 15; same bytes by construction)
+      spark.read.parquet(s"$base/compacted/$maxId/doclens")
+        .select("doc_id")
         .write.mode("overwrite").parquet(s"$base/ops_base/$maxId")
       fs.create(new org.apache.hadoop.fs.Path(
         s"$base/_compacted_upto_$maxId"), true).close()

@@ -449,6 +449,13 @@ object Pq {
         candCodes("m") === col("__dm") && candCodes("code") === col("__dc") &&
           candCodes("q_id") === col("__dq"))
       .select(col("q_id"), col("vec_id"), col("m"), col("d"))
+      // one exchange for the pivot AND the rank window (round 15,
+      // guide §2.4): hash(q_id) satisfies the (q_id, vec_id) grouping
+      // (subset clustering) and the window's q_id partitioning, so the
+      // explicit repartition establishes the partitioning once — the
+      // old plan exchanged on (q_id, vec_id) for the aggregate and
+      // AGAIN on q_id for the ranking
+      .repartition(col("q_id"))
       .groupBy("q_id", "vec_id")
       .agg(max(when(col("m") === 0, col("d"))).as("d0"),
         (1 until M).map(m => max(when(col("m") === m, col("d"))).as(s"d$m")): _*)
@@ -780,6 +787,35 @@ object Pq {
       genPath: String): Int =
     math.max(0, IndexCommit.committedLabels(spark, genPath).size - 1)
 
+  /** Fold-path index materialization (round 15, guide §1.2): a
+    * generation fold rewrites anchors and codebooks VERBATIM — they
+    * are the index's frozen trained configuration, read from
+    * `fromGen`'s base moments earlier. Copy their files byte-for-byte
+    * instead of running two Spark write jobs whose plans just re-scan
+    * the same parquet; only `codes` (the per-vector component — the
+    * object the fold actually compacts, and on the takedown path the
+    * tombstone-filtered one) goes through a Spark write. Identical
+    * artifacts, same manifest-last commit protocol. */
+  private def writeFoldedPqIndex(spark: org.apache.spark.sql.SparkSession,
+      fromGen: String, codes: DataFrame, toGen: String): Unit = {
+    IndexCommit.clear(spark, toGen)
+    val fs = IndexCommit.fsOf(spark, toGen)
+    val conf = spark.sessionState.newHadoopConf()
+    Seq("anchors", "books").foreach { comp =>
+      val src = new org.apache.hadoop.fs.Path(s"$fromGen/$comp/b_base")
+      val dst = new org.apache.hadoop.fs.Path(s"$toGen/$comp/b_base")
+      fs.mkdirs(dst)
+      fs.listStatus(src).filter(_.isFile).foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(dst, st.getPath.getName),
+          false, conf): Unit
+      }
+    }
+    codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$toGen/codes/b_base")
+    IndexCommit.commitManifest(spark, toGen, "base")
+  }
+
   /** The in-lane fold+swap: when the serving generation carries at
     * least `compactEvery` appends, materialize the whole index to the
     * NEXT generation path (an action — phase one), commit the new
@@ -795,7 +831,8 @@ object Pq {
     val cur = pqGenPath(base, g)
     if (compactEvery > 0 && hasPqIndex(spark, cur) &&
         pqAppendCount(spark, cur) >= compactEvery) {
-      writePqIndex(readPqIndex(spark, cur), pqGenPath(base, g + 1))
+      writeFoldedPqIndex(spark, cur, readPqIndex(spark, cur).codes,
+        pqGenPath(base, g + 1))
       val fs = IndexCommit.fsOf(spark, base)
       fs.create(new org.apache.hadoop.fs.Path(s"$base/_gen_${g + 1}"),
         true).close()
@@ -891,8 +928,12 @@ object Pq {
           lit(id).as("batch"))))
       .reduce(_ unionByName _)
     val lastOps = graft.operators.LexIndex.livenessOf(ops)
+    // materialized once (round 15, guide §1.2): the tombstone frame is
+    // takedown-traffic-sized and feeds the evidence count, the serve's
+    // candidate anti-join AND (via the caller passing it back in) the
+    // generation fold — pre-round-15 each consumer re-ran the ops fold
     val dead = graft.operators.LexIndex.deadDocs(lastOps)
-      .select(col("doc_id").as("vec_id"))
+      .select(col("doc_id").as("vec_id")).localCheckpoint()
     (dead, dead.count())
   }
 
@@ -917,18 +958,30 @@ object Pq {
     * markerless dir is invisible), [[prunePqTakedownFolded]] (every
     * batch) sweeps. */
   def foldPqTakedownIfDue(spark: org.apache.spark.sql.SparkSession,
-      base: String, compactEvery: Int, servedIds: Seq[Long]): Unit = {
+      base: String, compactEvery: Int, servedIds: Seq[Long],
+      deadOpt: Option[DataFrame] = None): Unit = {
     val g = currentPqGen(spark, base)
     val cur = pqGenPath(base, g)
     if (compactEvery > 0 && hasPqIndex(spark, cur) &&
         pqAppendCount(spark, cur) >= compactEvery && servedIds.nonEmpty) {
-      val (dead, _) = readPqTakedownLiveness(spark, base, servedIds)
+      // deadOpt: the caller's just-computed tombstone frame for the
+      // SAME servedIds and unchanged ops/watermark state (the serving
+      // lanes' structure — serve, then fold, no ops write between).
+      // Passing it skips a second full liveness fold (round 15).
+      val dead = deadOpt.getOrElse(
+        readPqTakedownLiveness(spark, base, servedIds)._1)
       val live = deletePqIndex(readPqIndex(spark, cur), dead)
-      writePqIndex(live, pqGenPath(base, g + 1))
+      writeFoldedPqIndex(spark, cur, live.codes, pqGenPath(base, g + 1))
       val fs = IndexCommit.fsOf(spark, base)
       fs.create(new org.apache.hadoop.fs.Path(s"$base/_gen_${g + 1}"),
         true).close()
-      live.codes.select("vec_id").distinct()
+      // survivors = the ids of the codes we JUST materialized to the
+      // next generation — read back from the committed artifact
+      // instead of re-running the tombstone anti-join (round 15; same
+      // bytes by construction, and the _gen_ marker is already up so
+      // the read targets a committed manifest)
+      readPqIndex(spark, pqGenPath(base, g + 1))
+        .codes.select("vec_id").distinct()
         .write.mode("overwrite").parquet(s"$base/ops_base/${servedIds.max}")
       // marker-last: the summary becomes the watermark only once its
       // parquet job has fully returned (ADVICE r13 #4 — the committer's

@@ -1553,10 +1553,13 @@ object Similarity {
       import s.implicits._
       import graft.operators.{LexIndex, Pq, ServingLoc, TextAnalysis}
       val t = Tables(s, dir)
+      // materialized once (round 15, guide §1.2): the joined feed is
+      // re-derived ~4× per batch by the ops writes and index builds
       val corpus = t.documents
         .join(t.embeddings, t.documents("doc_id") === t.embeddings("vec_id"))
         .select(t.documents("doc_id"), col("text"), col("embedding"),
           col("label"))
+        .localCheckpoint()
       val base = ServingLoc.of(s, s"n115:$dir", "graft_tenant_takedown")
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sessionState.newHadoopConf())
@@ -1609,10 +1612,16 @@ object Similarity {
             .bm25FromIndex(LexIndex.filterIndex(lexIdx, allowed), terms, lexK)
             .select(col("q_id"), col("doc_id").as("cand"),
               col("rank").as("r"))
-          val notTenant = t.embeddings.filter(col("label") % 5 =!= tenant)
-            .select("vec_id")
+          // tenant scope via the SEMI filter on the tenant-sized
+          // allowed set (round 15): labels partition the corpus, so
+          // keep-allowed ≡ drop-not-allowed row for row — but the old
+          // deletePqIndex form BROADCAST the corpus-sized non-tenant
+          // id set (the exact anti-pattern filterPqIndex's scaladoc
+          // rules out); the semi join keys on vec_id with no broadcast
+          // hint and ships the smaller side at any scale
           val sem = Pq.searchPqIndex(queryVecs,
-              Pq.deletePqIndex(liveAnnIdx, notTenant))
+              Pq.filterPqIndex(liveAnnIdx,
+                allowed.select(col("doc_id").as("vec_id"))))
             .select(col("q_id"), col("nb_id").as("cand"), col("rn").as("r"))
           rrfFuse(lex, sem, out).withColumn("tenant", lit(tenant))
         }.reduce(_ unionByName _)
@@ -1625,9 +1634,11 @@ object Similarity {
           s"$lexBase/_committed_batch_$i"), true).close()
         fs.create(new org.apache.hadoop.fs.Path(
           s"$annBase/_served_batch_$i"), true).close()
-        LexIndex.compactTakedownServing(s, lexBase)
+        // both arms' folds reuse the serve's just-resolved frames — no
+        // ops committed in between (round 15)
+        LexIndex.compactTakedownServing(s, lexBase, Some(lexIdx))
         LexIndex.pruneTakedownCompacted(s, lexBase)
-        Pq.foldPqTakedownIfDue(s, annBase, 1, ids)
+        Pq.foldPqTakedownIfDue(s, annBase, 1, ids, deadOpt = Some(deadAnn))
         Pq.prunePqTakedownFolded(s, annBase, ids)
       }
       s.read.parquet((0 to 1).map(i => s"$base/results/$i"): _*)

@@ -801,7 +801,12 @@ object TextAnalysis {
       def bucket(r: Column, tok: Column): Column =
         conv(substring(md5(concat(r.cast("string"), lit(":"), tok).cast("binary")),
           1, 8), 16, 10).cast("long") % W
-      val toks = Tables(s, dir).documents
+      // input-skew guard (round 15, guide §2.5): the explode + 4×md5
+      // per token below is the query's whole cost and feeds BOTH the
+      // sketch and the exact counts; a single-row-group input runs it
+      // on one task — spread the projected text rows first
+      val toks = graft.plans.Scale.spreadScan(
+          Tables(s, dir).documents.select("text"))
         .select(explode(split(col("text"), " ")).as("tok"))
       val cells = toks
         .select(col("tok"), explode(expr(s"sequence(0, ${D - 1})")).as("r"))

@@ -51,4 +51,31 @@ object Scale {
       .format("parquet")
     location.fold(w)(l => w.option("path", s"$l/$table")).saveAsTable(table)
   }
+
+  /** Input-skew guard (round 15, guide §2.5): parquet reader
+    * parallelism is row-group-bound, so a table written as one file
+    * with one row group scans as ONE task no matter how many cores the
+    * session has — and everything upstream of the first exchange
+    * (shingling, tokenizing, sketch updates, wide aggregations) runs
+    * single-threaded on it. That is the guide's "one huge unsplittable
+    * file" input-skew case; the sanctioned fix when the source cannot
+    * be rewritten is "repartition immediately after the read".
+    *
+    * Scale-adaptive by construction, not a local[32] constant: the
+    * trigger compares the SCAN's actual partition count (physical
+    * planning only — nothing executes) against the session's
+    * parallelism. A production table (many files / many row groups)
+    * already scans wide, the guard is a no-op, and no shuffle is
+    * added; only a pathologically-laid-out input pays one round-robin
+    * exchange of the projected rows. Deterministic: round-robin
+    * repartition sorts its input first (SPARK-23207 semantics), and
+    * every downstream consumer in this catalog is partition-order
+    * invariant (PartitionInvarianceSpec). Callers hand in the
+    * NARROWEST projection they need, so the exchange moves the proxy
+    * columns, not the full row (guide §2.3). */
+  def spreadScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
 }

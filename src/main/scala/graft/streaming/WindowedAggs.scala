@@ -1135,11 +1135,12 @@ object WindowedAggs {
         LexIndex.buildIndex(
           b.filter(col("op") === "add").select("doc_id", "text")),
         s"$base/batches/$i")
-      val (lexIdx, nDead) =
-        LexIndex.readTakedownServing(s, base, Some(i.toLong))
-      val dead = LexIndex.deadDocs(LexIndex.opsLogLiveness(s, base,
-          LexIndex.takedownBatchIds(s, base, Some(i.toLong))))
-        .select(col("doc_id").as("vec_id"))
+      // one liveness resolution feeds BOTH arms (round 15): the lex
+      // view and the ANN tombstones share the serving read's fold
+      // instead of re-deriving the ops log a third time per batch
+      val (lexIdx, deadIds, nDead) =
+        LexIndex.readTakedownServingDetail(s, base, Some(i.toLong))
+      val dead = deadIds.select(col("doc_id").as("vec_id"))
       val lex = LexIndex.bm25FromIndex(lexIdx, terms, 10)
         .select(col("q_id"), col("doc_id").as("cand"), col("rank").as("r"))
       val sem = Pq.searchPqIndex(queryVecs,
@@ -1224,8 +1225,10 @@ object WindowedAggs {
         .write.mode("overwrite").parquet(s"$base/results/$i")
       fs.create(new org.apache.hadoop.fs.Path(
         s"$base/_committed_batch_$i"), true).close()
+      // the serve's just-resolved view is exactly what the fold would
+      // re-derive (no ops committed in between) — pass it (round 15)
       if (LexIndex.tailSegmentCount(s, base) >= 2)
-        LexIndex.compactTakedownServing(s, base)
+        LexIndex.compactTakedownServing(s, base, Some(idx))
       LexIndex.pruneTakedownCompacted(s, base)
     }
     s.read.parquet((0 to 2).map(i => s"$base/results/$i"): _*)
@@ -1311,7 +1314,9 @@ object WindowedAggs {
         .write.mode("overwrite").parquet(s"$base/results/$i")
       fs.create(new org.apache.hadoop.fs.Path(
         s"$base/_served_batch_$i"), true).close()
-      Pq.foldPqTakedownIfDue(s, base, 1, ids)
+      // the serve's tombstone frame is the fold's, unchanged ops state
+      // in between — pass it (round 15)
+      Pq.foldPqTakedownIfDue(s, base, 1, ids, deadOpt = Some(dead))
       Pq.prunePqTakedownFolded(s, base, ids)
     }
     s.read.parquet((0 to 2).map(i => s"$base/results/$i"): _*)
@@ -1368,7 +1373,11 @@ object WindowedAggs {
     val corpusFull = t.documents
       .join(t.embeddings, t.documents("doc_id") === t.embeddings("vec_id"))
       .select(t.documents("doc_id"), col("text"), col("embedding"))
+    // materialized once (round 15, guide §1.2): the joined feed is
+    // re-derived ~4× per batch (two ops writes + both arms' index
+    // builds) — a stream delivers each row once; so does the twin now
     val corpus = corpusSlice.map(corpusFull.filter).getOrElse(corpusFull)
+      .localCheckpoint()
     val tag = if (corpusSlice.isDefined) "econ" else "full"
     val base = ServingLoc.of(s, s"st26:$tag:$dir",
       "graft_hybrid_takedown_compact")
@@ -1436,10 +1445,12 @@ object WindowedAggs {
         s"$lexBase/_committed_batch_$i"), true).close()
       fs.create(new org.apache.hadoop.fs.Path(
         s"$annBase/_served_batch_$i"), true).close()
+      // both arms' folds reuse the serve's just-resolved frames — no
+      // ops committed in between (round 15)
       if (LexIndex.tailSegmentCount(s, lexBase) >= 3)
-        LexIndex.compactTakedownServing(s, lexBase)
+        LexIndex.compactTakedownServing(s, lexBase, Some(lexIdx))
       LexIndex.pruneTakedownCompacted(s, lexBase)
-      Pq.foldPqTakedownIfDue(s, annBase, 1, ids)
+      Pq.foldPqTakedownIfDue(s, annBase, 1, ids, deadOpt = Some(deadAnn))
       Pq.prunePqTakedownFolded(s, annBase, ids)
     }
     s.read.parquet((0 to 2).map(i => s"$base/results/$i"): _*)
@@ -1517,8 +1528,13 @@ object WindowedAggs {
           .filter(col("last_add").isNotNull &&
             (col("last_del").isNull || col("last_add") >= col("last_del")))
           .select(col("doc_id"), col("last_add").as("batch"))
+        // materialized once (round 15, guide §1.2): the live view's
+        // union + liveness join feeds the repack write AND the
+        // empty-shard sweep's collect inside repackShards — it
+        // re-executed per consumer before
         val live = docsAll.join(alive, Seq("doc_id", "batch"))
           .select("doc_id", "source", "text")
+          .localCheckpoint()
         val affected = b.select("source").distinct()
           .collect().map(_.getString(0)).sorted
         Corpus.repackShards(s, base, live, affected.toSeq, L)
