@@ -58,14 +58,20 @@ object Classifier {
     * n28's unigram join. */
   def nbScores(train: DataFrame, apply: DataFrame): DataFrame = {
     val tokT = train.select(col(LabelCol), explode(split(col("text"), " ")).as("tok"))
-    val cls = tokT.groupBy(LabelCol).agg(count(lit(1)).as("n_tok"))
-    val vocab = tokT.agg(countDistinct(col("tok")).as("v"))
+    // per-class token totals and the vocabulary size re-aggregated
+    // from the (label, tok) counts below (Σ_tok c per label; distinct
+    // tok across labels) instead of two more tokenize passes —
+    // ReuseExchange computes the tokenize+count shuffle once
+    // (round 15, guide §1.2)
+    lazy val cntShared = tokT.groupBy(LabelCol, "tok").agg(count(lit(1)).as("c"))
+    val cls = cntShared.groupBy(LabelCol).agg(sum(col("c")).as("n_tok"))
+    val vocab = cntShared.agg(countDistinct(col("tok")).as("v"))
     val pri = train.groupBy(LabelCol).agg(count(lit(1)).as("nd"))
       .crossJoin(broadcast(train.agg(count(lit(1)).as("nd_tot"))))
       .select(col(LabelCol),
         log(col("nd").cast("double") / col("nd_tot"))
           .cast("decimal(25,6)").cast("double").as("lp"))
-    val cnt = tokT.groupBy(LabelCol, "tok").agg(count(lit(1)).as("c"))
+    val cnt = cntShared
     val tokS = apply
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))

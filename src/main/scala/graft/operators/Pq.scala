@@ -436,8 +436,13 @@ object Pq {
     * query distance tables against `books`, a broadcast lookup join
     * over the candidate (q_id, vec_id, m, code) rows, the fixed-order
     * M-term ADC sum, and the (adc, nb_id) ranking. */
-  private def restrictedAdc(candCodes: DataFrame, books: DataFrame,
-      queries: DataFrame, k: Int): DataFrame = {
+  /** Unranked ADC values (q_id, nb_id, adc) for a candidate code set —
+    * the shared pivot [[restrictedAdc]] ranks, split out (round 15) so
+    * the n70 calibration sweeps can compute the pivot ONCE over the
+    * maximal candidate set and derive every nProbe level by rank
+    * filtering. */
+  private def adcValues(candCodes: DataFrame, books: DataFrame,
+      queries: DataFrame): DataFrame = {
     val qsub = subVectors(queries).select(
       col("vec_id").as("q_id"), col("m"), col("sv").as("qs"))
     val dtab = qsub.join(books, Seq("m"))
@@ -460,9 +465,13 @@ object Pq {
       .agg(max(when(col("m") === 0, col("d"))).as("d0"),
         (1 until M).map(m => max(when(col("m") === m, col("d"))).as(s"d$m")): _*)
     val adc = round6((0 until M).map(m => col(s"d$m")).reduce(_ + _))
+    perM.select(col("q_id"), col("vec_id").as("nb_id"), adc.as("adc"))
+  }
+
+  private def restrictedAdc(candCodes: DataFrame, books: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("adc"), col("nb_id"))
-    perM
-      .select(col("q_id"), col("vec_id").as("nb_id"), adc.as("adc"))
+    adcValues(candCodes, books, queries)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
@@ -1768,8 +1777,9 @@ object Pq {
   /** The residual ADC tail: candidate (q_id, cell, vec_id) rows pick up
     * their codes, look up the (q, cell)-keyed residual distance table,
     * and rank by the fixed-order M-term sum. */
-  private def residualRestrictedAdc(cand: DataFrame, codes: DataFrame,
-      dtab: DataFrame, k: Int): DataFrame = {
+  /** Unranked residual-ADC values — see [[adcValues]] (round 15). */
+  private def residualAdcValues(cand: DataFrame, codes: DataFrame,
+      dtab: DataFrame): DataFrame = {
     val withCodes = cand.join(codes, Seq("vec_id"))
     val perM = withCodes
       .join(broadcast(dtab
@@ -1778,13 +1788,18 @@ object Pq {
         withCodes("q_id") === col("__dq") && withCodes("cell") === col("__dcell") &&
           withCodes("m") === col("__dm") && withCodes("code") === col("__dc"))
       .select(col("q_id"), col("vec_id"), withCodes("m").as("m"), col("d"))
+      .repartition(col("q_id"))
       .groupBy("q_id", "vec_id")
       .agg(max(when(col("m") === 0, col("d"))).as("d0"),
         (1 until M).map(m => max(when(col("m") === m, col("d"))).as(s"d$m")): _*)
     val adc = round6((0 until M).map(m => col(s"d$m")).reduce(_ + _))
+    perM.select(col("q_id"), col("vec_id").as("nb_id"), adc.as("adc"))
+  }
+
+  private def residualRestrictedAdc(cand: DataFrame, codes: DataFrame,
+      dtab: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("adc"), col("nb_id"))
-    perM
-      .select(col("q_id"), col("vec_id").as("nb_id"), adc.as("adc"))
+    residualAdcValues(cand, codes, dtab)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
@@ -1991,14 +2006,31 @@ object Pq {
     val exc = exact.join(
       asg.withColumnRenamed("vec_id", "nb_id").withColumnRenamed("cell", "nb_cell"),
       Seq("nb_id"))
+    // ONE ADC pass for the whole sweep (round 15, guide §1.2): a
+    // pair's ADC value is probe-level-independent, and each vector
+    // lives in exactly one cell, so the maximal candidate set with its
+    // probe rank attached derives every nProbe level by rank filter +
+    // re-rank — the old body re-ran the distance-table pivot per level
+    // (4× the sweep's dominant work).
+    val candAll = probes8.join(asg, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("rn"))
+      .localCheckpoint()
+    val adcAll = adcValues(
+        candAll.join(codes, Seq("vec_id"))
+          .select(col("q_id"), col("vec_id"), col("m"), col("code")),
+        books, q)
+      .join(candAll.select(col("q_id"), col("vec_id").as("nb_id"), col("rn")),
+        Seq("q_id", "nb_id"))
+      .localCheckpoint()
+    val wTop = Window.partitionBy("q_id").orderBy(col("adc"), col("nb_id"))
     ProbeSweep.map { p =>
       val probes = probes8.filter(col("rn") <= p).select("q_id", "cell")
-      val cand = probes.join(asg, Seq("cell"))
-        .filter(col("q_id") =!= col("vec_id"))
-        .select("q_id", "vec_id")
-      val candCodes = cand.join(codes, Seq("vec_id"))
-        .select(col("q_id"), col("vec_id"), col("m"), col("code"))
-      val adcTop = restrictedAdc(candCodes, books, q, TopK).select("q_id", "nb_id")
+      val cand = candAll.filter(col("rn") <= p).select("q_id", "vec_id")
+      val adcTop = adcAll.filter(col("rn") <= p)
+        .withColumn("topk", row_number().over(wTop))
+        .filter(col("topk") <= TopK)
+        .select("q_id", "nb_id")
       recallRow(p, exact, exc, probes, cand, adcTop)
     }.reduce(_.unionAll(_)).orderBy("n_probe")
   }
@@ -2097,12 +2129,25 @@ object Pq {
     val exc = exact.join(
       asg.withColumnRenamed("vec_id", "nb_id").withColumnRenamed("cell", "nb_cell"),
       Seq("nb_id"))
+    // ONE residual-ADC pass for the whole sweep (round 15 — see the
+    // raw sweep above): a pair's (q, cell)-keyed residual ADC is
+    // probe-level-independent because each vector has one cell
+    val candAll = probes8.join(asg, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("cell"), col("vec_id"), col("rn"))
+      .localCheckpoint()
+    val adcAll = residualAdcValues(
+        candAll.select("q_id", "cell", "vec_id"), codes, dtab8)
+      .join(candAll.select(col("q_id"), col("vec_id").as("nb_id"), col("rn")),
+        Seq("q_id", "nb_id"))
+      .localCheckpoint()
+    val wTop = Window.partitionBy("q_id").orderBy(col("adc"), col("nb_id"))
     ProbeSweep.map { p =>
       val probes = probes8.filter(col("rn") <= p).select("q_id", "cell")
-      val cand = probes.join(asg, Seq("cell"))
-        .filter(col("q_id") =!= col("vec_id"))
-        .select("q_id", "cell", "vec_id")
-      val adcTop = residualRestrictedAdc(cand, codes, dtab8, TopK)
+      val cand = candAll.filter(col("rn") <= p).select("q_id", "cell", "vec_id")
+      val adcTop = adcAll.filter(col("rn") <= p)
+        .withColumn("topk", row_number().over(wTop))
+        .filter(col("topk") <= TopK)
         .select("q_id", "nb_id")
       recallRow(p, exact, exc, probes, cand, adcTop)
     }.reduce(_.unionAll(_)).orderBy("n_probe")

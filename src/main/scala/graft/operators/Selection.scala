@@ -124,17 +124,24 @@ object Selection {
     * distribution of `target` (both need doc_id + text). */
   def dsir(raw: DataFrame, target: DataFrame, k: Int,
       nBuckets: Int = NumBuckets, seed: String = GumbelSeed): DataFrame = {
+    // ONE tokenize pass per corpus (round 15, guide §1.2): rstat and
+    // the totals are pure re-aggregations of the per-doc bucket counts
+    // (Σ_doc c(doc, b) ≡ count of gram instances in b), so deriving
+    // them from `feat` — whose shuffle Spark's ReuseExchange then
+    // computes once — replaces the old THREE raw-corpus tokenize
+    // passes (feat, rstat, rn) and two target passes with one each.
+    // coalesce guards the empty-corpus edge where sum yields null
+    // where the old count read 0.
     val feat = grams(raw)
       .select(col("doc_id"), (hash32(col("gram")) % nBuckets).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
     val tstat = grams(target)
       .select((hash32(col("gram")) % nBuckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("tc"))
-    val rstat = grams(raw)
-      .select((hash32(col("gram")) % nBuckets).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("rc"))
-    val tot = grams(target).agg(count(lit(1)).as("tn"))
-      .crossJoin(grams(raw).agg(count(lit(1)).as("rn")))
+    val rstat = feat.groupBy("bucket")
+      .agg(coalesce(sum(col("c")), lit(0L)).as("rc"))
+    val tot = tstat.agg(coalesce(sum(col("tc")), lit(0L)).as("tn"))
+      .crossJoin(feat.agg(coalesce(sum(col("c")), lit(0L)).as("rn")))
     val tau = rstat.join(tstat, Seq("bucket"), "left").crossJoin(broadcast(tot))
       .select(col("bucket"),
         (log((coalesce(col("tc"), lit(0L)) + 1.0) / (col("tn") + nBuckets)) -

@@ -255,8 +255,12 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val tok = Tables(s, dir).documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val total = tok.agg(count(lit(1)).as("n"))
     val uni = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    // total token count re-aggregated from the unigram counts (Σ_tok c
+    // ≡ count of token instances) instead of a second tokenize pass —
+    // ReuseExchange then computes the tokenize+count shuffle once
+    // (round 15, guide §1.2)
+    val total = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
     tok.join(uni, Seq("tok")).crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -311,8 +315,12 @@ object TextAnalysis {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val big = bigrams(Tables(s, dir).documents)
-    val pre = big.groupBy("w1").agg(count(lit(1)).as("c1"))
     val bi = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // prefix counts re-aggregated from the bigram counts (Σ_w2 c2 ≡
+    // count of w1-as-prefix instances) instead of a second bigram
+    // extraction pass — ReuseExchange computes the extract+count
+    // shuffle once (round 15, guide §1.2)
+    val pre = bi.groupBy("w1").agg(sum(col("c2")).as("c1"))
     big.join(bi, Seq("w1", "w2")).join(pre, Seq("w1"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),

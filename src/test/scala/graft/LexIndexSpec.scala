@@ -313,4 +313,50 @@ class LexIndexSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("round-15 precomputed fold: compactTakedownServing with the serve's view folds to the same base as a fresh read") {
+    // the serving lanes now hand their just-resolved view to the fold
+    // (no ops committed in between); this pins that the precomputed
+    // path and a from-scratch fold materialize identical bases,
+    // survivors and watermarks on the same tree state.
+    def buildTree(tag: String): String = {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"lex_prefold_$tag").toString
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      Seq(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"), lit("add").as("op")),
+        docs.filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id"), col("text"), lit("add").as("op"))
+          .unionByName(docs.filter(col("doc_id") % 15 === 0)
+            .select(col("doc_id"), lit("").as("text"), lit("del").as("op")))
+      ).zipWithIndex.foreach { case (b, i) =>
+        b.select("doc_id", "op")
+          .write.mode("overwrite").parquet(s"$base/ops/$i")
+        LexIndex.writeIndex(
+          LexIndex.buildIndex(
+            b.filter(col("op") === "add").select("doc_id", "text")),
+          s"$base/batches/$i")
+        fs.create(new org.apache.hadoop.fs.Path(
+          s"$base/_committed_batch_$i"), true).close()
+      }
+      base
+    }
+    def foldedState(base: String,
+        pre: Option[LexIndex.Bm25Index]): (Set[Seq[Any]], Set[Seq[Any]], Option[Long]) = {
+      val w = LexIndex.compactTakedownServing(spark, base, pre)
+      val idx = LexIndex.readIndex(spark, s"$base/compacted/${w.get}")
+      (idx.postings.collect().map(_.toSeq).toSet,
+        spark.read.parquet(s"$base/ops_base/${w.get}")
+          .collect().map(_.toSeq).toSet, w)
+    }
+    val b1 = buildTree("fresh")
+    val b2 = buildTree("pre")
+    val (p1, s1, w1) = foldedState(b1, None)
+    val view = LexIndex.readTakedownCompactServing(spark, b2)._1
+    val (p2, s2, w2) = foldedState(b2, Some(view))
+    assert(w1 == w2 && p1 == p2 && s1 == s2 && p1.nonEmpty && s1.nonEmpty,
+      "precomputed-view fold diverged from the from-scratch fold")
+  }
 }

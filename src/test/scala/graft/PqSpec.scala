@@ -556,4 +556,32 @@ class PqSpec extends SparkSpec {
     assert(recall >= 10 * chance && recall >= 0.1,
       s"IVF-PQ in-cell recall too close to chance: $recall")
   }
+
+  test("round-15 fold path: the folded generation's components are byte-equal reads of the pre-fold index (anchors/books file-copied, codes rewritten)") {
+    // foldPqServingIfDue now copies the frozen trained configuration
+    // (anchors, books) file-for-file instead of re-writing it through
+    // two Spark jobs; this pins that a read of the folded generation is
+    // indistinguishable from the pre-fold accumulated index — the
+    // property every serving entry's oracle rides on.
+    val root = java.nio.file.Files.createTempDirectory("pq_foldcopy").toString
+    val g0 = Pq.pqGenPath(root, 0L)
+    Pq.writePqIndex(Pq.buildPqIndex(e.filter(col("vec_id") % 3 === 0)), g0)
+    Pq.appendToPqIndex(e.filter(col("vec_id") % 3 =!= 0), g0, label = "a1")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val before = Pq.readPqIndex(spark, g0)
+    val (wantA, wantB, wantC) =
+      (rows(before.anchors), rows(before.books), rows(before.codes))
+    Pq.foldPqServingIfDue(spark, root, compactEvery = 1)
+    assert(Pq.currentPqGen(spark, root) == 1L, "fold did not advance the gen")
+    val after = Pq.readPqIndex(spark, Pq.pqGenPath(root, 1L))
+    assert(rows(after.anchors) == wantA && wantA.nonEmpty, "anchors moved")
+    assert(rows(after.books) == wantB && wantB.nonEmpty, "books moved")
+    assert(rows(after.codes) == wantC && wantC.nonEmpty, "codes moved")
+    // and the old generation is pruned (the swap's second phase)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/gens/0")),
+      "folded generation not pruned")
+  }
 }
